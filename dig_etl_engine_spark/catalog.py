@@ -1,0 +1,65 @@
+"""Table catalog: load the canonical test tables from a scale-factor dir.
+
+The reference routes every logical type to one Elasticsearch index per
+project (``manager.py:220`` in /root/reference — TypeIndexMapping,
+SURVEY.md Q9). Here the catalog is the equivalent routing layer: logical
+table name → parquet path → DataFrame, registered as temp views so both
+the DataFrame API and ``spark.sql`` address the same tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
+                register_views: bool = True) -> dict[str, DataFrame]:
+    """Load every canonical table that exists under ``sf_dir``.
+
+    Scans stay lazy — Catalyst prunes columns and pushes filters into the
+    parquet reader, so loading "all tables" costs nothing until an action.
+    """
+    # Runtime SQL conf (not a static conf): must be on even when the caller
+    # built its own SparkSession (the driver does) — events.parquet stores
+    # TIMESTAMP(NANOS) which Spark otherwise refuses to read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        p = table_path(sf_dir, name)
+        if os.path.exists(p):
+            df = spark.read.parquet(p)
+            df = _normalize(name, df)
+            if register_views:
+                df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+def _normalize(name: str, df: DataFrame) -> DataFrame:
+    """Schema normalization at the catalog boundary.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS); Spark reads it as
+    long (``spark.sql.legacy.parquet.nanosAsLong``). Convert to a proper
+    microsecond timestamp here so every downstream operator sees
+    TimestampType — matching DuckDB's µs semantics after truncation.
+    """
+    from pyspark.sql import functions as F, types as T
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df

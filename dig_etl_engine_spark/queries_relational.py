@@ -1,0 +1,358 @@
+"""Relational operators: aggregations (SURVEY §2.7 A1–A5), joins (§2.6
+J1–J3), top-k / paging (§2.8 Q13), set ops, and last-write-wins upsert
+semantics (§2.2 K2, §4 R5).
+
+The reference has no general join and only ES terms-agg facets; Spark gives
+the full relational algebra as a capability superset — these queries pin the
+semantics the new engine exposes, verified against the DuckDB oracle.
+
+Scale notes: dimension joins (region/nation/supplier) are explicitly
+broadcast — at 100 TB the fact side never shuffles for those. Fact-fact
+joins (orders⋈lineitem) shuffle on the join key and rely on AQE for skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.queries import register
+
+
+# --- A: aggregations ---------------------------------------------------------
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregation (TPC-H Q1 shape): the facet/terms-agg
+    family generalized to multi-measure group-by. Reference only has ES
+    terms aggs (`sandpaper/sandbox/config/etk/config.json:56-60`); this is
+    the Spark-native superset. Partial aggregation (map-side combine) makes
+    this a single shuffle of |groups| rows per partition at any scale."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "facet_terms_agg",
+    oracle="""
+    SELECT event_type AS facet_value, COUNT(*) AS doc_count
+    FROM events GROUP BY event_type
+    ORDER BY doc_count DESC, facet_value ASC LIMIT 3
+    """,
+)
+def facet_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 facet group-by (ES terms agg): per-field top-k value counts
+    powering UI facets (`type_field_group_by_mappings.json:2-70`). Ties
+    broken by value for determinism (ES breaks by term too)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.col("event_type").alias("facet_value"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("facet_value"))
+        .limit(3)
+    )
+
+
+@register(
+    "tld_stats",
+    oracle="""
+    SELECT source AS tld, COUNT(*) AS docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+)
+def tld_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 per-TLD document statistics (`docs/index.md:95,106-117`): the
+    load-time desired-vs-loaded bookkeeping as one aggregation."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.groupBy(F.col("source").alias("tld"))
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+@register(
+    "kg_doc_count",
+    oracle="SELECT COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_tlds FROM documents",
+)
+def kg_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 KG doc counts (`docs/index.md:113-125`)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.countDistinct("source").alias("n_tlds"))
+
+
+@register(
+    "temporal_region_minmax",
+    oracle="""
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_date_time,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_date_time,
+           COUNT(*) AS n_points
+    FROM events GROUP BY user_id
+    """,
+)
+def temporal_region_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 temporal region min/max per series (`ts_converter.py:173-179,
+    198-208`): the Measure doc's temporal_region computed as one agg."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_date_time"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_date_time"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+@register(
+    "facet_rollup",
+    oracle="""
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
+           COUNT(*) AS doc_count, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(user_id % 10 AS VARCHAR))
+    """,
+)
+def facet_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 superset: hierarchical facet counts via ROLLUP (SURVEY §2.7 notes
+    Spark grants cube/rollup free — exposed in the facet API)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    bucket = (F.col("user_id") % 10).cast("string")
+    return (
+        ev.withColumn("user_bucket", bucket)
+        .rollup("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("user_bucket"), F.lit("ALL")).alias("user_bucket"),
+            "doc_count", "sum_value",
+        )
+    )
+
+
+# --- J: joins ----------------------------------------------------------------
+
+@register(
+    "join_top_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           c.c_mktsegment,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, c.c_mktsegment
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def join_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 + Q13: equi-join chain with top-k ranking. The reference
+    answers cross-entity questions only by denormalization
+    (`generate_mydig_config.py:467-516`); real joins are the Spark
+    superset. Filter on the dimension side is pushed below the join."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                 "c_mktsegment")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "join_region_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM region r
+      JOIN nation n    ON n.n_regionkey = r.r_regionkey
+      JOIN customer c  ON c.c_nationkey = n.n_nationkey
+      JOIN orders o    ON o.o_custkey   = c.c_custkey
+      JOIN lineitem l  ON l.l_orderkey  = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 multi-way star join: dims region/nation broadcast explicitly
+    (never shuffle the fact side for a 25-row dim at any scale)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "join_indexing_denorm",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           c.c_name AS customer__name,
+           c.c_mktsegment AS customer__mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 300000
+    """,
+)
+def join_indexing_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 `join_indexing` denormalization: child-object values copied onto
+    the parent as `{child}__{field}` columns so the parent is searchable by
+    child attrs (`generate_mydig_config.py:467-516`, flag in
+    `utilities/tests/test_data/test_mapping.json`)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"].filter(F.col("o_totalprice") > 300000)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.col("c_name").alias("customer__name"),
+            F.col("c_mktsegment").alias("customer__mktsegment"),
+        )
+    )
+
+
+@register(
+    "semi_anti_join",
+    oracle="""
+    SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS bucket, COUNT(*) AS n FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 superset: EXISTS/NOT EXISTS as left-semi / left-anti joins."""
+    t = load_tables(spark, sf_dir)
+    cust, orders = t["customer"], t["orders"]
+    on = cust["c_custkey"] == orders["o_custkey"]
+    semi = cust.join(orders, on, "left_semi").agg(F.count(F.lit(1)).alias("n")) \
+               .select(F.lit("with_orders").alias("bucket"), "n")
+    anti = cust.join(orders, on, "left_anti").agg(F.count(F.lit(1)).alias("n")) \
+               .select(F.lit("without_orders").alias("bucket"), "n")
+    return semi.unionByName(anti)
+
+
+@register(
+    "union_by_name",
+    oracle="""
+    SELECT doc_id, text, lang, NULL AS event_type FROM documents WHERE lang = 'fr'
+    UNION ALL BY NAME
+    SELECT event_id AS doc_id, props AS text, NULL AS lang, event_type
+    FROM events WHERE event_type = 'signup' AND event_id < 100
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dataset union (SURVEY §2.8 note): the reference merges datasets
+    by writing to one index (F1 demux + K2); Spark equivalent is
+    `unionByName(allowMissingColumns=True)` with schema reconciliation."""
+    t = load_tables(spark, sf_dir)
+    a = t["documents"].filter(F.col("lang") == "fr").select("doc_id", "text", "lang")
+    b = (t["events"].filter((F.col("event_type") == "signup") & (F.col("event_id") < 100))
+         .select(F.col("event_id").alias("doc_id"), F.col("props").alias("text"),
+                 "event_type"))
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+# --- Q13: top-k / paging, K2/R5: last-write-wins upsert -----------------------
+
+@register(
+    "topk_paging",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn BETWEEN 11 AND 20
+    """,
+)
+def topk_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 top-k retrieval with `from`/`size` paging (ES paging via DIG UI,
+    `nginx/sandbox/conf.d/dig.conf:95-104`): offset paging = row_number
+    window. Note: a global row_number is single-partition — fine for top
+    pages; deep paging at scale should keyset-paginate instead (documented
+    superset)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(11, 20))
+    )
+
+
+@register(
+    "upsert_last_write_wins",
+    oracle="""
+    SELECT user_id, event_type, value, event_id FROM (
+      SELECT user_id, event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def upsert_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/R5 ES upsert semantics: `document_id => %{doc_id}` makes the last
+    write win (`manager.py:217`). Reproduced as offset-ordered row_number
+    before MERGE (SURVEY §4 R5) — here user_id plays doc_id and event_id
+    plays the kafka offset. Shuffles once on the key; at 100 TB this is the
+    same partitioning the MERGE itself needs, so it amortizes."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return (
+        ev.select("user_id", "event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
