@@ -20,10 +20,12 @@ from dig_etl_engine_spark import queries as _registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: multi-way star join + facet aggregation on sf0.001."""
-    from dig_etl_engine_spark.queries_relational import join_region_revenue
+    """Flagship: the full coarse structured-search pipeline (glossary
+    extraction → long-format KG index → weighted-match ranked retrieval),
+    the engine's identity query (SURVEY §3.2), on sf0.001."""
+    from dig_etl_engine_spark.queries_search import coarse_search_rank
 
-    return join_region_revenue(spark, "/root/testdata/sf0.001")
+    return coarse_search_rank(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

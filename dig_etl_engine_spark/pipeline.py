@@ -1,0 +1,73 @@
+"""Module pipeline API — the reference's per-document UDF surface
+(SURVEY.md §2.11) re-expressed over DataFrames.
+
+Reference: ETK modules are Python classes with ``document_selector(doc)`` +
+``process_document(doc)`` (may return a LIST of documents — doc→many),
+auto-discovered as ``em_*.py`` and run per message (`etk_worker.py:102-106,
+210-213`; `docs/advanced.md:20-54,312-322`).
+
+Spark design: a Module is (selector Column, process DataFrame→DataFrame).
+``run_modules`` = union of each module's output over its selected slice —
+set-oriented, one pass, no per-doc Python. For genuinely imperative user
+logic, ``python_doc_module`` wraps a per-batch pandas function via
+mapInPandas (Arrow-vectorized; doc→many naturally supported by returning
+more rows than received — the reference's UDTF semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+
+
+@dataclass
+class Module:
+    """One ETL module: demux predicate + set-oriented transform."""
+    name: str
+    selector: Column | None  # None ⇒ all docs (em_base-style default module)
+    process: Callable[[DataFrame], DataFrame]
+
+
+def run_modules(df: DataFrame, modules: Iterable[Module]) -> DataFrame:
+    """F1 demux + per-module transform + union (SURVEY §3.1 stages 3–5).
+
+    ``unionByName(allowMissingColumns=True)`` reconciles differing module
+    output schemas — the Spark equivalent of heterogeneous docs landing in
+    one index (§2.8 set-op note).
+    """
+    outputs: list[DataFrame] = []
+    for m in modules:
+        selected = df.filter(m.selector) if m.selector is not None else df
+        outputs.append(m.process(selected))
+    if not outputs:
+        return df.limit(0)
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.unionByName(o, allowMissingColumns=True)
+    return out
+
+
+def python_doc_module(
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    output_schema: str,
+) -> Callable[[DataFrame], DataFrame]:
+    """Wrap an imperative per-batch document function as a module process.
+
+    ``fn`` receives a pandas DataFrame of docs and returns a pandas
+    DataFrame of output docs (0..n rows per input row — the reference's
+    list-of-Documents return, `etk_worker.py:104-106`). Executed via
+    mapInPandas: Arrow batches, no per-row serialization (risk R1).
+    """
+    def process(df: DataFrame) -> DataFrame:
+        def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+            for pdf in batches:
+                out = fn(pdf)
+                if out is not None and len(out):
+                    yield out
+        return df.mapInPandas(run, schema=output_schema)
+
+    return process

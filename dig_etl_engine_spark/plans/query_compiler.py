@@ -1,0 +1,286 @@
+"""Structured-query compiler — the sandpaper "coarse" pipeline (SURVEY §2.8,
+§3.2) re-expressed as driver-side compilation to Column expressions.
+
+Reference pipeline (configs under /root/reference
+`sandpaper/sandbox/config/etk/`): preprocess (Q1 predicate→type
+`predicate_range_mappings.json`, Q2 value transforms
+`constraint_type_transformations.json`, Q3/Q4 constraint+synonym expansion
+`dict_constraint_mappings.json`) → parameterize (Q5 at-least-one-field OR,
+`config.json:27-36`) → generate (Q6 field fan-out `type_field_mappings.json`,
+Q7 weight tree `field_weights.json`, Q8 query kind `type_query_mappings.json`,
+Q9 index routing, Q10 compiler options `elasticsearch_compiler_options.json`)
+→ execute (Q11).
+
+Differences by design (documented divergence, SURVEY §7.4 R2): scoring is a
+deterministic weighted-match sum — `score = Σ weight(field,method,segment) ×
+match(field, clause)` — not BM25×boost; ordering is made total with a doc_id
+tie-break so golden tests are stable.
+
+Physical shape (the part that must survive 100 TB): clause probes are a
+tiny literal DataFrame **broadcast** against the long index table; the index
+scan is pre-filtered with `field IN (fan-out set)` — on a field-partitioned
+index table that's partition pruning, so a query touches only its fields'
+partitions. Per-doc dedup + score aggregation is one shuffle keyed by
+doc_id; the join back to the doc table for projection is the same key.
+Config expressions are NEVER eval'd (risk R4) — transforms are a named
+registry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.plans.weights import WeightTree
+
+# --- config model -------------------------------------------------------------
+
+STOPWORDS = {"a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+             "in", "is", "it", "of", "on", "or", "that", "the", "to", "with"}
+
+# Q2: named transform registry — replaces the reference's eval'd Python
+# expression strings (`constraint_type_transformations.json:2-4`; risk R4).
+TRANSFORMS = {
+    "identity": lambda v: v,
+    "lower": lambda v: v.lower(),
+    "strip_stopwords": lambda v: " ".join(
+        t for t in v.lower().split() if t not in STOPWORDS) or v.lower(),
+}
+
+
+@dataclass(frozen=True)
+class FieldRef:
+    """One physical search target from the Q6 fan-out: either a row subset
+    of the long index table (zone='index') or a doc-table text column
+    (zone='text' — the content_extraction.* full-text zones)."""
+    field: str
+    method: str = "*"
+    segment: str = "*"
+    zone: str = "index"
+
+
+@dataclass
+class EngineConfig:
+    predicate_types: dict[str, str]                      # Q1
+    type_field_mappings: dict[str, list[FieldRef]]       # Q6
+    weights: WeightTree                                  # Q7
+    type_query_kinds: dict[str, str] = dc_field(default_factory=dict)   # Q8
+    transforms: dict[str, str] = dc_field(default_factory=dict)         # Q2
+    synonyms: dict[str, dict[str, list[str]]] = dc_field(default_factory=dict)  # Q3/Q4
+    convert_filters_to_shoulds: bool = False             # Q10
+    boost_shoulds: float = 1.0                           # Q10
+    default_source_fields: list[str] | None = None       # Q10 projection
+    excluded_source_fields: list[str] = dc_field(default_factory=list)
+
+
+@dataclass
+class CompiledClause:
+    clause_id: int
+    qtype: str
+    kind: str                 # 'match' | 'match_phrase'
+    values: list[str]         # transformed + expanded constraint values
+    index_refs: list[FieldRef]
+    text_refs: list[FieldRef]
+
+
+def preprocess(query: dict[str, Any], cfg: EngineConfig) -> list[CompiledClause]:
+    """Q1–Q6: annotate clauses with types, transform + expand constraints,
+    fan out to physical fields. Pure driver-side Python."""
+    out: list[CompiledClause] = []
+    for i, clause in enumerate(query.get("clauses", [])):
+        pred, raw = clause["predicate"], str(clause["constraint"])
+        qtype = cfg.predicate_types.get(pred, "owl:Thing")
+        tname = cfg.transforms.get(qtype, "lower")
+        base = TRANSFORMS[tname](raw)
+        values = [base]
+        for alt in cfg.synonyms.get(qtype, {}).get(base, []):
+            values.append(TRANSFORMS[tname](alt))
+        refs = cfg.type_field_mappings.get(qtype, [])
+        out.append(CompiledClause(
+            clause_id=i,
+            qtype=qtype,
+            kind=cfg.type_query_kinds.get(qtype, "match"),
+            values=list(dict.fromkeys(values)),
+            index_refs=[r for r in refs if r.zone == "index"],
+            text_refs=[r for r in refs if r.zone == "text"],
+        ))
+    return out
+
+
+def _text_match(doc_col: Column, values: list[str], kind: str) -> Column:
+    """Match indicator on a full-text zone. 'match_phrase' → contiguous
+    token-boundary phrase; 'match' → any constraint token present."""
+    padded = F.concat(F.lit(" "), F.lower(doc_col), F.lit(" "))
+    preds: list[Column] = []
+    for v in values:
+        if kind == "match_phrase":
+            preds.append(padded.contains(f" {v} "))
+        else:
+            for tok in v.split():
+                preds.append(padded.contains(f" {tok} "))
+    out = F.lit(False)
+    for p in preds:
+        out = out | p
+    return out
+
+
+def compile_query(
+    spark: SparkSession,
+    docs: DataFrame,
+    index: DataFrame,
+    query: dict[str, Any],
+    cfg: EngineConfig,
+    *,
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Compile + execute a structured query → ranked docs with ``score``.
+
+    Semantics: each clause must match in ≥1 of its fan-out fields (Q5
+    AtLeastOneFieldCombination, AND across clauses); score = Σ over
+    (clause, physical field) matches of the resolved field weight.
+    """
+    clauses = preprocess(query, cfg)
+    if not clauses:
+        raise ValueError("query has no clauses")
+
+    # ---- index-zone matching: broadcast probe join --------------------------
+    probe_rows = []
+    fanout_fields: set[str] = set()
+    for c in clauses:
+        for r in c.index_refs:
+            w = cfg.weights.resolve(r.field, r.method, r.segment)
+            for v in c.values:
+                probe_rows.append((c.clause_id, r.field, r.method, r.segment,
+                                   v, c.kind, float(w)))
+                fanout_fields.add(r.field)
+
+    per_doc_index = None
+    if probe_rows:
+        probes = spark.createDataFrame(
+            probe_rows,
+            "clause_id int, p_field string, p_method string, p_segment string,"
+            " p_value string, p_kind string, p_weight double",
+        )
+        # Explicit field-set pre-filter: partition pruning on a
+        # field-partitioned index table; Catalyst pushes the IN to parquet.
+        idx = index.filter(F.col("field").isin(sorted(fanout_fields)))
+        key_padded = F.concat(F.lit(" "), F.col("key"), F.lit(" "))
+        cond = (
+            (F.col("field") == F.col("p_field"))
+            & ((F.col("p_method") == "*") | (F.col("method") == F.col("p_method")))
+            & ((F.col("p_segment") == "*") | (F.col("segment") == F.col("p_segment")))
+            & F.when(F.col("p_kind") == "match_phrase",
+                     key_padded.contains(F.concat(F.lit(" "), F.col("p_value"), F.lit(" ")))
+                     | (F.col("key") == F.col("p_value")))
+               .otherwise(F.col("key") == F.col("p_value"))
+        )
+        matched = idx.join(F.broadcast(probes), cond)
+        # Boolean match per (doc, clause, physical field): dedup before
+        # summing so duplicate extractions don't double-count (ES indicator
+        # semantics), then one aggregation keyed by doc.
+        per_doc_index = (
+            matched.select("doc_id", "clause_id", "p_field", "p_method",
+                           "p_segment", "p_weight")
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.sum("p_weight").alias("_idx_score"),
+                 F.collect_set("clause_id").alias("_idx_clauses"))
+        )
+
+    # ---- text-zone matching: per-clause column indicators --------------------
+    text_score: Column = F.lit(0.0)
+    text_clause_flags: dict[int, Column] = {}
+    for c in clauses:
+        flag = F.lit(False)
+        for r in c.text_refs:
+            w = cfg.weights.resolve(r.field, r.method, r.segment)
+            m = _text_match(F.col(r.field), c.values, c.kind)
+            text_score = text_score + F.when(m, F.lit(float(w))).otherwise(F.lit(0.0))
+            flag = flag | m
+        text_clause_flags[c.clause_id] = flag
+
+    # ---- combine, Q5 gate, Q10 filters, rank ---------------------------------
+    result = docs
+    if per_doc_index is not None:
+        result = result.join(per_doc_index,
+                             result[doc_id] == per_doc_index["doc_id"],
+                             "left").drop(per_doc_index["doc_id"])
+    else:
+        result = result.withColumn("_idx_score", F.lit(None).cast("double")) \
+                       .withColumn("_idx_clauses", F.array().cast("array<int>"))
+
+    score = F.coalesce(F.col("_idx_score"), F.lit(0.0)) + text_score
+    idx_clauses = F.coalesce(F.col("_idx_clauses"), F.array().cast("array<int>"))
+
+    satisfied = F.lit(True)
+    for c in clauses:
+        in_index = F.array_contains(idx_clauses, c.clause_id) \
+            if c.index_refs else F.lit(False)
+        in_text = text_clause_flags.get(c.clause_id, F.lit(False))
+        satisfied = satisfied & (in_index | in_text)
+
+    # Q10: structured filters — hard predicates, or scored shoulds.
+    for flt in query.get("filters", []):
+        pred = _compile_filter(flt)
+        if cfg.convert_filters_to_shoulds:
+            score = score + F.when(pred, F.lit(cfg.boost_shoulds)).otherwise(F.lit(0.0))
+        else:
+            satisfied = satisfied & pred
+
+    result = (
+        result.withColumn("score", F.round(score, 6))
+        .filter(satisfied)
+        .drop("_idx_score", "_idx_clauses")
+    )
+
+    # Q10 projection: default source fields minus the exclude list
+    # (never ship raw_content back to clients).
+    cols = cfg.default_source_fields or [
+        c for c in result.columns if c not in ("score",)]
+    cols = [c for c in cols if c not in cfg.excluded_source_fields]
+    if doc_id not in cols:
+        cols = [doc_id, *cols]
+    result = result.select(*cols, "score")
+
+    # Q13: deterministic total order + paging.
+    size = int(query.get("size", 10))
+    frm = int(query.get("from", 0))
+    if frm:
+        w = W.orderBy(F.desc("score"), F.asc(doc_id))
+        return (result.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") > frm) & (F.col("_rn") <= frm + size))
+                .drop("_rn"))
+    return result.orderBy(F.desc("score"), F.asc(doc_id)).limit(size)
+
+
+def _compile_filter(flt: dict[str, Any]) -> Column:
+    """Structured filter → predicate. Supported ops: eq, ne, lt, lte, gt,
+    gte, in, contains (the DSL's filter surface)."""
+    col = F.col(flt["field"])
+    op, v = flt.get("op", "eq"), flt.get("value")
+    return {
+        "eq": lambda: col == v,
+        "ne": lambda: col != v,
+        "lt": lambda: col < v,
+        "lte": lambda: col <= v,
+        "gt": lambda: col > v,
+        "gte": lambda: col >= v,
+        "in": lambda: col.isin(v),
+        "contains": lambda: F.lower(col).contains(str(v).lower()),
+    }[op]()
+
+
+def facet_counts(index: DataFrame, field: str, k: int = 10) -> DataFrame:
+    """A1 facet aggregation over the long index table: top-k keys for one
+    logical field (`type_field_group_by_mappings.json` drives which fields
+    get facets). One partial-agg shuffle; deterministic tie-break."""
+    return (
+        index.filter(F.col("field") == field)
+        .groupBy("key")
+        .agg(F.countDistinct("doc_id").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(k)
+    )

@@ -1,1 +1,234 @@
-"""placeholder — filled in as operators land."""
+"""Registry entries for the structured-search pipeline (SURVEY §2.8 Q1–Q13,
+§3.2): the sandpaper "coarse" query surface compiled to DataFrame plans.
+
+The demo project: documents indexed by glossary keywords (field `keyword`,
+method `glossary`) with the raw `text` column as the full-text zone — the
+elicit walkthrough shape (SURVEY §7.2) on the synthetic corpus. Oracles
+restate the weighted-match scoring arithmetic directly in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.functions import extractors as X
+from dig_etl_engine_spark.plans.query_compiler import (
+    EngineConfig, FieldRef, compile_query, facet_counts,
+)
+from dig_etl_engine_spark.plans.weights import WeightRule, WeightTree
+from dig_etl_engine_spark.queries import register
+from dig_etl_engine_spark.queries_extraction import GLOSSARY_TERMS, _glossary_df
+
+_GLOSSARY_VALUES_SQL = ", ".join(f"('{t}')" for t in GLOSSARY_TERMS)
+
+
+def demo_config() -> EngineConfig:
+    """Project config mirroring the reference's etk config shape:
+    predicate→type (Q1, `predicate_range_mappings.json:2-29`), field fan-out
+    (Q6, `type_field_mappings.json:77-89` — City fans out to indexed fields
+    + text zones), weight tree (Q7, `field_weights.json:2-124` — indexed
+    methods ≫ text zones), phrase kinds (Q8, `type_query_mappings.json:2`)."""
+    return EngineConfig(
+        predicate_types={"keyword": "Keyword", "description": "owl:Thing"},
+        type_field_mappings={
+            "Keyword": [FieldRef("keyword", "glossary", "text", zone="index"),
+                        FieldRef("text", zone="text")],
+            "owl:Thing": [FieldRef("text", zone="text")],
+        },
+        weights=WeightTree([
+            WeightRule(weight=1.0),
+            WeightRule(field="text", weight=2.0),
+            WeightRule(field="keyword", method="glossary", weight=10.0),
+        ]),
+        type_query_kinds={"Keyword": "match_phrase", "owl:Thing": "match_phrase"},
+        transforms={"Keyword": "lower", "owl:Thing": "strip_stopwords"},
+        synonyms={"owl:Thing": {"fast": ["quick", "rapid"]}},
+        default_source_fields=["doc_id", "lang", "source"],
+        excluded_source_fields=["text"],  # never ship raw_content (Q10)
+    )
+
+
+def build_keyword_index(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The demo project's long-format index: glossary keyword extractions
+    (§3.1 stage 7 output). At scale this table is materialized partitioned
+    by `field`; here it's computed inline."""
+    matches = X.glossary_matches(docs, "text", _glossary_df(spark))
+    return matches.select(
+        "doc_id",
+        F.lit("keyword").alias("field"),
+        F.lit("glossary").alias("method"),
+        F.lit("text").alias("segment"),
+        F.col("term").alias("value"),
+        F.col("term").alias("key"),
+    )
+
+
+# Shared oracle CTE: per-doc match indicators for the demo corpus.
+_IND = """
+    WITH ind AS (
+      SELECT doc_id, lang, source,
+             POSITION(' hash value ' IN ' ' || LOWER(text) || ' ') > 0 AS hv,
+             POSITION(' window ' IN ' ' || LOWER(text) || ' ') > 0 AS win,
+             (POSITION(' fast ' IN ' ' || LOWER(text) || ' ') > 0
+              OR POSITION(' quick ' IN ' ' || LOWER(text) || ' ') > 0
+              OR POSITION(' rapid ' IN ' ' || LOWER(text) || ' ') > 0) AS fast
+      FROM documents
+    )
+"""
+
+
+@register(
+    "coarse_search_rank",
+    oracle=_IND + """
+    SELECT doc_id, lang, source,
+           ROUND((CASE WHEN hv THEN 12.0 ELSE 0 END)
+               + (CASE WHEN win THEN 2.0 ELSE 0 END), 6) AS score
+    FROM ind
+    WHERE hv AND win
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 15
+    """,
+)
+def coarse_search_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full coarse pipeline (Q1→Q13, `sandpaper/sandbox/config/etk/
+    config.json:4-87`): two clauses — an indexed keyword (glossary hit w=10
+    + text zone w=2) AND a full-text phrase (w=2); at-least-one-field per
+    clause (Q5); deterministic weighted-match ranking (R2); projection
+    excludes raw text (Q10); top-k with total order (Q13)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    index = build_keyword_index(spark, docs)
+    query = {
+        "clauses": [
+            {"predicate": "keyword", "constraint": "Hash Value"},
+            {"predicate": "description", "constraint": "the window"},
+        ],
+        "size": 15,
+    }
+    return compile_query(spark, docs, index, query, demo_config())
+
+
+@register(
+    "search_synonym_expansion",
+    oracle=_IND + """
+    SELECT doc_id, lang, source,
+           ROUND(CASE WHEN fast THEN 2.0 ELSE 0 END, 6) AS score
+    FROM ind
+    WHERE fast
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def search_synonym_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3/Q4 constraint/synonym expansion (`dict_constraint_mappings.json:
+    2-5` — blonde→[straw, blond, yellow] pattern): 'fast' expands to
+    quick/rapid; one weight per matched field regardless of how many
+    variants hit (ES should-clause indicator semantics)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    index = build_keyword_index(spark, docs)
+    query = {"clauses": [{"predicate": "description", "constraint": "fast"}],
+             "size": 20}
+    return compile_query(spark, docs, index, query, demo_config())
+
+
+@register(
+    "search_filters_to_shoulds",
+    oracle=_IND + """
+    SELECT doc_id, lang, source,
+           ROUND((CASE WHEN win THEN 2.0 ELSE 0 END)
+               + (CASE WHEN lang = 'en' THEN 1.5 ELSE 0 END), 6) AS score
+    FROM ind
+    WHERE win
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 25
+    """,
+)
+def search_filters_to_shoulds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 `convert_text_filters_to_shoulds` + `boost_shoulds`
+    (`elasticsearch_compiler_options.json:2-3`): the lang filter becomes a
+    scored should (weight 1.5) instead of a hard predicate — non-en docs
+    still rank, lower."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    index = build_keyword_index(spark, docs)
+    cfg = demo_config()
+    cfg.convert_filters_to_shoulds = True
+    cfg.boost_shoulds = 1.5
+    query = {
+        "clauses": [{"predicate": "description", "constraint": "a window"}],
+        "filters": [{"field": "lang", "op": "eq", "value": "en"}],
+        "size": 25,
+    }
+    return compile_query(spark, docs, index, query, cfg)
+
+
+@register(
+    "search_hard_filter",
+    oracle=_IND + """
+    SELECT doc_id, lang, source,
+           ROUND(CASE WHEN win THEN 2.0 ELSE 0 END, 6) AS score
+    FROM ind
+    WHERE win AND lang = 'zh'
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 25
+    """,
+)
+def search_hard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 default mode: structured filters as hard predicates — compare
+    with `search_filters_to_shoulds` (same clause, filter enforced)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    index = build_keyword_index(spark, docs)
+    query = {
+        "clauses": [{"predicate": "description", "constraint": "a window"}],
+        "filters": [{"field": "lang", "op": "eq", "value": "zh"}],
+        "size": 25,
+    }
+    return compile_query(spark, docs, index, query, demo_config())
+
+
+@register(
+    "search_paging",
+    oracle=_IND + """
+    SELECT doc_id, lang, source, score FROM (
+      SELECT doc_id, lang, source,
+             ROUND((CASE WHEN hv THEN 12.0 ELSE 0 END)
+                 + (CASE WHEN win THEN 2.0 ELSE 0 END), 6) AS score,
+             ROW_NUMBER() OVER (ORDER BY (CASE WHEN hv THEN 12.0 ELSE 0 END)
+                 + (CASE WHEN win THEN 2.0 ELSE 0 END) DESC, doc_id ASC) AS rn
+      FROM ind WHERE hv AND win
+    ) WHERE rn > 5 AND rn <= 10
+    """,
+)
+def search_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 `from`/`size` paging on the ranked result (ES paging via the DIG
+    UI, `nginx/sandbox/conf.d/dig.conf:95-104`)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    index = build_keyword_index(spark, docs)
+    query = {
+        "clauses": [
+            {"predicate": "keyword", "constraint": "Hash Value"},
+            {"predicate": "description", "constraint": "the window"},
+        ],
+        "size": 5, "from": 5,
+    }
+    return compile_query(spark, docs, index, query, demo_config())
+
+
+@register(
+    "facet_keyword_counts",
+    oracle=f"""
+    SELECT g.term AS key, COUNT(DISTINCT d.doc_id) AS doc_count
+    FROM documents d
+    CROSS JOIN (VALUES {_GLOSSARY_VALUES_SQL}) AS g(term)
+    WHERE POSITION(' ' || g.term || ' ' IN ' ' || LOWER(d.text) || ' ') > 0
+    GROUP BY g.term
+    ORDER BY doc_count DESC, key ASC
+    LIMIT 10
+    """,
+)
+def facet_keyword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 facets over the long index table (`type_field_group_by_mappings
+    .json`): top-k keys for the keyword field, distinct-doc counted."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    index = build_keyword_index(spark, docs)
+    return facet_counts(index, "keyword", k=10)
