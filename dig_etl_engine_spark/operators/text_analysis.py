@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json north
+star; SURVEY §7.1 step 10): language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All native Column expressions — at 100 TB these run inside whole-stage
+codegen over the corpus scan, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
+# (A production pack would ship per-language frequency tables; the operator
+# contract — argmax of stopword-hit ratio with a floor — is what's pinned.)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "is", "of", "and"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "est", "un"],
+    "es": ["el", "la", "es", "y", "un"],
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization — the shared basis for all text ops."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword proxy: count of letter-runs, digit-runs and
+    punctuation marks — a deterministic stand-in for a tokenizer vocab
+    (ratio letters/4 is the classic chars/4 heuristic; this one is exact
+    over the regex classes)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
+                                       F.lit(0)))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def distinct_token_ratio(col: Column) -> Column:
+    """Lexical diversity: distinct/total tokens (repetition detector)."""
+    toks = tokens(F.lower(col))
+    return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards lexical diversity and
+    mid-range token length, penalizes stopword stuffing — the
+    length/punct/stopword-ratio family of filters used to gate training
+    corpora. Deterministic; weights documented in the expression."""
+    return F.round(
+        0.5 * distinct_token_ratio(col)
+        + 0.3 * (1.0 - stopword_ratio(col))
+        + 0.2 * F.least(mean_token_length(col) / 8.0, F.lit(1.0)),
+        6,
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Language-ID heuristic: argmax stopword-hit ratio across language
+    lists; below a 2% floor → 'und'. Ties broken by language code order
+    (deterministic)."""
+    toks = tokens(F.lower(col))
+    n = F.greatest(F.size(toks), F.lit(1))
+    best_lang = F.lit("und")
+    best_ratio = F.lit(0.02)
+    for code in sorted(LANG_STOPWORDS):  # later wins only on strictly-greater
+        sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS[code]])
+        ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n
+        better = ratio > best_ratio
+        best_lang = F.when(better, F.lit(code)).otherwise(best_lang)
+        best_ratio = F.when(better, ratio).otherwise(best_ratio)
+    return best_lang
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text — the exact-dedup
+    key (a rolling/Rabin hash family reduces to this contract for whole-doc
+    fingerprints)."""
+    return F.md5(normalize_text(col))

@@ -63,6 +63,10 @@ def python_doc_module(
     mapInPandas: Arrow batches, no per-row serialization (risk R1).
     """
     def process(df: DataFrame) -> DataFrame:
+        from dig_etl_engine_spark.session import ship_package
+
+        ship_package(df.sparkSession)
+
         def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
             for pdf in batches:
                 out = fn(pdf)

@@ -1,1 +1,394 @@
-"""placeholder — filled in as operators land."""
+"""Registry entries for the LLM training-data pipeline operators
+(BASELINE.json north star; SURVEY §7.1 step 10): deduplication, similarity
+search, text analysis, multimodal plumbing.
+
+Near-duplicates don't occur naturally in the synthetic corpus, so dedup
+queries build a corpus = documents ∪ deterministic mutants (same text plus
+a short suffix / perturbed embedding, id + 100000); both engines derive the
+identical corpus, and the operator under test must find the planted pairs
+(plus any true corpus collisions — also identical across engines, since
+every hash involved is md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.operators import dedup as D
+from dig_etl_engine_spark.operators import similarity as S
+from dig_etl_engine_spark.operators import text_analysis as TA
+from dig_etl_engine_spark.operators.multimodal import extract_features
+from dig_etl_engine_spark.queries import register
+
+_MUTANT_SUFFIX = " zz extra trailing tokens"
+
+_CORPUS_SQL = f"""
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || '{_MUTANT_SUFFIX}' AS text
+      FROM documents WHERE doc_id % 2 = 0
+    )
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus exact-text mutants for every even doc_id."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    mut = (docs.filter(F.col("doc_id") % 2 == 0)
+           .select((F.col("doc_id") + 100000).alias("doc_id"),
+                   F.concat(F.col("text"), F.lit(_MUTANT_SUFFIX)).alias("text")))
+    return docs.unionByName(mut)
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content fingerprint; deterministic winner
+    (min id). Mutants here copy the text verbatim → every even doc has
+    n_copies=2. One fingerprint shuffle at any scale."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    mut = (docs.filter(F.col("doc_id") % 2 == 0)
+           .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return D.exact_dedup(docs.unionByName(mut), "text")
+
+
+def _minhash_sql() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(sh, x -> md5('{s}:' || x)))" for s in range(16))
+    bands = ", ".join(
+        "md5('{b}' || '|' || {parts})".format(
+            b=b, parts=" || '|' || ".join(f"mh[{b * 4 + r + 1}]" for r in range(4)))
+        for b in range(4))
+    return f"""
+    WITH {_CORPUS_SQL},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                 i -> array_to_string(t[i:least(i + 2, len(t))], ' ')) AS sh
+      FROM toks
+    ),
+    sig AS (SELECT doc_id, sh, [{mh}] AS mh FROM sh),
+    bands AS (SELECT doc_id, [{bands}] AS bh FROM sig),
+    exploded AS (SELECT doc_id, unnest(bh) AS band FROM bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM exploded a JOIN exploded b
+        ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(len(list_intersect(sa.sh, sb.sh)) /
+                   greatest(len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+                            - len(list_intersect(sa.sh, sb.sh)), 1), 6) AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, end-to-end: 3-token shingles → 16
+    md5 minhashes → 4 LSH bands → bucket self-join → exact-Jaccard verify
+    ≥ 0.5. The oracle replays the identical hash pipeline in SQL — bucket
+    collisions and the (1-s^4)^4 candidate S-curve agree exactly."""
+    return D.minhash_lsh_pairs(_corpus(spark, sf_dir), "text",
+                               threshold=0.5)
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM(((h >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(16))
+    fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)"
+                    for i in range(16))
+    return f"""
+    WITH {_CORPUS_SQL},
+    tok AS (
+      SELECT doc_id, ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 4))::INT AS h
+      FROM corpus
+    ),
+    sums AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id),
+    fps AS (SELECT doc_id, {fp} AS simhash FROM sums)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+    FROM fps a JOIN fps b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup (16-bit, md5 token hashes): per-bit ±1 vote → packed
+    fingerprint → exact-bucket pair join. Mutants append 4 tokens to ~50,
+    flipping few/no bits, so most planted pairs share the code."""
+    return D.simhash_bucket_pairs(_corpus(spark, sf_dir), "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    blocked AS (
+      SELECT c.doc_id, c.text, d.source AS blk
+      FROM corpus c JOIN documents d ON (c.doc_id % 100000) = d.doc_id
+    ),
+    sh AS (
+      SELECT doc_id, blk,
+             list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+                 i -> array_to_string((string_split(text,' '))[i:least(i + 2,
+                          len(string_split(text,' ')))], ' ')) AS sh
+      FROM blocked
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) /
+                 greatest(len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+                          - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) /
+          greatest(len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+                   - len(list_intersect(a.sh, b.sh)), 1) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup within a blocking key (source): the
+    O(n²) term is bounded per block; LSH replaces blocking when no natural
+    key exists. Threshold 0.5 keeps only the planted near-identical pairs."""
+    corpus = _corpus(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"]
+    blocked = (corpus.withColumn("orig_id", F.col("doc_id") % 100000)
+               .join(docs.select(F.col("doc_id").alias("orig_id"), "source"),
+                     "orig_id")
+               .select("doc_id", "text", "source"))
+    return D.ngram_jaccard_pairs(blocked, "text", block_col="source",
+                                 threshold=0.5)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, label,
+             list_transform(embedding::DOUBLE[], x -> x + 0.001)
+      FROM embeddings WHERE vec_id % 2 = 0
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (semantic dedup): within-cell pairs with
+    cosine ≥ 0.99. Mutants are the original vector +0.001 per dim —
+    cosine ≈ 0.9999 to their source, far from any random pair (~N(0,1/8))."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    mut = (emb.filter(F.col("vec_id") % 2 == 0)
+           .select((F.col("vec_id") + 100000).alias("vec_id"), "label",
+                   F.transform(S.as_double(F.col("embedding")),
+                               lambda x: x + F.lit(0.001)).alias("embedding")))
+    corpus = emb.select("vec_id", "label",
+                        S.as_double(F.col("embedding")).alias("embedding")) \
+                .unionByName(mut)
+    return S.embedding_near_dup_pairs(corpus, id_col="vec_id",
+                                      threshold=0.99)
+
+
+# --- similarity search -------------------------------------------------------
+
+
+@register(
+    "knn_cosine_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.v, c.embedding::DOUBLE[]), 4) AS cosine
+      FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): queries broadcast
+    over the corpus, per-query window top-5. |Q|·|N|·d flops, no corpus
+    shuffle — the right exact method when |Q| is small."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.knn_bruteforce(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
+
+
+@register(
+    "knn_cosine_ivf",
+    oracle="""
+    WITH q AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.v, c.embedding::DOUBLE[]), 4) AS cosine
+      FROM q JOIN embeddings c ON q.label = c.label AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: nprobe=1 within the precomputed cell (label) — the
+    scale path: equi-join on cell co-locates candidates, cost drops from
+    |Q|·|N| to Σ_cell |Q_c|·|N_c|."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.knn_ivf(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             string_split(text, ' ') AS raw_toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(len(list_distinct(toks)) / greatest(len(toks), 1), 6)
+             AS distinct_ratio,
+           ROUND(len(list_filter(toks, x -> x IN ('the','a','is','of','and')))
+                 / greatest(len(toks), 1), 6) AS stop_ratio,
+           ROUND(0.5 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+               + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('the','a','is','of','and')))
+                             / greatest(len(toks), 1))
+               + 0.2 * least((list_sum(list_transform(raw_toks, t -> length(t)))
+                              / greatest(len(raw_toks), 1)) / 8.0, 1.0), 6)
+             AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/stopword/diversity heuristics): the corpus-
+    gating filter family. Pure column math, codegen'd, no shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        TA.token_count(F.col("text")).alias("n_tokens"),
+        F.round(TA.distinct_token_ratio(F.col("text")), 6).alias("distinct_ratio"),
+        F.round(TA.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        TA.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+               FROM documents)
+    SELECT doc_id, lang AS lang_declared,
+           CASE WHEN len(list_filter(toks, x -> x IN ('the','a','is','of','and')))
+                     / greatest(len(toks), 1) > 0.02
+                THEN 'en' ELSE 'und' END AS lang_pred
+    FROM t
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit argmax with 2% floor). The
+    synthetic vocabulary is English-ish, so the operator predicts en/und;
+    the declared lang column rides along for agreement analysis."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_declared"),
+        TA.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "token_count_profile",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def token_count_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex token proxy —
+    the per-doc budget accounting every training pipeline needs."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        TA.token_count(F.col("text")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)))
+         .alias("bpe_ish_tokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 of the normalized text (the exact-dedup
+    / provenance key)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select("doc_id",
+                       TA.fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           n_chars AS n_bytes,
+           lower(hex(substr(text, 1, 4))) AS header_hex,
+           md5(text) AS feature_md5
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing: text bytes stand in for an image payload;
+    mapInPandas (Arrow batches) computes length/header/md5 'features' — the
+    exact batch path a real decoder plugs into (decode itself stubbed:
+    operators/multimodal.py). The oracle recomputes the features from the
+    source column, so the binary round-trip through Arrow is what's
+    verified."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    assets = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return extract_features(assets)

@@ -19,6 +19,9 @@ Key choices (rationale):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -59,3 +62,27 @@ def get_spark(app_name: str = "dig_etl_engine_spark",
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Cloudpickle serializes module-level functions by reference, so any
+    mapInPandas/pandas_udf closing over package code needs the package on the
+    workers' sys.path. The driver process may have found us via a bare
+    ``sys.path`` insert (no PYTHONPATH the workers would inherit), so ship a
+    zip of the package via ``addPyFile`` — the mechanism that also works on a
+    real multi-node cluster, where executors share no filesystem with the
+    driver. Idempotent per SparkContext; called by every operator that creates
+    a Python UDF.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_dig_pkg_shipped", False):
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / "dig_etl_engine_spark_pyfiles.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
+    sc.addPyFile(str(zpath))
+    sc._dig_pkg_shipped = True
