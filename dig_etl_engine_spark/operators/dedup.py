@@ -1,20 +1,19 @@
 """Deduplication operators for training-data pipelines (BASELINE.json north
 star): exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-Hash choice: every hash is md5-of-string — deliberately, so results are
+Hash choice: base hashes are md5-of-string — deliberately, so results are
 bit-reproducible across engines (the DuckDB oracle computes the identical
-pipeline) and across Spark versions. At 100 TB swap ``_h`` for
-``xxhash64`` (same structure, ~10× cheaper) — the operator shapes don't
-change.
+pipeline) and across Spark versions; the 16 minhash permutations derive
+from ONE base hash via universal hashing (two integer ops each), never 16
+separate md5 passes. At 100 TB swap the md5 prefix for ``xxhash64`` (same
+structure, ~10× cheaper) — the operator shapes don't change.
 
-Scale shapes:
+Scale shapes (shared by minhash and simhash):
   * exact: one shuffle on the fingerprint (groupBy), map-side combine.
-  * minhash LSH: narrow per-doc signature computation → explode b band
-    hashes → self-join on (band, hash). The join key is the band bucket —
-    cardinality ~docs×b, heavily skew-resistant because md5 buckets are
-    uniform; candidate verification touches only colliding pairs.
-  * simhash: narrow fingerprint → self-join on the 16-bit code (exact-
-    bucket variant here; banded-hamming variant = explode 4-bit bands).
+  * explode tokens/shingles → scalar hash (whole-stage codegen) →
+    groupBy(doc) min/sum aggregates (map-side combine, one shuffle) →
+    narrow (id, bucket) self-join — md5 buckets are uniform, so no skew;
+    array payloads move only for verified candidate pairs.
 """
 
 from __future__ import annotations
@@ -46,40 +45,39 @@ def exact_dedup(df: DataFrame, content_col: str, *, id_col: str = "doc_id"
 
 def shingles(col: Column, k: int = 3) -> Column:
     """Token k-gram shingles (1 shingle per position; docs shorter than k
-    tokens yield one whole-doc shingle)."""
-    toks = F.split(F.trim(col), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.least(F.lit(k), n - i + 1))))
+    tokens yield one whole-doc shingle).
 
-
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: per seed s, min over shingles of md5(s ':' x).
-    Hex-string min — identical lexicographic order in any engine.
-
-    NB: the per-seed lambda must stay unary — a `lambda x, s=s:` default-arg
-    capture makes PySpark treat it as a (element, index) binary lambda and
-    bind the seed to the index Column. Closure factory instead.
+    Built by zipping k shifted slices of the token array and joining each
+    zipped tuple — the split() is referenced k times per ROW. Never
+    reference the split inside a per-element lambda (e.g. slice(toks, i)
+    over a position sequence): Catalyst inlines the producing expression
+    into the lambda body and recomputes the regex split once per shingle
+    position — O(n²) tokenization, ~50× slower on real documents.
     """
-    def seed_min(s: int) -> Column:
-        prefix = f"{s}:"
-        return F.array_min(F.transform(
-            shingle_col, lambda x: F.md5(F.concat(F.lit(prefix), x))))
+    toks = F.split(F.trim(col), r"\s+")
+    n_out = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, 1 + j, n_out) for j in range(k)])
+    # arrays_zip names unnamed inputs by position; concat_ws skips the
+    # nulls that pad the shorter shifted slices (short-doc case).
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
 
-    return F.array(*[seed_min(s) for s in range(num_hashes)])
+
+# Universal-hash constants for the 16 minhash permutations:
+# sig_i = min over shingles of (A[i]·h + B[i]) mod P, where h is the first
+# 7 hex chars (28 bits) of md5(shingle). A[i] < 2^30 keeps A·h < 2^58 —
+# overflow-free identical signed-64 arithmetic in Spark and DuckDB.
+MH_PRIME = 4294967311  # first prime > 2^32
+MH_A = [1664525, 22695477, 69069, 1103515245, 134775813, 214013, 16807,
+        48271, 69621, 40692, 40014, 40692, 62089911, 44485709, 25214903,
+        28411]
+MH_B = [1013904223, 1, 362437, 12345, 1, 2531011, 0, 3399, 23902, 52774,
+        53668, 10774, 4, 117, 11, 3819]
 
 
-def band_hashes(sig_col: Column, bands: int = 4, rows: int = 4) -> Column:
-    """LSH banding: hash each band of ``rows`` consecutive signature slots;
-    docs sharing any band hash become candidate pairs."""
-    out = [
-        F.md5(F.concat_ws(
-            "|", F.lit(str(b)),
-            *[F.element_at(sig_col, b * rows + r + 1) for r in range(rows)]))
-        for b in range(bands)
-    ]
-    return F.array(*out)
+def _shingle_hash28(col: Column) -> Column:
+    """28-bit base hash of a shingle (md5 prefix — engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -95,27 +93,54 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str, *,
                       threshold: float = 0.6) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
-    candidates = docs sharing ≥1 LSH band bucket; verified pairs = those
-    with true shingle-Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard),
-    doc_a < doc_b. Probability of missing a pair at similarity s is
-    (1-s^r)^b — the standard S-curve; deterministic given the md5 hashes.
+    Shape (the 100 TB shape, and the only fast one on Spark):
+      1. explode shingles → ONE scalar md5 per shingle (whole-stage codegen;
+         never per-seed md5 — universal hashing derives all 16 permutations
+         from the base hash with two integer ops each);
+      2. groupBy(doc) with 16 min() aggregates → map-side partial
+         aggregation, one shuffle keyed on doc id;
+      3. band hashes → explode 4 narrow (id, band) rows, self-join on the
+         band bucket — md5 buckets are uniform, so no skew; only ids ride
+         the shuffle;
+      4. candidates join back to the shingle arrays for exact-Jaccard
+         verification — array payloads move only for colliding pairs.
+
+    An earlier draft computed the signature as nested higher-order-function
+    expressions over a projected alias; Catalyst's projection collapse
+    inlined the shingle pipeline into every signature slot and band
+    reference (HOFs are interpreted, no CSE) — ~100× slower. Keep stages as
+    explode/groupBy, not nested array expressions.
+
+    Returns (doc_a, doc_b, jaccard), doc_a < doc_b. P(miss | similarity s)
+    = (1-s^r)^b — the standard S-curve; deterministic given md5.
     """
     rows = num_hashes // bands
     sh = df.select(F.col(id_col).alias("id"),
                    shingles(F.col(content_col), k).alias("sh"))
-    sig = sh.select("id", "sh", band_hashes(
-        minhash_signature(F.col("sh"), num_hashes), bands, rows).alias("bands"))
-    exploded = sig.select("id", "sh", F.explode("bands").alias("band"))
-    a, b = exploded.alias("a"), exploded.alias("b")
+    hashed = (sh.select("id", F.explode("sh").alias("shingle"))
+              .select("id", _shingle_hash28(F.col("shingle")).alias("h")))
+    sig = hashed.groupBy("id").agg(*[
+        F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % MH_PRIME)
+        .alias(f"m{i}") for i in range(num_hashes)])
+    band_cols = [
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          *[F.col(f"m{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band"))
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
-                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return (
-        cand.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        cand.join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")),
+                  "doc_a")
+        .join(sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")),
+              "doc_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -131,25 +156,25 @@ def _token_hash16(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("int")
 
 
-def simhash16(col: Column) -> Column:
-    """16-bit SimHash: per bit, sum ±1 contributions of token hashes; bit
-    set iff the sum is positive. Computed as one pass over the token array
-    with fold-per-bit — narrow, codegen'd."""
-    toks = F.split(F.trim(col), r"\s+")
+def simhash16_table(df: DataFrame, content_col: str, *,
+                    id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per doc → (id, simhash).
 
-    def bit_sum(i: int) -> Column:
-        # closure (not default-arg) capture: the fold lambda must stay
-        # binary or PySpark binds extra params to lambda-variable Columns.
-        div = 1 << i
-        return F.aggregate(
-            toks, F.lit(0),
-            lambda acc, t: acc
-            + ((F.floor(_token_hash16(t) / div).cast("int") % 2) * 2 - 1))
-
-    fp = F.lit(0)
+    Same stage shape as minhash: explode tokens → one scalar md5 per token
+    (codegen'd) → groupBy(doc) with 16 ±1-vote sums (map-side combine, one
+    shuffle) → pack bits. Per-bit vote i uses (h >> i) & 1."""
+    tok = df.select(F.col(id_col).alias("id"),
+                    F.explode(F.split(F.trim(F.col(content_col)), r"\s+"))
+                    .alias("t"))
+    hashed = tok.select("id", _token_hash16(F.col("t")).alias("h"))
+    sums = hashed.groupBy("id").agg(*[
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"s{i}") for i in range(SIMHASH_BITS)])
+    fp = None
     for i in range(SIMHASH_BITS):
-        fp = fp + F.when(bit_sum(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return fp
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("id", fp.cast("int").alias("simhash"))
 
 
 def simhash_bucket_pairs(df: DataFrame, content_col: str, *,
@@ -158,8 +183,7 @@ def simhash_bucket_pairs(df: DataFrame, content_col: str, *,
     code (hamming 0). The banded variant (split code into 4-bit bands,
     join per band, verify hamming ≤ t with bit_count(xor)) has the same
     join shape as minhash LSH."""
-    h = df.select(F.col(id_col).alias("id"),
-                  simhash16(F.col(content_col)).alias("simhash"))
+    h = simhash16_table(df, content_col, id_col=id_col)
     a, b = h.alias("a"), h.alias("b")
     return (
         a.join(b, (F.col("a.simhash") == F.col("b.simhash"))

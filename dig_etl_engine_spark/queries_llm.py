@@ -70,11 +70,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
-    mh = ", ".join(
-        f"list_min(list_transform(sh, x -> md5('{s}:' || x)))" for s in range(16))
+    from dig_etl_engine_spark.operators.dedup import MH_A, MH_B, MH_PRIME
+
+    mins = ", ".join(
+        f"min(({MH_A[i]} * h + {MH_B[i]}) % {MH_PRIME}) AS m{i}"
+        for i in range(16))
     bands = ", ".join(
         "md5('{b}' || '|' || {parts})".format(
-            b=b, parts=" || '|' || ".join(f"mh[{b * 4 + r + 1}]" for r in range(4)))
+            b=b, parts=" || '|' || ".join(f"m{b * 4 + r}::VARCHAR"
+                                          for r in range(4)))
         for b in range(4))
     return f"""
     WITH {_CORPUS_SQL},
@@ -85,9 +89,12 @@ def _minhash_sql() -> str:
                  i -> array_to_string(t[i:least(i + 2, len(t))], ' ')) AS sh
       FROM toks
     ),
-    sig AS (SELECT doc_id, sh, [{mh}] AS mh FROM sh),
-    bands AS (SELECT doc_id, [{bands}] AS bh FROM sig),
-    exploded AS (SELECT doc_id, unnest(bh) AS band FROM bands),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 7))::BIGINT AS h
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    exploded AS (SELECT doc_id, unnest([{bands}]) AS band FROM sig),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM exploded a JOIN exploded b
@@ -108,10 +115,11 @@ def _minhash_sql() -> str:
 
 @register("dedup_minhash_lsh", oracle=_minhash_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup detection, end-to-end: 3-token shingles → 16
-    md5 minhashes → 4 LSH bands → bucket self-join → exact-Jaccard verify
-    ≥ 0.5. The oracle replays the identical hash pipeline in SQL — bucket
-    collisions and the (1-s^4)^4 candidate S-curve agree exactly."""
+    """MinHash+LSH near-dup detection, end-to-end: 3-token shingles → one
+    md5 base hash each → 16 universal-hash minhash permutations → 4 LSH
+    bands → bucket self-join → exact-Jaccard verify ≥ 0.5. The oracle
+    replays the identical hash pipeline in SQL — bucket collisions and the
+    (1-s^4)^4 candidate S-curve agree exactly."""
     return D.minhash_lsh_pairs(_corpus(spark, sf_dir), "text",
                                threshold=0.5)
 

@@ -52,6 +52,11 @@ def get_spark(app_name: str = "dig_etl_engine_spark",
         # 128 MB split target: good balance of task count vs per-task
         # overhead for large parquet scans (default, stated explicitly).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Floor the scan split count at the core count: small local files
+        # otherwise produce 1-2 partitions and idle the other cores. At
+        # cluster scale this floor is a no-op (file bytes dominate).
+        .config("spark.sql.files.minPartitionNum",
+                str(int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         # 16g: large heaps (48g+) measurably worsen GC pause variance in
         # local mode; 16g is ample for sf0.1 broadcasts + shuffles.
