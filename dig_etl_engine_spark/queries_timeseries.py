@@ -1,1 +1,292 @@
-"""placeholder — filled in as operators land."""
+"""Registry entries for the time-series subsystem (SURVEY.md §2.10 T1-T6).
+
+The reference extracts series from annotated spreadsheets
+(`utilities/timeseries/extractSpreadsheet.py`) and converts them to
+Measure/Measurement/Trend docs (`ts_converter.py`). Here the distributed
+operators (imputation, backfill, emission, trends) run over a deterministic
+daily series derived from the ``events`` table — per event_type, sum(value)
+per day — with missing values PLANTED deterministically (day-of-month
+buckets) so both engines derive the identical series and the imputation
+logic has real holes to fill. The driver-side spreadsheet parser (T1-T2)
+is pinned by a golden query over an inline grid plus unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.queries import register
+from dig_etl_engine_spark.timeseries import convert as C
+
+# Shared daily-series derivation. 'n/a' ≙ a non-numeric cell in a
+# spreadsheet; NULL ≙ an empty cell — the two missing shapes
+# `ts_converter.py:117-137` distinguishes.
+_DAILY_SQL = """
+    daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             ROUND(SUM(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    raw AS (
+      SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+             CASE WHEN day(d) % 15 = 7 THEN 'n/a'
+                  WHEN day(d) % 15 = 11 THEN NULL
+                  ELSE v::VARCHAR END AS value_raw
+      FROM daily
+    )
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir)["events"]
+    return (events.groupBy("event_type", F.to_date("ts").alias("d"))
+            .agg(F.round(F.sum("value"), 2).alias("v")))
+
+
+def _raw_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily(spark, sf_dir)
+    return d.select(
+        "event_type", F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.when(F.dayofmonth("d") % 15 == 7, F.lit("n/a"))
+        .when(F.dayofmonth("d") % 15 == 11, F.lit(None))
+        .otherwise(F.col("v").cast("string")).alias("value_raw"))
+
+
+@register(
+    "ts_impute_forward_fill",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    num AS (SELECT *, TRY_CAST(value_raw AS DOUBLE) AS vnum FROM raw),
+    win AS (
+      SELECT *,
+        AVG(CASE WHEN vnum IS NOT NULL THEN 1 ELSE 0 END)
+          OVER (PARTITION BY event_type) AS ratio,
+        SUM(CASE WHEN value_raw IS NULL THEN 1 ELSE 0 END)
+          OVER (PARTITION BY event_type) AS n_null,
+        SUM(CASE WHEN vnum IS NOT NULL THEN 1 ELSE 0 END)
+          OVER (PARTITION BY event_type) AS n_num,
+        last_value(vnum IGNORE NULLS) OVER (PARTITION BY event_type
+          ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+        first_value(vnum IGNORE NULLS) OVER (PARTITION BY event_type
+          ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf
+      FROM num
+    )
+    SELECT event_type, day, value_raw,
+           ROUND(ratio, 6) AS numeric_ratio,
+           ROUND(CASE WHEN ratio >= 0.8 THEN coalesce(ff, bf) END, 2) AS value_num,
+           CASE WHEN ratio >= 0.8 THEN NULL
+                WHEN n_num = 0 AND n_null = 0 THEN value_raw
+                ELSE CASE WHEN vnum IS NOT NULL THEN vnum::VARCHAR
+                          ELSE value_raw END END AS value_text,
+           CASE WHEN ratio >= 0.8 AND vnum IS NOT NULL THEN 'original'
+                WHEN ratio >= 0.8 AND ff IS NOT NULL THEN 'imputed_ffill'
+                WHEN ratio >= 0.8 THEN 'imputed_bfill'
+                WHEN n_num = 0 AND n_null = 0 THEN 'kept_text'
+                ELSE 'stringified' END AS method
+    FROM win
+    """,
+)
+def ts_impute_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 + A4 (`ts_converter.py:117-163`): ≥80%-numeric series get
+    forward-fill (leading holes from the next value); window functions over
+    (series, order) — one shuffle, no driver state."""
+    raw = _raw_series(spark, sf_dir)
+    imp = C.impute_forward_fill(raw, series_col="event_type",
+                                order_col="day", value_col="value_raw")
+    return imp.select(
+        "event_type", "day", "value_raw",
+        F.round("numeric_ratio", 6).alias("numeric_ratio"),
+        F.round("value_num", 2).alias("value_num"),
+        "value_text", "method")
+
+
+@register(
+    "ts_backfill_labels",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    lab AS (
+      SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+             CASE WHEN day(d) % 3 = 1 THEN ''
+                  ELSE strftime(d, '%Y-%m-%d') END AS label_raw
+      FROM daily
+    )
+    SELECT event_type, day, label_raw,
+           coalesce(last_value(nullif(trim(label_raw), '') IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             '') AS label_filled
+    FROM lab
+    """,
+)
+def ts_backfill_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (`extractSpreadsheet.py:104-120` backfill mode): blank time
+    labels inherit the previous non-blank one — last(ignorenulls) window,
+    the set-oriented form of the reference's backwards cell scan."""
+    d = _daily(spark, sf_dir)
+    lab = d.select(
+        "event_type", F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.when(F.dayofmonth("d") % 3 == 1, F.lit(""))
+        .otherwise(F.date_format("d", "yyyy-MM-dd")).alias("label_raw"))
+    return C.backfill_labels(lab, series_col="event_type", order_col="day",
+                             label_col="label_raw")
+
+
+@register(
+    "ts_measure_emission",
+    oracle=f"""
+    WITH {_DAILY_SQL}
+    SELECT sha256('events ' || event_type) AS doc_id,
+           event_type AS name, 'Measure' AS type,
+           min(day) AS start_date_time, max(day) AS end_date_time,
+           count(*) AS n_points
+    FROM raw GROUP BY event_type
+    """,
+)
+def ts_measure_emission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 Measure docs + A3 temporal region (`ts_converter.py:84-96,
+    165-183`): doc_id = sha256('{dataset} {name}'), start/end from the
+    series' date bounds."""
+    raw = _raw_series(spark, sf_dir)
+    return C.emit_measures(raw, dataset="events", name_col="event_type",
+                           date_col="day")
+
+
+@register(
+    "ts_measurement_emission",
+    oracle=f"""
+    WITH {_DAILY_SQL}
+    SELECT sha256(day || '|' || v::VARCHAR || '|'
+                  || sha256('events ' || event_type)) AS doc_id,
+           day AS date, v AS number,
+           sha256('events ' || event_type) AS timeseries,
+           'Measurement' AS type
+    FROM (SELECT event_type, strftime(d, '%Y-%m-%d') AS day, v FROM daily) t
+    """,
+)
+def ts_measurement_emission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 Measurement docs (`ts_converter.py:19-52`): one per point,
+    sha256 point id, FK to the Measure doc — a narrow projection that
+    scales linearly."""
+    d = _daily(spark, sf_dir)
+    pts = d.select(
+        F.sha2(F.concat_ws(" ", F.lit("events"), F.col("event_type")), 256)
+        .alias("series_id"),
+        F.date_format("d", "yyyy-MM-dd").alias("date"),
+        F.col("v").alias("value_num"))
+    return C.emit_measurements(pts)
+
+
+@register(
+    "ts_trend_linear_fit",
+    oracle=f"""
+    WITH {_DAILY_SQL}
+    SELECT event_type,
+           ROUND(regr_slope(v, x), 6) AS slope,
+           ROUND(regr_intercept(v, x), 6) AS intercept,
+           ROUND(regr_r2(v, x), 6) AS r2,
+           count(*) AS n_points, 'Trend' AS type
+    FROM (SELECT event_type, (d - DATE '2024-01-01') AS x, v FROM daily) t
+    GROUP BY event_type
+    """,
+)
+def ts_trend_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 Trend docs (`ts_converter.py:186-196`): the reference carries
+    precomputed 'linear fits'; we compute them natively — regr_* aggregates
+    with map-side combine, one shuffle on the series key."""
+    d = _daily(spark, sf_dir)
+    fitted = d.select(
+        "event_type",
+        F.datediff("d", F.lit("2024-01-01")).alias("x"),
+        F.col("v").alias("y"))
+    return C.emit_trends(fitted, series_col="event_type")
+
+
+@register(
+    "ts_label_template",
+    oracle=f"""
+    WITH {_DAILY_SQL}
+    SELECT sha256('events ' || event_type) AS doc_id,
+           concat(event_type, ' ', coalesce(NULL, ''), ' series from ',
+                  min(day), ' to ', max(day)) AS label
+    FROM raw GROUP BY event_type
+    """,
+)
+def ts_label_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 (`ts_label_maker.py:11-44`): measure-label templating, missing
+    metadata keys render as '' (PartialFormatter(missing=''))."""
+    raw = _raw_series(spark, sf_dir)
+    agg = raw.groupBy("event_type").agg(F.min("day").alias("s"),
+                                        F.max("day").alias("e"))
+    missing_key = F.lit(None).cast("string")
+    return agg.select(
+        F.sha2(F.concat_ws(" ", F.lit("events"), F.col("event_type")), 256)
+        .alias("doc_id"),
+        C.label_template([F.col("event_type"), " ", missing_key,
+                          " series from ", F.col("s"), " to ",
+                          F.col("e")]).alias("label"))
+
+
+# --- T1/T2 golden: driver-side spreadsheet region extraction ----------------
+
+_GRID = [
+    ["Diesel Prices", "", "", "", ""],
+    ["", "2024", "", "2025", ""],
+    ["location", "Jan", "Feb", "Jan", "Feb"],
+    ["madrid", "1.5", "1.6", "1.7", "1.8"],
+    ["paris", "2.5", "2.6", "2.7", "2.8"],
+    ["", "", "", "", ""],
+]
+
+_ANNOTATION = {
+    "Properties": {"sheet_indices": "[1]"},
+    "GlobalMetadata": [
+        {"source": "cell", "name": "name", "loc": "(A,1)"},
+        {"source": "const", "name": "dataset", "val": "fuel"},
+    ],
+    "TimeSeriesRegions": [{
+        "orientation": "row",
+        "rows": "[4:*]",            # open-ended: stops at the blank row
+        "locs": "[B:E]",
+        "metadata": [{"source": "col", "loc": "[A]", "name": "location"}],
+        "times": {"locs": "[2:3]", "mode": "backfill"},
+    }],
+}
+
+_GOLDEN_ROWS = [
+    ("Diesel Prices", "fuel", "madrid", "2024 Jan", "1.5"),
+    ("Diesel Prices", "fuel", "madrid", "2024 Feb", "1.6"),
+    ("Diesel Prices", "fuel", "madrid", "2025 Jan", "1.7"),
+    ("Diesel Prices", "fuel", "madrid", "2025 Feb", "1.8"),
+    ("Diesel Prices", "fuel", "paris", "2024 Jan", "2.5"),
+    ("Diesel Prices", "fuel", "paris", "2024 Feb", "2.6"),
+    ("Diesel Prices", "fuel", "paris", "2025 Jan", "2.7"),
+    ("Diesel Prices", "fuel", "paris", "2025 Feb", "2.8"),
+]
+
+
+@register(
+    "ts_spreadsheet_extract",
+    oracle="SELECT * FROM (VALUES {}) AS t(name, dataset, location, label, value)".format(
+        ", ".join(str(r) for r in _GOLDEN_ROWS)),
+)
+def ts_spreadsheet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 + T2 golden (`extractSpreadsheet.py:20-194`; `LocationParser.py`):
+    the annotation-driven region extractor over an inline grid — row
+    orientation, open-ended series range with blank-stop, column metadata,
+    concatenated time coordinates with backfilled blanks. The oracle pins
+    the exact expected series (hand-derived)."""
+    from dig_etl_engine_spark.timeseries.spreadsheet import (
+        extract_grids, timeseries_df)
+
+    parsed = extract_grids({"fuel_prices": _GRID}, [_ANNOTATION],
+                           filename="inline")
+    ts = timeseries_df(spark, parsed, dataset="fuel")
+    return ts.select(
+        F.col("metadata")["name"].alias("name"),
+        F.col("metadata")["dataset"].alias("dataset"),
+        F.col("metadata")["location"].alias("location"),
+        F.explode("points").alias("p"),
+    ).select("name", "dataset", "location",
+             F.col("p.label").alias("label"), F.col("p.value").alias("value"))

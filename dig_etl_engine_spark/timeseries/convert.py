@@ -1,0 +1,165 @@
+"""Distributed time-series processing (T3-T6, A3-A4).
+
+Reference: ``utilities/timeseries/ts_converter.py`` — per-series imputation
+(`:117-163`), Measure/Measurement/Trend emission (`:19-98,165-196`),
+temporal region (`:198-208`), label templating (`ts_label_maker.py:11-44`).
+
+The reference loops over in-memory arrays; here every operator works on a
+LONG-FORMAT series table ``(series_id, idx, label, value_raw)`` so the same
+code handles a spreadsheet's 40 series or a lake's 40 million:
+
+  * window functions (partitionBy series, orderBy idx) give forward-fill /
+    backfill with no driver-side state — one shuffle keyed on series_id;
+  * emission operators are per-row projections / explodes — narrow;
+  * linear-fit trends use native regr_slope/regr_intercept aggregates —
+    map-side partial aggregation, one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(series_col: str, order_col: str) -> Window:
+    return Window.partitionBy(series_col).orderBy(order_col)
+
+
+def backfill_labels(df: DataFrame, *, series_col: str = "series_id",
+                    order_col: str = "idx", label_col: str = "label",
+                    out_col: str = "label_filled") -> DataFrame:
+    """T3: blank time labels inherit the previous non-blank label
+    (`extractSpreadsheet.py:104-120` backfill mode; the reference scans
+    backwards cell-by-cell — `last(..., ignorenulls)` is the set-oriented
+    equivalent)."""
+    w = _w(series_col, order_col).rowsBetween(Window.unboundedPreceding, 0)
+    non_blank = F.when(F.trim(F.col(label_col)) != "", F.col(label_col))
+    return df.withColumn(
+        out_col, F.coalesce(F.last(non_blank, ignorenulls=True).over(w),
+                            F.lit("")))
+
+
+def impute_forward_fill(df: DataFrame, *, series_col: str = "series_id",
+                        order_col: str = "idx",
+                        value_col: str = "value_raw",
+                        threshold: float = 0.8) -> DataFrame:
+    """T4 + A4: the reference's three-way imputation rule
+    (`ts_converter.py:117-163`):
+
+      * numeric ratio ≥ threshold → coerce numeric strings, fill missing
+        from the previous value (leading-edge missing from the next);
+      * every value a non-numeric string → keep text as-is;
+      * otherwise → stringify the coercible values, keep the rest.
+
+    Adds: ``numeric_ratio`` (A4), ``value_num`` (filled, null unless the
+    impute branch), ``value_text`` (null in the impute branch), ``method``
+    ∈ {original, imputed_ffill, imputed_bfill, kept_text, stringified}.
+    """
+    v = F.col(value_col)
+    # try_cast, not cast: ANSI mode (Spark 4 default) makes a failed
+    # string→double cast an error; the reference's is_number probe treats
+    # it as "not numeric" (`ts_converter.py:101-114`).
+    vnum = v.try_cast("double")
+    is_num = vnum.isNotNull()
+
+    stats = Window.partitionBy(series_col)
+    wf = _w(series_col, order_col).rowsBetween(Window.unboundedPreceding, 0)
+    wb = _w(series_col, order_col).rowsBetween(0, Window.unboundedFollowing)
+
+    ratio = F.avg(is_num.cast("int")).over(stats)
+    n_null = F.sum(v.isNull().cast("int")).over(stats)
+    n_num = F.sum(is_num.cast("int")).over(stats)
+    ffill = F.last(F.when(is_num, vnum), ignorenulls=True).over(wf)
+    bfill = F.first(F.when(is_num, vnum), ignorenulls=True).over(wb)
+
+    impute = ratio >= threshold
+    all_text = (n_num == 0) & (n_null == 0)   # total_str == len(ts)
+    return (
+        df.withColumn("numeric_ratio", ratio)
+        .withColumn("value_num",
+                    F.when(impute, F.coalesce(ffill, bfill)))
+        .withColumn("value_text",
+                    F.when(impute, F.lit(None).cast("string"))
+                    .when(all_text, v)
+                    .otherwise(F.when(is_num, vnum.cast("string"))
+                               .otherwise(v)))
+        .withColumn("method",
+                    F.when(impute & is_num, F.lit("original"))
+                    .when(impute & ffill.isNotNull(), F.lit("imputed_ffill"))
+                    .when(impute, F.lit("imputed_bfill"))
+                    .when(all_text, F.lit("kept_text"))
+                    .otherwise(F.lit("stringified")))
+    )
+
+
+def temporal_region(df: DataFrame, *, series_col: str = "series_id",
+                    date_col: str = "date") -> DataFrame:
+    """A3: per-series min/max of the parsed date → temporal_region bounds
+    (`ts_converter.py:198-208`)."""
+    return df.groupBy(series_col).agg(
+        F.min(date_col).alias("start_date_time"),
+        F.max(date_col).alias("end_date_time"))
+
+
+def emit_measures(df: DataFrame, *, dataset: str,
+                  name_col: str = "name",
+                  date_col: str = "date") -> DataFrame:
+    """T5 Measure docs: one per series, doc_id = sha256('{dataset} {name}')
+    (`ts_converter.py:84-96`), with the temporal region attached."""
+    return (
+        df.groupBy(name_col).agg(
+            F.min(date_col).alias("start_date_time"),
+            F.max(date_col).alias("end_date_time"),
+            F.count(F.lit(1)).alias("n_points"))
+        .select(
+            F.sha2(F.concat_ws(" ", F.lit(dataset), F.col(name_col)), 256)
+            .alias("doc_id"),
+            F.col(name_col).alias("name"),
+            F.lit("Measure").alias("type"),
+            "start_date_time", "end_date_time", "n_points")
+    )
+
+
+def emit_measurements(df: DataFrame, *, series_col: str = "series_id",
+                      date_col: str = "date",
+                      value_col: str = "value_num") -> DataFrame:
+    """T5 Measurement docs: one per point, FK to the series
+    (`ts_converter.py:19-52`). doc_id = sha256('date|value|series') — our
+    engine's canonical point-id scheme (the reference hashes a Python
+    json.dumps rendering, `ts_converter.py:30-33`; divergence documented:
+    same uniqueness contract, portable formatting)."""
+    return df.select(
+        F.sha2(F.concat_ws("|", F.col(date_col),
+                           F.col(value_col).cast("string"),
+                           F.col(series_col)), 256).alias("doc_id"),
+        F.col(date_col).alias("date"),
+        F.col(value_col).alias("number"),
+        F.col(series_col).alias("timeseries"),
+        F.lit("Measurement").alias("type"),
+    )
+
+
+def emit_trends(df: DataFrame, *, series_col: str = "series_id",
+                x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """T5 Trend docs: per-series least-squares linear fit. The reference
+    carries precomputed 'linear fits' from its annotation tooling
+    (`ts_converter.py:186-196`); Spark computes them natively with
+    regr_slope/regr_intercept/regr_r2 — one aggregation, map-side combine."""
+    return (
+        df.groupBy(series_col).agg(
+            F.round(F.regr_slope(F.col(y_col), F.col(x_col)), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col(y_col), F.col(x_col)), 6)
+            .alias("intercept"),
+            F.round(F.regr_r2(F.col(y_col), F.col(x_col)), 6).alias("r2"),
+            F.count(F.lit(1)).alias("n_points"))
+        .withColumn("type", F.lit("Trend"))
+    )
+
+
+def label_template(parts: list[Column | str]) -> Column:
+    """T6: measure-label templating with missing values → ''
+    (`ts_label_maker.py:11-44`, PartialFormatter(missing='')). Compose the
+    template as literal + column parts; nulls render empty."""
+    cols = [F.coalesce(p, F.lit("")) if isinstance(p, Column) else F.lit(p)
+            for p in parts]
+    return F.concat(*cols)
