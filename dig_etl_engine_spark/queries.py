@@ -63,5 +63,6 @@ def _ensure_loaded() -> None:
         queries_search,
         queries_llm,
         queries_timeseries,
+        queries_io,
     )
     _LOADED = True

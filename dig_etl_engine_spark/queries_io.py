@@ -1,0 +1,199 @@
+"""Registry entries for source/sink/streaming operators (SURVEY.md §2.1,
+§2.2, §2.9). File-I/O operators are verified end-to-end: the query derives
+deterministic content from a canonical table, writes it through the sink /
+source-format under test into a scratch dir, reads it back through the
+source operator, and the oracle recomputes the expected projection from
+the original table — so the round-trip itself is what's checked."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.queries import register
+
+_SCRATCH = "/tmp/spark_graft_io"
+
+
+def _scratch(name: str) -> str:
+    path = os.path.join(_SCRATCH, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+@register(
+    "src_jsonlines_roundtrip",
+    oracle="SELECT doc_id, source, lang, n_chars FROM documents",
+)
+def src_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + K4 (`docs/advanced.md:204-206`; `dig_tabular_import.py:493-533`):
+    documents → gzip JSON-lines export → schema'd JSON-lines read. Gzip and
+    line-splitting are Spark-native; the oracle checks the round-trip lost
+    nothing."""
+    from dig_etl_engine_spark.sinks.kg_table import write_jsonlines
+    from dig_etl_engine_spark.sources.jsonlines import read_jsonlines
+
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select("doc_id", "source", "lang", "n_chars")
+    path = os.path.join(_scratch("jsonlines"), "docs.jl.gz")
+    write_jsonlines(docs, path, compression="gzip")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    return read_jsonlines(spark, path, schema) \
+        .select("doc_id", "source", "lang", "n_chars")
+
+
+@register(
+    "src_csv_windowed",
+    oracle="""
+    SELECT n_nationkey::VARCHAR AS nationkey, n_name AS name,
+           n_regionkey::VARCHAR AS regionkey
+    FROM nation
+    """,
+)
+def src_csv_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (`dig_tabular_import.py:51-197`): windowed CSV read — junk
+    preamble above the heading row, content until the first blank row,
+    trailing junk ignored, every cell a string."""
+    from dig_etl_engine_spark.sources.tabular import TabularSpec, read_tabular
+
+    nation = load_tables(spark, sf_dir)["nation"] \
+        .select("n_nationkey", "n_name", "n_regionkey") \
+        .orderBy("n_nationkey").collect()
+    path = os.path.join(_scratch("csv"), "nations.csv")
+    with open(path, "w") as fh:
+        fh.write("export from upstream tool\n")
+        fh.write("generated;do not edit\n")
+        fh.write("nationkey,name,regionkey\n")
+        for r in nation:
+            fh.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+        fh.write("\n")
+        fh.write("totals,ignored,junk\n")
+    spec = TabularSpec(heading_row=3, content_start_row=4,
+                       blank_row_ends_content=True)
+    return read_tabular(spark, path, spec)
+
+
+@register(
+    "src_html_dir",
+    oracle="""
+    SELECT 'doc_' || doc_id::VARCHAR AS stem,
+           sha256('<html><body>' || text || '</body></html>') AS doc_id_sha,
+           length(text) + 26 AS n_chars
+    FROM documents WHERE doc_id < 8
+    """,
+)
+def src_html_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (`docs/advanced.md:297-308`): a directory of HTML files → one doc
+    per file with content-hash doc ids; filename stem kept for provenance."""
+    from dig_etl_engine_spark.sources.jsonlines import read_html_files
+
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .filter(F.col("doc_id") < 8).select("doc_id", "text").collect()
+    d = _scratch("html")
+    for r in docs:
+        with open(os.path.join(d, f"doc_{r.doc_id}.html"), "w") as fh:
+            fh.write(f"<html><body>{r.text}</body></html>")
+    out = read_html_files(spark, os.path.join(d, "*.html"), dataset="crawl")
+    return out.select(
+        "stem", F.col("doc_id").alias("doc_id_sha"),
+        F.length("raw_content").cast("long").alias("n_chars"))
+
+
+@register(
+    "src_raw_export_pairing",
+    oracle="""
+    SELECT source AS tld, doc_id::VARCHAR AS stem,
+           length(text) AS html_chars, doc_id AS meta_doc_id
+    FROM documents WHERE doc_id < 12
+    """,
+)
+def src_raw_export_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 (`utilities/export_raw_data.py:17-42`): walk ``data/<tld>/``
+    pairing ``{stem}.json`` metadata with ``{stem}.html`` content into one
+    row per stem."""
+    from dig_etl_engine_spark.sources.jsonlines import pair_raw_data
+
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .filter(F.col("doc_id") < 12).select("doc_id", "source", "text") \
+        .collect()
+    root = _scratch("rawdata")
+    for r in docs:
+        d = os.path.join(root, r.source)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{r.doc_id}.json"), "w") as fh:
+            fh.write('{"doc_id": %d}' % r.doc_id)
+        with open(os.path.join(d, f"{r.doc_id}.html"), "w") as fh:
+            fh.write(r.text)
+    paired = pair_raw_data(spark, root)
+    return paired.select(
+        "tld", "stem",
+        F.length("raw_content").cast("long").alias("html_chars"),
+        F.get_json_object("meta_json", "$.doc_id").cast("long")
+        .alias("meta_doc_id"))
+
+
+@register(
+    "stream_file_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT CASE WHEN event_id % 97 = 3 THEN ''
+                  ELSE (event_id % 1000)::VARCHAR END AS doc_id,
+             event_id AS kafka_offset, event_type, value
+      FROM events
+    ),
+    valid AS (SELECT * FROM src WHERE doc_id <> '')
+    SELECT doc_id, kafka_offset, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY kafka_offset DESC) AS rn
+      FROM valid
+    ) WHERE rn = 1
+    """,
+)
+def stream_file_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C5 + K2/K3 end-to-end (`etk_worker.py:76-157`; `manager.py:
+    194-229`): a real Structured Streaming run — file-drop source (the
+    broker-free stand-in for the Kafka topic; every stage downstream is
+    shared), availableNow drain trigger, foreachBatch that quarantines
+    docs with blank doc_id and MERGEs the rest into the KG table with
+    last-write-wins by offset. The returned DataFrame is the final KG
+    table; the oracle replays the upsert relationally."""
+    from dig_etl_engine_spark.sinks.kg_table import create_table_if_not_exists
+    from dig_etl_engine_spark.streaming.ingest import (
+        file_stream_source, run_ingest)
+
+    events = load_tables(spark, sf_dir)["events"]
+    src = events.select(
+        F.when(F.col("event_id") % 97 == 3, F.lit(""))
+        .otherwise((F.col("event_id") % 1000).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("kafka_offset"),
+        "event_type", "value")
+
+    root = _scratch("stream")
+    in_dir, target = os.path.join(root, "in"), os.path.join(root, "kg")
+    quarantine, ckpt = os.path.join(root, "bad"), os.path.join(root, "ckpt")
+    src.coalesce(4).write.mode("overwrite").json(in_dir)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("kafka_offset", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    create_table_if_not_exists(spark, target, schema)
+    q = run_ingest(file_stream_source(spark, in_dir, schema),
+                   target_path=target, quarantine_path=quarantine,
+                   checkpoint_dir=ckpt)
+    q.awaitTermination()
+    return spark.read.parquet(target) \
+        .select("doc_id", "kafka_offset", "event_type", "value")

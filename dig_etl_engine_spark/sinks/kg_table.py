@@ -1,0 +1,89 @@
+"""KG-table sinks (K2-K4) — the Spark equivalents of the reference's
+Logstash→Elasticsearch path.
+
+Reference:
+  * K2 — ``manager.py:194-229``: Logstash writes ``{project}_out`` docs to
+    ES index ``{project}`` with ``document_id => %{doc_id}`` — idempotent
+    last-write-wins upsert per doc_id.
+  * K3 — ``manager.py:237-255``: PUT the index mapping if absent
+    (create-table-if-not-exists bootstrap).
+  * K4 — ``dig_tabular_import.py:493-533``; ``ts_converter.py:218-227``:
+    JSON-lines file export.
+
+Design: the KG table is a parquet directory (Delta's ``MERGE INTO`` is the
+drop-in production upgrade — same call shape — but Delta isn't in this
+container, so upsert = read ∪ dedupe ∪ atomic-rename rewrite). Last-write-
+wins ordering uses an explicit ``order_col`` (kafka offset / batch id):
+ES's behavior is "later write replaces earlier", which in a parallel engine
+MUST be made explicit or batch-internal ordering is nondeterministic
+(SURVEY §4 R5; ``etk_worker.py:133-134`` sends synchronously per doc).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def create_table_if_not_exists(spark: SparkSession, path: str,
+                               schema: T.StructType) -> bool:
+    """K3: bootstrap an empty table with a pinned schema; returns True if
+    created. Pinning the schema up front (like the ES mapping PUT) stops
+    the first writer's inferred types from becoming the contract."""
+    if os.path.isdir(path) and any(
+            f.endswith(".parquet") or f == "_SUCCESS"
+            for f in os.listdir(path)):
+        return False
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+    return True
+
+
+def dedupe_last_write_wins(df: DataFrame, key_col: str = "doc_id",
+                           order_col: str = "kafka_offset") -> DataFrame:
+    """Keep the row with the greatest ``order_col`` per key — ES overwrite
+    semantics made deterministic (ties broken by the order column only;
+    give every record a unique offset upstream)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def upsert(spark: SparkSession, target_path: str, batch: DataFrame, *,
+           key_col: str = "doc_id", order_col: str = "kafka_offset") -> None:
+    """K2: MERGE the batch into the parquet KG table by key.
+
+    Existing rows keep their stored ``order_col`` and compete with the
+    batch under the same last-write-wins rule — so the outcome is a pure
+    function of (key, order), independent of how a stream chopped the
+    records into micro-batches, and batch replays are idempotent. The
+    rewrite goes to a temp dir then renames — the crash-safety poor-man's
+    transaction that Delta's commit log replaces in production.
+    """
+    batch = dedupe_last_write_wins(batch, key_col, order_col)
+    if os.path.isdir(target_path):
+        existing = spark.read.parquet(target_path)
+        merged = dedupe_last_write_wins(
+            existing.unionByName(batch, allowMissingColumns=True),
+            key_col, order_col)
+    else:
+        merged = batch
+    tmp = f"{target_path}.__tmp__{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(target_path):
+        shutil.rmtree(target_path)
+    os.rename(tmp, target_path)
+
+
+def write_jsonlines(df: DataFrame, path: str, *,
+                    compression: str | None = None) -> None:
+    """K4: JSON-lines export (`.jl` / `.jl.gz`); one file per partition —
+    ``coalesce(1)`` first when a single upload-shaped file is required."""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

@@ -1,0 +1,152 @@
+"""CSV/TSV/.tab/Excel tabular source with row/column windowing (S2-S3).
+
+Reference: ``utilities/data_import/dig_tabular_import.py:51-197`` —
+  * 1-based ``heading_row`` (default 1) and ``content_start_row``
+    (default 2); optional ``content_end_row`` (inclusive);
+  * ``blank_row_ends_content``: content stops at the first blank row;
+  * ``heading_columns`` (start, end) 1-based inclusive column window, with
+    synthetic numeric headings;
+  * encoding fallback utf-8-sig → latin-1 → utf-8 → utf-16 (`:142-156`);
+  * every cell read as a string (no type inference, `auto_detect_*` off);
+  * ``.tab`` treated as TSV (`:124-130`);
+  * short rows padded with '' to the heading width (`:185-197`).
+
+Spark design: the file is read as TEXT lines with a per-file line index
+(zipWithIndex — order within a text-file split sequence is the file
+order), the row window applied as a filter, and the surviving lines parsed
+with ``from_csv`` under an all-string schema. Row-windowed sheets are
+human-authored (small) by nature; files WITHOUT windowing options should
+use plain ``spark.read.csv`` (`plain_csv`) which scales to any size with
+pushdown intact.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ENCODING_FALLBACK = ("utf-8-sig", "latin-1", "utf-8", "utf-16")
+
+
+@dataclass
+class TabularSpec:
+    """The mapping-spec windowing options (1-based like the reference)."""
+    sep: str = ","
+    heading_row: int = 1
+    content_start_row: int = 2
+    content_end_row: int | None = None          # inclusive
+    blank_row_ends_content: bool = False
+    heading_columns: tuple[int, int] | None = None  # 1-based inclusive
+    sheet_number: int = 1                       # Excel only
+
+
+def sniff_encoding(path: str, sample_bytes: int = 65536) -> str:
+    """The reference's try-in-order encoding fallback, applied to a head
+    sample driver-side (`dig_tabular_import.py:142-156`)."""
+    with open(path, "rb") as fh:
+        head = fh.read(sample_bytes)
+    for enc in ENCODING_FALLBACK:
+        try:
+            head.decode(enc)
+            return enc
+        except UnicodeDecodeError:
+            continue
+    return "utf-8"
+
+
+def plain_csv(spark: SparkSession, path: str, sep: str = ",") -> DataFrame:
+    """The no-windowing fast path: native CSV scan, all-string schema
+    (header from row 1) — splittable, pushdown-capable."""
+    return (spark.read.option("header", True).option("sep", sep)
+            .option("inferSchema", False).csv(path))
+
+
+def read_tabular(spark: SparkSession, path: str,
+                 spec: TabularSpec | None = None) -> DataFrame:
+    """S2: windowed tabular read, reference semantics, all cells string."""
+    spec = spec or TabularSpec()
+    sep = "\t" if os.path.splitext(path)[1] in (".tab", ".tsv") else spec.sep
+    enc = sniff_encoding(path) if os.path.exists(path) else "utf-8"
+
+    lines = spark.read.option("encoding", enc).text(path)
+    indexed = (
+        lines.rdd.zipWithIndex()
+        .map(lambda t: (t[1] + 1, t[0].value))   # 1-based row numbers
+        .toDF(["row_num", "line"])
+    )
+
+    heading = indexed.filter(F.col("row_num") == spec.heading_row) \
+                     .select("line").head()
+    raw_headers = (heading.line if heading else "").split(sep)
+
+    lo, hi = (spec.heading_columns if spec.heading_columns
+              else (1, len(raw_headers)))
+    if spec.heading_columns:
+        # synthetic numeric headings for explicit column windows
+        # (`dig_tabular_import.py:171-176`)
+        headers = [str(i) for i in range(lo, hi + 1)]
+    else:
+        headers = [h.strip() for h in raw_headers]
+
+    content = indexed.filter(F.col("row_num") >= spec.content_start_row)
+    if spec.content_end_row is not None:
+        content = content.filter(F.col("row_num") <= spec.content_end_row)
+    elif spec.blank_row_ends_content:
+        first_blank = (indexed
+                       .filter((F.col("row_num") >= spec.content_start_row)
+                               & (F.trim("line") == ""))
+                       .agg(F.min("row_num")).head()[0])
+        if first_blank is not None:
+            content = content.filter(F.col("row_num") < first_blank)
+
+    cells = F.split("line", sep)
+    # pad short rows to the heading width, then window + rename
+    cols = [
+        F.coalesce(F.trim(F.element_at(cells, lo + i)), F.lit("")).alias(h)
+        for i, h in enumerate(headers)
+    ]
+    return (content.filter(F.trim("line") != "")
+            .orderBy("row_num").select(*cols))
+
+
+def read_excel(spark: SparkSession, path: str,
+               spec: TabularSpec | None = None) -> DataFrame:
+    """S3: XLS/XLSX via pandas (driver-side — the reference's sheets are
+    human-sized, `dig_tabular_import.py:107-110`). Gated: no Excel engine
+    ships in this container."""
+    spec = spec or TabularSpec()
+    try:
+        import pandas as pd
+        pdf = pd.read_excel(path, sheet_name=spec.sheet_number - 1,
+                            header=None, dtype=str)
+    except ImportError as exc:  # pragma: no cover - gated dependency
+        raise NotImplementedError(
+            "Excel parsing needs openpyxl/xlrd (not in container)") from exc
+    rows = [[("" if v is None or v != v else str(v)) for v in row]
+            for row in pdf.values.tolist()]
+    return _grid_to_df(spark, rows, spec)
+
+
+def _grid_to_df(spark: SparkSession, rows: list[list[str]],
+                spec: TabularSpec) -> DataFrame:
+    """Driver-side grid → windowed all-string DataFrame (shared by the
+    Excel path and tests)."""
+    headers = rows[spec.heading_row - 1] if rows else []
+    lo, hi = (spec.heading_columns if spec.heading_columns
+              else (1, len(headers)))
+    names = ([str(i) for i in range(lo, hi + 1)] if spec.heading_columns
+             else [h.strip() for h in headers])
+    start = spec.content_start_row - 1
+    end = spec.content_end_row if spec.content_end_row is not None else len(rows)
+    out = []
+    for row in rows[start:end]:
+        if all(not str(c).strip() for c in row):
+            if spec.blank_row_ends_content:
+                break
+            continue
+        padded = row + [""] * (hi - len(row))
+        out.append(tuple(str(c).strip() for c in padded[lo - 1:hi]))
+    return spark.createDataFrame(out, names)

@@ -1,0 +1,113 @@
+"""The streaming ingest job — the reference's etk_worker loop, Spark-native.
+
+Reference (``etk_worker.py``): N worker processes in one Kafka consumer
+group poll ``{project}_in`` (C1 fan-out `manager.py:164-182`), commit
+per message before processing (C3 at-least-once, `:76-78`), drop docs
+without ``doc_id`` (F6 `:93-95`), isolate per-doc failures (C5 `:98-139`),
+produce to ``{project}_out``, and exit after 1 h idle (C4 `:146-157`).
+Logstash then upserts into ES by doc_id (K2).
+
+Spark mapping (SURVEY §1.2, §3.1):
+  * worker pool ⇒ executor task parallelism over source partitions (C1);
+  * offset management ⇒ the checkpoint dir; "seek to end / reset" (C2) ⇒
+    delete the checkpoint + ``startingOffsets``;
+  * per-message commit ⇒ micro-batch checkpointing — upgraded from
+    at-least-once to effectively-once because the sink upsert is
+    idempotent by (doc_id, offset);
+  * idle-timeout drain ⇒ ``trigger(availableNow=True)`` (C4);
+  * per-doc error isolation ⇒ invalid rows routed to a quarantine table
+    inside the same foreachBatch (C5);
+  * graceful kill/status ⇒ ``query.stop()`` / ``query.status`` (C6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from dig_etl_engine_spark.sinks.kg_table import upsert
+
+
+def kafka_source(spark: SparkSession, *, bootstrap_servers: str,
+                 topic: str, value_schema: T.StructType,
+                 starting_offsets: str = "earliest",
+                 max_offsets_per_trigger: int | None = None) -> DataFrame:
+    """S5: the ``{project}_in`` consumer (`etk_worker.py:42-54`) as a
+    Structured Streaming source. ``maxOffsetsPerTrigger`` is the
+    ``max_poll_records`` analogue (batch size control). Requires the Kafka
+    connector jar + a broker — absent here, so this builder is exercised
+    only where deployed; the file-stream source below shares every
+    downstream stage."""
+    reader = (spark.readStream.format("kafka")
+              .option("kafka.bootstrap.servers", bootstrap_servers)
+              .option("subscribe", topic)
+              .option("startingOffsets", starting_offsets))
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger",
+                               str(max_offsets_per_trigger))
+    raw = reader.load()
+    return raw.select(
+        F.col("offset").alias("kafka_offset"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("doc"),
+    ).select("kafka_offset", "doc.*")
+
+
+def file_stream_source(spark: SparkSession, path: str,
+                       schema: T.StructType) -> DataFrame:
+    """File-drop source: each landed ``.json``/``.jl`` file is a batch of
+    docs. Shares everything after the source with the Kafka path, which is
+    what makes the pipeline testable without a broker. Rows must carry
+    their own ``kafka_offset``-equivalent ordering column."""
+    return spark.readStream.schema(schema).json(path)
+
+
+def run_ingest(source: DataFrame, *, target_path: str,
+               quarantine_path: str, checkpoint_dir: str,
+               transform: Callable[[DataFrame], DataFrame] | None = None,
+               key_col: str = "doc_id", order_col: str = "kafka_offset",
+               available_now: bool = True) -> StreamingQuery:
+    """The full ingest leg: validate → (optional per-batch transform, i.e.
+    the module pipeline) → upsert valid docs / quarantine invalid ones.
+
+    One foreachBatch writes BOTH tables so a batch is applied atomically-
+    enough (both writes or neither on retry — idempotent by key+offset).
+    """
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        valid_pred = (F.col(key_col).isNotNull()
+                      & (F.length(F.trim(F.col(key_col))) > 0))
+        batch = batch.persist()
+        try:
+            invalid = batch.filter(~valid_pred)
+            if invalid.limit(1).count():
+                (invalid.withColumn("_quarantine_reason",
+                                    F.lit("missing doc_id"))
+                 .withColumn("_batch_id", F.lit(batch_id))
+                 .write.mode("append").parquet(quarantine_path))
+            valid = batch.filter(valid_pred)
+            if transform is not None:
+                valid = transform(valid)
+            upsert(spark, target_path, valid,
+                   key_col=key_col, order_col=order_col)
+        finally:
+            batch.unpersist()
+
+    writer = (source.writeStream
+              .option("checkpointLocation", checkpoint_dir)
+              .foreachBatch(process_batch))
+    if available_now:
+        # C4: drain everything queued, then stop — the worker's
+        # idle-timeout exit without the polling loop.
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def reset_offsets(checkpoint_dir: str) -> None:
+    """C2 (`reset_offset.py:25-39`; `manager.py:135-161`): reprocess from
+    scratch by discarding stream progress."""
+    import shutil
+    shutil.rmtree(checkpoint_dir, ignore_errors=True)

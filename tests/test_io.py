@@ -1,0 +1,138 @@
+"""Unit tests for sources/sinks/streaming plumbing not exercised by the
+oracle-parity suite (grid windowing combos, Excel gate, upsert merge
+rules, quarantine routing)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dig_etl_engine_spark.sinks import kg_table
+from dig_etl_engine_spark.sources.tabular import TabularSpec, _grid_to_df
+
+GRID = [
+    ["junk", "", ""],
+    ["a", "b", "c"],
+    ["1", "2", "3"],
+    ["4", "", "6"],
+    ["", "", ""],
+    ["7", "8", "9"],
+]
+
+
+class TestGridWindowing:
+    def test_defaults_take_all(self, spark):
+        spec = TabularSpec(heading_row=2, content_start_row=3)
+        df = _grid_to_df(spark, GRID, spec)
+        assert df.columns == ["a", "b", "c"]
+        # blank row skipped (not terminal) without blank_row_ends_content
+        assert [tuple(r) for r in df.collect()] == [
+            ("1", "2", "3"), ("4", "", "6"), ("7", "8", "9")]
+
+    def test_blank_row_terminates(self, spark):
+        spec = TabularSpec(heading_row=2, content_start_row=3,
+                           blank_row_ends_content=True)
+        assert _grid_to_df(spark, GRID, spec).count() == 2
+
+    def test_content_end_row_inclusive(self, spark):
+        spec = TabularSpec(heading_row=2, content_start_row=3,
+                           content_end_row=3)
+        assert [tuple(r) for r in _grid_to_df(spark, GRID, spec).collect()] \
+            == [("1", "2", "3")]
+
+    def test_column_window_synthetic_headers(self, spark):
+        spec = TabularSpec(heading_row=2, content_start_row=3,
+                           content_end_row=4, heading_columns=(2, 3))
+        df = _grid_to_df(spark, GRID, spec)
+        assert df.columns == ["2", "3"]
+        assert [tuple(r) for r in df.collect()] == [("2", "3"), ("", "6")]
+
+    def test_excel_gate(self, spark, tmp_path):
+        from dig_etl_engine_spark.sources.tabular import read_excel
+        p = tmp_path / "x.xlsx"
+        p.write_bytes(b"not really excel")
+        with pytest.raises((NotImplementedError, ValueError)):
+            read_excel(spark, str(p))
+
+
+class TestUpsert:
+    SCHEMA = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("kafka_offset", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+
+    def test_create_if_not_exists_idempotent(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        assert kg_table.create_table_if_not_exists(spark, p, self.SCHEMA)
+        assert not kg_table.create_table_if_not_exists(spark, p, self.SCHEMA)
+        assert spark.read.parquet(p).count() == 0
+
+    def test_last_write_wins_across_batches(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        b1 = spark.createDataFrame(
+            [("a", 1, "old"), ("b", 2, "keep")], self.SCHEMA)
+        b2 = spark.createDataFrame(
+            [("a", 10, "new"), ("c", 3, "add")], self.SCHEMA)
+        kg_table.upsert(spark, p, b1)
+        kg_table.upsert(spark, p, b2)
+        got = {r.doc_id: (r.kafka_offset, r.v)
+               for r in spark.read.parquet(p).collect()}
+        assert got == {"a": (10, "new"), "b": (2, "keep"), "c": (3, "add")}
+
+    def test_stale_replay_does_not_regress(self, spark, tmp_path):
+        # merge outcome is a pure function of (key, order): replaying an
+        # old batch after a newer write must not clobber it
+        p = str(tmp_path / "t")
+        new = spark.createDataFrame([("a", 10, "new")], self.SCHEMA)
+        old = spark.createDataFrame([("a", 1, "old")], self.SCHEMA)
+        kg_table.upsert(spark, p, new)
+        kg_table.upsert(spark, p, old)
+        assert spark.read.parquet(p).collect()[0].v == "new"
+
+    def test_within_batch_dedupe(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        b = spark.createDataFrame(
+            [("a", 1, "x"), ("a", 5, "y"), ("a", 3, "z")], self.SCHEMA)
+        kg_table.upsert(spark, p, b)
+        rows = spark.read.parquet(p).collect()
+        assert len(rows) == 1 and rows[0].v == "y"
+
+
+class TestStreamingIngest:
+    def test_quarantine_and_upsert(self, spark, tmp_path):
+        from dig_etl_engine_spark.streaming.ingest import (
+            file_stream_source, run_ingest)
+
+        schema = TestUpsert.SCHEMA
+        src_dir = str(tmp_path / "in")
+        df = spark.createDataFrame(
+            [("a", 1, "v1"), ("a", 2, "v2"), ("", 3, "bad"),
+             (None, 4, "bad2"), ("b", 5, "v5")], schema)
+        df.coalesce(1).write.json(src_dir)
+
+        target = str(tmp_path / "kg")
+        quarantine = str(tmp_path / "bad")
+        q = run_ingest(file_stream_source(spark, src_dir, schema),
+                       target_path=target, quarantine_path=quarantine,
+                       checkpoint_dir=str(tmp_path / "ckpt"))
+        q.awaitTermination()
+
+        got = {r.doc_id: r.v for r in spark.read.parquet(target).collect()}
+        assert got == {"a": "v2", "b": "v5"}
+        bad = spark.read.parquet(quarantine)
+        assert bad.count() == 2
+        assert set(bad.select("_quarantine_reason").distinct()
+                   .toPandas()["_quarantine_reason"]) == {"missing doc_id"}
+
+    def test_kafka_builders_construct(self, spark):
+        # no broker in the container: assert the gated builders produce
+        # configured writer objects without starting anything
+        from dig_etl_engine_spark.sinks.kafka import to_kafka_batch
+        df = spark.createDataFrame([("a", "x")], ["doc_id", "payload"])
+        w = to_kafka_batch(df, bootstrap_servers="b:9092", topic="t_out")
+        assert w is not None
