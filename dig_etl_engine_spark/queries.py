@@ -64,5 +64,6 @@ def _ensure_loaded() -> None:
         queries_llm,
         queries_timeseries,
         queries_io,
+        queries_mapping,
     )
     _LOADED = True
