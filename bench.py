@@ -30,7 +30,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
     "text_quality_score",
+    "ts_impute_forward_fill",
 ]
 
 
