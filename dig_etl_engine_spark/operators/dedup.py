@@ -196,20 +196,46 @@ def simhash_bucket_pairs(df: DataFrame, content_col: str, *,
 def ngram_jaccard_pairs(df: DataFrame, content_col: str, *,
                         id_col: str = "doc_id", block_col: str | None = None,
                         k: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard pairs within a blocking key (O(n²) per block —
-    the blocking column bounds the quadratic term; use LSH when no natural
-    block exists)."""
-    cols = [F.col(id_col).alias("id"), shingles(F.col(content_col), k).alias("sh")]
+    """Exact n-gram Jaccard pairs within a blocking key.
+
+    Shape: distinct (doc, shingle-hash) rows self-join on (block, hash) —
+    the inverted-index intersection count — then per-doc distinct-shingle
+    sizes give union = |A| + |B| − |A∩B|. Pairs sharing nothing never
+    materialize, so cost tracks actual overlap instead of |block|² array
+    comparisons (which also evaluated interpreted array_intersect per pair
+    — ~10× slower at sf0.1). Shingles are compared via xxhash64 (64-bit;
+    collisions at corpus scale ≪ 1 expected) purely as the join key. The
+    blocking column bounds worst-case fan-out; use minhash LSH when no
+    natural block exists."""
+    cols = [F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(F.col(content_col), k)))
+            .alias("s")]
     if block_col:
-        cols.append(F.col(block_col).alias("blk"))
-    sh = df.select(*cols)
-    a, b = sh.alias("a"), sh.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
+        cols.insert(1, F.col(block_col).alias("blk"))
+    tok = df.select(*cols).select(
+        *(["id", "blk"] if block_col else ["id"]),
+        F.xxhash64("s").alias("h"))
+
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = tok.alias("a"), tok.alias("b")
+    cond = (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id"))
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
-    return (
+    inter = (
         a.join(b, cond)
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
-                F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("id").alias("doc_a"),
+                           F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("id").alias("doc_b"),
+                           F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("inter")
+                    / F.greatest(F.col("sz_a") + F.col("sz_b") - F.col("inter"),
+                                 F.lit(1)), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -47,23 +47,56 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cosine, rank), self-matches excluded,
-    ties broken by neighbor id. The per-query top-k is a window over the
-    broadcast-joined cross product — no corpus shuffle; the window
-    partitions by query so the sort is |Q| independent k-selections.
+    ties broken by neighbor id.
+
+    Shape: the query matrix (|Q|·d — small by contract) is collected and
+    closed over; the corpus STREAMS through an Arrow-batched mapInPandas
+    that computes each batch's |batch|×|Q| cosine block with one BLAS
+    matmul and emits only the batch-local top-k per query. The global
+    top-k window then sees ≤ partitions·|Q|·k candidate rows — the corpus
+    is never shuffled and never leaves the JVM→Arrow fast path. (The
+    earlier expression-level fold was interpreted per element — the HOF
+    cliff; see operators/dedup.py.)
     """
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       as_double(F.col(vec_col)).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      as_double(F.col(vec_col)).alias("cv"))
-    scored = (
-        F.broadcast(q).crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
-                 .alias("cosine"))
-    )
+    import numpy as np
+    import pandas as pd
+
+    from dig_etl_engine_spark.session import ship_package
+
+    ship_package(corpus.sparkSession)
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def part(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ qnorm.T                       # |batch| × |Q|
+            scale = 10.0 ** round_digits
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi]
+                # select under the FINAL total order (rounded cosine desc,
+                # id asc): rounding creates ties, and a raw-value sort
+                # would pick different ids among them than the oracle
+                rounded = np.floor(col * scale + 0.5) / scale
+                mask = ids != qid                     # exclude self
+                order = np.lexsort((ids[mask], -rounded[mask]))[:k]
+                sel = np.flatnonzero(mask)[order]
+                out_q.extend([qid] * len(sel))
+                out_n.extend(ids[sel])
+                out_s.extend(col[sel])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "cosine": out_s})
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        part, "query_id long, neighbor_id long, cosine double")
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("cosine", F.round("cosine", round_digits))
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
 
@@ -118,15 +151,37 @@ def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                              threshold: float = 0.99,
                              round_digits: int = 4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a cell (semantic dedup):
-    pairs with cosine ≥ threshold, doc_a < doc_b."""
-    v = df.select(F.col(id_col).alias("id"), F.col(cell_col).alias("cell"),
-                  as_double(F.col(vec_col)).alias("v"))
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
-                F.round(cosine(F.col("a.v"), F.col("b.v")), round_digits)
-                 .alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    pairs with cosine ≥ threshold, doc_a < doc_b.
+
+    Shape: one shuffle groups each cell onto an executor (applyInPandas),
+    where the cell's pairwise cosines are ONE BLAS Gram matrix; only pairs
+    near the threshold leave Python (with a margin so the authoritative
+    round+filter happens JVM-side). Cells are IVF-partition-sized by
+    contract — the same bound that makes the IVF search path work. An
+    expression-level pair join evaluated interpreted HOF folds per pair —
+    the same cliff documented in operators/dedup.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from dig_etl_engine_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    # emit margin: anything that could still round UP to the threshold
+    margin = 0.5 * 10.0 ** (-round_digits)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sims = v @ v.T
+        ai, bi = np.where(np.triu(sims >= threshold - margin, k=1))
+        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi],
+                             "cosine": sims[ai, bi]})
+
+    cand = df.select(id_col, cell_col, vec_col).groupBy(cell_col) \
+        .applyInPandas(cell_pairs, "doc_a long, doc_b long, cosine double")
+    return (cand.withColumn("cosine", F.round("cosine", round_digits))
+            .filter(F.col("cosine") >= threshold))
