@@ -142,6 +142,39 @@ def glossary_matches(docs: DataFrame, text_col: str, glossary: DataFrame,
     )
 
 
+def glossary_matches_ngram_join(docs: DataFrame, text_col: str,
+                                glossary: DataFrame, term_col: str = "term",
+                                *, doc_key: str = "doc_id",
+                                max_ngram: int = 3) -> DataFrame:
+    """X4 glossary matching, the SCALE path: for glossaries too large to
+    broadcast (entity dictionaries in the millions), explode each doc's
+    token n-grams (n = 1..max_ngram, the reference's ngrams=3) and
+    hash-join on the normalized term string.
+
+    Cost: corpus tokens × max_ngram rows shuffle-joined against the term
+    table — linear, partitionable, skew-free (n-gram keys are near-unique);
+    vs the broadcast path's docs × |glossary| `contains` evaluations.
+    Semantics note: token n-grams normalize runs of whitespace to single
+    spaces; multi-token glossary terms must be single-space separated
+    (the broadcast path matches the raw-spacing substring instead).
+    """
+    from dig_etl_engine_spark.operators.dedup import shingles
+
+    t = F.lower(F.col(text_col))
+    grams = None
+    for n in range(1, max_ngram + 1):
+        g = docs.select(
+            F.col(doc_key),
+            F.explode(F.array_distinct(shingles(t, n))).alias("gram"))
+        grams = g if grams is None else grams.unionByName(g)
+    terms = glossary.select(
+        F.regexp_replace(F.trim(F.lower(F.col(term_col))), r"\s+", " ")
+        .alias("gram")).distinct()
+    return (grams.join(terms, "gram")
+            .select(F.col(doc_key), F.col("gram").alias("term"))
+            .distinct())
+
+
 # --- X1/X2 HTML content & metadata -------------------------------------------
 
 _TAG_RE = r"<[^>]+>"

@@ -90,6 +90,37 @@ def glossary_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "glossary_extract_ngram_join",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(flatten([
+        list_transform(range(1, len(t) + 1),
+                       i -> array_to_string(t[i:i], ' ')),
+        list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                       i -> array_to_string(t[i:least(i + 1, len(t))], ' ')),
+        list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:least(i + 2, len(t))], ' '))
+      ]))) AS gram
+      FROM toks
+    )
+    SELECT DISTINCT g.doc_id, g.gram AS term
+    FROM grams g JOIN (VALUES {_GLOSSARY_VALUES_SQL}) v(term)
+      ON g.gram = v.term
+    """,
+)
+def glossary_extract_ngram_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4, the scale path (`docs/advanced.md:104-119` ngrams=3): token
+    n-grams hash-joined against the term table — linear in corpus tokens,
+    no broadcast, for glossaries too big to ship to every task. Same
+    whole-token semantics as `glossary_extract`; the oracle replays the
+    n-gram generation in SQL."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return X.glossary_matches_ngram_join(docs, "text", _glossary_df(spark))
+
+
+@register(
     "extract_hostname",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,146 @@
+"""Property-based tests (SURVEY §5: the semantics with edge-case-shaped
+bugs — template null handling, range grammar, token-rule compilation,
+label backfill). Hypothesis drives the pure driver-side functions; the
+template Column compiler is swept with one batched Spark action."""
+
+from __future__ import annotations
+
+import random
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dig_etl_engine_spark.functions.token_rules import compile_rule
+from dig_etl_engine_spark.timeseries.locations import (
+    col_label_to_index, parse_range)
+
+# --- T1 range grammar --------------------------------------------------------
+
+components = st.one_of(
+    st.integers(1, 200).map(lambda n: (str(n), [n - 1])),
+    st.tuples(st.integers(1, 100), st.integers(0, 100)).map(
+        lambda t: (f"{t[0]}:{t[0] + t[1]}", list(range(t[0] - 1, t[0] + t[1])))),
+    st.tuples(st.integers(1, 50), st.integers(1, 5), st.integers(0, 60)).map(
+        lambda t: (f"{t[0]}:{t[1]}:{t[0] + t[2]}",
+                   list(range(t[0] - 1, t[0] + t[2], t[1])))),
+)
+
+
+@given(st.lists(components, min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_range_parse_matches_reference_semantics(comps):
+    spec = "[" + ",".join(c[0] for c in comps) + "]"
+    expected = [i for c in comps for i in c[1]]
+    got = [i for i, _ in parse_range(spec)]
+    assert got == expected
+
+
+@given(st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ", min_size=1, max_size=3))
+def test_col_labels_bijective(label):
+    n = col_label_to_index(label)
+    # invert base-26 bijective numeration
+    out = []
+    while n:
+        n, rem = divmod(n - 1, 26)
+        out.append(chr(ord("A") + rem))
+    assert "".join(reversed(out)) == label
+
+
+# --- X6 token-rule compilation ----------------------------------------------
+
+token = st.one_of(
+    st.text(alphabet="dxX", min_size=1, max_size=4).map(lambda s: {"shape": s}),
+    st.text(alphabet="abcz", min_size=1, max_size=5).map(lambda s: {"lower": s}),
+    st.lists(st.text(alphabet="mnop", min_size=1, max_size=4), min_size=1,
+             max_size=3).map(lambda v: {"in": v}),
+)
+
+_SHAPE_POOL = {"d": "0123456789", "x": "abcdefgh", "X": "ABCDEFGH"}
+
+
+def _render(tok: dict, rng: random.Random) -> str:
+    if "shape" in tok:
+        return "".join(rng.choice(_SHAPE_POOL[c]) for c in tok["shape"])
+    if "lower" in tok:
+        return "".join(c.upper() if rng.random() < 0.5 else c
+                       for c in tok["lower"])
+    return rng.choice(tok["in"])
+
+
+@given(st.lists(token, min_size=1, max_size=4), st.integers(0, 2 ** 31))
+@settings(max_examples=200, deadline=None)
+def test_compiled_rule_accepts_conforming_token_stream(tokens, seed):
+    rng = random.Random(seed)
+    text = "pre " + " ".join(_render(t, rng) for t in tokens) + " post"
+    assert re.search(compile_rule(tokens), text) is not None
+
+
+# --- T3 backfill (pure scan semantics) ---------------------------------------
+
+@given(st.lists(st.one_of(st.just(""), st.text(alphabet="ab", min_size=1,
+                                               max_size=2)),
+                min_size=1, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_backfill_reference_scan(labels):
+    """The window-function form (last non-blank ≤ i) must equal the
+    reference's backwards cell scan (`extractSpreadsheet.py:104-120`)."""
+    def reference(i):
+        val = labels[i]
+        t = i - 1
+        while t > 0 and not val.strip():
+            val = labels[t]
+            t -= 1
+        return val
+
+    def window_form(i):
+        for j in range(i, -1, -1):
+            if labels[j].strip():
+                return labels[j]
+        return ""
+
+    for i in range(len(labels)):
+        ref = reference(i)
+        # the reference never reads index 0 during backfill (t > 0 guard);
+        # our window form does — they agree except on that corner, where
+        # the window form is a strict improvement (documented divergence)
+        if ref.strip():
+            assert window_form(i) == ref
+
+
+# --- P2 template compiler (batched Spark sweep) -------------------------------
+
+def test_template_compiler_sweep(spark):
+    """50 random (template, row) cases against the reference formatter
+    (`dig_tabular_import.py:320-342`) in ONE Spark action."""
+    from dig_etl_engine_spark.operators.mapping import template_column
+
+    rng = random.Random(42)
+    cols = ["a", "b", "c"]
+    row = {"a": "x1", "b": "", "c": None}
+
+    def reference_format(template: str) -> str:
+        result = template
+        for m in re.finditer(r"\{([^\}]+)\}", template):
+            key = m.group(1)
+            value = row.get(key)
+            value = "" if value is None else str(value)
+            result = result.replace("{" + key + "}", value)
+        return result.strip()
+
+    templates = []
+    for _ in range(50):
+        parts = []
+        for _ in range(rng.randint(1, 5)):
+            if rng.random() < 0.5:
+                parts.append("{" + rng.choice(cols + ["missing"]) + "}")
+            else:
+                parts.append(rng.choice(["lit", " x ", "-", ""]))
+        templates.append("".join(parts))
+
+    df = spark.createDataFrame([(row["a"], row["b"], row["c"])], "a string, b string, c string")
+    exprs = [template_column(t, set(cols)).alias(f"t{i}")
+             for i, t in enumerate(templates)]
+    got = df.select(*exprs).collect()[0]
+    for i, t in enumerate(templates):
+        assert got[i] == reference_format(t), (t, got[i], reference_format(t))
