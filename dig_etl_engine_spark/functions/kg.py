@@ -66,6 +66,21 @@ def kg_index(df: DataFrame, *, doc_id: str = "doc_id",
     )
 
 
+def materialize_index(index_df: DataFrame, path: str) -> None:
+    """Write the long index table PARTITIONED BY field — the physical
+    layout that makes query-time field fan-out (Q6) partition pruning:
+    a clause touching 3 logical fields reads 3 directories, not the
+    corpus. The reference gets the same effect from ES per-field inverted
+    indexes. Low-cardinality partition key (fields are project config,
+    dozens not millions) → no small-file explosion."""
+    index_df.write.mode("overwrite").partitionBy("field").parquet(path)
+
+
+def load_index(df_or_spark, path: str) -> DataFrame:
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    return spark.read.parquet(path)
+
+
 def high_confidence_keys(index_df: DataFrame) -> DataFrame:
     """Per (doc, field) sorted distinct keys — the
     ``indexed.<field>.high_confidence_keys`` equivalent
