@@ -65,5 +65,6 @@ def _ensure_loaded() -> None:
         queries_timeseries,
         queries_io,
         queries_mapping,
+        queries_modules,
     )
     _LOADED = True
