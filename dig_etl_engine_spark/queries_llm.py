@@ -275,6 +275,49 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
 
 
+def _hyperplane_sql(n_planes: int = 8, dim: int = 64) -> str:
+    import hashlib
+
+    def coef(j: int, d: int) -> int:
+        return 1 if int(hashlib.md5(f"{j},{d}".encode())
+                        .hexdigest()[0], 16) < 8 else -1
+
+    sums = ", ".join(
+        "list_sum(list_transform(range(1, {n}), d -> (CASE {cases} END) * v[d])) AS s{j}"
+        .format(n=dim + 1, j=j, cases=" ".join(
+            f"WHEN d = {d + 1} THEN {coef(j, d)}" for d in range(dim)))
+        for j in range(n_planes))
+    bucket = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+                        for j in range(n_planes))
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sums AS (SELECT vec_id, v, {sums} FROM vecs),
+    bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM sums)
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.0
+    """
+
+
+@register("ann_hyperplane_lsh", oracle=_hyperplane_sql())
+def ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH (the third ANN strategy, SURVEY §7.1 step 10):
+    vectors bucket by the sign pattern of 8 md5-derived ±1 hyperplanes —
+    P(same bucket) = (1 - θ/π)^8, so bucket-mates are angular neighbors —
+    then exact cosine verification per bucket via one Gram matrix
+    (applyInPandas). No stored model, no broadcast; bucket cardinality
+    ~n/2^planes keeps cells executor-sized at any corpus scale."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    bucketed = emb.select(
+        "vec_id",
+        S.hyperplane_signs(S.as_double(F.col("embedding"))).alias("bucket"),
+        S.as_double(F.col("embedding")).alias("embedding"))
+    return S.embedding_near_dup_pairs(bucketed, cell_col="bucket",
+                                      threshold=0.0)
+
+
 # --- text analysis -----------------------------------------------------------
 
 

@@ -106,6 +106,35 @@ def run_ingest(source: DataFrame, *, target_path: str,
     return writer.start()
 
 
+def run_windowed_counts(source: DataFrame, *, target_path: str,
+                        checkpoint_dir: str, window: str = "1 day",
+                        watermark: str = "1 hour", ts_col: str = "ts",
+                        key_col: str = "event_type") -> StreamingQuery:
+    """Event-time windowed aggregation with late-data watermarking — the
+    Structured Streaming superset the reference lacks (SURVEY §1.2: "no
+    watermarks, no event-time windows" in the reference; purely
+    incremental ingest). Append mode + parquet sink emits a window only
+    once its end passes the watermark — i.e. exactly-once finalized
+    aggregates, late events inside the watermark still counted.
+
+    Watermark advancement is per micro-batch (a window closed by batch N's
+    data is emitted in batch N+1), so drain-style runs see finalized
+    windows one file-drop behind — the test pins this timing.
+    """
+    agg = (
+        source.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), key_col,
+                "n_events", "sum_value")
+    )
+    return (agg.writeStream.outputMode("append").format("parquet")
+            .option("path", target_path)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
 def reset_offsets(checkpoint_dir: str) -> None:
     """C2 (`reset_offset.py:25-39`; `manager.py:135-161`): reprocess from
     scratch by discarding stream progress."""

@@ -129,6 +129,56 @@ class TestStreamingIngest:
         assert set(bad.select("_quarantine_reason").distinct()
                    .toPandas()["_quarantine_reason"]) == {"missing doc_id"}
 
+    def test_windowed_agg_watermark_finalization(self, spark, tmp_path):
+        """Event-time windows finalize exactly when the watermark (max
+        event time − delay) passes their end — availableNow drains with a
+        flush batch, so every window closed by the final watermark is
+        emitted, and still-open windows are not."""
+        import json
+        from pyspark.sql import types as T
+        from dig_etl_engine_spark.streaming.ingest import (
+            file_stream_source, run_windowed_counts)
+
+        schema = T.StructType([
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ])
+        src = tmp_path / "in"; src.mkdir()
+        target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def drop(name, rows):
+            with open(src / name, "w") as fh:
+                for ts, et, v in rows:
+                    fh.write(json.dumps(
+                        {"ts": ts, "event_type": et, "value": v}) + "\n")
+
+        def run():
+            q = run_windowed_counts(
+                file_stream_source(spark, str(src), schema),
+                target_path=target, checkpoint_dir=ckpt)
+            q.awaitTermination()
+
+        day1 = [(f"2024-01-01T0{h}:00:00", "click", 1.5) for h in range(4)]
+        day2 = [("2024-01-02T12:00:00", "click", 2.0),
+                ("2024-01-02T13:00:00", "view", 3.0)]
+        drop("a.json", day1 + day2)
+        run()     # watermark 01-02T12:00 closes the day-1 window
+
+        drop("b.json", [("2024-01-03T02:00:00", "click", 1.0)])
+        run()     # watermark 01-03T01:00 closes both day-2 windows
+
+        drop("c.json", [("2024-01-04T23:00:00", "click", 1.0)])
+        run()     # watermark 01-04T22:00 closes day-3; day-4 stays open
+
+        got = {(str(r.window_start)[:10], r.event_type):
+               (r.n_events, r.sum_value)
+               for r in spark.read.parquet(target).collect()}
+        assert got == {("2024-01-01", "click"): (4, 6.0),
+                       ("2024-01-02", "click"): (1, 2.0),
+                       ("2024-01-02", "view"): (1, 3.0),
+                       ("2024-01-03", "click"): (1, 1.0)}
+
     def test_kafka_builders_construct(self, spark):
         # no broker in the container: assert the gated builders produce
         # configured writer objects without starting anything
