@@ -17,6 +17,8 @@ its observable behavior on string fields.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -221,6 +223,47 @@ def landmark_rule(col: Column, begin_regex: str, end_regex: str,
     pat = f"(?s){begin_regex}(.*?){end_regex}"
     return extract_regex(col, pat, method="extract_from_landmark",
                          segment=field, group=1)
+
+
+def landmark_ruleset(df: DataFrame, text_col: str,
+                     rules_by_tld: Mapping[str, list[dict]],
+                     *, tld_col: str = "tld",
+                     doc_key: str = "doc_id") -> DataFrame:
+    """X5, the full rule-set shape: per-TLD lists of learned ItemRules
+    (museum tarball ``landmark_rules/consolidated_rules.json``: each rule
+    has ``name``, ``begin_regex``, ``end_regex``, ``removehtml``,
+    ``strip_end_regex``) routed by the doc's TLD — the reference's
+    per-site template extraction (`em_base.py:60-68`).
+
+    Compiles to one CASE over TLD producing an array of (field, value)
+    structs, exploded to long rows — all native regex, codegen'd, no
+    Python; rule routing costs one branch per TLD, not a join.
+    """
+    branches = []
+    for tld, rules in rules_by_tld.items():
+        entries = []
+        for rule in rules:
+            field = rule["name"].split("-")[0]
+            pat = f"(?s){rule['begin_regex']}(.*?){rule['end_regex']}"
+            v = F.regexp_extract(F.col(text_col), pat, 1)
+            if rule.get("removehtml"):
+                v = F.trim(F.regexp_replace(
+                    F.regexp_replace(v, _TAG_RE, " "), r"\s+", " "))
+            if rule.get("strip_end_regex"):
+                v = F.trim(F.regexp_replace(
+                    v, rule["strip_end_regex"] + r"\s*$", ""))
+            entries.append(F.struct(F.lit(field).alias("field"),
+                                    v.alias("value")))
+        branches.append((tld, F.array(*entries)))
+
+    out = F.lit(None).cast(
+        "array<struct<field:string,value:string>>")
+    for tld, arr in reversed(branches):
+        out = F.when(F.col(tld_col) == tld, arr).otherwise(out)
+    exploded = df.select(F.col(doc_key), F.explode(out).alias("x"))
+    return exploded.select(
+        doc_key, F.col("x.field").alias("field"),
+        F.col("x.value").alias("value")).filter(F.col("value") != "")
 
 
 # --- X12 segment selection ----------------------------------------------------

@@ -51,6 +51,60 @@ def run_modules(df: DataFrame, modules: Iterable[Module]) -> DataFrame:
     return out
 
 
+def safe_python_doc_module(
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    output_schema: str,
+    *,
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame], DataFrame]:
+    """``python_doc_module`` with the reference's per-document error
+    isolation (C5, `etk_worker.py:98-139`: per-doc try/except, log and
+    continue).
+
+    Fast path: the whole Arrow batch through ``fn`` at once. On failure
+    the batch is retried document-at-a-time; failing docs emit a row with
+    only (id, ``_error``) set — route ``_error IS NOT NULL`` rows to the
+    quarantine table. Output schema = ``output_schema`` + ``_error``.
+    """
+    from pyspark.sql import types as T
+
+    fields = [f.name for f in T._parse_datatype_string(output_schema).fields]
+    schema = output_schema + ", _error string"
+
+    def process(df: DataFrame) -> DataFrame:
+        from dig_etl_engine_spark.session import ship_package
+
+        ship_package(df.sparkSession)
+
+        def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+            for pdf in batches:
+                try:
+                    out = fn(pdf).copy()
+                    out["_error"] = None
+                    yield out
+                    continue
+                except Exception:
+                    pass          # isolate: retry one doc at a time
+                frames = []
+                for i in range(len(pdf)):
+                    single = pdf.iloc[[i]]
+                    try:
+                        out = fn(single).copy()
+                        out["_error"] = None
+                        frames.append(out)
+                    except Exception as exc:
+                        err = {f: [None] for f in fields}
+                        err[id_col] = [single[id_col].iloc[0]]
+                        err["_error"] = [f"{type(exc).__name__}: {exc}"]
+                        frames.append(pd.DataFrame(err))
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        return df.mapInPandas(run, schema=schema)
+
+    return process
+
+
 def python_doc_module(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     output_schema: str,

@@ -1,0 +1,81 @@
+"""Unit tests for per-document error isolation (C5) and the landmark
+rule-set executor (X5 full shape)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+
+class TestSafePythonDocModule:
+    def test_failing_docs_quarantined_rest_processed(self, spark):
+        from dig_etl_engine_spark.pipeline import safe_python_doc_module
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(9)], "doc_id long, text string")
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            if (pdf["doc_id"] % 3 == 0).any():
+                raise ValueError("boom")
+            return pd.DataFrame({"doc_id": pdf["doc_id"],
+                                 "out": pdf["text"].str.upper()})
+
+        process = safe_python_doc_module(fn, "doc_id long, out string")
+        result = process(docs).collect()
+        good = {r.doc_id: r.out for r in result if r._error is None}
+        bad = {r.doc_id: r._error for r in result if r._error is not None}
+        assert good == {i: f"TEXT {i}" for i in range(9) if i % 3 != 0}
+        assert set(bad) == {0, 3, 6}
+        assert all(e.startswith("ValueError") for e in bad.values())
+
+    def test_clean_batch_takes_fast_path(self, spark):
+        from dig_etl_engine_spark.pipeline import safe_python_doc_module
+
+        docs = spark.createDataFrame([(1, "a"), (2, "b")],
+                                     "doc_id long, text string")
+        process = safe_python_doc_module(
+            lambda pdf: pd.DataFrame({"doc_id": pdf["doc_id"],
+                                      "out": pdf["text"]}),
+            "doc_id long, out string")
+        rows = process(docs).collect()
+        assert {r.doc_id for r in rows} == {1, 2}
+        assert all(r._error is None for r in rows)
+
+
+class TestLandmarkRuleset:
+    RULES = {
+        "museum.example.org": [
+            {"rule_type": "ItemRule", "name": "title-0-0",
+             "begin_regex": r"<h1>", "end_regex": r"</h1>",
+             "removehtml": True},
+            {"rule_type": "ItemRule", "name": "artist-0-1",
+             "begin_regex": r"<span class=\"artist\">",
+             "end_regex": r"</span>", "removehtml": True,
+             "strip_end_regex": r"\(attributed\)"},
+        ],
+        "shop.example.org": [
+            {"rule_type": "ItemRule", "name": "price-0-0",
+             "begin_regex": r"price:", "end_regex": r"<"},
+        ],
+    }
+
+    def test_per_tld_routing_and_cleanup(self, spark):
+        from dig_etl_engine_spark.functions.extractors import landmark_ruleset
+
+        docs = spark.createDataFrame([
+            ("d1", "museum.example.org",
+             "<h1>The <i>Blue</i> Boat</h1>"
+             "<span class=\"artist\">Monet (attributed)</span>"),
+            ("d2", "shop.example.org", "<b>price:19.99</b>"),
+            ("d3", "unknown.org", "<h1>ignored</h1>"),
+        ], "doc_id string, tld string, raw_content string")
+
+        got = {(r.doc_id, r.field): r.value
+               for r in landmark_ruleset(docs, "raw_content",
+                                         self.RULES).collect()}
+        assert got == {
+            ("d1", "title"): "The Blue Boat",      # removehtml strips <i>
+            ("d1", "artist"): "Monet",             # strip_end_regex applied
+            ("d2", "price"): "19.99",
+        }
