@@ -197,3 +197,57 @@ def stream_file_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.read.parquet(target) \
         .select("doc_id", "kafka_offset", "event_type", "value")
+
+
+@register(
+    "stream_stateful_dedup",
+    oracle="""
+    WITH src AS (
+      SELECT (event_id % 500)::VARCHAR AS fingerprint,
+             event_id AS kafka_offset, event_type, value
+      FROM events
+    )
+    SELECT fingerprint, kafka_offset, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                 ORDER BY kafka_offset) AS rn
+      FROM src
+    ) WHERE rn = 1
+    """,
+)
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (Structured Streaming superset —
+    the reference's Kafka loop keeps no state, `etk_worker.py:76-157`):
+    first-seen dedup via ``applyInPandasWithState``. Every row whose
+    fingerprint was already seen anywhere earlier in the stream is dropped;
+    the winner is the min-offset row per fingerprint. The input is drained
+    in a single availableNow batch (one file), so the result is exactly the
+    relational min-offset row — which the oracle recomputes."""
+    from dig_etl_engine_spark.streaming.ingest import file_stream_source
+    from dig_etl_engine_spark.streaming.stateful import run_first_seen_dedup
+
+    events = load_tables(spark, sf_dir)["events"]
+    src = events.select(
+        (F.col("event_id") % 500).cast("string").alias("fingerprint"),
+        F.col("event_id").alias("kafka_offset"),
+        "event_type", "value")
+
+    root = _scratch("stateful")
+    in_dir, target = os.path.join(root, "in"), os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    src.coalesce(1).write.mode("overwrite").json(in_dir)
+
+    schema = T.StructType([
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("kafka_offset", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    q = run_first_seen_dedup(
+        file_stream_source(spark, in_dir, schema),
+        target_path=target, checkpoint_dir=ckpt,
+        fingerprint_col="fingerprint", order_col="kafka_offset",
+        output_schema=("fingerprint string, kafka_offset long, "
+                       "event_type string, value double"))
+    q.awaitTermination()
+    return spark.read.parquet(target) \
+        .select("fingerprint", "kafka_offset", "event_type", "value")

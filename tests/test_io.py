@@ -129,6 +129,48 @@ class TestStreamingIngest:
         assert set(bad.select("_quarantine_reason").distinct()
                    .toPandas()["_quarantine_reason"]) == {"missing doc_id"}
 
+    def test_stateful_first_seen_dedup_across_runs(self, spark, tmp_path):
+        """applyInPandasWithState first-seen dedup: within a run the
+        min-order row per fingerprint wins; a second run against the same
+        checkpoint resumes the state store, so fingerprints emitted in run
+        1 stay suppressed and only genuinely new ones come out."""
+        from pyspark.sql import types as T
+        from dig_etl_engine_spark.streaming.ingest import file_stream_source
+        from dig_etl_engine_spark.streaming.stateful import (
+            run_first_seen_dedup)
+
+        schema = T.StructType([
+            T.StructField("fp", T.StringType()),
+            T.StructField("off", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ])
+        out_schema = "fp string, off long, v string"
+        src_dir = str(tmp_path / "in")
+        target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        spark.createDataFrame(
+            [("a", 3, "a3"), ("a", 1, "a1"), ("b", 2, "b2")],
+            schema).coalesce(1).write.json(src_dir)
+        q = run_first_seen_dedup(
+            file_stream_source(spark, src_dir, schema), target_path=target,
+            checkpoint_dir=ckpt, fingerprint_col="fp", order_col="off",
+            output_schema=out_schema)
+        q.awaitTermination()
+        got = {r.fp: (r.off, r.v) for r in spark.read.parquet(target).collect()}
+        assert got == {"a": (1, "a1"), "b": (2, "b2")}
+
+        # second run: duplicates of a/b plus a new fingerprint c
+        spark.createDataFrame(
+            [("a", 9, "a9"), ("b", 8, "b8"), ("c", 7, "c7")],
+            schema).coalesce(1).write.mode("append").json(src_dir)
+        q = run_first_seen_dedup(
+            file_stream_source(spark, src_dir, schema), target_path=target,
+            checkpoint_dir=ckpt, fingerprint_col="fp", order_col="off",
+            output_schema=out_schema)
+        q.awaitTermination()
+        got = {r.fp: (r.off, r.v) for r in spark.read.parquet(target).collect()}
+        assert got == {"a": (1, "a1"), "b": (2, "b2"), "c": (7, "c7")}
+
     def test_windowed_agg_watermark_finalization(self, spark, tmp_path):
         """Event-time windows finalize exactly when the watermark (max
         event time − delay) passes their end — availableNow drains with a
