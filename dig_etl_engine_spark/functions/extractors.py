@@ -82,6 +82,36 @@ def extract_phone(col: Column, segment: str = "raw_content") -> Column:
     return extract_regex(col, PHONE_RE, method="extract_phone", segment=segment)
 
 
+def extract_bitcoin(col: Column, segment: str = "raw_content") -> Column:
+    """X9 BitcoinAddress extractor (`em_base.py:14-21` imports in elicit
+    tarball): base58 P2PKH/P2SH shape."""
+    return extract_regex(col, BTC_RE, method="extract_bitcoin", segment=segment)
+
+
+def extract_crypto_hash(col: Column, segment: str = "raw_content") -> Column:
+    """X9 CryptographicHash extractor: md5/sha1/sha256 hex-digest shapes."""
+    return extract_regex(col, HASH_RE, method="extract_crypto_hash",
+                         segment=segment)
+
+
+def extract_html_tables(col: Column) -> Column:
+    """X9 Table extractor (`em_base.py:14-21`; ETK's TableExtractor parses
+    ``<table>`` markup into rows of cell text). Fully native — nested
+    `regexp_extract_all` + `transform`, so the parse stays JVM-side inside
+    whole-stage codegen (no Python in the hot path at 100 TB):
+    rows = ``<tr>`` bodies, cells = ``<td>``/``<th>`` bodies with inner
+    tags stripped and whitespace trimmed. Returns array<array<string>>
+    (rows × cells) for the first-and-all tables in the document."""
+    rows = F.regexp_extract_all(
+        col, F.lit(r"(?is)<tr[^>]*>(.*?)</tr>"), F.lit(1))
+    return F.transform(
+        rows,
+        lambda r: F.transform(
+            F.regexp_extract_all(
+                r, F.lit(r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"), F.lit(1)),
+            lambda c: F.trim(F.regexp_replace(c, r"<[^>]+>", ""))))
+
+
 def extract_hostname(url_col: Column) -> Column:
     """X8: website/hostname from url (`em_base.py:70-79` in elicit tarball;
     `predefined_extractor: "TLD"`). Native `parse_url`."""

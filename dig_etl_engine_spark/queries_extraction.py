@@ -73,6 +73,69 @@ def extract_regex_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extract_crypto_ids",
+    oracle="""
+    SELECT doc_id,
+           '1' || replace(lpad(CAST(doc_id AS VARCHAR), 28, '9'), '0', 'A')
+             AS btc,
+           lpad(CAST(doc_id AS VARCHAR), 32, '0') AS hashes
+    FROM documents
+    """,
+)
+def extract_crypto_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 BitcoinAddress + CryptographicHash extractors (`em_base.py:14-21`
+    imports in elicit tarball). Text derives a valid base58 address and an
+    md5-shaped hex digest per doc; the oracle states the expected match
+    directly, so the regex machinery is what's under test."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    txt = F.concat(
+        F.lit("wallet 1"),
+        F.translate(F.lpad(F.col("doc_id").cast("string"), 28, "9"), "0", "A"),
+        F.lit(" checksum "), F.lpad(F.col("doc_id").cast("string"), 32, "0"),
+        F.lit(" end"))
+    d = docs.select("doc_id", txt.alias("txt"))
+    vals = lambda c: F.transform(c, lambda x: x["value"])  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.array_join(vals(X.extract_bitcoin(F.col("txt"))), "|").alias("btc"),
+        F.array_join(vals(X.extract_crypto_hash(F.col("txt"))), "|")
+        .alias("hashes"),
+    )
+
+
+@register(
+    "extract_html_tables",
+    oracle="""
+    SELECT doc_id, 2 AS n_rows,
+           'id|name|ID ' || CAST(doc_id AS VARCHAR) || '|src ' || source
+             AS cells
+    FROM documents
+    """,
+)
+def extract_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 Table extractor (ETK TableExtractor import, `em_base.py:14-21`):
+    parse ``<table>`` markup into rows×cells. The derived HTML carries
+    attributes, a ``<th>`` header row, nested inline tags and stray
+    whitespace — all of which the parse must strip; the oracle states the
+    cleaned cell matrix. Plan stays fully native (nested regexes inside
+    codegen)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    html = F.concat(
+        F.lit('<html><body><p>noise</p><table class="t"><tr><th> id </th>'
+              "<th>name</th></tr><tr class=\"r\"><td><b>ID</b> "),
+        F.col("doc_id").cast("string"),
+        F.lit("</td><td>src "), F.col("source"),
+        F.lit("</td></tr></table></body></html>"))
+    d = docs.select("doc_id", html.alias("html"))
+    cells = X.extract_html_tables(F.col("html"))
+    return d.select(
+        "doc_id",
+        F.size(cells).alias("n_rows"),
+        F.array_join(F.flatten(cells), "|").alias("cells"),
+    )
+
+
+@register(
     "glossary_extract",
     oracle=f"""
     SELECT d.doc_id, g.term
