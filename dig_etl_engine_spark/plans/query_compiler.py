@@ -188,6 +188,7 @@ def compile_query(
             .groupBy("doc_id")
             .agg(F.sum("p_weight").alias("_idx_score"),
                  F.collect_set("clause_id").alias("_idx_clauses"))
+            .withColumnRenamed("doc_id", "_pdi_doc_id")
         )
 
     # ---- text-zone matching: per-clause column indicators --------------------
@@ -206,8 +207,8 @@ def compile_query(
     result = docs
     if per_doc_index is not None:
         result = result.join(per_doc_index,
-                             result[doc_id] == per_doc_index["doc_id"],
-                             "left").drop(per_doc_index["doc_id"])
+                             result[doc_id] == per_doc_index["_pdi_doc_id"],
+                             "left").drop("_pdi_doc_id")
     else:
         result = result.withColumn("_idx_score", F.lit(None).cast("double")) \
                        .withColumn("_idx_clauses", F.array().cast("array<int>"))

@@ -215,6 +215,66 @@ def search_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_zone_weighted_variant",
+    oracle="""
+    WITH ind AS (
+      SELECT doc_id, lang, source,
+             POSITION(' hash value ' IN ' ' || LOWER(text) || ' ') > 0
+               AS strict,
+             POSITION(' hash ' IN ' ' || LOWER(text) || ' ') > 0 AS relaxed
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+           ROUND((CASE WHEN strict THEN 5.0 ELSE 0 END)
+               + (CASE WHEN relaxed THEN 1.5 ELSE 0 END), 6) AS score
+    FROM ind
+    WHERE strict OR relaxed
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def search_zone_weighted_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 zone-weighted variant (`sandpaper/sandbox/config/basic/
+    zone_field_mappings.json`, `microcap/field_weights.json`): the SAME
+    compile path under an alternate physical layout — each logical field
+    materialized as `{strict, relaxed}` zones with per-segment weight
+    overrides (strict phrase hit w=5 ≫ relaxed token hit w=1.5), proving
+    the field map + weight tree are config, not code. A doc matching the
+    strict zone also matches relaxed → score 6.5; token-only docs → 1.5."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tdf = spark.createDataFrame([("hash value",), ("merge batch",)],
+                                "term string")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    base = docs.crossJoin(F.broadcast(tdf)) \
+        .select("doc_id", "term", padded.alias("pt"))
+    phrase = F.concat(F.lit(" "), F.col("term"), F.lit(" "))
+    token = F.concat(F.lit(" "), F.split(F.col("term"), " ")[0], F.lit(" "))
+    mk = lambda df, seg: df.select(  # noqa: E731
+        "doc_id", F.lit("keyword").alias("field"),
+        F.lit("glossary").alias("method"), F.lit(seg).alias("segment"),
+        F.col("term").alias("value"), F.col("term").alias("key"))
+    index = mk(base.filter(F.col("pt").contains(phrase)), "strict") \
+        .unionByName(mk(base.filter(F.col("pt").contains(token)), "relaxed"))
+
+    cfg = EngineConfig(
+        predicate_types={"keyword": "Keyword"},
+        type_field_mappings={
+            "Keyword": [FieldRef("keyword", "glossary", "strict"),
+                        FieldRef("keyword", "glossary", "relaxed")],
+        },
+        weights=WeightTree([
+            WeightRule(weight=1.0),
+            WeightRule(field="keyword", segment="strict", weight=5.0),
+            WeightRule(field="keyword", segment="relaxed", weight=1.5),
+        ]),
+        default_source_fields=["doc_id", "lang", "source"],
+    )
+    query = {"clauses": [{"predicate": "keyword", "constraint": "hash value"}],
+             "size": 20}
+    return compile_query(spark, docs, index, query, cfg)
+
+
+@register(
     "facet_keyword_counts",
     oracle=f"""
     SELECT g.term AS key, COUNT(DISTINCT d.doc_id) AS doc_count

@@ -119,3 +119,16 @@ class TestCodegenPurity:
                      "token_rule_extract", "kg_index_long"):
             plan = plan_of(qs[name](spark, SF))
             assert "EvalPython" not in plan, name
+
+    def test_extractor_family_is_jvm_only(self, spark):
+        """The X7/X9 regex family including the nested-regex HTML table
+        parse must never fall out of codegen into Python — at 100 TB these
+        run over every document."""
+        from dig_etl_engine_spark import queries as registry
+        qs = registry.queries()
+        for name in ("extract_regex_family", "extract_crypto_ids",
+                     "extract_html_tables"):
+            plan = plan_of(qs[name](spark, SF))
+            for marker in ("BatchEvalPython", "ArrowEvalPython",
+                           "MapInPandas"):
+                assert marker not in plan, name
