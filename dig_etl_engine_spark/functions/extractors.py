@@ -141,7 +141,22 @@ def extract_date_iso(col: Column, segment: str = "raw_content") -> Column:
         F.transform(slash, lambda d: F.date_format(
             F.try_to_timestamp(d, F.lit("M/d/yyyy")), "yyyy-MM-dd")),
         lambda d: d.isNotNull())
-    return _results(F.concat(iso, norm_slash), "extract_date", segment)
+    # textual-month form: "January 5, 2021" / "Jan 5 2021" (case-insensitive)
+    MONTHS = (r"Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|"
+              r"Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|"
+              r"Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?")
+    textual = F.regexp_extract_all(
+        col, F.lit(rf"(?i)\b((?:{MONTHS})\s+\d{{1,2}},?\s+\d{{4}})\b"),
+        F.lit(1))
+    norm_textual = F.filter(
+        F.transform(textual, lambda d: F.date_format(F.coalesce(
+            F.try_to_timestamp(F.initcap(F.regexp_replace(d, ",", "")),
+                               F.lit("MMMM d yyyy")),
+            F.try_to_timestamp(F.initcap(F.regexp_replace(d, ",", "")),
+                               F.lit("MMM d yyyy"))), "yyyy-MM-dd")),
+        lambda d: d.isNotNull())
+    return _results(F.concat(iso, norm_slash, norm_textual),
+                    "extract_date", segment)
 
 
 # --- X4 glossary extraction ---------------------------------------------------

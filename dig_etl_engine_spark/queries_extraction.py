@@ -207,22 +207,22 @@ def extract_hostname(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH derived AS (
       SELECT o_orderkey,
-             'posted ' || strftime(o_orderdate, '%Y-%m-%d') || ' updated '
-                       || strftime(o_orderdate, '%-m/%-d/%Y') AS txt,
              strftime(o_orderdate, '%Y-%m-%d') AS iso
       FROM orders
     )
-    SELECT o_orderkey, iso || '|' || iso AS found_dates FROM derived
+    SELECT o_orderkey, iso || '|' || iso || '|' || iso AS found_dates
+    FROM derived
     """,
 )
 def extract_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 DateExtractor: find dates in free text (ISO + M/d/yyyy) and
-    normalize to ISO (`em_elicit.py:52-54`). Both embedded forms must
-    normalize to the same ISO day."""
+    """X3 DateExtractor: find dates in free text (ISO, M/d/yyyy and
+    textual "Month d, yyyy") and normalize to ISO (`em_elicit.py:52-54`).
+    All three embedded forms must normalize to the same ISO day."""
     orders = load_tables(spark, sf_dir)["orders"]
     txt = F.concat(
         F.lit("posted "), F.date_format("o_orderdate", "yyyy-MM-dd"),
         F.lit(" updated "), F.date_format("o_orderdate", "M/d/yyyy"),
+        F.lit(" on "), F.date_format("o_orderdate", "MMMM d, yyyy"),
     )
     d = orders.select("o_orderkey", txt.alias("txt"))
     found = X.extract_date_iso(F.col("txt"))

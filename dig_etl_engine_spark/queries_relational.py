@@ -236,6 +236,39 @@ def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type, length(event_type) AS w FROM events
+    )
+    SELECT e.event_type,
+           ROUND(SUM(e.value * d.w), 2) AS weighted_value,
+           COUNT(*) AS n
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (capability superset; SURVEY §2.6 — the
+    reference has no join operator at all): `event_type` is a classic hot
+    key (a handful of values over the whole fact table), so the fact side
+    is salted into 8 deterministic sub-keys and the dim replicated ×8 —
+    each hot key spreads over 8 shuffle partitions instead of one
+    straggler task. Row-identical to the plain join, which the oracle
+    states."""
+    from dig_etl_engine_spark.operators.skew import salted_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    dim = (ev.select("event_type").distinct()
+           .withColumn("w", F.length("event_type")))
+    joined = salted_join(ev.select("event_type", "event_id", "value"), dim,
+                         on="event_type", salt_from="event_id", buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.round(F.sum(F.col("value") * F.col("w")), 2).alias("weighted_value"),
+        F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "join_indexing_denorm",
     oracle="""
     SELECT o.o_orderkey, o.o_orderstatus,

@@ -120,6 +120,31 @@ class TestCodegenPurity:
             plan = plan_of(qs[name](spark, SF))
             assert "EvalPython" not in plan, name
 
+    def test_salted_join_spreads_hot_key(self, spark):
+        """With broadcast disabled (two-large-tables regime, the case
+        salting exists for) the join must be a sort-merge join whose keys
+        include the salt — the hot key occupies `buckets` shuffle
+        partitions, not one — and the result must be row-identical to the
+        plain join."""
+        from dig_etl_engine_spark.operators.skew import salted_join
+
+        facts = spark.range(0, 2000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold"))
+            .alias("k"), F.col("id"))
+        dim = spark.createDataFrame([("hot", 1.0), ("cold", 2.0)], "k string, w double")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = salted_join(facts, dim, on="k", salt_from="id", buckets=4)
+            plan = plan_of(out)
+            assert "SortMergeJoin" in plan and "_salt" in plan
+            got = sorted((r.k, r.id, r.w) for r in out.collect())
+            want = sorted((r.k, r.id, r.w)
+                          for r in facts.join(dim, "k").collect())
+            assert got == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
     def test_extractor_family_is_jvm_only(self, spark):
         """The X7/X9 regex family including the nested-regex HTML table
         parse must never fall out of codegen into Python — at 100 TB these
