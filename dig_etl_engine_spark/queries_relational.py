@@ -236,6 +236,46 @@ def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderstatus AS status,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join (SURVEY §4 "bucketing for co-located
+    joins"): orders and lineitem are materialized bucketed+sorted on the
+    order key (8 buckets), then joined — with both sides carrying the same
+    hash layout the sort-merge join needs NO exchange (pinned by
+    `test_plan_quality.py::test_bucketed_join_has_no_exchange`). The
+    recurring-join pattern for the KG doc table ⋈ long index table at
+    100 TB: pay the bucket shuffle once at write, never at query."""
+    import os as _os
+    from dig_etl_engine_spark.catalog import materialize_bucketed
+    from dig_etl_engine_spark.queries_io import _scratch
+
+    t = load_tables(spark, sf_dir)
+    root = _scratch("bucketed")
+    o = materialize_bucketed(spark, t["orders"], "bkt_orders", "o_orderkey",
+                             buckets=8, path=_os.path.join(root, "orders"))
+    l = materialize_bucketed(spark, t["lineitem"], "bkt_lineitem",
+                             "l_orderkey", buckets=8,
+                             path=_os.path.join(root, "lineitem"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "join_salted_skew",
     oracle="""
     WITH dim AS (

@@ -120,6 +120,33 @@ class TestCodegenPurity:
             plan = plan_of(qs[name](spark, SF))
             assert "EvalPython" not in plan, name
 
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Both sides bucketed on the join key with equal bucket counts →
+        the SMJ consumes the bucket layout directly: zero Exchange in the
+        physical plan (the whole point of bucketing at 100 TB)."""
+        from dig_etl_engine_spark.catalog import materialize_bucketed
+
+        left = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+        right = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+        lb = materialize_bucketed(spark, left, "t_bkt_l", "k", buckets=4,
+                                  path=str(tmp_path / "l"))
+        rb = materialize_bucketed(spark, right, "t_bkt_r", "k", buckets=4,
+                                  path=str(tmp_path / "r"))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = lb.join(rb, "k")
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert joined.count() == 5000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS t_bkt_l")
+            spark.sql("DROP TABLE IF EXISTS t_bkt_r")
+
     def test_salted_join_spreads_hot_key(self, spark):
         """With broadcast disabled (two-large-tables regime, the case
         salting exists for) the join must be a sort-merge join whose keys
