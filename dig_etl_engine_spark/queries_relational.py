@@ -429,3 +429,38 @@ def upsert_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "upsert_partitioned_merge",
+    oracle="""
+    SELECT user_id, event_type, value, event_id FROM (
+      SELECT user_id, event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def upsert_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 at 100 TB shape (`sinks/kg_table.py:upsert_partitioned`): the
+    events table is split into two halves and merged into a hash-bucket-
+    partitioned KG table in two batches — only the partitions a batch
+    touches are rewritten (dynamic partition overwrite). The final table
+    must equal the one-shot relational last-write-wins, which the oracle
+    states."""
+    import os as _os
+    from dig_etl_engine_spark.queries_io import _scratch
+    from dig_etl_engine_spark.sinks.kg_table import (
+        read_partitioned, upsert_partitioned)
+
+    ev = load_tables(spark, sf_dir)["events"] \
+        .select("user_id", "event_type", "value", "event_id")
+    target = _os.path.join(_scratch("upsert_part"), "kg")
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    upsert_partitioned(spark, target, half, key_col="user_id",
+                       order_col="event_id", buckets=16)
+    upsert_partitioned(spark, target,
+                       ev.filter(F.col("event_id") % 2 == 1),
+                       key_col="user_id", order_col="event_id", buckets=16)
+    return read_partitioned(spark, target)

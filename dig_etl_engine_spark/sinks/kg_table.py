@@ -79,6 +79,52 @@ def upsert(spark: SparkSession, target_path: str, batch: DataFrame, *,
     os.rename(tmp, target_path)
 
 
+def upsert_partitioned(spark: SparkSession, target_path: str,
+                       batch: DataFrame, *, key_col: str = "doc_id",
+                       order_col: str = "kafka_offset",
+                       buckets: int = 64) -> None:
+    """K2 at scale: MERGE into a hash-bucket-partitioned KG table,
+    rewriting ONLY the partitions the batch touches.
+
+    The plain :func:`upsert` rereads + rewrites the whole table per batch —
+    fine for tests, quadratic over a day of micro-batches at 100 TB. Here
+    the table is laid out as ``_kb=pmod(xxhash64(key), buckets)`` partition
+    directories (uniform — no skewed dirs), and the merge:
+
+      1. buckets the batch and collects its touched bucket ids (≤
+         ``buckets`` values — a driver-safe list);
+      2. reads back only those partitions (partition pruning: the
+         ``isin`` filter never opens untouched directories);
+      3. last-write-wins merges batch ∪ touched-existing;
+      4. writes with dynamic partition overwrite, which atomically
+         replaces exactly the touched directories.
+
+    Cost per batch is O(touched data), not O(table). Delta's MERGE is the
+    production drop-in (same semantics, real commit log)."""
+    kb = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)).cast("int")
+    b = dedupe_last_write_wins(batch.withColumn("_kb", kb),
+                               key_col, order_col)
+    if os.path.isdir(target_path) and any(
+            f.startswith("_kb=") for f in os.listdir(target_path)):
+        touched = [r[0] for r in b.select("_kb").distinct().collect()]
+        existing = (spark.read.parquet(target_path)
+                    .filter(F.col("_kb").isin(touched)))
+        b = dedupe_last_write_wins(
+            existing.unionByName(b, allowMissingColumns=True),
+            key_col, order_col)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        b.write.mode("overwrite").partitionBy("_kb").parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_partitioned(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read a partitioned KG table without the internal bucket column."""
+    return spark.read.parquet(target_path).drop("_kb")
+
+
 def write_jsonlines(df: DataFrame, path: str, *,
                     compression: str | None = None) -> None:
     """K4: JSON-lines export (`.jl` / `.jl.gz`); one file per partition —

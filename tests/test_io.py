@@ -102,6 +102,42 @@ class TestUpsert:
         rows = spark.read.parquet(p).collect()
         assert len(rows) == 1 and rows[0].v == "y"
 
+    def test_partitioned_upsert_touches_only_batch_partitions(
+            self, spark, tmp_path):
+        """upsert_partitioned: merge semantics identical to upsert, but
+        only the hash-bucket partitions containing batch keys are
+        rewritten — untouched partition dirs keep their exact files."""
+        import glob
+        p = str(tmp_path / "t")
+        keys = [f"k{i}" for i in range(40)]
+        base = spark.createDataFrame(
+            [(k, 1, "base") for k in keys], self.SCHEMA)
+        kg_table.upsert_partitioned(spark, p, base, buckets=8)
+
+        # snapshot files per partition dir before the second batch
+        files_before = {d: sorted(glob.glob(f"{d}/*.parquet"))
+                        for d in glob.glob(f"{p}/_kb=*")}
+        batch = spark.createDataFrame(
+            [("k0", 10, "new"), ("zz", 2, "add"), ("k1", 0, "stale")],
+            self.SCHEMA)
+        kg_table.upsert_partitioned(spark, p, batch, buckets=8)
+
+        got = {r.doc_id: (r.kafka_offset, r.v)
+               for r in kg_table.read_partitioned(spark, p).collect()}
+        assert got["k0"] == (10, "new")      # updated
+        assert got["k1"] == (1, "base")      # stale replay ignored
+        assert got["zz"] == (2, "add")       # inserted
+        assert len(got) == 41
+        # every untouched bucket dir still has byte-identical file lists
+        from pyspark.sql import functions as F
+        touched = {r[0] for r in batch.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")).collect()}
+        untouched_dirs = [d for d in files_before
+                          if int(d.rsplit("=", 1)[1]) not in touched]
+        assert untouched_dirs, "test needs at least one untouched bucket"
+        for d in untouched_dirs:
+            assert sorted(glob.glob(f"{d}/*.parquet")) == files_before[d]
+
 
 class TestStreamingIngest:
     def test_quarantine_and_upsert(self, spark, tmp_path):
