@@ -394,8 +394,8 @@ def topk_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 top-k retrieval with `from`/`size` paging (ES paging via DIG UI,
     `nginx/sandbox/conf.d/dig.conf:95-104`): offset paging = row_number
     window. Note: a global row_number is single-partition — fine for top
-    pages; deep paging at scale should keyset-paginate instead (documented
-    superset)."""
+    pages; deep paging at scale should keyset-paginate instead (see
+    `topk_keyset_page`)."""
     orders = load_tables(spark, sf_dir)["orders"]
     w = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
@@ -403,6 +403,47 @@ def topk_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn").between(11, 20))
     )
+
+
+@register(
+    "topk_keyset_page",
+    oracle="""
+    WITH last_seen AS (
+      SELECT o_totalprice AS p, o_orderkey AS k FROM (
+        SELECT o_totalprice, o_orderkey,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                  o_orderkey ASC) AS rn
+        FROM orders
+      ) WHERE rn = 10
+    )
+    SELECT o_orderkey, o_totalprice
+    FROM orders, last_seen
+    WHERE o_totalprice < last_seen.p
+       OR (o_totalprice = last_seen.p AND o_orderkey > last_seen.k)
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def topk_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 deep-paging superset: keyset (seek) pagination. Offset paging
+    (`topk_paging`) needs a single-partition global row_number — O(offset)
+    and a straggler at 100 TB. Keyset keeps the cursor (last row's sort
+    key) client-side and pages with a pushdown-able range predicate +
+    top-k: every page is the same O(k) scan-and-limit, no window, no
+    global sort of skipped rows. Page 2 here must equal offset rows
+    11-20 of the total (o_totalprice DESC, o_orderkey ASC) order."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    page1 = (orders.select("o_orderkey", "o_totalprice")
+             .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+             .limit(10).collect())
+    last = page1[-1]
+    cursor = (F.col("o_totalprice") < last.o_totalprice) | (
+        (F.col("o_totalprice") == last.o_totalprice)
+        & (F.col("o_orderkey") > last.o_orderkey))
+    return (orders.select("o_orderkey", "o_totalprice")
+            .filter(cursor)
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10))
 
 
 @register(
