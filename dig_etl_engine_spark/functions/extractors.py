@@ -109,7 +109,10 @@ def extract_html_tables(col: Column) -> Column:
         lambda r: F.transform(
             F.regexp_extract_all(
                 r, F.lit(r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"), F.lit(1)),
-            lambda c: F.trim(F.regexp_replace(c, r"<[^>]+>", ""))))
+            # regexp trim, not F.trim: trim() strips only ' ' — HTML cell
+            # bodies carry newlines/tabs too
+            lambda c: F.regexp_replace(
+                F.regexp_replace(c, r"<[^>]+>", ""), r"^\s+|\s+$", "")))
 
 
 def extract_hostname(url_col: Column) -> Column:

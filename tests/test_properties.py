@@ -144,3 +144,43 @@ def test_template_compiler_sweep(spark):
     got = df.select(*exprs).collect()[0]
     for i, t in enumerate(templates):
         assert got[i] == reference_format(t), (t, got[i], reference_format(t))
+
+
+# --- X9 HTML table parse (batched Spark sweep) --------------------------------
+
+def test_html_table_parse_sweep(spark):
+    """60 random cell matrices → rendered HTML (random attributes, th/td
+    mix, inline tags, whitespace) → parsed back; the parse must recover
+    the exact matrix. One Spark action."""
+    from pyspark.sql import functions as F
+    from dig_etl_engine_spark.functions.extractors import extract_html_tables
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "x1", "42", "to-ken"]
+
+    cases = []
+    for _ in range(60):
+        matrix = [[" ".join(rng.sample(words, rng.randint(1, 3)))
+                   for _ in range(rng.randint(1, 4))]
+                  for _ in range(rng.randint(1, 4))]
+        html = ["<html><body><table border='1'>"]
+        for r in matrix:
+            html.append(f"<tr{rng.choice(['', ' class=r', ' id=z'])}>")
+            for cell in r:
+                tag = rng.choice(["td", "th"])
+                body = cell
+                if rng.random() < 0.4:
+                    body = f"<b>{body}</b>"
+                if rng.random() < 0.4:
+                    body = f"  {body}\n "
+                html.append(f"<{tag}>{body}</{tag}>")
+            html.append("</tr>")
+        html.append("</table></body></html>")
+        cases.append(("".join(html), matrix))
+
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)],
+                               "i int, html string")
+    got = {r.i: r.cells for r in df.select(
+        "i", extract_html_tables(F.col("html")).alias("cells")).collect()}
+    for i, (_, matrix) in enumerate(cases):
+        assert [list(r) for r in got[i]] == matrix, (i, got[i], matrix)
