@@ -55,7 +55,9 @@ URL_RE = r"https?://[^\s\"'<>]+"
 IP_RE = r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"
 CVE_RE = r"CVE-\d{4}-\d{4,7}"
 BTC_RE = r"\b[13][a-km-zA-HJ-NP-Z1-9]{25,34}\b"
-HASH_RE = r"\b[a-fA-F0-9]{32}(?:[a-fA-F0-9]{8})?(?:[a-fA-F0-9]{24})?\b"  # md5/sha1/sha256
+# md5(32) / sha1(40) / sha256(64) exactly — longest alternative first so a
+# sha256 isn't reported as its md5-length prefix; no 56-char false positive
+HASH_RE = r"\b(?:[a-fA-F0-9]{64}|[a-fA-F0-9]{40}|[a-fA-F0-9]{32})\b"
 PHONE_RE = r"\+?\d{1,2}[\s.-]?\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}"
 
 
@@ -323,15 +325,28 @@ def select_segment(json_col: Column, json_path: str) -> Column:
     return F.get_json_object(json_col, json_path)
 
 
-def spacy_rule_extractor(*_a, **_k):
-    """X6 SpacyRuleExtractor (token-pattern rules, `em_base.py:12`): needs
-    spaCy, which is not in this image. Simple shapes (phone, ticker) are
-    covered natively by `extract_phone`/`extract_regex`; full token-pattern
-    matching is gated behind the optional dependency."""
-    try:
-        import spacy  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "SpacyRuleExtractor requires the optional spacy dependency; "
-            "use extract_regex/extract_phone for shape rules") from exc
-    raise NotImplementedError("full token-pattern matcher: planned")
+def spacy_rule_extractor(col: Column, rule_doc: Mapping, *,
+                         segment: str = "raw_content") -> Column:
+    """X6 SpacyRuleExtractor (token-pattern rules, `em_base.py:12`; rule
+    files like museum tarball ``spacy_rules/{phone,stock_ticker}.json``).
+
+    Delegates to :mod:`dig_etl_engine_spark.functions.token_rules`: each
+    active rule's token-constraint pattern compiles driver-side to ONE
+    regex (shape / vocab / punctuation / number constraints — the complete
+    surface the reference's shipped rules use), executed natively by
+    ``regexp_extract_all``. Raises ``NotImplementedError`` only for
+    POS/lemma constraints, which genuinely need an NLP model (heavy
+    optional dependency, SURVEY §2.5 X6 gate).
+    """
+    from dig_etl_engine_spark.functions.token_rules import (
+        compile_etk_rule_file)
+
+    compiled = compile_etk_rule_file(dict(rule_doc))
+    out = None
+    for _ident, regexes in sorted(compiled.items()):
+        for pat in regexes:
+            matches = F.regexp_extract_all(col, F.lit(pat), F.lit(0))
+            out = matches if out is None else F.concat(out, matches)
+    if out is None:
+        out = F.array().cast("array<string>")
+    return _results(F.array_distinct(out), "spacy_rule_extractor", segment)

@@ -41,34 +41,172 @@ def _shape_to_regex(shape: str) -> str:
     return "".join(out)
 
 
+def _token_pattern(tok: dict) -> tuple[str, bool]:
+    """One token constraint → (regex atom, is_punctuation)."""
+    if "shape" in tok:
+        return _shape_to_regex(tok["shape"]), False
+    if "lower" in tok:
+        pat = "".join(f"[{c.lower()}{c.upper()}]" if c.isalpha()
+                      else re.escape(c) for c in tok["lower"])
+        return pat, not any(c.isalnum() for c in tok["lower"])
+    if "in" in tok:
+        vocab = [str(v) for v in tok["in"]]
+        pat = "(?:" + "|".join(re.escape(v) for v in vocab) + ")"
+        return pat, all(not any(c.isalnum() for c in v) for v in vocab)
+    if "regex" in tok:
+        return f"(?:{tok['regex']})", bool(tok.get("punct"))
+    raise ValueError(f"token constraint needs shape/lower/in/regex: {tok}")
+
+
 def compile_rule(tokens: list[dict]) -> str:
     """Compile a token-constraint list to one regex.
 
     Constraint keys per token (one of): ``shape`` ('ddd'), ``lower``
     (case-insensitive exact), ``in`` (vocabulary alternation), ``regex``
-    (raw token pattern). Plus ``optional: True``. Tokens join on ``\\s+``.
+    (raw token pattern). Plus ``optional: True``.
+
+    Join semantics mirror spaCy's tokenizer, which the reference's rules
+    assume: two word-ish tokens are whitespace-separated (``\\s+``), but a
+    punctuation token binds to its neighbors with OPTIONAL whitespace
+    (``\\s*``) — spaCy splits "(555)" into three tokens with no spaces in
+    the text. An optional token carries its separator inside its group, so
+    its absence never strands a mandatory separator.
     """
-    parts = []
+    pieces = []
     for tok in tokens:
-        if "shape" in tok:
-            pat = _shape_to_regex(tok["shape"])
-        elif "lower" in tok:
-            pat = "".join(f"[{c.lower()}{c.upper()}]" if c.isalpha()
-                          else re.escape(c) for c in tok["lower"])
-        elif "in" in tok:
-            pat = "(?:" + "|".join(re.escape(v) for v in tok["in"]) + ")"
-        elif "regex" in tok:
-            pat = f"(?:{tok['regex']})"
+        pat, punct = _token_pattern(tok)
+        pieces.append((pat, bool(tok.get("optional")), punct))
+
+    regex = ""
+    sep_consumed = True           # first token takes no leading separator
+    for i, (pat, opt, punct) in enumerate(pieces):
+        if sep_consumed:
+            lead = ""
         else:
-            raise ValueError(f"token constraint needs shape/lower/in/regex: {tok}")
-        if tok.get("optional"):
-            parts.append(f"(?:{pat}\\s+)?")
+            prev_punct = pieces[i - 1][2]
+            lead = r"\s*" if (punct or prev_punct) else r"\s+"
+        if opt and sep_consumed:
+            # leading-position optional: trailing separator goes inside
+            # the group and the next token starts separator-free
+            if i + 1 < len(pieces):
+                nxt_punct = pieces[i + 1][2]
+                post = r"\s*" if (punct or nxt_punct) else r"\s+"
+            else:
+                post = ""
+            regex += f"(?:{pat}{post})?"
+            sep_consumed = True
+        elif opt:
+            regex += f"(?:{lead}{pat})?"
+            sep_consumed = False
         else:
-            parts.append(f"{pat}\\s+")
-    joined = "".join(parts)
-    return joined.removesuffix("\\s+") if joined.endswith("\\s+") else joined
+            regex += lead + pat
+            sep_consumed = False
+    return regex
 
 
 def extract_token_rule(col: Column, tokens: list[dict]) -> Column:
     """Apply a compiled token rule → array of matched spans."""
     return F.regexp_extract_all(col, F.lit(compile_rule(tokens)), F.lit(0))
+
+
+# --- ETK rule-file compilation (the reference's shipped schema) ---------------
+
+def _digit_span(lo: str, hi: str) -> str:
+    """Regex for decimal strings of equal length in [lo, hi]."""
+    if len(lo) == 1:
+        return lo if lo == hi else f"[{lo}-{hi}]"
+    if lo[0] == hi[0]:
+        return lo[0] + _digit_span(lo[1:], hi[1:])
+    k = len(lo) - 1
+    if lo[1:] == "0" * k and hi[1:] == "9" * k:
+        return f"[{lo[0]}-{hi[0]}]" + rf"\d{{{k}}}"
+    parts = [lo[0] + _digit_span(lo[1:], "9" * k)]
+    if int(hi[0]) - int(lo[0]) >= 2:
+        a, b = str(int(lo[0]) + 1), str(int(hi[0]) - 1)
+        parts.append((a if a == b else f"[{a}-{b}]") + rf"\d{{{k}}}")
+    parts.append(hi[0] + _digit_span("0" * k, hi[1:]))
+    return "(?:" + "|".join(parts) + ")"
+
+
+def num_range_regex(lo: int, hi: int) -> str:
+    """Exact regex for decimal integers in [lo, hi] (no leading zeros) —
+    lets the reference's number tokens with ``minimum``/``maximum`` (e.g.
+    phone-prefix ranges 400000000-499999999) stay on the native-regex
+    fast path instead of needing a post-filter."""
+    parts = []
+    for ndig in range(len(str(lo)), len(str(hi)) + 1):
+        a = max(lo, 10 ** (ndig - 1) if ndig > 1 else 0)
+        b = min(hi, 10 ** ndig - 1)
+        if a <= b:
+            parts.append(_digit_span(str(a).zfill(ndig), str(b).zfill(ndig)))
+    return "(?:" + "|".join(parts) + ")"
+
+
+def compile_etk_token(tok: dict) -> dict | None:
+    """One token of the reference's spacy-rule JSON (museum tarball
+    ``spacy_rules/*.json``; every shipped token uses type ∈ {shape,
+    punctuation, word, number, linebreak} — none uses POS) → internal
+    constraint dict. Returns None for linebreak tokens (consumed by the
+    inter-token separator). Raises NotImplementedError for POS/lemma
+    constraints, which need a real NLP model (SURVEY §2.5 X6 gate)."""
+    if tok.get("part_of_speech"):
+        raise NotImplementedError(
+            "part_of_speech token constraints need a POS tagger (gated "
+            "optional dependency); shape/vocab/number rules compile natively")
+    ttype = tok.get("type", "word")
+    required = str(tok.get("is_required", "true")).lower() != "false"
+    out: dict | None
+    if ttype == "linebreak":
+        return None
+    elif ttype == "shape":
+        shapes = [s for s in (tok.get("shapes") or tok.get("shape") or []) if s]
+        if not shapes:
+            raise ValueError(f"shape token without shapes: {tok}")
+        out = {"regex": "|".join(_shape_to_regex(s) for s in shapes)}
+    elif ttype in ("punctuation", "word"):
+        vocab = [str(v) for v in tok.get("token") or []]
+        if vocab:
+            out = {"in": vocab}
+        elif ttype == "punctuation":
+            out = {"regex": r"[^\w\s]", "punct": True}
+        else:
+            out = {"regex": r"\S+"}
+    elif ttype == "number":
+        numbers = [str(n) for n in tok.get("numbers") or []]
+        minimum, maximum = tok.get("minimum"), tok.get("maximum")
+        lengths = [int(x) for x in tok.get("length") or []]
+        if numbers:
+            out = {"in": numbers}
+        elif minimum or maximum:
+            out = {"regex": num_range_regex(int(minimum or 0),
+                                            int(maximum or 10 ** 18))}
+        elif lengths:
+            out = {"regex": "|".join(rf"\d{{{n}}}" for n in lengths)}
+        else:
+            out = {"regex": r"\d+"}
+    else:
+        raise NotImplementedError(f"token type {ttype!r}")
+    if not required:
+        out["optional"] = True
+    return out
+
+
+def compile_etk_rule(rule: dict) -> str:
+    """One rule of the reference's spacy-rule JSON ({identifier, pattern,
+    is_active, ...}) → one regex via :func:`compile_rule`."""
+    tokens = [t for t in (compile_etk_token(tok) for tok in rule["pattern"])
+              if t is not None]
+    return compile_rule(tokens)
+
+
+def compile_etk_rule_file(doc: dict) -> dict[str, list[str]]:
+    """A whole reference rule file ({"rules": [...]}) → {identifier:
+    [regex, ...]} for the ACTIVE rules (``is_active != "false"``, matching
+    etk's loader behavior)."""
+    out: dict[str, list[str]] = {}
+    for rule in doc.get("rules", []):
+        if str(rule.get("is_active", "true")).lower() == "false":
+            continue
+        out.setdefault(rule.get("identifier", ""), []).append(
+            compile_etk_rule(rule))
+    return out

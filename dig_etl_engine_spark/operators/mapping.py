@@ -119,10 +119,19 @@ def apply_mapping(df: DataFrame, spec: MappingSpec) -> DataFrame:
 
     base = spec.file_url or spec.website or ""
     if base:
-        ob_id = (F.coalesce(F.col(spec.id_path).cast("string"),
-                            F.monotonically_increasing_id().cast("string"))
-                 if spec.id_path
-                 else F.monotonically_increasing_id().cast("string"))
+        # Fallback id when id_path is absent/null: deterministic content
+        # hash of the full source row — stable across runs, repartitions
+        # and task retries (downstream upserts key on the url), unlike
+        # monotonically_increasing_id. Divergence from the reference's
+        # sequential counter (dig_tabular_import.py:344-390): duplicate
+        # source rows collapse to one id, which matches the upsert-by-key
+        # sink semantics anyway.
+        content_id = F.conv(
+            F.substring(F.sha2(F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                          for c in df.columns]), 256), 1, 15), 16, 10)
+        ob_id = (F.coalesce(F.col(spec.id_path).cast("string"), content_id)
+                 if spec.id_path else content_id)
         out.append(F.concat(F.lit(base), F.lit("#"), ob_id).alias("url"))
         if spec.website:
             out.append(F.lit(spec.website).alias("tld"))

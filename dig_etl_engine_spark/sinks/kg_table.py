@@ -104,6 +104,7 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
     kb = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)).cast("int")
     b = dedupe_last_write_wins(batch.withColumn("_kb", kb),
                                key_col, order_col)
+    flat_files: list[str] = []
     if os.path.isdir(target_path) and any(
             f.startswith("_kb=") for f in os.listdir(target_path)):
         touched = [r[0] for r in b.select("_kb").distinct().collect()]
@@ -112,12 +113,29 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
         b = dedupe_last_write_wins(
             existing.unionByName(b, allowMissingColumns=True),
             key_col, order_col)
+    elif os.path.isdir(target_path):
+        # migration: an unbucketed table (e.g. the create_table_if_not_
+        # exists bootstrap, or a table built by plain upsert) — fold ALL
+        # its rows into this merge and drop the flat files afterwards so
+        # the layout converges to pure _kb= partition dirs.
+        flat_files = [f for f in os.listdir(target_path)
+                      if f.endswith(".parquet") or f == "_SUCCESS"]
+        if flat_files:
+            existing = spark.read.parquet(target_path).withColumn("_kb", kb)
+            b = dedupe_last_write_wins(
+                existing.unionByName(b, allowMissingColumns=True),
+                key_col, order_col)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         b.write.mode("overwrite").partitionBy("_kb").parquet(target_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for f in flat_files:
+        try:
+            os.remove(os.path.join(target_path, f))
+        except OSError:
+            pass
 
 
 def read_partitioned(spark: SparkSession, target_path: str) -> DataFrame:

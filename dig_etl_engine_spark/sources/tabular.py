@@ -80,7 +80,10 @@ def read_tabular(spark: SparkSession, path: str,
 
     heading = indexed.filter(F.col("row_num") == spec.heading_row) \
                      .select("line").head()
-    raw_headers = (heading.line if heading else "").split(sep)
+    import csv as _csv
+    heading_line = heading.line if heading else ""
+    raw_headers = (next(_csv.reader([heading_line], delimiter=sep))
+                   if heading_line else [])
 
     lo, hi = (spec.heading_columns if spec.heading_columns
               else (1, len(raw_headers)))
@@ -102,10 +105,18 @@ def read_tabular(spark: SparkSession, path: str,
         if first_blank is not None:
             content = content.filter(F.col("row_num") < first_blank)
 
-    cells = F.split("line", sep)
-    # pad short rows to the heading width, then window + rename
+    # Parse surviving lines with a real CSV parser (quote-aware, literal
+    # separator — a naive split() would treat sep as regex and break quoted
+    # fields).  All-string schema wide enough for the column window; short
+    # rows yield NULL fields which coalesce to '' (the reference pads short
+    # rows, `dig_tabular_import.py:185-197`) — and never throw, ANSI mode
+    # included.
+    width = max(hi, len(raw_headers))
+    ddl = ", ".join(f"`_c{i}` STRING" for i in range(width))
+    parsed = F.from_csv("line", ddl, {"sep": sep})
     cols = [
-        F.coalesce(F.trim(F.element_at(cells, lo + i)), F.lit("")).alias(h)
+        F.coalesce(F.trim(parsed.getField(f"_c{lo - 1 + i}")), F.lit(""))
+         .alias(h)
         for i, h in enumerate(headers)
     ]
     return (content.filter(F.trim("line") != "")

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from dig_etl_engine_spark.sinks.kg_table import upsert
+from dig_etl_engine_spark.sinks.kg_table import upsert, upsert_partitioned
 
 
 def kafka_source(spark: SparkSession, *, bootstrap_servers: str,
@@ -65,16 +65,44 @@ def file_stream_source(spark: SparkSession, path: str,
     return spark.readStream.schema(schema).json(path)
 
 
+def write_quarantine(invalid: DataFrame, batch_id: int,
+                     quarantine_path: str,
+                     reason: str = "missing doc_id") -> None:
+    """Idempotent quarantine write: rows land in a ``_batch_id=<id>``
+    partition via dynamic partition overwrite, so a micro-batch retry
+    replaces its own partition instead of appending duplicates."""
+    spark = invalid.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (invalid.withColumn("_quarantine_reason", F.lit(reason))
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(quarantine_path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def run_ingest(source: DataFrame, *, target_path: str,
                quarantine_path: str, checkpoint_dir: str,
                transform: Callable[[DataFrame], DataFrame] | None = None,
                key_col: str = "doc_id", order_col: str = "kafka_offset",
-               available_now: bool = True) -> StreamingQuery:
+               available_now: bool = True,
+               buckets: int | None = 64) -> StreamingQuery:
     """The full ingest leg: validate → (optional per-batch transform, i.e.
     the module pipeline) → upsert valid docs / quarantine invalid ones.
 
-    One foreachBatch writes BOTH tables so a batch is applied atomically-
-    enough (both writes or neither on retry — idempotent by key+offset).
+    One foreachBatch writes BOTH tables, and both writes are idempotent on
+    retry: the KG merge is a pure function of (key, order), and the
+    quarantine write replaces its own ``_batch_id`` partition.
+
+    ``buckets`` selects the hash-bucket-partitioned merge
+    (:func:`~dig_etl_engine_spark.sinks.kg_table.upsert_partitioned`,
+    O(touched buckets) per batch) — the default, because a streaming table
+    grows unboundedly and the plain full-rewrite :func:`upsert` is
+    O(table) per micro-batch. Pass ``buckets=None`` only for tiny
+    bounded tables.
     """
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -84,15 +112,17 @@ def run_ingest(source: DataFrame, *, target_path: str,
         try:
             invalid = batch.filter(~valid_pred)
             if invalid.limit(1).count():
-                (invalid.withColumn("_quarantine_reason",
-                                    F.lit("missing doc_id"))
-                 .withColumn("_batch_id", F.lit(batch_id))
-                 .write.mode("append").parquet(quarantine_path))
+                write_quarantine(invalid, batch_id, quarantine_path)
             valid = batch.filter(valid_pred)
             if transform is not None:
                 valid = transform(valid)
-            upsert(spark, target_path, valid,
-                   key_col=key_col, order_col=order_col)
+            if buckets:
+                upsert_partitioned(spark, target_path, valid,
+                                   key_col=key_col, order_col=order_col,
+                                   buckets=buckets)
+            else:
+                upsert(spark, target_path, valid,
+                       key_col=key_col, order_col=order_col)
         finally:
             batch.unpersist()
 

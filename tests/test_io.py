@@ -51,6 +51,36 @@ class TestGridWindowing:
         assert df.columns == ["2", "3"]
         assert [tuple(r) for r in df.collect()] == [("2", "3"), ("", "6")]
 
+    def test_ragged_short_rows_pad_empty(self, spark, tmp_path):
+        """A content row with fewer cells than the heading width pads with
+        '' (reference `dig_tabular_import.py:185-197`) — and must not throw
+        under ANSI mode (try-semantics field access, not element_at)."""
+        from dig_etl_engine_spark.sources.tabular import read_tabular
+        p = tmp_path / "ragged.csv"
+        p.write_text("a,b,c\n1,2,3\n4,5\n6\n")
+        df = read_tabular(spark, str(p), TabularSpec())
+        assert [tuple(r) for r in df.collect()] == [
+            ("1", "2", "3"), ("4", "5", ""), ("6", "", "")]
+
+    def test_quoted_fields_keep_delimiter(self, spark, tmp_path):
+        """CSV quoting: a quoted field containing the delimiter is ONE
+        cell (real CSV parse, not naive split)."""
+        from dig_etl_engine_spark.sources.tabular import read_tabular
+        p = tmp_path / "quoted.csv"
+        p.write_text('name,title\n"Smith, John",engineer\nplain,boss\n')
+        df = read_tabular(spark, str(p), TabularSpec())
+        assert [tuple(r) for r in df.collect()] == [
+            ("Smith, John", "engineer"), ("plain", "boss")]
+
+    def test_regex_meta_separator_is_literal(self, spark, tmp_path):
+        """A separator like '|' is a literal, not a regex alternation."""
+        from dig_etl_engine_spark.sources.tabular import read_tabular
+        p = tmp_path / "pipe.csv"
+        p.write_text("x|y\n1|2\n")
+        df = read_tabular(spark, str(p), TabularSpec(sep="|"))
+        assert df.columns == ["x", "y"]
+        assert [tuple(r) for r in df.collect()] == [("1", "2")]
+
     def test_excel_gate(self, spark, tmp_path):
         from dig_etl_engine_spark.sources.tabular import read_excel
         p = tmp_path / "x.xlsx"
@@ -160,10 +190,43 @@ class TestStreamingIngest:
 
         got = {r.doc_id: r.v for r in spark.read.parquet(target).collect()}
         assert got == {"a": "v2", "b": "v5"}
+        # streaming default is the partitioned merge: bucketed layout only
+        assert any(f.startswith("_kb=") for f in os.listdir(target))
+        assert not any(f.endswith(".parquet") for f in os.listdir(target))
         bad = spark.read.parquet(quarantine)
         assert bad.count() == 2
         assert set(bad.select("_quarantine_reason").distinct()
                    .toPandas()["_quarantine_reason"]) == {"missing doc_id"}
+
+    def test_quarantine_retry_is_idempotent(self, spark, tmp_path):
+        """Replaying a micro-batch must not duplicate quarantine rows:
+        the write lands in its own _batch_id partition via dynamic
+        overwrite."""
+        from dig_etl_engine_spark.streaming.ingest import write_quarantine
+        schema = TestUpsert.SCHEMA
+        bad = spark.createDataFrame([("", 3, "bad"), (None, 4, "bad2")],
+                                    schema)
+        qdir = str(tmp_path / "bad")
+        write_quarantine(bad, 7, qdir)
+        write_quarantine(bad, 7, qdir)          # retry of the same batch
+        assert spark.read.parquet(qdir).count() == 2
+        write_quarantine(bad.limit(1), 8, qdir)  # a different batch appends
+        assert spark.read.parquet(qdir).count() == 3
+
+    def test_flat_table_migrates_to_bucketed(self, spark, tmp_path):
+        """upsert_partitioned over a flat (bootstrap or legacy-upsert)
+        table folds the flat rows in and converges the layout to pure
+        _kb= dirs."""
+        p = str(tmp_path / "t")
+        schema = TestUpsert.SCHEMA
+        kg_table.upsert(spark, p, spark.createDataFrame(
+            [("a", 1, "old"), ("b", 2, "keep")], schema))
+        kg_table.upsert_partitioned(spark, p, spark.createDataFrame(
+            [("a", 10, "new"), ("c", 3, "add")], schema), buckets=8)
+        got = {r.doc_id: (r.kafka_offset, r.v)
+               for r in kg_table.read_partitioned(spark, p).collect()}
+        assert got == {"a": (10, "new"), "b": (2, "keep"), "c": (3, "add")}
+        assert not any(f.endswith(".parquet") for f in os.listdir(p))
 
     def test_stateful_first_seen_dedup_across_runs(self, spark, tmp_path):
         """applyInPandasWithState first-seen dedup: within a run the
