@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
+    "ann_hyperplane_lsh",
     "text_quality_score",
     "ts_impute_forward_fill",
 ]

@@ -134,34 +134,102 @@ def extract_as_is(col: Column, *, segment: str = "field") -> Column:
                     "extract_as_is", segment)
 
 
-def extract_date_iso(col: Column, segment: str = "raw_content") -> Column:
-    """X3 DateExtractor, native subset: find ISO / slash / textual-month
-    dates and normalize to yyyy-MM-dd. The reference delegates to ETK's
-    dateutil-based extractor (`em_elicit.py:52-54`); the normalization
-    contract (arbitrary found text → ISO date string) is preserved for the
-    formats regexes can anchor."""
-    iso = F.regexp_extract_all(col, F.lit(r"\b(\d{4}-\d{2}-\d{2})\b"), F.lit(1))
-    slash = F.regexp_extract_all(col, F.lit(r"\b(\d{1,2}/\d{1,2}/\d{4})\b"), F.lit(1))
-    norm_slash = F.filter(
-        F.transform(slash, lambda d: F.date_format(
-            F.try_to_timestamp(d, F.lit("M/d/yyyy")), "yyyy-MM-dd")),
-        lambda d: d.isNotNull())
-    # textual-month form: "January 5, 2021" / "Jan 5 2021" (case-insensitive)
-    MONTHS = (r"Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|"
+_MONTHS_RE = (r"Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|"
               r"Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|"
               r"Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?")
+
+
+def _norm_textual(d: Column) -> Column:
+    """'January 5, 2021' / '5 Jan 2021' token order handled by caller; this
+    normalizes a comma-stripped initcap'd candidate under both month-name
+    widths."""
+    clean = F.initcap(F.regexp_replace(d, ",", ""))
+    return F.date_format(F.coalesce(
+        F.try_to_timestamp(clean, F.lit("MMMM d yyyy")),
+        F.try_to_timestamp(clean, F.lit("MMM d yyyy")),
+        F.try_to_timestamp(clean, F.lit("d MMMM yyyy")),
+        F.try_to_timestamp(clean, F.lit("d MMM yyyy"))), "yyyy-MM-dd")
+
+
+def extract_date_iso(col: Column, segment: str = "raw_content", *,
+                     two_digit_years: bool = False,
+                     ref_year: int | None = None,
+                     ignore_past_years: int = 100) -> Column:
+    """X3 DateExtractor, native path: find dates in free text and
+    normalize to yyyy-MM-dd. The reference delegates to ETK's
+    dateutil-backed extractor (`em_elicit.py:52-54`) with a
+    ``parse_date_generic`` post-filter carrying ``ignore_past_years: 100``
+    (`generate_mydig_config.py:255-267`); the normalization contract
+    (found text → ISO date string) is preserved for every format a regex
+    can anchor:
+
+      * ISO ``yyyy-MM-dd``          * slash ``M/d/yyyy`` and ``yyyy/M/d``
+      * textual ``Month d, yyyy`` and ``d Month yyyy`` (full or abbrev.)
+      * dotted ``d.M.yyyy``
+      * 2-digit-year ``M/d/yy`` (opt-in): century resolved with dateutil's
+        pivot — base 2000, then ±100 toward ``ref_year`` when ≥50 away —
+        so '1/5/99' → 1999, '1/5/21' → 2021.
+
+    Candidates that fail to parse as real dates drop out (try-semantics),
+    and any date more than ``ignore_past_years`` before ``ref_year``
+    (default: the driver's current year at plan time) is discarded — the
+    reference's post-filter. Fully native: regex + try_to_timestamp /
+    make_date inside codegen, no Python in the row path."""
+    import datetime
+
+    ry = ref_year if ref_year is not None else datetime.date.today().year
+
+    iso = F.regexp_extract_all(col, F.lit(r"\b(\d{4}-\d{2}-\d{2})\b"), F.lit(1))
+    slash = F.regexp_extract_all(col, F.lit(r"\b(\d{1,2}/\d{1,2}/\d{4})\b"), F.lit(1))
+    norm_slash = F.transform(slash, lambda d: F.date_format(
+        F.try_to_timestamp(d, F.lit("M/d/yyyy")), "yyyy-MM-dd"))
+    # textual-month "January 5, 2021" / "Jan 5 2021" (case-insensitive)
     textual = F.regexp_extract_all(
-        col, F.lit(rf"(?i)\b((?:{MONTHS})\s+\d{{1,2}},?\s+\d{{4}})\b"),
+        col, F.lit(rf"(?i)\b((?:{_MONTHS_RE})\s+\d{{1,2}},?\s+\d{{4}})\b"),
         F.lit(1))
-    norm_textual = F.filter(
-        F.transform(textual, lambda d: F.date_format(F.coalesce(
-            F.try_to_timestamp(F.initcap(F.regexp_replace(d, ",", "")),
-                               F.lit("MMMM d yyyy")),
-            F.try_to_timestamp(F.initcap(F.regexp_replace(d, ",", "")),
-                               F.lit("MMM d yyyy"))), "yyyy-MM-dd")),
-        lambda d: d.isNotNull())
-    return _results(F.concat(iso, norm_slash, norm_textual),
-                    "extract_date", segment)
+    # day-first textual "5 Jan 2021" / "05 January 2021"
+    textual_df = F.regexp_extract_all(
+        col, F.lit(rf"(?i)\b(\d{{1,2}}\s+(?:{_MONTHS_RE})\s+\d{{4}})\b"),
+        F.lit(1))
+    # year-first slash "2021/1/5"
+    ymd = F.regexp_extract_all(col, F.lit(r"\b(\d{4}/\d{1,2}/\d{1,2})\b"),
+                               F.lit(1))
+    norm_ymd = F.transform(ymd, lambda d: F.date_format(
+        F.try_to_timestamp(d, F.lit("yyyy/M/d")), "yyyy-MM-dd"))
+    # dotted day-first "5.1.2021" (European)
+    dotted = F.regexp_extract_all(
+        col, F.lit(r"\b(\d{1,2}\.\d{1,2}\.\d{4})\b"), F.lit(1))
+    norm_dotted = F.transform(dotted, lambda d: F.date_format(
+        F.try_to_timestamp(d, F.lit("d.M.yyyy")), "yyyy-MM-dd"))
+
+    families = [iso, norm_slash,
+                F.transform(textual, _norm_textual),
+                F.transform(textual_df, _norm_textual),
+                norm_ymd, norm_dotted]
+
+    if two_digit_years:
+        mdyy = F.regexp_extract_all(
+            col, F.lit(r"\b(\d{1,2}/\d{1,2}/\d{2})\b"), F.lit(1))
+
+        def norm_mdyy(d: Column) -> Column:
+            p = F.split(d, "/")
+            base = F.lit(2000) + p.getItem(2).cast("int")
+            year = (F.when(base - F.lit(ry) >= 50, base - 100)
+                    .when(base - F.lit(ry) <= -50, base + 100)
+                    .otherwise(base))
+            return F.date_format(
+                F.try_to_timestamp(
+                    F.concat_ws("-", year.cast("string"), p.getItem(0),
+                                p.getItem(1)), F.lit("y-M-d")),
+                "yyyy-MM-dd")
+
+        families.append(F.transform(mdyy, norm_mdyy))
+
+    found = F.filter(
+        F.concat(*families),
+        lambda d: d.isNotNull()
+        & (F.substring(d, 1, 4).cast("int") >= ry - ignore_past_years))
+    return _results(found, "extract_date", segment)
 
 
 # --- X4 glossary extraction ---------------------------------------------------

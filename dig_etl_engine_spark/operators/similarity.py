@@ -13,8 +13,9 @@ Scale shapes:
     ``label`` plays the centroid-assignment); the join becomes an
     equi-join on cell — at 1000 executors each cell's candidates
     co-locate, turning O(|Q|·|N|) into O(Σ_cell |Q_c|·|N_c|).
-  * random-hyperplane LSH (`hyperplane_signs`) buckets vectors by sign
-    pattern — the self-join-on-bucket shape identical to minhash LSH.
+  * random-hyperplane LSH (`assign_hyperplane_buckets`) buckets vectors
+    by sign pattern — the self-join-on-bucket shape identical to minhash
+    LSH; assignment is one BLAS matmul per Arrow batch.
 """
 
 from __future__ import annotations
@@ -124,25 +125,60 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
             .filter(F.col("rank") <= k))
 
 
-def hyperplane_signs(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
-    """Random-hyperplane LSH bucket id: sign pattern of dot(v, h_j) packed
-    into an int. Hyperplanes are pseudo-random ±1 vectors derived from
-    md5(j,d) — deterministic, engine-reproducible, no stored model."""
-    bucket = F.lit(0)
+def hyperplane_matrix(n_planes: int = 8, dim: int = 64):
+    """±1 hyperplane coefficients derived from md5(j,d) — deterministic and
+    engine-reproducible (the DuckDB oracle restates the same coefficient
+    table as a CASE expression); no stored model."""
+    import hashlib
+
+    import numpy as np
+
+    h = np.empty((n_planes, dim))
     for j in range(n_planes):
-        prods = F.zip_with(
-            vec,
-            F.array(*[
-                F.lit(1.0) if int(
-                    __import__("hashlib").md5(f"{j},{d}".encode()).hexdigest()[0],
-                    16) < 8 else F.lit(-1.0)
-                for d in range(dim)
-            ]),
-            lambda x, h: x * h,
-        )
-        s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-        bucket = bucket + F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+        for d in range(dim):
+            h[j, d] = (1.0 if int(hashlib.md5(f"{j},{d}".encode())
+                                  .hexdigest()[0], 16) < 8 else -1.0)
+    return h
+
+
+def assign_hyperplane_buckets(df: DataFrame, *, vec_col: str = "embedding",
+                              n_planes: int = 8, dim: int = 64,
+                              bucket_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane LSH bucket id per row: sign pattern of dot(v, h_j)
+    packed into an int, appended as ``bucket_col``.
+
+    Shape: one Arrow-batched ``mapInPandas`` pass — each batch computes ALL
+    plane sums with a single |batch|×dim @ dim×planes BLAS matmul, then
+    packs sign bits with one more matmul. Rows never shuffle for the
+    assignment and the vectors stay on the Arrow fast path. (The previous
+    expression-level version evaluated 8 interpreted ``aggregate``/
+    ``zip_with`` folds per row — the HOF cliff documented in
+    operators/dedup.py, ~100× slower per element.)
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from dig_etl_engine_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    h = hyperplane_matrix(n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def part(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf):
+                v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                sums = v @ h.T                       # |batch| × n_planes
+                pdf[bucket_col] = ((sums > 0) @ weights).astype(np.int64)
+            else:
+                pdf[bucket_col] = np.array([], dtype=np.int64)
+            yield pdf
+
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField(bucket_col, T.LongType())])
+    return df.mapInPandas(part, schema)
 
 
 def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",

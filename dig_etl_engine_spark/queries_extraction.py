@@ -207,25 +207,41 @@ def extract_hostname(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH derived AS (
       SELECT o_orderkey,
-             strftime(o_orderdate, '%Y-%m-%d') AS iso
+             strftime(o_orderdate, '%Y-%m-%d') AS iso,
+             year(o_orderdate) AS y
       FROM orders
     )
-    SELECT o_orderkey, iso || '|' || iso || '|' || iso AS found_dates
+    SELECT o_orderkey,
+           iso || '|' || iso || '|' || iso || '|' || iso || '|' || iso
+               || '|' || iso
+               || CASE WHEN y BETWEEN 1977 AND 2075
+                       THEN '|' || iso ELSE '' END AS found_dates
     FROM derived
     """,
 )
 def extract_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 DateExtractor: find dates in free text (ISO, M/d/yyyy and
-    textual "Month d, yyyy") and normalize to ISO (`em_elicit.py:52-54`).
-    All three embedded forms must normalize to the same ISO day."""
+    """X3 DateExtractor: find dates in free text and normalize to ISO
+    (`em_elicit.py:52-54`). Seven embedded forms of the same day — ISO,
+    M/d/yyyy, "Month d, yyyy", "d Mon yyyy", yyyy/M/d, d.M.yyyy, and
+    2-digit-year M/d/yy — must all normalize to the same ISO string. The
+    ref_year is pinned to 2026 so the dateutil century pivot (±50 years)
+    and the ignore_past_years=100 post-filter are deterministic: order
+    years 1992-1998 survive the filter, and their 2-digit forms resolve
+    back to 19xx only inside the pivot window (the oracle restates the
+    window arithmetic)."""
     orders = load_tables(spark, sf_dir)["orders"]
     txt = F.concat(
         F.lit("posted "), F.date_format("o_orderdate", "yyyy-MM-dd"),
         F.lit(" updated "), F.date_format("o_orderdate", "M/d/yyyy"),
         F.lit(" on "), F.date_format("o_orderdate", "MMMM d, yyyy"),
+        F.lit(" aka "), F.date_format("o_orderdate", "d MMM yyyy"),
+        F.lit(" / "), F.date_format("o_orderdate", "yyyy/M/d"),
+        F.lit(" EU "), F.date_format("o_orderdate", "d.M.yyyy"),
+        F.lit(" short "), F.date_format("o_orderdate", "M/d/yy"),
     )
     d = orders.select("o_orderkey", txt.alias("txt"))
-    found = X.extract_date_iso(F.col("txt"))
+    found = X.extract_date_iso(F.col("txt"), two_digit_years=True,
+                               ref_year=2026)
     return d.select(
         "o_orderkey",
         F.array_join(F.transform(found, lambda x: x["value"]), "|").alias("found_dates"),

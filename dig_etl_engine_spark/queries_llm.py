@@ -307,13 +307,14 @@ def ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors bucket by the sign pattern of 8 md5-derived ±1 hyperplanes —
     P(same bucket) = (1 - θ/π)^8, so bucket-mates are angular neighbors —
     then exact cosine verification per bucket via one Gram matrix
-    (applyInPandas). No stored model, no broadcast; bucket cardinality
-    ~n/2^planes keeps cells executor-sized at any corpus scale."""
+    (applyInPandas). Both stages are Arrow-batched BLAS (assignment is one
+    matmul per batch — no interpreted HOF folds); no stored model, no
+    broadcast; bucket cardinality ~n/2^planes keeps cells executor-sized
+    at any corpus scale."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    bucketed = emb.select(
-        "vec_id",
-        S.hyperplane_signs(S.as_double(F.col("embedding"))).alias("bucket"),
-        S.as_double(F.col("embedding")).alias("embedding"))
+    bucketed = S.assign_hyperplane_buckets(
+        emb.select("vec_id",
+                   S.as_double(F.col("embedding")).alias("embedding")))
     return S.embedding_near_dup_pairs(bucketed, cell_col="bucket",
                                       threshold=0.0)
 

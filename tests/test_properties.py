@@ -184,3 +184,45 @@ def test_html_table_parse_sweep(spark):
         "i", extract_html_tables(F.col("html")).alias("cells")).collect()}
     for i, (_, matrix) in enumerate(cases):
         assert [list(r) for r in got[i]] == matrix, (i, got[i], matrix)
+
+
+def test_date_extraction_matches_dateutil_oracle(spark):
+    """X3 parity: for every anchorable format family, the native
+    extractor's normalization equals dateutil's parse of the same string
+    (dayfirst=True for the European dotted form, default elsewhere) —
+    including the 2-digit-year century pivot, which dateutil resolves
+    relative to the CURRENT year, as does the extractor's default
+    ref_year."""
+    import datetime
+    import random
+
+    from dateutil import parser as duparser
+
+    from pyspark.sql import functions as F
+    from dig_etl_engine_spark.functions.extractors import extract_date_iso
+
+    rng = random.Random(20260813)
+    cases = []       # (text, dayfirst, expected_iso)
+    for _ in range(60):
+        d = datetime.date(rng.randint(1980, 2069), rng.randint(1, 12),
+                          rng.randint(1, 28))
+        for text, dayfirst in [
+                (d.strftime("%Y-%m-%d"), False),
+                (f"{d.month}/{d.day}/{d.year}", False),
+                (d.strftime("%B {d}, %Y").format(d=d.day), False),
+                (f"{d.day} {d.strftime('%b')} {d.year}", True),
+                (f"{d.year}/{d.month}/{d.day}", False),
+                (f"{d.day}.{d.month}.{d.year}", True),
+                (f"{d.month}/{d.day}/{d.year % 100:02d}", False),
+        ]:
+            exp = duparser.parse(text, dayfirst=dayfirst).date()
+            cases.append((text, exp.isoformat()))
+
+    df = spark.createDataFrame(cases, ["txt", "expected"])
+    got = df.select(
+        "expected",
+        F.element_at(extract_date_iso(
+            F.col("txt"), two_digit_years=True,
+            ignore_past_years=200), 1)["value"].alias("got")).collect()
+    bad = [(r.expected, r.got) for r in got if r.got != r.expected]
+    assert not bad, bad[:10]
