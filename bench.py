@@ -27,6 +27,7 @@ HEADLINE = [
     "facet_terms_agg",
     "upsert_last_write_wins",
     "coarse_search_rank",
+    "coarse_search_rank_materialized",
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_cosine_bruteforce",

@@ -74,6 +74,10 @@ class EngineConfig:
     boost_shoulds: float = 1.0                           # Q10
     default_source_fields: list[str] | None = None       # Q10 projection
     excluded_source_fields: list[str] = dc_field(default_factory=list)
+    # Q10 highlight (`elasticsearch_compiler_options.json:27-38`): text-zone
+    # columns to return with matched terms wrapped in <em> tags
+    # (number_of_fragments: 0 semantics — the whole field, highlighted).
+    highlight_fields: list[str] = dc_field(default_factory=list)
 
 
 @dataclass
@@ -237,6 +241,30 @@ def compile_query(
         .drop("_idx_score", "_idx_clauses")
     )
 
+    # Q10 highlight: for each configured text zone, return the whole field
+    # with every clause term wrapped in <em>…</em> (ES highlight with
+    # number_of_fragments: 0). One native case-insensitive regexp_replace
+    # per field; NULL when nothing matched there.
+    highlight_cols: list[Column] = []
+    if cfg.highlight_fields:
+        import re as _re
+
+        terms: list[str] = []
+        for c in clauses:
+            for v in c.values:
+                terms.extend([v] if c.kind == "match_phrase" else v.split())
+        terms = [t for t in dict.fromkeys(terms) if t]
+        if terms:
+            pat = (r"(?i)\b(" + "|".join(_re.escape(t) for t in terms)
+                   + r")\b")
+            for hf in cfg.highlight_fields:
+                matched = _text_match(
+                    F.col(hf), terms, "match_phrase")
+                highlight_cols.append(
+                    F.when(matched,
+                           F.regexp_replace(F.col(hf), pat, "<em>$1</em>"))
+                    .alias(f"highlight_{hf}"))
+
     # Q10 projection: default source fields minus the exclude list
     # (never ship raw_content back to clients).
     cols = cfg.default_source_fields or [
@@ -244,7 +272,7 @@ def compile_query(
     cols = [c for c in cols if c not in cfg.excluded_source_fields]
     if doc_id not in cols:
         cols = [doc_id, *cols]
-    result = result.select(*cols, "score")
+    result = result.select(*cols, *highlight_cols, "score")
 
     # Q13: deterministic total order + paging.
     size = int(query.get("size", 10))

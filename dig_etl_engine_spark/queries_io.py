@@ -85,6 +85,40 @@ def src_csv_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_excel_windowed",
+    oracle="""
+    SELECT n_nationkey::VARCHAR AS nationkey, n_name AS name,
+           n_regionkey::VARCHAR AS regionkey
+    FROM nation
+    """,
+)
+def src_excel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (`dig_tabular_import.py:107-160`): windowed XLSX read via the
+    stdlib OOXML reader — sheet_number selects the SECOND sheet (1-based,
+    workbook order), junk preamble above the heading row, trailing junk
+    cut by content_end_row, every cell a string. The fixture workbook is
+    written by the repo's own minimal OOXML writer, so the round-trip
+    exercises both directions without any Excel engine."""
+    from dig_etl_engine_spark.sources.tabular import TabularSpec, read_excel
+    from dig_etl_engine_spark.sources.xlsx import write_xlsx
+
+    nation = load_tables(spark, sf_dir)["nation"] \
+        .select("n_nationkey", "n_name", "n_regionkey") \
+        .orderBy("n_nationkey").collect()
+    decoy = [["wrong sheet"], ["do not read me"]]
+    grid = [["export from upstream tool"],
+            ["nationkey", "name", "regionkey"]]
+    grid += [[str(r.n_nationkey), r.n_name, str(r.n_regionkey)]
+             for r in nation]
+    grid += [["totals", "ignored", "junk"]]
+    path = os.path.join(_scratch("excel"), "nations.xlsx")
+    write_xlsx(path, [decoy, grid], sheet_names=["Decoy", "Data"])
+    spec = TabularSpec(heading_row=2, content_start_row=3,
+                       content_end_row=2 + len(nation), sheet_number=2)
+    return read_excel(spark, path, spec)
+
+
+@register(
     "src_html_dir",
     oracle="""
     SELECT 'doc_' || doc_id::VARCHAR AS stem,

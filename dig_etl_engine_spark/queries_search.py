@@ -110,6 +110,81 @@ def coarse_search_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "coarse_search_rank_materialized",
+    oracle=_IND + """
+    SELECT doc_id, lang, source,
+           ROUND((CASE WHEN hv THEN 12.0 ELSE 0 END)
+               + (CASE WHEN win THEN 2.0 ELSE 0 END), 6) AS score
+    FROM ind
+    WHERE hv AND win
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 15
+    """,
+)
+def coarse_search_rank_materialized(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The coarse pipeline reading the MATERIALIZED field-partitioned
+    index (`functions/kg.py` materialize_index/load_index) instead of
+    recomputing the glossary scan per query — the 100 TB shape: index once
+    per corpus build (the reference's ES indexing stage, §3.1 stage 7),
+    then every query's `field IN (fan-out)` pre-filter becomes parquet
+    partition pruning, reading only its fields' directories. Same answer
+    as `coarse_search_rank`; test_plan_quality pins the pruned scan."""
+    import os
+    import shutil
+
+    from dig_etl_engine_spark.functions.kg import (
+        load_index, materialize_index)
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = os.path.join("/tmp/spark_graft_io", "kw_index",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(path, ignore_errors=True)
+    materialize_index(build_keyword_index(spark, docs), path)
+    index = load_index(spark, path)
+    query = {
+        "clauses": [
+            {"predicate": "keyword", "constraint": "Hash Value"},
+            {"predicate": "description", "constraint": "the window"},
+        ],
+        "size": 15,
+    }
+    return compile_query(spark, docs, index, query, demo_config())
+
+
+@register(
+    "search_highlight",
+    oracle=_IND + """
+    SELECT doc_id, lang, source,
+           CASE WHEN win THEN regexp_replace(
+                  (SELECT text FROM documents d2 WHERE d2.doc_id = ind.doc_id),
+                  '(?i)\\b(window)\\b', '<em>\\1</em>', 'g')
+           END AS highlight_text,
+           ROUND(CASE WHEN win THEN 2.0 ELSE 0 END, 6) AS score
+    FROM ind
+    WHERE win
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 highlight (`elasticsearch_compiler_options.json:27-38`,
+    number_of_fragments: 0): the configured text zone comes back whole
+    with every clause term wrapped in <em> tags — one native
+    case-insensitive word-boundary regexp_replace; the oracle restates
+    the same replace arithmetic."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    index = build_keyword_index(spark, docs)
+    cfg = demo_config()
+    cfg.highlight_fields = ["text"]
+    query = {
+        "clauses": [{"predicate": "description", "constraint": "the window"}],
+        "size": 10,
+    }
+    return compile_query(spark, docs, index, query, cfg)
+
+
+@register(
     "search_synonym_expansion",
     oracle=_IND + """
     SELECT doc_id, lang, source,

@@ -249,16 +249,32 @@ def extract_grids(grids: dict[str, list[list]], annotations: list[dict],
 
 
 def extract_spreadsheet(path: str, annotations: list[dict]) -> list[dict]:
-    """Excel entry point — requires pyexcel (not in this container)."""
-    try:
-        import pyexcel  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - gated dependency
-        raise NotImplementedError(
-            "xls/xlsx parsing needs pyexcel; pass grids to extract_grids "
-            "instead") from exc
-    book = pyexcel.get_book(file_name=path, auto_detect_datetime=False)
-    grids = {s.name: s.to_array() for s in book}
+    """Excel entry point (`extractSpreadsheet.py:283-305` reads the book
+    sheet-by-sheet). ``.xlsx`` parses with the stdlib OOXML reader — all
+    sheets in workbook order; legacy ``.xls`` needs pyexcel (gated)."""
     import os
+
+    if path.lower().endswith(".xls"):
+        try:
+            import pyexcel  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - gated dependency
+            raise NotImplementedError(
+                "legacy .xls parsing needs pyexcel; convert to .xlsx or "
+                "pass grids to extract_grids instead") from exc
+        book = pyexcel.get_book(file_name=path, auto_detect_datetime=False)
+        grids = {s.name: s.to_array() for s in book}
+    else:
+        import zipfile
+        from xml.etree import ElementTree as ET
+
+        from dig_etl_engine_spark.sources.xlsx import _NS, read_xlsx_grid
+
+        with zipfile.ZipFile(path) as zf:
+            wb = ET.fromstring(zf.read("xl/workbook.xml"))
+            names = [s.get("name") or f"Sheet{i + 1}" for i, s in enumerate(
+                wb.findall(f"{_NS}sheets/{_NS}sheet"))]
+        grids = {name: read_xlsx_grid(path, i + 1)
+                 for i, name in enumerate(names)}
     return extract_grids(grids, annotations, os.path.basename(path))
 
 

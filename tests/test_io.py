@@ -81,12 +81,123 @@ class TestGridWindowing:
         assert df.columns == ["x", "y"]
         assert [tuple(r) for r in df.collect()] == [("1", "2")]
 
-    def test_excel_gate(self, spark, tmp_path):
+    def test_xls_gate(self, spark, tmp_path):
+        """Legacy binary .xls (not zip/XML) stays gated on an engine."""
         from dig_etl_engine_spark.sources.tabular import read_excel
-        p = tmp_path / "x.xlsx"
-        p.write_bytes(b"not really excel")
+        p = tmp_path / "x.xls"
+        p.write_bytes(b"\xd0\xcf\x11\xe0 not ooxml")
         with pytest.raises((NotImplementedError, ValueError)):
             read_excel(spark, str(p))
+
+
+class TestXlsx:
+    def test_roundtrip_multi_sheet(self, tmp_path):
+        from dig_etl_engine_spark.sources.xlsx import (
+            read_xlsx_grid, write_xlsx)
+        p = str(tmp_path / "book.xlsx")
+        s1 = [["a", "b"], ["1", "x,y"], ["2", "<tag> & \"q\""]]
+        s2 = [["only"], ["sheet2"]]
+        write_xlsx(p, [s1, s2], sheet_names=["First", "Second"])
+        assert read_xlsx_grid(p, 1) == s1
+        assert read_xlsx_grid(p, 2) == s2
+        with pytest.raises(ValueError):
+            read_xlsx_grid(p, 3)
+
+    def test_sparse_cells_pad_empty(self, tmp_path):
+        """Missing cells (sparse OOXML rows reference only populated
+        cells) come back as '' in a dense grid."""
+        import zipfile
+        from dig_etl_engine_spark.sources.xlsx import (
+            read_xlsx_grid, write_xlsx)
+        p = str(tmp_path / "sparse.xlsx")
+        write_xlsx(p, [["a", "b", "c"], ["1", "2", "3"]])
+        # rewrite the sheet with row 2 holding only column C
+        with zipfile.ZipFile(p) as zf:
+            parts = {n: zf.read(n) for n in zf.namelist()}
+        sheet = parts["xl/worksheets/sheet1.xml"].decode()
+        sheet = sheet.replace(
+            '<row r="2"><c r="A2" t="inlineStr"><is><t>1</t></is></c>'
+            '<c r="B2" t="inlineStr"><is><t>2</t></is></c>'
+            '<c r="C2" t="inlineStr"><is><t>3</t></is></c></row>',
+            '<row r="2"><c r="C2" t="inlineStr"><is><t>3</t></is></c></row>')
+        parts["xl/worksheets/sheet1.xml"] = sheet.encode()
+        with zipfile.ZipFile(p, "w") as zf:
+            for n, data in parts.items():
+                zf.writestr(n, data)
+        assert read_xlsx_grid(p, 1) == [["a", "b", "c"], ["", "", "3"]]
+
+    def test_shared_strings_and_numbers(self, tmp_path):
+        """Grids written by real producers use sharedStrings + numeric
+        cells; both read back as strings (reference: all-string cells,
+        auto-detect off)."""
+        import zipfile
+        from dig_etl_engine_spark.sources.xlsx import (
+            read_xlsx_grid, write_xlsx)
+        p = str(tmp_path / "ss.xlsx")
+        write_xlsx(p, [["placeholder"]])
+        with zipfile.ZipFile(p) as zf:
+            parts = {n: zf.read(n) for n in zf.namelist()}
+        ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        parts["xl/sharedStrings.xml"] = (
+            f'<?xml version="1.0"?><sst xmlns="{ns}">'
+            '<si><t>hello</t></si><si><r><t>wor</t></r><r><t>ld</t></r>'
+            '</si></sst>').encode()
+        parts["xl/worksheets/sheet1.xml"] = (
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+            '<c r="B1" t="s"><v>1</v></c>'
+            '<c r="C1"><v>3.25</v></c>'
+            '<c r="D1" t="b"><v>1</v></c></row>'
+            '</sheetData></worksheet>').encode()
+        with zipfile.ZipFile(p, "w") as zf:
+            for n, data in parts.items():
+                zf.writestr(n, data)
+        assert read_xlsx_grid(p, 1) == [["hello", "world", "3.25", "TRUE"]]
+
+    def test_read_excel_windowed(self, spark, tmp_path):
+        from dig_etl_engine_spark.sources.tabular import (
+            TabularSpec, read_excel)
+        from dig_etl_engine_spark.sources.xlsx import write_xlsx
+        p = str(tmp_path / "win.xlsx")
+        write_xlsx(p, [["junk"], ["a", "b"], ["1", "2"], ["3", "4"],
+                       ["trailer", "x"]])
+        spec = TabularSpec(heading_row=2, content_start_row=3,
+                           content_end_row=4)
+        df = read_excel(spark, p, spec)
+        assert df.columns == ["a", "b"]
+        assert [tuple(r) for r in df.collect()] == [("1", "2"), ("3", "4")]
+
+    def test_timeseries_excel_entry(self, tmp_path):
+        """S9's Excel entry parses .xlsx via the stdlib reader —
+        sheet_indices select the annotated sheet (1-based spec) within
+        the workbook, decoy sheet ignored."""
+        from dig_etl_engine_spark.timeseries.spreadsheet import (
+            extract_spreadsheet)
+        from dig_etl_engine_spark.sources.xlsx import write_xlsx
+        p = str(tmp_path / "ts.xlsx")
+        decoy = [["nothing", "here"]]
+        data = [["Prices", "", ""],
+                ["", "2020", "2021"],
+                ["alpha", "1", "2"],
+                ["beta", "3", "4"]]
+        write_xlsx(p, [decoy, data], sheet_names=["Decoy", "Data"])
+        annotation = {
+            "Properties": {"sheet_indices": "[2]"},
+            "GlobalMetadata": [
+                {"source": "const", "name": "dataset", "val": "t"}],
+            "TimeSeriesRegions": [{
+                "orientation": "row",
+                "rows": "[3:4]",
+                "locs": "[B:C]",
+                "metadata": [
+                    {"source": "col", "loc": "[A]", "name": "name"}],
+                "times": {"locs": "[2]"},
+            }],
+        }
+        parsed = extract_spreadsheet(p, [annotation])
+        got = {s["metadata"]["name"]: s["ts"] for s in parsed}
+        assert got == {"alpha": [("2020", "1"), ("2021", "2")],
+                       "beta": [("2020", "3"), ("2021", "4")]}
 
 
 class TestUpsert:

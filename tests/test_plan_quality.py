@@ -75,6 +75,17 @@ class TestIndexPartitionPruning:
         plan = formatted(pruned)
         assert "PartitionFilters" in plan and "keyword" in plan
 
+    def test_materialized_search_query_prunes(self, spark):
+        """End-to-end: the registered coarse_search_rank_materialized
+        query's physical plan reads the index through a field partition
+        filter (only the fan-out fields' directories are opened)."""
+        from dig_etl_engine_spark.queries_search import (
+            coarse_search_rank_materialized)
+        df = coarse_search_rank_materialized(spark, SF)
+        plan = formatted(df)
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf and any("keyword" in l for l in pf), pf
+
 
 class TestJoinStrategy:
     def test_dimension_join_broadcasts(self, spark):
