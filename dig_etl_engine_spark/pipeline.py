@@ -32,6 +32,53 @@ class Module:
     process: Callable[[DataFrame], DataFrame]
 
 
+def discover_modules(*dirs: str) -> list[Module]:
+    """ETK-style module auto-discovery (`etk_worker.py:210-213`: the worker
+    loads every ``em_*.py`` under ``working_dir/generated_additional_ems``
+    and ``working_dir/generated_em``).
+
+    Each ``em_*.py`` file is imported and contributes modules one of three
+    ways, checked in order:
+
+      * ``MODULES`` — a list of :class:`Module`;
+      * ``MODULE`` — a single :class:`Module`;
+      * module-level ``process(df) -> DataFrame`` plus optional
+        ``document_selector() -> Column`` — the closest analogue of the
+        reference's class contract (`docs/advanced.md:20-54`), wrapped into
+        a :class:`Module` named after the file.
+
+    Files load in sorted name order within each dir, dirs in the order
+    given (the reference lists additional_ems before generated_em). Like
+    the reference, this EXECUTES user code from the project's working
+    dir — the trust boundary is the project, not the engine.
+    """
+    import glob
+    import importlib.util
+    import os
+
+    out: list[Module] = []
+    for d in dirs:
+        for path in sorted(glob.glob(os.path.join(d, "em_*.py"))):
+            name = os.path.splitext(os.path.basename(path))[0]
+            spec = importlib.util.spec_from_file_location(name, path)
+            pymod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(pymod)
+            if hasattr(pymod, "MODULES"):
+                out.extend(pymod.MODULES)
+            elif hasattr(pymod, "MODULE"):
+                out.append(pymod.MODULE)
+            elif hasattr(pymod, "process"):
+                selector = getattr(pymod, "document_selector", None)
+                out.append(Module(
+                    name=name,
+                    selector=selector() if callable(selector) else None,
+                    process=pymod.process))
+            else:
+                raise ValueError(
+                    f"{path}: defines none of MODULES / MODULE / process")
+    return out
+
+
 def run_modules(df: DataFrame, modules: Iterable[Module]) -> DataFrame:
     """F1 demux + per-module transform + union (SURVEY §3.1 stages 3–5).
 

@@ -79,3 +79,38 @@ class TestLandmarkRuleset:
             ("d1", "artist"): "Monet",             # strip_end_regex applied
             ("d2", "price"): "19.99",
         }
+
+
+class TestModuleDiscovery:
+    def test_em_glob_loader(self, spark, tmp_path):
+        """etk_worker.py:210-213 parity: em_*.py files in working dirs are
+        discovered in (dir order, then name order); all three export
+        styles work; non-em files ignored."""
+        from dig_etl_engine_spark.pipeline import discover_modules, run_modules
+        d1, d2 = tmp_path / "additional", tmp_path / "generated"
+        d1.mkdir(); d2.mkdir()
+        (d1 / "em_b.py").write_text(
+            "from pyspark.sql import functions as F\n"
+            "def document_selector():\n"
+            "    return F.col('v') >= 10\n"
+            "def process(df):\n"
+            "    return df.select('doc_id', F.lit('b').alias('m'))\n")
+        (d1 / "not_a_module.py").write_text("raise AssertionError\n")
+        (d2 / "em_a.py").write_text(
+            "from pyspark.sql import functions as F\n"
+            "from dig_etl_engine_spark.pipeline import Module\n"
+            "MODULES = [Module(name='a', selector=F.col('v') < 10,\n"
+            "    process=lambda df: df.select(\n"
+            "        'doc_id', F.lit('a').alias('m')))]\n")
+        mods = discover_modules(str(d1), str(d2))
+        assert [m.name for m in mods] == ["em_b", "a"]
+        df = spark.createDataFrame([(1, 5), (2, 15)], ["doc_id", "v"])
+        got = {(r.doc_id, r.m) for r in run_modules(df, mods).collect()}
+        assert got == {(2, "b"), (1, "a")}
+
+    def test_em_loader_rejects_contractless_file(self, tmp_path):
+        import pytest
+        from dig_etl_engine_spark.pipeline import discover_modules
+        (tmp_path / "em_bad.py").write_text("x = 1\n")
+        with pytest.raises(ValueError):
+            discover_modules(str(tmp_path))
