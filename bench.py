@@ -30,6 +30,7 @@ HEADLINE = [
     "coarse_search_rank_materialized",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_connected_components",
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
     "ann_hyperplane_lsh",

@@ -193,6 +193,83 @@ def simhash_bucket_pairs(df: DataFrame, content_col: str, *,
     )
 
 
+def connected_components(edges: DataFrame, *, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list — the clustering
+    step that turns pairwise near-dup hits into dedup groups with one
+    canonical survivor per group.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+    is two groupBy shuffles keyed on node id carrying two-long rows; the
+    edge set converges to per-component stars in O(log² n) rounds
+    INDEPENDENT of graph diameter — plain min-label propagation needs
+    O(diameter) rounds, which a pathological duplicate chain at corpus
+    scale would never finish. Convergence is detected by an edge-set
+    signature (count + bounded hash sum), so the driver loop runs only
+    until fixpoint.
+
+    Returns ``(doc_id, component)`` for every node appearing in the edge
+    list, ``component`` = min reachable id. Isolated docs never reach the
+    edge list — callers union them as their own component.
+    """
+    # Checkpoint the canonical edge set up front AND each round's output:
+    # the input may be an expensive pipeline (the full minhash-LSH plan)
+    # consumed several times, and an iterative loop's logical plan doubles
+    # per round — Catalyst re-optimizes the whole history each iteration
+    # (measured: round 2 planning alone 4× slower than round 1's full
+    # execution). localCheckpoint truncates the lineage to a leaf; on a
+    # cluster with flaky executors use reliable checkpoint(dir) instead.
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("n"))
+             .union(e.select(F.col("v").alias("n"))).distinct())
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: every neighbor larger than u links to
+        # m = min(Γ(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+        large = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct())
+        # small-star: orient larger→smaller; all smaller neighbors and u
+        # itself link to m = min(Γ≤(u))
+        dirr = large.select(F.greatest("u", "v").alias("u"),
+                            F.least("u", "v").alias("v")).distinct()
+        mins2 = dirr.groupBy("u").agg(F.min("v").alias("m"))
+        e = (dirr.join(mins2, "u")
+             .filter(F.col("v") != F.col("m"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+             .distinct()
+             .localCheckpoint(eager=True))
+        # bounded per-edge hash keeps the sum far from 64-bit overflow
+        # (ANSI mode would throw on sum overflow)
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(10 ** 9))).alias("h")
+        ).head()
+        sig = (sig_row["c"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return (nodes.join(e.select(F.col("u").alias("n"),
+                                F.col("v").alias("root")), "n", "left")
+            .select(F.col("n").alias("doc_id"),
+                    F.coalesce("root", "n").alias("component")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, content_col: str, *,
                         id_col: str = "doc_id", block_col: str | None = None,
                         k: int = 3, threshold: float = 0.5) -> DataFrame:

@@ -103,3 +103,27 @@ def fingerprint_md5(col: Column) -> Column:
     key (a rolling/Rabin hash family reduces to this contract for whole-doc
     fingerprints)."""
     return F.md5(normalize_text(col))
+
+
+def redact_pii(col: Column, *, email: bool = True, ip: bool = True,
+               phone: bool = True) -> Column:
+    """PII redaction for training corpora: emails / IPv4s / phone numbers
+    replaced by typed placeholder tokens — the scrub pass an LLM data
+    pipeline runs before tokenization.
+
+    Native ``regexp_replace`` chain sharing the X7/X9 extractor patterns
+    (one pass per class inside codegen, no Python). Application order
+    email → ip → phone is part of the contract: the phone shape could
+    otherwise bite into a dotted IPv4.
+    """
+    from dig_etl_engine_spark.functions.extractors import (
+        EMAIL_RE, IP_RE, PHONE_RE)
+
+    out = col
+    if email:
+        out = F.regexp_replace(out, EMAIL_RE, "[EMAIL]")
+    if ip:
+        out = F.regexp_replace(out, IP_RE, "[IP]")
+    if phone:
+        out = F.regexp_replace(out, PHONE_RE, "[PHONE]")
+    return out

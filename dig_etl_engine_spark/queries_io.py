@@ -234,6 +234,53 @@ def stream_file_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_windowed_counts",
+    oracle="""
+    SELECT strftime(d, '%Y-%m-%d') AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM (SELECT date_trunc('day', ts) AS d, event_type, value FROM events)
+    GROUP BY d, event_type
+    HAVING d + INTERVAL 1 DAY <= (SELECT max(ts) - INTERVAL 1 HOUR
+                                  FROM events)
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation with late-data watermarking — the
+    Structured Streaming superset the reference's incremental Kafka loop
+    lacks (SURVEY §1.2). Daily windows over the events stream, 1-hour
+    watermark, availableNow drain: exactly the windows whose end passed
+    the final watermark are finalized and emitted (append mode), so the
+    last partial day stays open and is NOT in the output. The input is
+    written as ONE file → one micro-batch → no intra-run late drops, and
+    the oracle replays the finalization rule relationally (windows with
+    end ≤ max(ts) − 1h)."""
+    from dig_etl_engine_spark.streaming.ingest import (
+        file_stream_source, run_windowed_counts)
+
+    events = load_tables(spark, sf_dir)["events"] \
+        .select(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+                .alias("ts"), "event_type", "value")
+
+    root = _scratch("winstream")
+    in_dir, target = os.path.join(root, "in"), os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    events.coalesce(1).write.mode("overwrite").json(in_dir)
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = file_stream_source(spark, in_dir, schema)
+    q = run_windowed_counts(src, target_path=target, checkpoint_dir=ckpt)
+    q.awaitTermination()
+    return (spark.read.parquet(target)
+            .select(F.date_format("window_start", "yyyy-MM-dd")
+                    .alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+@register(
     "stream_stateful_dedup",
     oracle="""
     WITH src AS (

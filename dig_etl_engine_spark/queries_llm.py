@@ -69,7 +69,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(docs.unionByName(mut), "text")
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes(corpus_sql: str) -> str:
+    """The minhash-LSH pipeline as a reusable CTE chain ending in
+    ``verified(doc_a, doc_b, jaccard)``."""
     from dig_etl_engine_spark.operators.dedup import MH_A, MH_B, MH_PRIME
 
     mins = ", ".join(
@@ -81,7 +83,7 @@ def _minhash_sql() -> str:
                                           for r in range(4)))
         for b in range(4))
     return f"""
-    WITH {_CORPUS_SQL},
+    {corpus_sql},
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
     sh AS (
       SELECT doc_id,
@@ -109,8 +111,13 @@ def _minhash_sql() -> str:
       JOIN sh sa ON sa.doc_id = c.doc_a
       JOIN sh sb ON sb.doc_id = c.doc_b
     )
-    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
     """
+
+
+def _minhash_sql() -> str:
+    return ("WITH " + _minhash_ctes(_CORPUS_SQL)
+            + " SELECT doc_a, doc_b, jaccard FROM verified"
+              " WHERE jaccard >= 0.5")
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_sql())
@@ -122,6 +129,55 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-s^4)^4 candidate S-curve agree exactly."""
     return D.minhash_lsh_pairs(_corpus(spark, sf_dir), "text",
                                threshold=0.5)
+
+
+_CC_CORPUS_SQL = f"""
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || '{_MUTANT_SUFFIX}' AS text
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             text || '{_MUTANT_SUFFIX}' || ' yy more tail tokens' AS text
+      FROM documents WHERE doc_id % 4 = 0
+    )
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle="WITH RECURSIVE " + _minhash_ctes(_CC_CORPUS_SQL) + """,
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT u, v FROM edges
+              UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS component
+             FROM reach GROUP BY u)
+    SELECT doc_id, component FROM comp
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: minhash-LSH pairs → connected components →
+    (doc, component) with component = the canonical (min-id) survivor —
+    the step that turns pairwise hits into dedup groups. The corpus plants
+    two mutant generations (doc, +suffix, +suffix+tail) so components form
+    multi-hop chains, not just 2-cliques; the Spark side runs alternating
+    large-star/small-star (O(log² n) rounds, diameter-independent —
+    `operators/dedup.py:connected_components`) and the oracle computes the
+    same components by recursive transitive closure."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    mut1 = (docs.filter(F.col("doc_id") % 2 == 0)
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat("text", F.lit(_MUTANT_SUFFIX)).alias("text")))
+    mut2 = (docs.filter(F.col("doc_id") % 4 == 0)
+            .select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.concat("text", F.lit(_MUTANT_SUFFIX),
+                             F.lit(" yy more tail tokens")).alias("text")))
+    corpus = docs.unionByName(mut1).unionByName(mut2)
+    pairs = D.minhash_lsh_pairs(corpus, "text", threshold=0.5)
+    return D.connected_components(pairs)
 
 
 def _simhash_sql() -> str:
@@ -421,6 +477,42 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                        TA.fingerprint_md5(F.col("text")).alias("fingerprint"))
 
 
+def _pii_sql() -> str:
+    from dig_etl_engine_spark.functions.extractors import (
+        EMAIL_RE, IP_RE, PHONE_RE)
+
+    txt = ("'reach me at user' || doc_id::VARCHAR || "
+           "'@mail.example.com or +1 (213) 555-' || "
+           "lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+           "' host 10.0.' || (doc_id % 256)::VARCHAR || '.7 ok ' || text")
+    return f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace({txt},
+             '{EMAIL_RE}', '[EMAIL]', 'g'),
+             '{IP_RE}', '[IP]', 'g'),
+             '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM documents
+    """
+
+
+@register("pii_redaction", oracle=_pii_sql())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: planted email + phone + IPv4 per doc,
+    all three replaced by typed placeholders in one native
+    regexp_replace chain (`operators/text_analysis.py:redact_pii`). The
+    oracle replays the identical pattern chain with DuckDB's 'g' flag —
+    both engines run RE2-compatible syntax, so the replacements agree
+    byte-for-byte."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    txt = F.concat(
+        F.lit("reach me at user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1 (213) 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ok "), F.col("text"))
+    return docs.select("doc_id", TA.redact_pii(txt).alias("redacted"))
+
+
 # --- multimodal --------------------------------------------------------------
 
 
@@ -444,3 +536,34 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     assets = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return extract_features(assets)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, duration_ms,
+           unnest(list_transform(
+             range(0, greatest(floor(duration_ms / 1000)::INT, 1)),
+             i -> i * 1000))::BIGINT AS sample_ms
+    FROM (SELECT doc_id, ((n_chars * 13 % 5000) + 500)::DOUBLE
+                 AS duration_ms
+          FROM documents)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (`operators/multimodal.py:
+    frame_sample_plan`): one row per sampled timestamp at 1 fps, at least
+    one frame per asset. The explode is narrow — sampled rows stay in
+    their source partition, so decode parallelism follows data size; the
+    decode itself is the stubbed step, the fan-out plan is what's
+    verified."""
+    from dig_etl_engine_spark.operators.multimodal import frame_sample_plan
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    assets = docs.select(
+        "doc_id",
+        ((F.col("n_chars") * 13 % 5000) + 500).cast("double")
+        .alias("duration_ms"))
+    plan = frame_sample_plan(assets, every_ms=1000)
+    return plan.select("doc_id", "duration_ms",
+                       F.col("sample_ms").cast("long").alias("sample_ms"))
