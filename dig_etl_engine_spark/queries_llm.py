@@ -377,6 +377,16 @@ def ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- text analysis -----------------------------------------------------------
 
+# The quality_score formula restated once for every oracle that needs it
+# (expects CTE columns toks = string_split(lower(text)), raw_toks =
+# string_split(text)).
+_QUALITY_SQL = """ROUND(
+    0.5 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+    + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('the','a','is','of','and')))
+                  / greatest(len(toks), 1))
+    + 0.2 * least((list_sum(list_transform(raw_toks, t -> length(t)))
+                   / greatest(len(raw_toks), 1)) / 8.0, 1.0), 6)"""
+
 
 @register(
     "text_quality_score",
@@ -475,6 +485,86 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     return docs.select("doc_id",
                        TA.fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    fp AS (
+      SELECT doc_id, lang, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM corpus
+    ),
+    keep AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f),
+    t AS (
+      SELECT fp.doc_id, fp.lang,
+             string_split(lower(fp.text), ' ') AS toks,
+             string_split(fp.text, ' ') AS raw_toks
+      FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.keep_id
+    )
+    SELECT doc_id, lang, {_QUALITY_SQL} AS quality
+    FROM t
+    WHERE lang = 'en' AND {_QUALITY_SQL} >= 0.5
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus curation pass — what an LLM data
+    pipeline actually runs before tokenization: exact-dedup (min-id
+    winner per content fingerprint, duplicate mutants dropped) ∩
+    language gate (en) ∩ quality gate (score ≥ 0.5). One fingerprint
+    shuffle + one broadcast-able keep-set join + pure column math; every
+    stage is an operator verified on its own elsewhere, composed here
+    end-to-end."""
+    from dig_etl_engine_spark.operators.text_analysis import fingerprint_md5
+
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select("doc_id", "lang", "text")
+    mut = (docs.filter(F.col("doc_id") % 2 == 0)
+           .select((F.col("doc_id") + 100000).alias("doc_id"),
+                   "lang", "text"))
+    corpus = docs.unionByName(mut) \
+        .withColumn("f", fingerprint_md5(F.col("text")))
+    keep = corpus.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    winners = corpus.join(
+        keep, (corpus["f"] == keep["f"])
+        & (corpus["doc_id"] == keep["keep_id"])).drop("keep_id")
+    quality = TA.quality_score(F.col("text"))
+    return (winners
+            .withColumn("quality", quality)
+            .filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+            .select("doc_id", "lang", "quality"))
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang,
+           ('0x' || substr(md5('s|' || doc_id::VARCHAR), 1, 8))::BIGINT
+             % 100 AS bucket
+    FROM documents
+    WHERE ('0x' || substr(md5('s|' || doc_id::VARCHAR), 1, 8))::BIGINT % 100
+          < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mix design:
+    per-stratum rates (en 50%, others 10%) applied via a content-hash
+    bucket, NOT rand() — the sample is reproducible across runs, engines
+    and partitionings, and sampling joins/unions stay consistent (the
+    same doc is always in or always out). Pure column math over the
+    scan; no shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("s|"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 100).alias("bucket")
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    return (docs.select("doc_id", "lang", bucket)
+            .filter(F.col("bucket") < rate))
 
 
 def _pii_sql() -> str:

@@ -505,3 +505,83 @@ def upsert_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ev.filter(F.col("event_id") % 2 == 1),
                        key_col="user_id", order_col="event_id", buckets=16)
     return read_partitioned(spark, target)
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — gap-based session assignment (30-minute timeout)
+    per user over the event stream, the standard clickstream/telemetry
+    operator the reference's incremental loop cannot express.
+
+    Shape: ONE shuffle on user_id serves both window passes (lag + running
+    sum share the partition ordering) and the final per-session
+    aggregation — Catalyst reuses the partitioning, so sessionizing 100 TB
+    of events costs one exchange. Ties broken by event_id so the session
+    boundaries are deterministic."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess = (events
+            .withColumn("new_sess", new_sess)
+            .withColumn("session_id",
+                        F.sum("new_sess").over(
+                            w.rowsBetween(W.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_start"),
+                 F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_end")))
+
+
+@register(
+    "corpus_length_profile",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+           ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus length profile with EXACT interpolated
+    percentiles (training-mix design needs real p50/p95, not sketches;
+    `approx_percentile` would not be engine-reproducible). Spark's
+    `percentile` and DuckDB's `quantile_cont` both use linear
+    interpolation, so the values agree to rounding. One partial-agg
+    shuffle on lang."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.round(F.percentile("n_chars", F.lit(0.5)), 4)
+                 .alias("median_chars"),
+                 F.round(F.percentile("n_chars", F.lit(0.95)), 4)
+                 .alias("p95_chars")))

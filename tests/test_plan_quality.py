@@ -195,3 +195,15 @@ class TestCodegenPurity:
             for marker in ("BatchEvalPython", "ArrowEvalPython",
                            "MapInPandas"):
                 assert marker not in plan, name
+
+
+class TestShuffleReuse:
+    def test_sessionize_single_exchange(self, spark):
+        """Sessionization's two window passes + per-session aggregation
+        reuse ONE hash exchange on user_id (ClusteredDistribution on
+        (user_id, session_id) is satisfied by partitioning on the subset
+        user_id) — the property that makes it one-shuffle at 100 TB."""
+        import re
+        from dig_etl_engine_spark.queries_relational import sessionize_events
+        plan = plan_of(sessionize_events(spark, SF))
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
