@@ -585,3 +585,68 @@ def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("median_chars"),
                  F.round(F.percentile("n_chars", F.lit(0.95)), 4)
                  .alias("p95_chars")))
+
+
+@register(
+    "join_asof_rates",
+    oracle="""
+    WITH rates AS (
+      SELECT event_type, ts, ROUND(value, 4) AS rate
+      FROM events WHERE event_id % 97 = 0
+    ),
+    ev AS (SELECT event_id, event_type, ts FROM events)
+    SELECT ev.event_id, ev.event_type,
+           strftime(ev.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           r.rate AS rate_asof,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS ts_asof
+    FROM ev ASOF LEFT JOIN rates r
+      ON ev.event_type = r.event_type AND ev.ts >= r.ts
+    """,
+)
+def join_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: every event gets the most recent rate
+    row (derived from every 97th event) at or before its timestamp —
+    NULL before the first rate. The Spark side is the union+window
+    carry-forward shape (`operators/asof.py` — one shuffle, no per-key
+    cartesian); the oracle is DuckDB's native ASOF LEFT JOIN, so the
+    semantics including the ≤-tie ('a rate taking effect at exactly the
+    event instant is visible') are checked against an independent
+    implementation."""
+    from dig_etl_engine_spark.operators.asof import asof_join
+
+    events = load_tables(spark, sf_dir)["events"]
+    rates = (events.filter(F.col("event_id") % 97 == 0)
+             .select("event_type", "ts", F.round("value", 4).alias("rate")))
+    ev = events.select("event_id", "event_type", "ts")
+    joined = asof_join(ev, rates, on="ts", by="event_type",
+                       value_cols=["rate"])
+    return joined.select(
+        "event_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("rate_asof"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("ts_asof"))
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event-type count matrix. The pivot
+    values are EXPLICIT — with an inferred value set Spark runs an extra
+    collect-distinct job and the output schema depends on the data, which
+    breaks plan caching and schema contracts at scale."""
+    events = load_tables(spark, sf_dir)["events"]
+    return (events.groupBy("user_id")
+            .pivot("event_type",
+                   ["click", "error", "purchase", "signup", "view"])
+            .count()
+            .na.fill(0, ["click", "error", "purchase", "signup", "view"]))

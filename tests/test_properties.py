@@ -226,3 +226,37 @@ def test_date_extraction_matches_dateutil_oracle(spark):
             ignore_past_years=200), 1)["value"].alias("got")).collect()
     bad = [(r.expected, r.got) for r in got if r.got != r.expected]
     assert not bad, bad[:10]
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join parity against pandas.merge_asof (backward direction,
+    by-key) on a randomized fixture including ties and keys with no
+    earlier right row."""
+    import pandas as pd
+    import random
+
+    from dig_etl_engine_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    left = pd.DataFrame({
+        "k": [rng.choice("ab") for _ in range(60)],
+        "t": [rng.randint(0, 100) for _ in range(60)],
+        "lid": range(60),
+    })
+    right = pd.DataFrame({
+        "k": [rng.choice("ab") for _ in range(15)],
+        "t": sorted(rng.sample(range(0, 100), 15)),
+        "v": [float(i) for i in range(15)],
+    })
+    exp = pd.merge_asof(
+        left.sort_values(["t", "lid"]), right.sort_values("t"),
+        on="t", by="k", direction="backward", suffixes=("", "_asof"))
+    expected = {int(r.lid): (None if pd.isna(r.v) else float(r.v))
+                for r in exp.itertuples()}
+
+    ldf = spark.createDataFrame(left, "k string, t long, lid long")
+    rdf = spark.createDataFrame(right, "k string, t long, v double")
+    got_rows = asof_join(ldf, rdf, on="t", by="k",
+                         value_cols=["v"]).collect()
+    got = {int(r.lid): r.v_asof for r in got_rows}
+    assert got == expected
