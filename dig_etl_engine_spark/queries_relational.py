@@ -650,3 +650,38 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ["click", "error", "purchase", "signup", "view"])
             .count()
             .na.fill(0, ["click", "error", "purchase", "signup", "view"]))
+
+
+@register(
+    "join_range_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT i AS band_id, i * 5.0 AS lo, i * 5.0 + 8.0 AS hi
+      FROM range(0, 99) t(i)
+    )
+    SELECT e.event_id, b.band_id, ROUND(e.value, 4) AS value
+    FROM events e JOIN bands b
+      ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events matched to OVERLAPPING value bands
+    ([i·5, i·5+8) — a point can hit two bands), via the bucketed
+    equi-join shape (`operators/range_join.py`): intervals explode into
+    the width-5 buckets they span, points land in one bucket, exact
+    containment re-checked post-join. A plain inequality join here plans
+    as a broadcast-nested-loop — O(|P|·|R|) — which the oracle happily
+    uses at sf0.01 but which is exactly what this operator avoids at
+    scale."""
+    from dig_etl_engine_spark.operators.range_join import range_join
+
+    events = load_tables(spark, sf_dir)["events"]
+    bands = spark.range(0, 99).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 5.0).alias("lo"),
+        (F.col("id") * 5.0 + 8.0).alias("hi"))
+    joined = range_join(events.select("event_id", "value"), bands,
+                        point_col="value", lo_col="lo", hi_col="hi",
+                        bucket_width=5.0)
+    return joined.select("event_id", "band_id",
+                         F.round("value", 4).alias("value"))

@@ -207,3 +207,12 @@ class TestShuffleReuse:
         from dig_etl_engine_spark.queries_relational import sessionize_events
         plan = plan_of(sessionize_events(spark, SF))
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+    def test_range_join_avoids_nested_loop(self, spark):
+        """The bucketed range join must plan as an equi-join on the
+        bucket key — never the O(|P|·|R|) BroadcastNestedLoop a raw
+        inequality join degenerates to."""
+        from dig_etl_engine_spark.queries_relational import join_range_bands
+        plan = plan_of(join_range_bands(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "_bkt" in plan
