@@ -127,3 +127,16 @@ def redact_pii(col: Column, *, email: bool = True, ip: bool = True,
     if phone:
         out = F.regexp_replace(out, PHONE_RE, "[PHONE]")
     return out
+
+
+def line_repetition_ratio(col: Column) -> Column:
+    """Within-document repetition: fraction of lines that are duplicates
+    of an earlier line (the C4/Gopher 'repeated lines' quality filter).
+    1 - distinct/total over non-blank trimmed lines; 0 for ≤1 line.
+    Native split/array math, no shuffle."""
+    lines = F.filter(
+        F.transform(F.split(col, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "")
+    n = F.size(lines)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(lines)) / n, 6))

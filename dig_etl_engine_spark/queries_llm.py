@@ -567,6 +567,82 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("bucket") < rate))
 
 
+@register(
+    "line_repetition_filter",
+    oracle="""
+    WITH lined AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(
+               text || chr(10) || CASE WHEN doc_id % 3 = 0
+                    THEN 'dup line' || chr(10) || 'dup line' || chr(10)
+                         || 'dup line'
+                    ELSE 'uniq tail ' || doc_id::VARCHAR END,
+               chr(10)), l -> trim(l)), l -> l <> '') AS lines
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(lines) <= 1 THEN 0.0
+                ELSE ROUND(1.0 - len(list_distinct(lines)) / len(lines), 6)
+           END AS rep_ratio
+    FROM lined
+    """,
+)
+def line_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring (the C4/Gopher repeated-lines
+    quality gate): docs where doc_id % 3 = 0 get three planted duplicate
+    lines appended and must score a positive repetition ratio; others get
+    a unique tail and stay near 0. Pure column math over the scan."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tail = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit("dup line\ndup line\ndup line")
+    ).otherwise(F.concat(F.lit("uniq tail "),
+                         F.col("doc_id").cast("string")))
+    txt = F.concat(F.col("text"), F.lit("\n"), tail)
+    return docs.select(
+        "doc_id", TA.line_repetition_ratio(txt).alias("rep_ratio"))
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 32 AS bucket,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+               AS cum
+      FROM toks
+    )
+    SELECT doc_id, bucket, n_tokens,
+           floor((cum - n_tokens) / 2048)::BIGINT AS seq_id
+    FROM packed
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: documents greedily packed into
+    ~2048-token sequences by running token total, WITHIN hash buckets —
+    packing is inherently sequential, so the global order is sharded into
+    32 independent bucket streams that pack in parallel (one window
+    shuffle on bucket); a global single-stream pack would serialize the
+    corpus through one task. seq_id = floor(tokens-before / budget):
+    deterministic, reproducible across engines."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window as W
+    toks = docs.select(
+        "doc_id", (F.col("doc_id") % 32).alias("bucket"),
+        TA.token_count(F.col("text")).alias("n_tokens"))
+    w = (W.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id", "bucket", "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 2048).alias("seq_id"))
+
+
 def _pii_sql() -> str:
     from dig_etl_engine_spark.functions.extractors import (
         EMAIL_RE, IP_RE, PHONE_RE)

@@ -114,3 +114,28 @@ class TestModuleDiscovery:
         (tmp_path / "em_bad.py").write_text("x = 1\n")
         with pytest.raises(ValueError):
             discover_modules(str(tmp_path))
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, edges):
+        from dig_etl_engine_spark.operators.dedup import connected_components
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        return {r.doc_id: r.component
+                for r in connected_components(df).collect()}
+
+    def test_long_chain_single_component(self, spark):
+        """A 64-node path graph — the diameter-pathological case that
+        plain label propagation needs 64 rounds for; large-star/small-star
+        must collapse it within the (log²) iteration budget."""
+        got = self._cc(spark, [(i, i + 1) for i in range(63)])
+        assert set(got.values()) == {0}
+        assert len(got) == 64
+
+    def test_two_components_and_reversed_edges(self, spark):
+        got = self._cc(spark, [(5, 1), (1, 9), (20, 30), (30, 20)])
+        assert got == {1: 1, 5: 1, 9: 1, 20: 20, 30: 20}
+
+    def test_star_and_self_loop(self, spark):
+        got = self._cc(spark, [(10, 2), (10, 3), (10, 4), (7, 7)])
+        # self-loop-only node 7 contributes no edge; star collapses to 2
+        assert got == {2: 2, 3: 2, 4: 2, 10: 2}
