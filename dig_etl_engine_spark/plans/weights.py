@@ -51,3 +51,36 @@ class WeightTree:
 
 def _match(pattern: str, value: str) -> bool:
     return pattern == "*" or value == "*" or pattern == value
+
+
+def bm25_score_column(text_col, terms: list[str], *, df_counts: dict,
+                      n_docs: int, avgdl: float, k1: float = 1.2,
+                      b: float = 0.75):
+    """Lucene-style BM25 score expression over a full-text zone — the
+    opt-in scorer that matches the reference's Elasticsearch ranking
+    family (SURVEY §7.4 R2 documents the deterministic weighted-match
+    default as a divergence; this closes it for callers that want BM25).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene's formulation)
+    tf(t,d) over whitespace tokens; norm by |d|/avgdl.
+
+    ``df_counts``/``n_docs``/``avgdl`` are corpus statistics computed
+    once per corpus build (one aggregation job, scalars to the driver —
+    model state, not data) and closed over, so the per-query plan is pure
+    column math with no extra shuffle.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    dl = F.size(toks).cast("double")
+    score = F.lit(0.0)
+    for t in terms:
+        df = df_counts.get(t, 0)
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        tf = F.size(F.filter(toks, lambda x: x == t)).cast("double")
+        score = score + F.lit(idf) * (
+            tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+    return F.round(score, 6)

@@ -358,6 +358,73 @@ def search_zone_weighted_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_bm25_rank",
+    oracle="""
+    WITH stats AS (
+      SELECT COUNT(*) AS n,
+             AVG(len(string_split(lower(trim(text)), ' ')))::DOUBLE
+               AS avgdl,
+             COUNT(*) FILTER (
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                               x -> x = 'hash')) > 0) AS df_hash,
+             COUNT(*) FILTER (
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                               x -> x = 'window')) > 0) AS df_window
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+        (SELECT ROUND(
+           ln(1.0 + (n - df_hash + 0.5) / (df_hash + 0.5))
+             * (tf_h * 2.2 / (tf_h + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+           + ln(1.0 + (n - df_window + 0.5) / (df_window + 0.5))
+             * (tf_w * 2.2 / (tf_w + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+           6) FROM stats) AS score
+      FROM (
+        SELECT doc_id, lang,
+               len(string_split(lower(trim(text)), ' '))::DOUBLE AS dl,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                               x -> x = 'hash'))::DOUBLE AS tf_h,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                               x -> x = 'window'))::DOUBLE AS tf_w
+        FROM documents)
+    )
+    SELECT doc_id, lang, score FROM scored
+    WHERE score > 0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in BM25 ranking (Lucene formulation, k1=1.2 b=0.75) — the
+    scoring family the reference's Elasticsearch actually uses, closing
+    the documented weighted-match divergence (SURVEY §7.4 R2) for
+    callers that want parity. Corpus stats (N, df, avgdl) come from ONE
+    aggregation and ride into the per-query plan as literals
+    (`plans/weights.py:bm25_score_column`); scoring itself is pure
+    column math over the scan. The oracle recomputes the full formula
+    including ln()."""
+    from dig_etl_engine_spark.plans.weights import bm25_score_column
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    terms = ["hash", "window"]
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(toks)).alias("avgdl"),
+        *[F.sum(F.when(F.array_contains(toks, t), 1).otherwise(0))
+          .alias(f"df_{t}") for t in terms]).head()
+    score = bm25_score_column(
+        F.col("text"), terms,
+        df_counts={t: stats[f"df_{t}"] for t in terms},
+        n_docs=stats["n"], avgdl=float(stats["avgdl"]))
+    return (docs.select("doc_id", "lang", score.alias("score"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20))
+
+
+@register(
     "facet_keyword_counts",
     oracle=f"""
     SELECT g.term AS key, COUNT(DISTINCT d.doc_id) AS doc_count
