@@ -138,6 +138,46 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
             pass
 
 
+def compact_partitioned(spark: SparkSession, target_path: str, *,
+                        target_file_bytes: int = 128 << 20,
+                        min_files: int = 2) -> int:
+    """Small-file compaction for the bucketed KG table. Every micro-batch
+    upsert rewrites its touched buckets with fresh files; over a day of
+    batches a hot bucket accumulates hundreds of small parquet files and
+    scan cost grows with file count, not data size. Rewrite each bucket
+    holding ≥ ``min_files`` files down to ceil(bytes/target) files via
+    dynamic partition overwrite — untouched buckets keep their exact
+    files, and each rewrite is atomic per partition directory (readers
+    see old or new, never a mix). Returns the number of buckets
+    compacted.
+
+    Local-FS listing here; on HDFS/S3 swap the glob for the Hadoop
+    FileSystem API (Delta's OPTIMIZE is the managed-table equivalent).
+    """
+    import glob
+    import math
+
+    todo: list[tuple[int, int]] = []
+    for d in sorted(glob.glob(os.path.join(target_path, "_kb=*"))):
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if len(files) >= min_files:
+            nbytes = sum(os.path.getsize(f) for f in files)
+            todo.append((int(d.rsplit("=", 1)[1]),
+                         max(1, math.ceil(nbytes / target_file_bytes))))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for kb, nfiles in todo:
+            part = (spark.read.parquet(f"{target_path}/_kb={kb}")
+                    .withColumn("_kb", F.lit(kb)))
+            (part.coalesce(nfiles).write.mode("overwrite")
+             .partitionBy("_kb").parquet(target_path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(todo)
+
+
 def read_partitioned(spark: SparkSession, target_path: str) -> DataFrame:
     """Read a partitioned KG table without the internal bucket column."""
     return spark.read.parquet(target_path).drop("_kb")

@@ -438,3 +438,46 @@ class TestStreamingIngest:
         df = spark.createDataFrame([("a", "x")], ["doc_id", "payload"])
         w = to_kafka_batch(df, bootstrap_servers="b:9092", topic="t_out")
         assert w is not None
+
+
+class TestCompaction:
+    def test_compact_fragmented_buckets(self, spark, tmp_path):
+        """A bucket fragmented into many small files (the accumulation
+        pattern of per-batch appends) compacts to one file with data
+        identical; tidy buckets are untouched."""
+        import glob
+        import shutil
+        p = str(tmp_path / "t")
+        schema = TestUpsert.SCHEMA
+        b = spark.createDataFrame(
+            [(f"k{i}", i, "base") for i in range(40)], schema)
+        kg_table.upsert_partitioned(spark, p, b, buckets=4)
+        before = {r.doc_id: (r.kafka_offset, r.v)
+                  for r in kg_table.read_partitioned(spark, p).collect()}
+
+        # fragment one bucket: rewrite its rows as 3 separate files
+        d0 = sorted(glob.glob(f"{p}/_kb=*"))[0]
+        rows = spark.read.parquet(d0).collect()
+        assert len(rows) >= 3
+        shutil.rmtree(d0)
+        for i in range(3):
+            chunk = rows[i::3]
+            spark.createDataFrame(chunk, schema) \
+                .coalesce(1).write.mode("append").parquet(d0)
+        assert len(glob.glob(f"{d0}/*.parquet")) == 3
+        tidy_files = {d: sorted(glob.glob(f"{d}/*.parquet"))
+                      for d in glob.glob(f"{p}/_kb=*") if d != d0}
+
+        assert kg_table.compact_partitioned(spark, p) == 1
+        assert len(glob.glob(f"{d0}/*.parquet")) == 1
+        for d, files in tidy_files.items():
+            assert sorted(glob.glob(f"{d}/*.parquet")) == files
+        after = {r.doc_id: (r.kafka_offset, r.v)
+                 for r in kg_table.read_partitioned(spark, p).collect()}
+        assert after == before
+
+    def test_compact_noop_when_tidy(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        b = spark.createDataFrame([("a", 1, "x")], TestUpsert.SCHEMA)
+        kg_table.upsert_partitioned(spark, p, b, buckets=2)
+        assert kg_table.compact_partitioned(spark, p) == 0

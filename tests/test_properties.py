@@ -293,3 +293,44 @@ def test_ivf_kmeans_matches_numpy_lloyds(spark):
     assert np.allclose(cents, c, atol=1e-9)
     expected = dict(zip(ids.tolist(), a.tolist()))
     assert got == expected
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """ANN quality contract, measured: on data WITH cluster structure —
+    IVF's operating assumption; on isotropic-random vectors nprobe=1
+    recall degenerates to ~1/k_cells by construction — trained-cell IVF
+    (nprobe=1) must reach ≥85% top-5 recall vs exact brute force. Pinned
+    so a regression in cell training or assignment surfaces as a recall
+    drop, not a silent quality loss."""
+    from pyspark.sql import functions as F
+    from dig_etl_engine_spark.catalog import load_tables
+    from dig_etl_engine_spark.operators.similarity import (
+        ivf_kmeans_train, knn_bruteforce, knn_ivf)
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    # plant 4 well-separated clusters: shrink the random component and
+    # add a cluster center one-hot at dims 0..3
+    center = F.array(*[
+        F.when(F.col("vec_id") % 4 == d, F.lit(1.0)).otherwise(F.lit(0.0))
+        for d in range(4)])
+    clustered = emb.select(
+        "vec_id",
+        F.zip_with(
+            F.slice(F.transform("embedding",
+                                lambda x: x.cast("double") * 0.2),
+                    1, 64),
+            F.concat(center, F.array_repeat(F.lit(0.0), 60)),
+            lambda a, b: a + b).alias("embedding"))
+    queries = clustered.filter(F.col("vec_id") % 20 == 0)
+
+    exact = knn_bruteforce(queries, clustered, k=5)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    assigned, _ = ivf_kmeans_train(clustered, k=4, iters=3)
+    cells = clustered.join(assigned.withColumnRenamed("id", "vec_id"),
+                           "vec_id").withColumn("label", F.col("cluster"))
+    got = knn_ivf(cells.filter(F.col("vec_id") % 20 == 0), cells, k=5)
+    found = {(r.query_id, r.neighbor_id) for r in got.collect()}
+
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.85, f"IVF top-5 recall {recall:.2f} below floor"
