@@ -126,6 +126,44 @@ def extract_hostname(url_col: Column) -> Column:
                     "hostname", "url")
 
 
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonicalize_url(col: Column) -> Column:
+    """URL canonicalization — the normalization web-corpus dedup keys on
+    (the reference stores raw ``url`` per CDR doc; near-identical URLs
+    with tracking params / case noise / default ports would defeat
+    doc_id-by-url dedup):
+
+      * fragment dropped;  * scheme + host lowercased (path case kept);
+      * default port stripped (:80 for http, :443 for https);
+      * tracking params removed (utm_*, fbclid, gclid, msclkid, ref);
+      * surviving query params sorted for order-independence.
+
+    Pure native string/array expressions (regex + array_sort inside
+    codegen) — deliberately regex-based rather than parse_url so an
+    oracle can restate the identical transformation."""
+    u = F.regexp_replace(col, r"#.*$", "")
+    prefix = F.regexp_extract(u, r"^[^:/?]+://[^/?#]*", 0)
+    lowered = F.lower(prefix)
+    lowered = F.when(lowered.startswith("http://"),
+                     F.regexp_replace(lowered, r":80$", "")) \
+        .when(lowered.startswith("https://"),
+              F.regexp_replace(lowered, r":443$", "")) \
+        .otherwise(lowered)
+    rest = F.substring(u, F.length(prefix) + 1, F.lit(1 << 30))
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    q = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    params = F.array_sort(F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    return F.concat(
+        lowered, path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")))
+
+
 def extract_as_is(col: Column, *, segment: str = "field") -> Column:
     """X10 identity extractor (`generate_mydig_config.py:226-231`)."""
     s = col.cast("string")

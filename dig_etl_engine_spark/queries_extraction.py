@@ -388,3 +388,27 @@ def high_confidence_keys_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.array_join("high_confidence_keys", "|")
                      .alias("high_confidence_keys")))
+
+
+@register(
+    "url_canonicalize",
+    oracle="""
+    SELECT doc_id,
+           'http://example.com/Path/p' || doc_id::VARCHAR || '?a=1&b=2'
+             AS canonical
+    FROM documents
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (`functions/extractors.py:canonicalize_url`):
+    scheme/host case noise, the default port, a fragment, tracking params
+    and query-param order are all stripped/normalized; the oracle states
+    the expected canonical form directly, so the whole transformation
+    chain is what's under test. Path case is preserved."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    noisy = F.concat(
+        F.lit("HTTP://Example.COM:80/Path/p"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&b=2&fbclid=zz&a=1#frag"))
+    return docs.select("doc_id",
+                       X.canonicalize_url(noisy).alias("canonical"))
