@@ -58,7 +58,10 @@ BTC_RE = r"\b[13][a-km-zA-HJ-NP-Z1-9]{25,34}\b"
 # md5(32) / sha1(40) / sha256(64) exactly — longest alternative first so a
 # sha256 isn't reported as its md5-length prefix; no 56-char false positive
 HASH_RE = r"\b(?:[a-fA-F0-9]{64}|[a-fA-F0-9]{40}|[a-fA-F0-9]{32})\b"
-PHONE_RE = r"\+?\d{1,2}[\s.-]?\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}"
+# country/area prefix OPTIONAL: bare '213-555-0147' must match too (the
+# original mandatory \d{1,2} prefix silently missed plain 10-digit forms)
+PHONE_RE = (r"(?:\+?\d{1,2}[\s.-]?)?"
+            r"\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}")
 
 
 def extract_email(col: Column, segment: str = "raw_content") -> Column:

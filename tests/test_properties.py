@@ -334,3 +334,33 @@ def test_ivf_recall_vs_bruteforce(spark):
 
     recall = len(truth & found) / len(truth)
     assert recall >= 0.85, f"IVF top-5 recall {recall:.2f} below floor"
+
+
+def test_canonicalize_url_edge_cases(spark):
+    from pyspark.sql import functions as F
+    from dig_etl_engine_spark.functions.extractors import canonicalize_url
+    cases = [
+        ("HTTPS://Host.COM:443/A/B", "https://host.com/A/B"),
+        ("http://h.com:8080/x", "http://h.com:8080/x"),   # non-default kept
+        ("http://h.com/x?utm_source=a&utm_medium=b", "http://h.com/x"),
+        ("http://h.com/x?z=1&a=2", "http://h.com/x?a=2&z=1"),
+        ("http://h.com/x#only-fragment", "http://h.com/x"),
+        ("http://h.com", "http://h.com"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "expected"])
+    got = df.select("expected",
+                    canonicalize_url(F.col("url")).alias("got")).collect()
+    bad = [(r.expected, r.got) for r in got if r.got != r.expected]
+    assert not bad, bad
+
+
+def test_redact_pii_order_protects_ips(spark):
+    """The email→ip→phone order contract: a dotted IPv4 must come out as
+    [IP], never partially consumed by the phone pattern."""
+    from pyspark.sql import functions as F
+    from dig_etl_engine_spark.operators.text_analysis import redact_pii
+    df = spark.createDataFrame(
+        [("ping 10.0.44.123 then call 213-555-0147 or mail a@b.co",)],
+        ["t"])
+    got = df.select(redact_pii(F.col("t")).alias("r")).head().r
+    assert got == "ping [IP] then call [PHONE] or mail [EMAIL]"
