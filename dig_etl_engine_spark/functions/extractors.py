@@ -58,10 +58,16 @@ BTC_RE = r"\b[13][a-km-zA-HJ-NP-Z1-9]{25,34}\b"
 # md5(32) / sha1(40) / sha256(64) exactly — longest alternative first so a
 # sha256 isn't reported as its md5-length prefix; no 56-char false positive
 HASH_RE = r"\b(?:[a-fA-F0-9]{64}|[a-fA-F0-9]{40}|[a-fA-F0-9]{32})\b"
-# country/area prefix OPTIONAL: bare '213-555-0147' must match too (the
-# original mandatory \d{1,2} prefix silently missed plain 10-digit forms)
-PHONE_RE = (r"(?:\+?\d{1,2}[\s.-]?)?"
-            r"\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}")
+# Phone shape contract: prefix optional ('213-555-0147' matches, the
+# original mandatory \d{1,2} prefix missed it) BUT at least one separator
+# or paren is required — a bare 10-digit run ('1734567890', order ids,
+# unix timestamps) is NOT a phone, so redact_pii can't corrupt numeric
+# ids. \b guards both ends against longer digit runs; no lookbehind (the
+# DuckDB/RE2 oracle has none). Users needing the reference's bare
+# 'dddddddddd' rule get it via the X6 token-rule compiler.
+PHONE_RE = (r"(?:\+?\d{1,2}[\s.-])?"
+            r"(?:\(\d{3}\)[\s.-]?|\b\d{3}[\s.-])"
+            r"\d{3}[\s.-]?\d{4}\b")
 
 
 def extract_email(col: Column, segment: str = "raw_content") -> Column:
@@ -220,7 +226,12 @@ def extract_date_iso(col: Column, segment: str = "raw_content", *,
 
     ry = ref_year if ref_year is not None else datetime.date.today().year
 
-    iso = F.regexp_extract_all(col, F.lit(r"\b(\d{4}-\d{2}-\d{2})\b"), F.lit(1))
+    iso_raw = F.regexp_extract_all(col, F.lit(r"\b(\d{4}-\d{2}-\d{2})\b"),
+                                   F.lit(1))
+    # parse-validate like every other family: '2021-13-45' is a regex hit
+    # but not a date
+    iso = F.transform(iso_raw, lambda d: F.date_format(
+        F.try_to_timestamp(d, F.lit("yyyy-MM-dd")), "yyyy-MM-dd"))
     slash = F.regexp_extract_all(col, F.lit(r"\b(\d{1,2}/\d{1,2}/\d{4})\b"), F.lit(1))
     norm_slash = F.transform(slash, lambda d: F.date_format(
         F.try_to_timestamp(d, F.lit("M/d/yyyy")), "yyyy-MM-dd"))

@@ -159,7 +159,10 @@ def compile_etk_token(tok: dict) -> dict | None:
     if ttype == "linebreak":
         return None
     elif ttype == "shape":
-        shapes = [s for s in (tok.get("shapes") or tok.get("shape") or []) if s]
+        raw = tok.get("shapes") or tok.get("shape") or []
+        if isinstance(raw, str):      # singular string form: ONE shape,
+            raw = [raw]               # not a per-character alternation
+        shapes = [s for s in raw if s]
         if not shapes:
             raise ValueError(f"shape token without shapes: {tok}")
         out = {"regex": "|".join(_shape_to_regex(s) for s in shapes)}
@@ -173,13 +176,19 @@ def compile_etk_token(tok: dict) -> dict | None:
             out = {"regex": r"\S+"}
     elif ttype == "number":
         numbers = [str(n) for n in tok.get("numbers") or []]
-        minimum, maximum = tok.get("minimum"), tok.get("maximum")
+        # unset is ''/None in the shipped files; a JSON integer 0 is a
+        # real bound ('minimum or maximum' would drop minimum=0/maximum=0)
+        minimum = tok.get("minimum")
+        maximum = tok.get("maximum")
+        has_min = minimum not in (None, "")
+        has_max = maximum not in (None, "")
         lengths = [int(x) for x in tok.get("length") or []]
         if numbers:
             out = {"in": numbers}
-        elif minimum or maximum:
-            out = {"regex": num_range_regex(int(minimum or 0),
-                                            int(maximum or 10 ** 18))}
+        elif has_min or has_max:
+            out = {"regex": num_range_regex(
+                int(minimum) if has_min else 0,
+                int(maximum) if has_max else 10 ** 18)}
         elif lengths:
             out = {"regex": "|".join(rf"\d{{{n}}}" for n in lengths)}
         else:

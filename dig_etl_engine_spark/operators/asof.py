@@ -44,37 +44,40 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
     ``{on}{suffix}``.
     """
     lcols = left.columns
+    # the whole right payload rides in ONE struct so the carried match is
+    # always a single right ROW — per-column carries would mix fields from
+    # different right rows when a payload column is NULL (pandas
+    # merge_asof / DuckDB ASOF return the matched row's NULLs verbatim)
+    r_struct = F.struct(F.col(on).alias("_mt"),
+                        *[F.col(c).alias(c) for c in value_cols])
     tagged_r = right.select(
         F.col(by).alias("_k"), F.col(on).alias("_t"), F.lit(0).alias("_side"),
-        F.col(on).alias(f"{on}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        r_struct.alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     tagged_l = left.select(
         F.col(by).alias("_k"), F.col(on).alias("_t"), F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[on].dataType).alias(f"{on}{suffix}"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in value_cols],
+        F.lit(None).cast(tagged_r.schema["_r"].dataType).alias("_r"),
         *[F.col(c) for c in lcols],
     )
-    w = (W.partitionBy("_k").orderBy("_t", "_side")
+    # "_r" in the ordering breaks ties among right rows with equal
+    # (key, t) deterministically (max struct wins) — without it the
+    # carried payload would depend on shuffle order
+    w = (W.partitionBy("_k").orderBy("_t", "_side", "_r")
          .rowsBetween(W.unboundedPreceding, 0))
     carried = tagged_r.unionByName(tagged_l).select(
-        "*",
-        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-          .alias(f"_f_{c}") for c in [on, *value_cols]],
-    )
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_f"))
     out = carried.filter(F.col("_side") == 1)
     keep = [F.col(c) for c in lcols]
-    matched_t = F.col(f"_f_{on}")
+    matched_t = F.col("_f._mt")
     if tolerance_s is not None:
         in_tol = (F.col("_t").cast("long") - matched_t.cast("long")
                   <= F.lit(tolerance_s))
         keep += [F.when(in_tol, matched_t).alias(f"{on}{suffix}")]
-        keep += [F.when(in_tol, F.col(f"_f_{c}")).alias(f"{c}{suffix}")
+        keep += [F.when(in_tol, F.col(f"_f.{c}")).alias(f"{c}{suffix}")
                  for c in value_cols]
     else:
         keep += [matched_t.alias(f"{on}{suffix}")]
-        keep += [F.col(f"_f_{c}").alias(f"{c}{suffix}")
+        keep += [F.col(f"_f.{c}").alias(f"{c}{suffix}")
                  for c in value_cols]
     return out.select(*keep)

@@ -76,6 +76,10 @@ def bm25_score_column(text_col, terms: list[str], *, df_counts: dict,
     toks = F.split(F.trim(F.lower(text_col)), r"\s+")
     dl = F.size(toks).cast("double")
     score = F.lit(0.0)
+    # tokens are lowercased above — lowercase the terms (and their df
+    # keys) too, or an uppercase query term would silently score tf=0
+    terms = [t.lower() for t in terms]
+    df_counts = {k.lower(): v for k, v in df_counts.items()}
     for t in terms:
         df = df_counts.get(t, 0)
         idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))

@@ -37,6 +37,7 @@ def create_table_if_not_exists(spark: SparkSession, path: str,
     the first writer's inferred types from becoming the contract."""
     if os.path.isdir(path) and any(
             f.endswith(".parquet") or f == "_SUCCESS"
+            or f.startswith("_kb=")       # bucketed layout IS the table
             for f in os.listdir(path)):
         return False
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
@@ -118,8 +119,11 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
         # exists bootstrap, or a table built by plain upsert) — fold ALL
         # its rows into this merge and drop the flat files afterwards so
         # the layout converges to pure _kb= partition dirs.
+        # NOT _SUCCESS: the partitioned write recreates the root marker and
+        # deleting it afterwards would make the table look absent to
+        # create_table_if_not_exists (bootstrap would then wipe it)
         flat_files = [f for f in os.listdir(target_path)
-                      if f.endswith(".parquet") or f == "_SUCCESS"]
+                      if f.endswith(".parquet")]
         if flat_files:
             existing = spark.read.parquet(target_path).withColumn("_kb", kb)
             b = dedupe_last_write_wins(

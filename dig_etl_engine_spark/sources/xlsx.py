@@ -118,8 +118,9 @@ def write_xlsx(path: str, grids: list[list[list[str]]] | list[list[str]],
     names = sheet_names or [f"Sheet{i + 1}" for i in range(len(grids))]
 
     def esc(s: str) -> str:
+        # '&quot;' too: sheet names land in XML attribute values
         return (s.replace("&", "&amp;").replace("<", "&lt;")
-                .replace(">", "&gt;"))
+                .replace(">", "&gt;").replace('"', "&quot;"))
 
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         overrides = "".join(

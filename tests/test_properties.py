@@ -364,3 +364,19 @@ def test_redact_pii_order_protects_ips(spark):
         ["t"])
     got = df.select(redact_pii(F.col("t")).alias("r")).head().r
     assert got == "ping [IP] then call [PHONE] or mail [EMAIL]"
+
+
+def test_phone_regex_shapes():
+    """PHONE_RE contract: separator/paren forms match; bare digit runs
+    (ids, unix timestamps) never do."""
+    import re
+    from dig_etl_engine_spark.functions.extractors import PHONE_RE
+    yes = ["213-555-0147", "(213) 555-0147", "(213)5550147",
+           "213.555.0147", "+1 (213) 555-0147", "+1-213-555-0147",
+           "1 213 555 0147"]
+    no = ["1734567890", "2135550147", "99999999999999", "123-45",
+          "10.0.44.123"]
+    for t in yes:
+        assert re.search(PHONE_RE, t), t
+    for t in no:
+        assert not re.search(PHONE_RE, t), t
