@@ -380,3 +380,33 @@ def test_phone_regex_shapes():
         assert re.search(PHONE_RE, t), t
     for t in no:
         assert not re.search(PHONE_RE, t), t
+
+
+def test_asof_bucketed_equals_plain(spark):
+    """asof_join_bucketed must be row-identical to asof_join on a
+    randomized fixture engineered to include empty buckets between the
+    last right row and later left rows (the carry-hop case), ties, and
+    left-before-any-right keys."""
+    import random
+
+    from dig_etl_engine_spark.operators.asof import (
+        asof_join, asof_join_bucketed)
+
+    rng = random.Random(99)
+    left_rows = [(rng.choice("abc"), float(rng.randint(0, 500)), i)
+                 for i in range(120)]
+    # right rows cluster in [0, 120] so left rows beyond t=120 sit many
+    # empty width-25 buckets after the last update
+    right_rows = [(rng.choice("abc"), float(rng.randint(0, 120)),
+                   float(i)) for i in range(25)]
+    ldf = spark.createDataFrame(left_rows, "k string, t double, lid long")
+    rdf = spark.createDataFrame(right_rows, "k string, t double, v double")
+
+    plain = {r.lid: (r.t_asof, r.v_asof)
+             for r in asof_join(ldf, rdf, on="t", by="k",
+                                value_cols=["v"]).collect()}
+    bucketed = {r.lid: (r.t_asof, r.v_asof)
+                for r in asof_join_bucketed(
+                    ldf, rdf, on="t", by="k", value_cols=["v"],
+                    bucket_width=25).collect()}
+    assert bucketed == plain
