@@ -59,15 +59,18 @@ BTC_RE = r"\b[13][a-km-zA-HJ-NP-Z1-9]{25,34}\b"
 # sha256 isn't reported as its md5-length prefix; no 56-char false positive
 HASH_RE = r"\b(?:[a-fA-F0-9]{64}|[a-fA-F0-9]{40}|[a-fA-F0-9]{32})\b"
 # Phone shape contract: prefix optional ('213-555-0147' matches, the
-# original mandatory \d{1,2} prefix missed it) BUT at least one separator
-# or paren is required — a bare 10-digit run ('1734567890', order ids,
-# unix timestamps) is NOT a phone, so redact_pii can't corrupt numeric
-# ids. \b guards both ends against longer digit runs; no lookbehind (the
-# DuckDB/RE2 oracle has none). Users needing the reference's bare
-# 'dddddddddd' rule get it via the X6 token-rule compiler.
-PHONE_RE = (r"(?:\+?\d{1,2}[\s.-])?"
+# original mandatory \d{1,2} prefix missed it) BUT a separator, parens,
+# or an explicit '+' is required — a bare 10-digit run ('1734567890',
+# order ids, unix timestamps) is NOT a phone, so redact_pii can't corrupt
+# numeric ids. The separated prefix is anchored ('+' or \b) so a match
+# can't start mid-digit-run; E.164 compact forms (+12135550147) match via
+# the last alternative. \b guards the tail; no lookbehind (the DuckDB/RE2
+# oracle has none). Users needing the reference's bare 'dddddddddd' rule
+# get it via the X6 token-rule compiler.
+PHONE_RE = (r"(?:(?:\+|\b)\d{1,2}[\s.-])?"
             r"(?:\(\d{3}\)[\s.-]?|\b\d{3}[\s.-])"
-            r"\d{3}[\s.-]?\d{4}\b")
+            r"\d{3}[\s.-]?\d{4}\b"
+            r"|\+\d{10,14}\b")
 
 
 def extract_email(col: Column, segment: str = "raw_content") -> Column:

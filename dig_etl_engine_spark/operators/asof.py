@@ -30,6 +30,53 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dtype) -> bool:
+    """Spark cannot sort MapType (AnalysisException in window orderBy)."""
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _orderable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(_orderable(f.dataType) for f in dtype.fields)
+    return True
+
+
+def _payload_and_tiebreak(right: DataFrame, on: str,
+                          value_cols: list[str]):
+    """(payload struct carrying the whole matched row, deterministic
+    tie-break struct from the ORDERABLE columns only — map-typed payloads
+    still join, their ties break on the orderable subset)."""
+    payload = F.struct(F.col(on).alias("_mt"),
+                       *[F.col(c).alias(c) for c in value_cols])
+    ord_cols = [c for c in value_cols
+                if _orderable(right.schema[c].dataType)]
+    tiebreak = F.struct(F.col(on).alias("_mt"),
+                        *[F.col(c).alias(c) for c in ord_cols])
+    return payload, tiebreak
+
+
+def _project(carried: DataFrame, lcols: list[str], on: str,
+             value_cols: list[str], suffix: str,
+             tolerance_s: int | None) -> DataFrame:
+    """Shared final projection: left columns + the matched row\'s fields,
+    tolerance-gated when requested."""
+    out = carried.filter(F.col("_side") == 1)
+    keep = [F.col(c) for c in lcols]
+    matched_t = F.col("_f._mt")
+    if tolerance_s is not None:
+        in_tol = (F.col("_t").cast("long") - matched_t.cast("long")
+                  <= F.lit(tolerance_s))
+        keep += [F.when(in_tol, matched_t).alias(f"{on}{suffix}")]
+        keep += [F.when(in_tol, F.col(f"_f.{c}")).alias(f"{c}{suffix}")
+                 for c in value_cols]
+    else:
+        keep += [matched_t.alias(f"{on}{suffix}")]
+        keep += [F.col(f"_f.{c}").alias(f"{c}{suffix}")
+                 for c in value_cols]
+    return out.select(*keep)
 
 
 def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
@@ -47,94 +94,81 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
     # the whole right payload rides in ONE struct so the carried match is
     # always a single right ROW — per-column carries would mix fields from
     # different right rows when a payload column is NULL (pandas
-    # merge_asof / DuckDB ASOF return the matched row's NULLs verbatim)
-    r_struct = F.struct(F.col(on).alias("_mt"),
-                        *[F.col(c).alias(c) for c in value_cols])
+    # merge_asof / DuckDB ASOF return the matched row\'s NULLs verbatim)
+    payload, tiebreak = _payload_and_tiebreak(right, on, value_cols)
     tagged_r = right.select(
         F.col(by).alias("_k"), F.col(on).alias("_t"), F.lit(0).alias("_side"),
-        r_struct.alias("_r"),
+        payload.alias("_r"), tiebreak.alias("_tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     tagged_l = left.select(
         F.col(by).alias("_k"), F.col(on).alias("_t"), F.lit(1).alias("_side"),
         F.lit(None).cast(tagged_r.schema["_r"].dataType).alias("_r"),
+        F.lit(None).cast(tagged_r.schema["_tb"].dataType).alias("_tb"),
         *[F.col(c) for c in lcols],
     )
-    # "_r" in the ordering breaks ties among right rows with equal
-    # (key, t) deterministically (max struct wins) — without it the
-    # carried payload would depend on shuffle order
-    w = (W.partitionBy("_k").orderBy("_t", "_side", "_r")
+    # "_tb" breaks ties among right rows with equal (key, t)
+    # deterministically (max orderable payload wins) — without it the
+    # carried row would depend on shuffle order
+    w = (W.partitionBy("_k").orderBy("_t", "_side", "_tb")
          .rowsBetween(W.unboundedPreceding, 0))
     carried = tagged_r.unionByName(tagged_l).select(
         "*", F.last("_r", ignorenulls=True).over(w).alias("_f"))
-    out = carried.filter(F.col("_side") == 1)
-    keep = [F.col(c) for c in lcols]
-    matched_t = F.col("_f._mt")
-    if tolerance_s is not None:
-        in_tol = (F.col("_t").cast("long") - matched_t.cast("long")
-                  <= F.lit(tolerance_s))
-        keep += [F.when(in_tol, matched_t).alias(f"{on}{suffix}")]
-        keep += [F.when(in_tol, F.col(f"_f.{c}")).alias(f"{c}{suffix}")
-                 for c in value_cols]
-    else:
-        keep += [matched_t.alias(f"{on}{suffix}")]
-        keep += [F.col(f"_f.{c}").alias(f"{c}{suffix}")
-                 for c in value_cols]
-    return out.select(*keep)
+    return _project(carried, lcols, on, value_cols, suffix, tolerance_s)
 
 
 def asof_join_bucketed(left: DataFrame, right: DataFrame, *, on: str,
-                       by: str, value_cols: list[str],
-                       bucket_width: int, suffix: str = "_asof") -> DataFrame:
+                       by: str, value_cols: list[str], bucket_width: int,
+                       tolerance_s: int | None = None,
+                       suffix: str = "_asof") -> DataFrame:
     """:func:`asof_join` semantics with (key, time-bucket) parallelism —
     the low-cardinality-key scale path.
 
-    The plain shape serializes each key's whole timeline through one
+    The plain shape serializes each key\'s whole timeline through one
     window task: fatal when keys are few (one global rate series, a
     handful of instrument classes) and timelines are 100 TB long. Here:
 
       1. bucket both sides by ``floor(t / bucket_width)``;
-      2. per (key, bucket), reduce the right side to its LAST row, then
-         run a window over the per-bucket summary (tiny: keys × buckets
-         rows) carrying the last known right row forward; shift it into
-         the NEXT bucket as a SEED row stamped at the bucket boundary —
-         this hops over empty buckets, so every bucket starts knowing
-         its carry-in;
-      3. the main carry-forward window runs partitioned by
-         (key, bucket) — each bucket is an independent task.
+      2. per (key, bucket), reduce the right side to its LAST row
+         (``max_by`` on the orderable tie-break), then run a window over
+         the per-bucket summary (tiny: keys × populated-buckets rows)
+         with ``rowsBetween(…, -1)`` — every populated bucket receives a
+         SEED row = the last right row of any STRICTLY earlier bucket,
+         stamped at the bucket\'s start boundary, so the carry hops over
+         empty buckets;
+      3. the main carry-forward window partitions by (key, bucket) —
+         each bucket is an independent task.
 
-    Two shuffles total (bucketed union + the tiny summary window), and
-    the heavy window's partition count scales with the timeline length
-    instead of the key count. ``on`` must be numeric (cast timestamps to
-    epoch first); results are row-identical to :func:`asof_join`.
+    Two shuffles total, and the heavy window\'s partition count scales
+    with timeline length instead of key count. ``on`` must be numeric
+    (cast timestamps to epoch first); it is compared in its ORIGINAL
+    type — no double cast, so 64-bit nanosecond epochs beyond 2^53 stay
+    exact. Results are row-identical to :func:`asof_join`.
     """
-    bkt = lambda c: F.floor(c / bucket_width)  # noqa: E731
+    on_type = left.schema[on].dataType
+    bkt = lambda c: F.floor(c / bucket_width).cast("long")  # noqa: E731
 
-    r_struct = F.struct(F.col(on).alias("_mt"),
-                        *[F.col(c).alias(c) for c in value_cols])
+    lcols = left.columns
+    payload, tiebreak = _payload_and_tiebreak(right, on, value_cols)
     tagged_r = right.select(
         F.col(by).alias("_k"), F.col(on).alias("_t"),
         bkt(F.col(on)).alias("_b"), F.lit(0).alias("_side"),
-        r_struct.alias("_r"))
-
-    lcols = left.columns
-    null_l = [F.lit(None).cast(left.schema[c].dataType).alias(c)
-              for c in lcols]
+        payload.alias("_r"), tiebreak.alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols])
     tagged_l = left.select(
-        F.col(by).alias("_k"), F.col(on).cast("double").alias("_t"),
+        F.col(by).alias("_k"), F.col(on).alias("_t"),
         bkt(F.col(on)).alias("_b"), F.lit(1).alias("_side"),
         F.lit(None).cast(tagged_r.schema["_r"].dataType).alias("_r"),
+        F.lit(None).cast(tagged_r.schema["_tb"].dataType).alias("_tb"),
         *[F.col(c) for c in lcols])
 
-    # per-(key, bucket) last right row — deterministic (max (_t, _r))
+    # per-(key, bucket) last right row — max_by keeps the full payload
+    # (maps included) while ordering only on the orderable tie-break
     per_bucket = (tagged_r
                   .groupBy("_k", "_b")
-                  .agg(F.max(F.struct(F.col("_t"), F.col("_r")))
+                  .agg(F.max_by(F.col("_r"),
+                                F.struct(F.col("_t"), F.col("_tb")))
                        .alias("_last")))
-    # every POPULATED bucket (left or right rows) gets a seed = last
-    # right row of any STRICTLY earlier bucket (rowsBetween …, -1) — a
-    # left-only bucket many empty buckets after the last rate update
-    # still receives its carry-in
     all_buckets = (tagged_r.select("_k", "_b")
                    .unionByName(tagged_l.select("_k", "_b")).distinct())
     wseed = (W.partitionBy("_k").orderBy("_b")
@@ -145,26 +179,24 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, *, on: str,
                      F.last("_last", ignorenulls=True).over(wseed)
                      .alias("_carry"))
              .filter(F.col("_carry").isNotNull())
-             # stamped at the bucket's start boundary with side -1 so
+             # stamped at the bucket\'s start boundary with side -1 so
              # every real row of the bucket sorts after it
              .select(F.col("_k"), F.col("_b"),
-                     (F.col("_b") * bucket_width).cast("double")
+                     (F.col("_b") * bucket_width).cast(on_type)
                      .alias("_t"),
                      F.lit(-1).alias("_side"),
-                     F.col("_carry._r").alias("_r")))
+                     F.col("_carry").alias("_r"),
+                     F.lit(None).cast(tagged_r.schema["_tb"].dataType)
+                     .alias("_tb")))
     everything = (tagged_r
-                  .select("_k", F.col("_t").cast("double").alias("_t"),
-                          "_b", "_side", "_r", *null_l)
-                  .unionByName(seeds.select("_k", "_b", "_t", "_side",
-                                            "_r", *null_l))
+                  .unionByName(seeds.select(
+                      "_k", "_b", "_t", "_side", "_r", "_tb",
+                      *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+                        for c in lcols]))
                   .unionByName(tagged_l))
 
-    w = (W.partitionBy("_k", "_b").orderBy("_t", "_side", "_r")
+    w = (W.partitionBy("_k", "_b").orderBy("_t", "_side", "_tb")
          .rowsBetween(W.unboundedPreceding, 0))
     carried = everything.select(
         "*", F.last("_r", ignorenulls=True).over(w).alias("_f"))
-    out = carried.filter(F.col("_side") == 1)
-    keep = [F.col(c) for c in lcols]
-    keep += [F.col("_f._mt").alias(f"{on}{suffix}")]
-    keep += [F.col(f"_f.{c}").alias(f"{c}{suffix}") for c in value_cols]
-    return out.select(*keep)
+    return _project(carried, lcols, on, value_cols, suffix, tolerance_s)

@@ -77,9 +77,15 @@ def bm25_score_column(text_col, terms: list[str], *, df_counts: dict,
     dl = F.size(toks).cast("double")
     score = F.lit(0.0)
     # tokens are lowercased above — lowercase the terms (and their df
-    # keys) too, or an uppercase query term would silently score tf=0
-    terms = [t.lower() for t in terms]
-    df_counts = {k.lower(): v for k, v in df_counts.items()}
+    # keys) too, or an uppercase query term would silently score tf=0;
+    # dedupe terms after lowering (no double-scoring of 'Foo'+'foo') and
+    # merge colliding df keys with max (deterministic, not dict-order)
+    terms = list(dict.fromkeys(t.lower() for t in terms))
+    merged: dict = {}
+    for k, v in df_counts.items():
+        lk = k.lower()
+        merged[lk] = max(merged.get(lk, 0), v)
+    df_counts = merged
     for t in terms:
         df = df_counts.get(t, 0)
         idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))

@@ -105,30 +105,39 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
     kb = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)).cast("int")
     b = dedupe_last_write_wins(batch.withColumn("_kb", kb),
                                key_col, order_col)
+
+    # Migration / crash-recovery: flat root *.parquet files exist when the
+    # table is a create_table bootstrap, was built by the plain upsert, OR
+    # a previous migration crashed between its partitioned write and its
+    # cleanup (mixed flat + _kb= layout). Fold ALL flat rows into this
+    # batch BEFORE computing touched buckets — their buckets then rewrite
+    # with the merge — and delete the flat files after the write, so the
+    # layout converges to pure _kb= dirs from any starting state. The
+    # files are read by explicit path (a whole-directory read of a mixed
+    # layout throws 'conflicting directory structures'). NOT _SUCCESS:
+    # the partitioned write recreates the root marker, and deleting it
+    # would make the table look absent to create_table_if_not_exists.
     flat_files: list[str] = []
-    if os.path.isdir(target_path) and any(
-            f.startswith("_kb=") for f in os.listdir(target_path)):
+    has_kb = False
+    if os.path.isdir(target_path):
+        names = os.listdir(target_path)
+        flat_files = [f for f in names if f.endswith(".parquet")]
+        has_kb = any(f.startswith("_kb=") for f in names)
+    if flat_files:
+        stray = spark.read.parquet(
+            *[os.path.join(target_path, f) for f in flat_files]) \
+            .withColumn("_kb", kb)
+        b = dedupe_last_write_wins(
+            stray.unionByName(b, allowMissingColumns=True),
+            key_col, order_col)
+    if has_kb:
         touched = [r[0] for r in b.select("_kb").distinct().collect()]
-        existing = (spark.read.parquet(target_path)
+        existing = (spark.read.option("basePath", target_path)
+                    .parquet(os.path.join(target_path, "_kb=*"))
                     .filter(F.col("_kb").isin(touched)))
         b = dedupe_last_write_wins(
             existing.unionByName(b, allowMissingColumns=True),
             key_col, order_col)
-    elif os.path.isdir(target_path):
-        # migration: an unbucketed table (e.g. the create_table_if_not_
-        # exists bootstrap, or a table built by plain upsert) — fold ALL
-        # its rows into this merge and drop the flat files afterwards so
-        # the layout converges to pure _kb= partition dirs.
-        # NOT _SUCCESS: the partitioned write recreates the root marker and
-        # deleting it afterwards would make the table look absent to
-        # create_table_if_not_exists (bootstrap would then wipe it)
-        flat_files = [f for f in os.listdir(target_path)
-                      if f.endswith(".parquet")]
-        if flat_files:
-            existing = spark.read.parquet(target_path).withColumn("_kb", kb)
-            b = dedupe_last_write_wins(
-                existing.unionByName(b, allowMissingColumns=True),
-                key_col, order_col)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -183,8 +192,14 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
 
 
 def read_partitioned(spark: SparkSession, target_path: str) -> DataFrame:
-    """Read a partitioned KG table without the internal bucket column."""
-    return spark.read.parquet(target_path).drop("_kb")
+    """Read a partitioned KG table without the internal bucket column.
+    Reads the _kb= dirs explicitly so a crash-window mixed layout (stray
+    flat files awaiting the next upsert's migration) stays readable."""
+    if os.path.isdir(target_path) and any(
+            f.startswith("_kb=") for f in os.listdir(target_path)):
+        return (spark.read.option("basePath", target_path)
+                .parquet(os.path.join(target_path, "_kb=*")).drop("_kb"))
+    return spark.read.parquet(target_path)
 
 
 def write_jsonlines(df: DataFrame, path: str, *,

@@ -373,9 +373,13 @@ def test_phone_regex_shapes():
     from dig_etl_engine_spark.functions.extractors import PHONE_RE
     yes = ["213-555-0147", "(213) 555-0147", "(213)5550147",
            "213.555.0147", "+1 (213) 555-0147", "+1-213-555-0147",
-           "1 213 555 0147"]
+           "1 213 555 0147", "+12135550147"]
     no = ["1734567890", "2135550147", "99999999999999", "123-45",
           "10.0.44.123"]
+    # a match may not START inside a longer digit run (anchored prefix)
+    import re as _re
+    m = _re.search(PHONE_RE, "acct 55512 345 678 9012")
+    assert m is None or not m.group(0).startswith("12 "), m
     for t in yes:
         assert re.search(PHONE_RE, t), t
     for t in no:
