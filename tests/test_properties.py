@@ -414,3 +414,19 @@ def test_asof_bucketed_equals_plain(spark):
                     ldf, rdf, on="t", by="k", value_cols=["v"],
                     bucket_width=25).collect()}
     assert bucketed == plain
+
+
+def test_asof_join_supports_map_payloads(spark):
+    """Map-typed payload columns join (ties break on the orderable
+    subset) — a NULL-map matched row comes through verbatim."""
+    from dig_etl_engine_spark.operators.asof import asof_join
+    ldf = spark.createDataFrame([("a", 5, 1), ("a", 1, 2)],
+                                "k string, t long, lid long")
+    rdf = spark.createDataFrame(
+        [("a", 2, {"x": "1"}), ("a", 4, None)],
+        "k string, t long, attrs map<string,string>")
+    got = {r.lid: (r.t_asof, r.attrs_asof)
+           for r in asof_join(ldf, rdf, on="t", by="k",
+                              value_cols=["attrs"]).collect()}
+    assert got[1] == (4, None)      # matched row's NULL map, not mixed
+    assert got[2] == (None, None)   # before any right row
