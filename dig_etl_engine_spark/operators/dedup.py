@@ -177,12 +177,48 @@ def simhash16_table(df: DataFrame, content_col: str, *,
     return sums.select("id", fp.cast("int").alias("simhash"))
 
 
+def simhash_banded_pairs(df: DataFrame, content_col: str, *,
+                         id_col: str = "doc_id",
+                         max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance ``max_hamming``.
+
+    Pigeonhole blocking: split the 16-bit code into 4 bands of 4 bits —
+    any pair within hamming ≤ 3 agrees EXACTLY on at least one band
+    (3 flipped bits can dirty at most 3 of the 4 bands), so candidates =
+    pairs sharing (band_index, band_value); the exact hamming check
+    (``bit_count(xor)``) then filters false candidates. Same
+    explode → narrow self-join shape as minhash LSH: only (id, band)
+    rows shuffle, recall is exact (no probabilistic misses) for
+    ``max_hamming`` < #bands.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ max.
+    """
+    assert max_hamming < 4, "4 bands guarantee recall only for hamming<4"
+    h = simhash16_table(df, content_col, id_col=id_col)
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("bi"),
+                 F.shiftright(F.col("simhash"), 4 * i)
+                 .bitwiseAND(F.lit(0xF)).alias("bv"))
+        for i in range(4)])
+    banded = h.select("id", "simhash", F.explode(bands).alias("b"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.b") == F.col("b.b"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("doc_a"),
+                    F.col("b.id").alias("doc_b"),
+                    F.col("a.simhash").alias("sa"),
+                    F.col("b.simhash").alias("sb"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 def simhash_bucket_pairs(df: DataFrame, content_col: str, *,
                          id_col: str = "doc_id") -> DataFrame:
     """SimHash dedup, exact-bucket variant: pairs sharing the full 16-bit
-    code (hamming 0). The banded variant (split code into 4-bit bands,
-    join per band, verify hamming ≤ t with bit_count(xor)) has the same
-    join shape as minhash LSH."""
+    code (hamming 0). :func:`simhash_banded_pairs` is the hamming ≤ t
+    generalization with the same join shape."""
     h = simhash16_table(df, content_col, id_col=id_col)
     a, b = h.alias("a"), h.alias("b")
     return (

@@ -139,3 +139,29 @@ class TestConnectedComponents:
         got = self._cc(spark, [(10, 2), (10, 3), (10, 4), (7, 7)])
         # self-loop-only node 7 contributes no edge; star collapses to 2
         assert got == {2: 2, 3: 2, 4: 2, 10: 2}
+
+
+class TestSimhashBanded:
+    def test_banded_recall_is_exact_vs_bruteforce(self, spark):
+        """Pigeonhole guarantee: banded candidates ∩ hamming-filter must
+        equal the brute-force all-pairs hamming ≤ 3 set exactly."""
+        from pyspark.sql import functions as F
+        from dig_etl_engine_spark.operators.dedup import (
+            simhash16_table, simhash_banded_pairs)
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"tok{(i * 7 + j) % 23}" for j in range(12)))
+             for i in range(40)], "doc_id long, text string")
+        got = {(r.doc_a, r.doc_b, r.hamming)
+               for r in simhash_banded_pairs(docs, "text").collect()}
+
+        h = {r.id: r.simhash
+             for r in simhash16_table(docs, "text").collect()}
+        expect = set()
+        ids = sorted(h)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                d = bin(h[a] ^ h[b]).count("1")
+                if d <= 3:
+                    expect.add((a, b, d))
+        assert got == expect
+        assert expect, "fixture should produce at least one close pair"
