@@ -9,7 +9,12 @@ an order-insensitive value hash. Conventions that make the hashes stable:
   * double-typed aggregates are rounded explicitly on BOTH sides (float
     summation order differs between engines at the 1e-12 level);
   * timestamps are projected as formatted strings (Spark session tz is UTC,
-    DuckDB is UTC-naive — strings remove the ambiguity).
+    DuckDB is UTC-naive — strings remove the ambiguity);
+  * integer SUMs that reach the output are CAST to BIGINT in the oracle:
+    DuckDB's SUM over integers yields HUGEINT (int128), which Arrow/pandas
+    materializes as float64 while Spark emits int64 — a typed value hash
+    would mismatch on every row even when the values are equal. (Integer
+    SUMs consumed inside the query — CASE guards, divisions — are exempt.)
 
 Each entry's docstring cites the reference operator it covers
 (file:line under /root/reference).

@@ -519,8 +519,12 @@ def upsert_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, event_id, ts, event_type,
-             SUM(new_sess) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS session_id
+             -- CAST: DuckDB windowed SUM yields HUGEINT (int128) which Arrow
+             -- materializes as float64; Spark emits int64 — typed hash would
+             -- mismatch on every row without the cast (registry convention).
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+               AS session_id
       FROM ordered
     )
     SELECT user_id, session_id,
@@ -540,11 +544,20 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum share the partition ordering) and the final per-session
     aggregation — Catalyst reuses the partitioning, so sessionizing 100 TB
     of events costs one exchange. Ties broken by event_id so the session
-    boundaries are deterministic."""
+    boundaries are deterministic.
+
+    The gap is a native timestamp subtraction (day-time interval, full
+    microsecond precision), not a seconds cast: event timestamps carry
+    sub-second components, and a gap within ±1 s of the 1800 s threshold
+    would otherwise flip session assignment relative to the oracle's
+    INTERVAL comparison. Interval subtraction also works on TIMESTAMP_NTZ
+    without a session-timezone-dependent cast."""
     events = load_tables(spark, sf_dir)["events"]
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
     sess = (events
             .withColumn("new_sess", new_sess)
             .withColumn("session_id",
