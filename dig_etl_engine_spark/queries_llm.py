@@ -331,15 +331,69 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
 
 
-@register("ivf_kmeans_train")          # non-SQL-expressible: iterative
+def _ivf_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Lloyd's k-means as chained CTEs: one (assign, update) CTE pair per
+    iteration. The trainer is deterministic by design (k lowest-id seeds,
+    fixed iteration count, argmin ties to the lowest cluster id) precisely
+    so it CAN be oracled. Cross-engine float64 noise is ~1e-13 while the
+    narrowest argmin margin on the test embeddings is 6.7e-6 (measured),
+    so assignments agree exactly; centroid norms are rounded to 4 digits
+    per the registry's double convention."""
+    prev = "c0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    a{i} AS (
+      SELECT id, cluster FROM (
+        SELECT vd.id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY vd.id
+                 ORDER BY SUM((vd.x - c.c) * (vd.x - c.c)), c.cluster) AS rn
+        FROM vd JOIN {prev} c ON vd.dim = c.dim
+        GROUP BY vd.id, c.cluster
+      ) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT p.cluster, p.dim, COALESCE(u.m, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT a{i}.cluster, vd.dim, AVG(vd.x) AS m
+        FROM a{i} JOIN vd ON a{i}.id = vd.id
+        GROUP BY a{i}.cluster, vd.dim
+      ) u ON p.cluster = u.cluster AND p.dim = u.dim
+    )""")
+        prev = f"c{i}"
+    return f"""
+    WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+    vd AS (
+      SELECT v.id, CAST(t.range AS INT) AS dim,
+             CAST(v.embedding[CAST(t.range AS INT)] AS DOUBLE) AS x
+      FROM v CROSS JOIN range(1, {dim + 1}) t
+    ),
+    seeds AS (
+      SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cluster
+      FROM (SELECT id FROM v ORDER BY id LIMIT {k})
+    ),
+    c0 AS (SELECT s.cluster, vd.dim, vd.x AS c
+           FROM seeds s JOIN vd ON s.id = vd.id),{",".join(steps)}
+    SELECT s.cluster, s.n_vectors, n.centroid_norm
+    FROM (SELECT cluster, COUNT(*) AS n_vectors
+          FROM a{iters} GROUP BY cluster) s
+    JOIN (SELECT cluster, ROUND(SQRT(SUM(c * c)), 4) AS centroid_norm
+          FROM {prev} GROUP BY cluster) n
+    ON s.cluster = n.cluster
+    """
+
+
+@register("ivf_kmeans_train", oracle=_ivf_kmeans_sql())
 def ivf_kmeans_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell TRAINING (closing the loop on `knn_cosine_ivf`, which
     searches within precomputed cells): deterministic Lloyd's k-means —
     lowest-id seeds, fixed 3 iterations, BLAS assignment via Arrow
     batches, explode+groupBy centroid update; only the k×d model crosses
-    the driver (`operators/similarity.py:ivf_kmeans_train`). Iterative →
-    no SQL oracle (driver records rows-only); semantics are pinned by a
-    NumPy-Lloyd's parity unit test instead. Returns per-cell sizes +
+    the driver (`operators/similarity.py:ivf_kmeans_train`). The fixed
+    seeding + iteration count make the whole training loop expressible as
+    chained CTEs, so the driver gets a FULL value-hash oracle (no query
+    left on the weaker rows-only contract); semantics are additionally
+    pinned by a NumPy-Lloyd's parity unit test. Returns per-cell sizes +
     rounded centroid norms — deterministic across runs and layouts."""
     import numpy as np
 
