@@ -81,6 +81,47 @@ def load_index(df_or_spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def materialize_bm25_stats(docs: DataFrame, path: str, *,
+                           text_col: str = "text") -> None:
+    """Persist the corpus statistics BM25 needs — alongside the index,
+    at corpus-build time, the way the reference's Elasticsearch keeps df
+    and field-length norms inside the inverted index it builds at ingest.
+
+    Two tables under ``path``:
+
+    * ``term_df`` — ``(term, df)`` for EVERY distinct token: one
+      tokenize → per-doc distinct → explode → groupBy pass. Query time
+      reads only the query's terms (parquet predicate pushdown on
+      ``term``), so a 2-term query touches 2 row groups, not the corpus.
+    * ``corpus`` — a single row ``(n_docs, avgdl)``.
+
+    Tokenization matches ``plans.weights.bm25_score_column`` (lower,
+    trim, whitespace split) so build-time df and query-time tf agree.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    (docs.select(F.explode(F.array_distinct(toks)).alias("term"))
+         .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+         .write.mode("overwrite").parquet(f"{path}/term_df"))
+    (docs.agg(F.count(F.lit(1)).alias("n_docs"),
+              F.avg(F.size(toks)).alias("avgdl"))
+         .write.mode("overwrite").parquet(f"{path}/corpus"))
+
+
+def load_bm25_stats(spark, path: str, terms: list[str]) -> tuple:
+    """Read ``(n_docs, avgdl, {term: df})`` for the query's terms.
+
+    Bounded driver transfer: one scalar row plus ``len(terms)`` rows via
+    a pushdown ``term IN (...)`` filter on the term_df table. Terms
+    absent from the corpus get df=0 (scores 0, same as the inline agg).
+    """
+    row = spark.read.parquet(f"{path}/corpus").head()
+    hits = (spark.read.parquet(f"{path}/term_df")
+            .filter(F.col("term").isin(list(terms))).collect())
+    df_counts = {t: 0 for t in terms}
+    df_counts.update({r["term"]: r["df"] for r in hits})
+    return row["n_docs"], float(row["avgdl"]), df_counts
+
+
 def high_confidence_keys(index_df: DataFrame) -> DataFrame:
     """Per (doc, field) sorted distinct keys — the
     ``indexed.<field>.high_confidence_keys`` equivalent

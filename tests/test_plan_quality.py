@@ -86,6 +86,19 @@ class TestIndexPartitionPruning:
         pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
         assert pf and any("keyword" in l for l in pf), pf
 
+    def test_bm25_query_path_has_no_corpus_agg(self, spark):
+        """Corpus stats (N, df, avgdl) are persisted at build time and
+        folded into the scoring expression as literals — the query's
+        physical plan must be scan → project → filter → top-k with NO
+        aggregation over the documents table (a full-corpus agg before
+        every search is the 100 TB scale-killer this pins against)."""
+        from dig_etl_engine_spark.queries_search import search_bm25_rank
+        search_bm25_rank(spark, SF)          # first call may build stats
+        df = search_bm25_rank(spark, SF)     # steady state: read-only
+        plan = plan_of(df)
+        assert "Aggregate" not in plan, plan
+        assert "TakeOrderedAndProject" in plan
+
 
 class TestJoinStrategy:
     def test_dimension_join_broadcasts(self, spark):
