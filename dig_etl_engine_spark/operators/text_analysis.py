@@ -129,6 +129,43 @@ def redact_pii(col: Column, *, email: bool = True, ip: bool = True,
     return out
 
 
+def pack_sequences(df, *, id_col: str = "doc_id", text_col: str = "text",
+                   budget: int = 2048, n_buckets: int | None = None):
+    """Sequence packing for LLM training: documents greedily packed into
+    ~``budget``-token sequences by running token total, WITHIN hash
+    buckets. Packing is inherently sequential, so the global order is
+    sharded into ``n_buckets`` independent bucket streams that pack in
+    parallel (one window shuffle on bucket); a global single-stream pack
+    would serialize the corpus through one task.
+
+    ``n_buckets`` defaults to ``sparkContext.defaultParallelism`` so the
+    packing stage's task count scales with the cluster instead of
+    capping at a constant — on a 1000-executor cluster the default gives
+    every core a stream; pass an explicit value when reproducing a
+    specific sharding (the registry's oracle query pins 32).
+
+    seq_id = floor(tokens-before / budget): deterministic and
+    reproducible across engines and bucket counts — a document's
+    (bucket, seq_id) depends only on the ids hashed into its bucket.
+
+    Output: ``(id, bucket, n_tokens, seq_id)``.
+    """
+    from pyspark.sql import Window as W
+
+    if n_buckets is None:
+        n_buckets = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.select(
+        F.col(id_col).alias(id_col),
+        (F.col(id_col) % F.lit(n_buckets)).alias("bucket"),
+        token_count(F.col(text_col)).alias("n_tokens"))
+    w = (W.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        id_col, "bucket", "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).alias("seq_id"))
+
+
 def line_repetition_ratio(col: Column) -> Column:
     """Within-document repetition: fraction of lines that are duplicates
     of an earlier line (the C4/Gopher 'repeated lines' quality filter).

@@ -700,24 +700,13 @@ def line_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing for LLM training: documents greedily packed into
-    ~2048-token sequences by running token total, WITHIN hash buckets —
-    packing is inherently sequential, so the global order is sharded into
-    32 independent bucket streams that pack in parallel (one window
-    shuffle on bucket); a global single-stream pack would serialize the
-    corpus through one task. seq_id = floor(tokens-before / budget):
-    deterministic, reproducible across engines."""
+    """Sequence packing via `operators/text_analysis.py:pack_sequences`
+    with the bucket count PINNED to 32 so the oracle SQL is stable; the
+    operator itself defaults n_buckets to the cluster's
+    defaultParallelism so the packing stage scales its task count with
+    the cluster instead of capping at a constant."""
     docs = load_tables(spark, sf_dir)["documents"]
-    from pyspark.sql import Window as W
-    toks = docs.select(
-        "doc_id", (F.col("doc_id") % 32).alias("bucket"),
-        TA.token_count(F.col("text")).alias("n_tokens"))
-    w = (W.partitionBy("bucket").orderBy("doc_id")
-         .rowsBetween(W.unboundedPreceding, 0))
-    cum = F.sum("n_tokens").over(w)
-    return toks.select(
-        "doc_id", "bucket", "n_tokens",
-        F.floor((cum - F.col("n_tokens")) / 2048).alias("seq_id"))
+    return TA.pack_sequences(docs, budget=2048, n_buckets=32)
 
 
 def _pii_sql() -> str:

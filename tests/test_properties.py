@@ -430,3 +430,30 @@ def test_asof_join_supports_map_payloads(spark):
                               value_cols=["attrs"]).collect()}
     assert got[1] == (4, None)      # matched row's NULL map, not mixed
     assert got[2] == (None, None)   # before any right row
+
+
+def test_pack_sequences_bucket_counts(spark):
+    """pack_sequences parity at two bucket counts: within every bucket
+    the greedy running-total rule holds exactly (pandas recompute), and
+    the default bucket count tracks the cluster's defaultParallelism —
+    the packing stage must scale its task count with the cluster, not
+    cap at a constant."""
+    from dig_etl_engine_spark.catalog import load_tables
+    from dig_etl_engine_spark.operators.text_analysis import pack_sequences
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+
+    for n_buckets in (4, 7):
+        pdf = (pack_sequences(docs, budget=256, n_buckets=n_buckets)
+               .toPandas().sort_values(["bucket", "doc_id"]))
+        assert set(pdf["bucket"]) == set(range(n_buckets))
+        assert (pdf["bucket"] == pdf["doc_id"] % n_buckets).all()
+        cum = pdf.groupby("bucket")["n_tokens"].cumsum()
+        expected = ((cum - pdf["n_tokens"]) // 256).astype("int64")
+        assert (pdf["seq_id"] == expected).all()
+
+    from pyspark.sql import functions as F
+
+    default = pack_sequences(docs)
+    n_default = docs.sparkSession.sparkContext.defaultParallelism
+    assert default.select(F.max("bucket")).head()[0] == n_default - 1
