@@ -58,6 +58,19 @@ def _payload_and_tiebreak(right: DataFrame, on: str,
     return payload, tiebreak
 
 
+def _in_tolerance(t_col, matched_t, dtype, tolerance_s):
+    """Tolerance gate in the on-column's NATIVE type — no long-cast
+    truncation. Timestamps compare as a day-time interval (full
+    microsecond precision, works for TIMESTAMP and TIMESTAMP_NTZ with no
+    timezone-dependent cast); numerics compare by raw subtraction, so
+    fractional seconds/values within 1 unit of the boundary gate exactly
+    per the documented tolerance_s semantics."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return (t_col - matched_t) <= F.expr(
+            f"INTERVAL '{tolerance_s}' SECOND")
+    return (t_col - matched_t) <= F.lit(tolerance_s)
+
+
 def _project(carried: DataFrame, lcols: list[str], on: str,
              value_cols: list[str], suffix: str,
              tolerance_s: int | None) -> DataFrame:
@@ -67,8 +80,8 @@ def _project(carried: DataFrame, lcols: list[str], on: str,
     keep = [F.col(c) for c in lcols]
     matched_t = F.col("_f._mt")
     if tolerance_s is not None:
-        in_tol = (F.col("_t").cast("long") - matched_t.cast("long")
-                  <= F.lit(tolerance_s))
+        in_tol = _in_tolerance(F.col("_t"), matched_t,
+                               carried.schema["_t"].dataType, tolerance_s)
         keep += [F.when(in_tol, matched_t).alias(f"{on}{suffix}")]
         keep += [F.when(in_tol, F.col(f"_f.{c}")).alias(f"{c}{suffix}")
                  for c in value_cols]

@@ -457,3 +457,37 @@ def test_pack_sequences_bucket_counts(spark):
     default = pack_sequences(docs)
     n_default = docs.sparkSession.sparkContext.defaultParallelism
     assert default.select(F.max("bucket")).head()[0] == n_default - 1
+
+
+def test_asof_tolerance_native_precision(spark):
+    """The tolerance gate compares in the on-column's native type: a
+    match 1800.5s old must be OUTSIDE a 1800s tolerance for fractional
+    timestamps (the old long-cast truncated to 1800 and kept it), and a
+    double on-column gates on raw subtraction (2.5 - 0.4 > 2)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dig_etl_engine_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ts = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "a"], "lid": [0, 1, 2],
+                      "t": [ts(1800.4), ts(1800.5), ts(1799.9)]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "t": [ts(0.0)], "v": [1.0]}))
+    got = {r.lid: r.v_asof
+           for r in asof_join(left, right, on="t", by="k",
+                              value_cols=["v"],
+                              tolerance_s=1800).collect()}
+    assert got == {0: None, 1: None, 2: 1.0}
+
+    leftn = spark.createDataFrame(
+        [("a", 0, 2.5), ("a", 1, 2.3)], "k string, lid long, t double")
+    rightn = spark.createDataFrame(
+        [("a", 0.4, 9.0)], "k string, t double, v double")
+    gotn = {r.lid: r.v_asof
+            for r in asof_join(leftn, rightn, on="t", by="k",
+                               value_cols=["v"], tolerance_s=2).collect()}
+    assert gotn == {0: None, 1: 9.0}
