@@ -18,8 +18,12 @@ Scale shapes (shared by minhash and simhash):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 from dig_etl_engine_spark.operators.text_analysis import fingerprint_md5
 
@@ -300,6 +304,15 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        # the signature is (count, bounded hash sum) — cheap but not an
+        # exact edge-set equality; exhausting the budget without signature
+        # repeat means components below may be UNCONVERGED. O(log² n)
+        # convergence makes 25 rounds enough for any realistic n, so this
+        # firing at all points at a bug or adversarial input.
+        logger.warning(
+            "connected_components: no fixpoint within max_iter=%d rounds; "
+            "returned components may be unconverged", max_iter)
     return (nodes.join(e.select(F.col("u").alias("n"),
                                 F.col("v").alias("root")), "n", "left")
             .select(F.col("n").alias("doc_id"),

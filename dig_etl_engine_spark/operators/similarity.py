@@ -133,12 +133,11 @@ def hyperplane_matrix(n_planes: int = 8, dim: int = 64):
 
     import numpy as np
 
-    h = np.empty((n_planes, dim))
-    for j in range(n_planes):
-        for d in range(dim):
-            h[j, d] = (1.0 if int(hashlib.md5(f"{j},{d}".encode())
-                                  .hexdigest()[0], 16) < 8 else -1.0)
-    return h
+    nibbles = np.fromiter(
+        (int(hashlib.md5(f"{j},{d}".encode()).hexdigest()[0], 16)
+         for j in range(n_planes) for d in range(dim)),
+        dtype=np.int64, count=n_planes * dim).reshape(n_planes, dim)
+    return np.where(nibbles < 8, 1.0, -1.0)
 
 
 def assign_hyperplane_buckets(df: DataFrame, *, vec_col: str = "embedding",

@@ -21,6 +21,7 @@ MUST be made explicit or batch-internal ordering is nondeterministic
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import uuid
@@ -28,6 +29,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+logger = logging.getLogger(__name__)
 
 
 def create_table_if_not_exists(spark: SparkSession, path: str,
@@ -148,7 +151,12 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
         try:
             os.remove(os.path.join(target_path, f))
         except OSError:
-            pass
+            # non-fatal: a stray flat file just gets re-merged (and
+            # re-deleted) by the next upsert's migration pass — but say so,
+            # silent leftovers made one real incident hard to trace
+            logger.warning("upsert_partitioned: could not remove migrated "
+                           "flat file %s", os.path.join(target_path, f),
+                           exc_info=True)
 
 
 def compact_partitioned(spark: SparkSession, target_path: str, *,
@@ -158,17 +166,30 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
     upsert rewrites its touched buckets with fresh files; over a day of
     batches a hot bucket accumulates hundreds of small parquet files and
     scan cost grows with file count, not data size. Rewrite each bucket
-    holding ≥ ``min_files`` files down to ceil(bytes/target) files via
-    dynamic partition overwrite — untouched buckets keep their exact
-    files, and each rewrite is atomic per partition directory (readers
-    see old or new, never a mix). Returns the number of buckets
-    compacted.
+    holding ≥ ``min_files`` files down to ceil(bytes/target) files;
+    untouched buckets keep their exact files. Returns the number of
+    buckets compacted.
 
-    Local-FS listing here; on HDFS/S3 swap the glob for the Hadoop
-    FileSystem API (Delta's OPTIMIZE is the managed-table equivalent).
+    Each bucket is compacted to a dot-prefixed temp directory first (Spark's
+    file listing ignores dot-prefixed paths, and the explicit ``_kb=*`` read
+    glob never matches them), then swapped in with two ``os.rename`` calls —
+    never reading and overwriting the same path in one job, which bypasses
+    Spark's self-overwrite guard and can lose the bucket if the job dies
+    mid-commit. The residual crash window is the instant between the two
+    renames (bucket dir absent); a crash there leaves the original intact
+    under ``.compact_old_*`` for manual recovery, and leftover temp dirs
+    from any earlier crash are swept on entry.
+
+    Local-FS rename semantics here; on HDFS swap for FileSystem.rename, on
+    S3 use a manifest-committing table format (Delta's OPTIMIZE is the
+    managed-table equivalent).
     """
     import glob
     import math
+
+    # sweep temp/old litter from prior crashed runs before new work
+    for stale in glob.glob(os.path.join(target_path, ".compact_tmp_*")):
+        shutil.rmtree(stale, ignore_errors=True)
 
     todo: list[tuple[int, int]] = []
     for d in sorted(glob.glob(os.path.join(target_path, "_kb=*"))):
@@ -177,17 +198,17 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
             nbytes = sum(os.path.getsize(f) for f in files)
             todo.append((int(d.rsplit("=", 1)[1]),
                          max(1, math.ceil(nbytes / target_file_bytes))))
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        for kb, nfiles in todo:
-            part = (spark.read.parquet(f"{target_path}/_kb={kb}")
-                    .withColumn("_kb", F.lit(kb)))
-            (part.coalesce(nfiles).write.mode("overwrite")
-             .partitionBy("_kb").parquet(target_path))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for kb, nfiles in todo:
+        d = os.path.join(target_path, f"_kb={kb}")
+        token = uuid.uuid4().hex[:8]
+        tmp = os.path.join(target_path, f".compact_tmp_{kb}_{token}")
+        old = os.path.join(target_path, f".compact_old_{kb}_{token}")
+        # plain (un-partitioned) write: the partition value lives in the
+        # directory name, exactly as the upsert path lays it out
+        spark.read.parquet(d).coalesce(nfiles).write.parquet(tmp)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
     return len(todo)
 
 
