@@ -281,19 +281,23 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
         large = (sym.join(mins, "u")
                  .filter(F.col("v") > F.col("u"))
                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                 .filter(F.col("u") != F.col("v"))
                  .distinct())
-        # small-star: orient larger→smaller; all smaller neighbors and u
-        # itself link to m = min(Γ≤(u))
-        dirr = large.select(F.greatest("u", "v").alias("u"),
-                            F.least("u", "v").alias("v")).distinct()
-        mins2 = dirr.groupBy("u").agg(F.min("v").alias("m"))
-        e = (dirr.join(mins2, "u")
+        # small-star over large's output, which is already oriented
+        # larger→smaller: each emitted edge (v_old, m) has m = a
+        # neighborhood min strictly below v_old, so the usual
+        # greatest/least re-orientation (and its distinct shuffle) is a
+        # no-op here and skipped. All smaller neighbors and u itself link
+        # to m = min(Γ≤(u)).
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        # eager=False: the signature aggregation below is the round's
+        # first action and materializes the checkpoint as a side effect —
+        # one job per round instead of a checkpoint job plus an agg job
+        e = (large.join(mins2, "u")
              .filter(F.col("v") != F.col("m"))
              .select(F.col("v").alias("u"), F.col("m").alias("v"))
              .union(mins2.select(F.col("u"), F.col("m").alias("v")))
              .distinct()
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
         # bounded per-edge hash keeps the sum far from 64-bit overflow
         # (ANSI mode would throw on sum overflow)
         sig_row = e.agg(
