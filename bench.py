@@ -36,6 +36,11 @@ HEADLINE = [
     "ann_hyperplane_lsh",
     "text_quality_score",
     "ts_impute_forward_fill",
+    # round-3 additions: the paths whose plans changed this round
+    "sessionize_events",          # full-precision gap + windowed session ids
+    "search_bm25_rank",           # stats now read from the materialized build
+    "join_asof_rates",            # native-type tolerance gate
+    "sequence_packing",           # parameterized bucket streams
 ]
 
 
