@@ -91,6 +91,31 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / F.greatest(union, F.lit(1))
 
 
+def _minhash_state(df: DataFrame, content_col: str, *, id_col: str,
+                   k: int, num_hashes: int, bands: int
+                   ) -> tuple[DataFrame, DataFrame]:
+    """The two tables every minhash consumer needs: ``(id, sh)`` shingle
+    arrays (for exact-Jaccard verification) and ``(id, band)`` LSH bucket
+    rows (for candidate generation). Stage shape documented in
+    :func:`minhash_lsh_pairs`; persisted as-is by
+    :func:`materialize_minhash_index` for incremental dedup."""
+    rows = num_hashes // bands
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(F.col(content_col), k).alias("sh"))
+    hashed = (sh.select("id", F.explode("sh").alias("shingle"))
+              .select("id", _shingle_hash28(F.col("shingle")).alias("h")))
+    sig = hashed.groupBy("id").agg(*[
+        F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % MH_PRIME)
+        .alias(f"m{i}") for i in range(num_hashes)])
+    band_cols = [
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          *[F.col(f"m{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band"))
+    return sh, banded
+
+
 def minhash_lsh_pairs(df: DataFrame, content_col: str, *,
                       id_col: str = "doc_id", k: int = 3,
                       num_hashes: int = 16, bands: int = 4,
@@ -118,20 +143,8 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str, *,
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b. P(miss | similarity s)
     = (1-s^r)^b — the standard S-curve; deterministic given md5.
     """
-    rows = num_hashes // bands
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingles(F.col(content_col), k).alias("sh"))
-    hashed = (sh.select("id", F.explode("sh").alias("shingle"))
-              .select("id", _shingle_hash28(F.col("shingle")).alias("h")))
-    sig = hashed.groupBy("id").agg(*[
-        F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % MH_PRIME)
-        .alias(f"m{i}") for i in range(num_hashes)])
-    band_cols = [
-        F.md5(F.concat_ws("|", F.lit(str(b)),
-                          *[F.col(f"m{b * rows + r}") for r in range(rows)]))
-        for b in range(bands)
-    ]
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band"))
+    sh, banded = _minhash_state(df, content_col, id_col=id_col, k=k,
+                                num_hashes=num_hashes, bands=bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -148,6 +161,101 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str, *,
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# --- incremental minhash dedup ------------------------------------------------
+
+
+def materialize_minhash_index(df: DataFrame, content_col: str, path: str, *,
+                              id_col: str = "doc_id", k: int = 3,
+                              num_hashes: int = 16, bands: int = 4) -> None:
+    """One-time corpus pass persisting the minhash state two ways:
+    ``{path}/bands`` — narrow ``(id, band)`` bucket rows (candidate side),
+    ``{path}/shingles`` — ``(id, sh)`` arrays (verification side).
+
+    This is what makes daily-batch dedup O(batch), not O(corpus): without
+    it every new batch re-shingles and re-hashes the full history. At
+    warehouse scale store ``bands`` bucketed on ``band``
+    (``catalog.materialize_bucketed``) so each incoming batch shuffles
+    only its own band rows into place — the corpus side never moves."""
+    sh, banded = _minhash_state(df, content_col, id_col=id_col, k=k,
+                                num_hashes=num_hashes, bands=bands)
+    banded.write.mode("overwrite").parquet(f"{path}/bands")
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
+                              content_col: str, id_col: str = "doc_id",
+                              k: int = 3, num_hashes: int = 16,
+                              bands: int = 4, threshold: float = 0.6,
+                              append: bool = True) -> DataFrame:
+    """Dedup a new batch against an indexed corpus AND itself — the
+    steady-state operation of a training-data pipeline, where the corpus
+    was deduped once (:func:`materialize_minhash_index`) and fresh crawl
+    batches arrive forever after.
+
+    Returns ``(doc_a, doc_b, jaccard, origin)`` with ``doc_a`` always a
+    batch doc: ``origin='corpus'`` pairs match an indexed doc
+    (``doc_b`` = its id), ``origin='batch'`` pairs are batch-internal
+    (``doc_a < doc_b``). The pair set equals exactly what a full
+    :func:`minhash_lsh_pairs` re-run over corpus ∪ batch would add on top
+    of the corpus-only pairs (equivalence-tested) — minus the full-corpus
+    cost: the corpus is touched only by the band-bucket join (narrow id
+    rows) and the per-candidate shingle lookup.
+
+    With ``append=True`` the batch's band and shingle rows are appended to
+    the index afterwards, so the next batch dedups against corpus + this
+    batch. Batch ids must be disjoint from corpus ids (enforce upstream —
+    e.g. content-hash ids from ``url_id_synthesis``)."""
+    spark = batch.sparkSession
+    sh_new, banded_new = _minhash_state(batch, content_col, id_col=id_col,
+                                        k=k, num_hashes=num_hashes,
+                                        bands=bands)
+    # both the dedup join and the append consume the state; checkpoint so
+    # the shingle explode + 16-min aggregation run once, not three times
+    sh_new = sh_new.localCheckpoint(eager=False)
+    banded_new = banded_new.localCheckpoint(eager=False)
+
+    old_bands = spark.read.parquet(f"{index_path}/bands")
+    old_sh = spark.read.parquet(f"{index_path}/shingles")
+
+    n, o = banded_new.alias("n"), banded_new.alias("o")
+    cand_int = (n.join(o, (F.col("n.band") == F.col("o.band"))
+                       & (F.col("n.id") < F.col("o.id")))
+                .select(F.col("n.id").alias("doc_a"),
+                        F.col("o.id").alias("doc_b"))
+                .dropDuplicates(["doc_a", "doc_b"])
+                .withColumn("origin", F.lit("batch")))
+    cand_ext = (banded_new.alias("n")
+                .join(old_bands.alias("c"),
+                      F.col("n.band") == F.col("c.band"))
+                .select(F.col("n.id").alias("doc_a"),
+                        F.col("c.id").alias("doc_b"))
+                .dropDuplicates(["doc_a", "doc_b"])
+                .withColumn("origin", F.lit("corpus")))
+    # verification shingles: doc_a is always a batch doc; doc_b comes from
+    # the batch for internal pairs, the index for corpus pairs
+    sh_b = sh_new.unionByName(old_sh).select(
+        F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    result = (
+        cand_int.unionByName(cand_ext)
+        .join(sh_new.select(F.col("id").alias("doc_a"),
+                            F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard",
+                    F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard", "origin")
+    )
+    if append:
+        # pin the result BEFORE appending: the lazy plan re-lists the index
+        # directory at execution, and post-append it would contain the
+        # batch's own rows (spurious self-matches). The pair set is small
+        # (verified dups only), so eager materialization is bounded.
+        result = result.localCheckpoint(eager=True)
+        banded_new.write.mode("append").parquet(f"{index_path}/bands")
+        sh_new.write.mode("append").parquet(f"{index_path}/shingles")
+    return result
 
 
 # --- simhash ------------------------------------------------------------------

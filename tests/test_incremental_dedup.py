@@ -1,0 +1,122 @@
+"""Incremental minhash dedup: the steady-state daily-batch operation.
+
+The contract under test (`operators/dedup.py:incremental_minhash_dedup`):
+dedup a new batch against a previously indexed corpus plus itself, touching
+the corpus only through its persisted band/shingle tables, and produce
+EXACTLY the pairs a full re-run over corpus ∪ batch would add beyond the
+corpus-only pairs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.operators.dedup import (
+    incremental_minhash_dedup, materialize_minhash_index, minhash_lsh_pairs)
+
+
+def _doc(i: int, text: str) -> tuple:
+    return (f"d{i:03d}", text)
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batch(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain falls mainly on the plain every day")
+    uniq = ("completely different content about {} with nothing shared "
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    corpus = [
+        _doc(0, base),
+        _doc(1, base + " extra tail token"),           # near-dup of d000
+        _doc(2, uniq.format("volcanoes")),
+        _doc(3, uniq.format("submarines")),
+    ]
+    batch = [
+        _doc(10, base + " another small suffix"),      # near-dup of corpus
+        _doc(11, uniq.format("harpsichords")),         # unique
+        _doc(12, uniq.format("harpsichords") + " x"),  # near-dup within batch
+        _doc(13, base),                                # exact dup of d000
+    ]
+    schema = "doc_id string, text string"
+    return (spark.createDataFrame(corpus, schema),
+            spark.createDataFrame(batch, schema))
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b): r.jaccard for r in df.collect()}
+
+
+class TestIncrementalMinhash:
+    def test_matches_full_rerun_delta(self, spark, corpus_and_batch,
+                                      tmp_path):
+        corpus, batch = corpus_and_batch
+        idx = str(tmp_path / "mh_index")
+        materialize_minhash_index(corpus, "text", idx)
+
+        inc = incremental_minhash_dedup(batch, idx, content_col="text",
+                                        threshold=0.5, append=False)
+        got = {(r.doc_a, r.doc_b, r.origin): r.jaccard for r in inc.collect()}
+
+        # oracle: full re-run over corpus ∪ batch, minus corpus-only pairs,
+        # re-oriented so the batch doc is doc_a
+        full = _pairs(minhash_lsh_pairs(corpus.unionByName(batch), "text",
+                                        threshold=0.5))
+        old = _pairs(minhash_lsh_pairs(corpus, "text", threshold=0.5))
+        batch_ids = {r.doc_id for r in batch.collect()}
+        expect = {}
+        for (a, b), j in full.items():
+            if (a, b) in old:
+                continue
+            if a in batch_ids and b in batch_ids:
+                expect[(a, b, "batch")] = j
+            elif a in batch_ids or b in batch_ids:
+                new, other = (a, b) if a in batch_ids else (b, a)
+                expect[(new, other, "corpus")] = j
+        assert got == expect
+        # sanity: the planted relationships actually surfaced
+        assert ("d013", "d000", "corpus") in got       # exact dup found
+        assert got[("d013", "d000", "corpus")] == 1.0
+        assert ("d011", "d012", "batch") in got        # within-batch pair
+        assert not any(a == b for a, b, _ in got)
+
+    def test_append_feeds_next_batch(self, spark, corpus_and_batch,
+                                     tmp_path):
+        corpus, batch = corpus_and_batch
+        idx = str(tmp_path / "mh_index")
+        materialize_minhash_index(corpus, "text", idx)
+
+        first = incremental_minhash_dedup(batch, idx, content_col="text",
+                                          threshold=0.5, append=True)
+        n_first = first.count()
+        assert n_first > 0
+
+        # a second batch duplicating a FIRST-batch doc must match it via
+        # the index (origin=corpus), proving the append took effect
+        batch2 = spark.createDataFrame(
+            [("d020", "completely different content about harpsichords "
+              "with nothing shared alpha beta gamma delta epsilon zeta "
+              "eta theta iota kappa")],
+            "doc_id string, text string")
+        second = incremental_minhash_dedup(batch2, idx, content_col="text",
+                                           threshold=0.5, append=False)
+        hits = {(r.doc_a, r.doc_b): r.origin for r in second.collect()}
+        assert hits.get(("d020", "d011")) == "corpus"
+        assert hits.get(("d020", "d012")) == "corpus"
+
+    def test_append_does_not_pollute_own_result(self, spark,
+                                                corpus_and_batch, tmp_path):
+        # the returned pairs must be pinned before the append: no batch doc
+        # may appear as its own corpus match
+        corpus, batch = corpus_and_batch
+        idx = str(tmp_path / "mh_index")
+        materialize_minhash_index(corpus, "text", idx)
+        res = incremental_minhash_dedup(batch, idx, content_col="text",
+                                        threshold=0.5, append=True)
+        rows = res.collect()
+        assert not any(r.doc_a == r.doc_b for r in rows)
+        batch_ids = {r.doc_id for r in batch.collect()}
+        for r in rows:
+            if r.origin == "corpus":
+                assert r.doc_b not in batch_ids

@@ -481,3 +481,31 @@ class TestCompaction:
         b = spark.createDataFrame([("a", 1, "x")], TestUpsert.SCHEMA)
         kg_table.upsert_partitioned(spark, p, b, buckets=2)
         assert kg_table.compact_partitioned(spark, p) == 0
+
+    def test_compact_crash_litter_invisible_and_swept(self, spark, tmp_path):
+        """A crashed compaction's temp dir (dot-prefixed) must be invisible
+        to readers and swept by the next compaction run; a crash between
+        the two swap renames leaves the original under .compact_old_* for
+        manual recovery, also invisible to readers."""
+        import glob
+        import os
+        p = str(tmp_path / "t")
+        b = spark.createDataFrame(
+            [(f"k{i}", i, "base") for i in range(10)], TestUpsert.SCHEMA)
+        kg_table.upsert_partitioned(spark, p, b, buckets=2)
+        before = {r.doc_id for r in
+                  kg_table.read_partitioned(spark, p).collect()}
+
+        # simulate a crash mid-compaction: stale temp dir with bogus data
+        stale = os.path.join(p, ".compact_tmp_0_deadbeef")
+        spark.createDataFrame([("ghost", 99, "x")], TestUpsert.SCHEMA) \
+            .coalesce(1).write.parquet(stale)
+        got = {r.doc_id for r in
+               kg_table.read_partitioned(spark, p).collect()}
+        assert got == before            # litter invisible to readers
+
+        assert kg_table.compact_partitioned(spark, p) == 0
+        assert not glob.glob(os.path.join(p, ".compact_tmp_*"))  # swept
+        after = {r.doc_id for r in
+                 kg_table.read_partitioned(spark, p).collect()}
+        assert after == before
