@@ -245,6 +245,91 @@ def ivf_kmeans_train(df: DataFrame, *, k: int = 8, iters: int = 5,
     return assigned, centroids
 
 
+def materialize_ivf_index(corpus: DataFrame, path: str, *, k: int = 8,
+                          iters: int = 5, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> None:
+    """Build-once IVF index: train cells (:func:`ivf_kmeans_train`), then
+    persist ``{path}/centroids`` (k rows of ``(cluster, centroid)``) and
+    ``{path}/cells`` — the corpus WITH its cell assignment, physically
+    ``partitionBy(cluster)``.
+
+    The partition layout is the scale win: a query batch probing
+    ``nprobe`` of ``k`` cells reads ~``nprobe/k`` of the corpus bytes via
+    partition pruning — the other cells' files are never listed into the
+    scan. Same build-once/query-many contract as the BM25 stats table and
+    the minhash band index."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    assigned, centroids = ivf_kmeans_train(corpus, k=k, iters=iters,
+                                           id_col=id_col, vec_col=vec_col)
+    (corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+     .join(assigned, "id")
+     .write.mode("overwrite").partitionBy("cluster")
+     .parquet(f"{path}/cells"))
+    cent_pdf = pd.DataFrame({
+        "cluster": range(len(centroids)),
+        "centroid": [list(map(float, c)) for c in centroids]})
+    (spark.createDataFrame(cent_pdf)
+     .write.mode("overwrite").parquet(f"{path}/centroids"))
+
+
+def knn_ivf_indexed(queries: DataFrame, index_path: str, *, k: int = 5,
+                    nprobe: int = 1, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    round_digits: int = 4) -> DataFrame:
+    """ANN over a :func:`materialize_ivf_index` build, with multi-probe:
+    each query searches its ``nprobe`` nearest cells. ``nprobe`` is the
+    recall/cost dial — 1 reproduces :func:`knn_ivf`'s semantics against a
+    prebuilt index, ``nprobe = k_cells`` is exact brute force.
+
+    Shape: the centroid table (k×d, a few KB) collects to the driver;
+    query→cell probe assignment is driver-side numpy. The cells scan is
+    filtered to the union of probed cells — partition-pruned, so unprobed
+    cells cost zero I/O — and the per-cell candidate join is the same
+    narrow equi-join as :func:`knn_ivf`, now keyed on (query, probed
+    cell). Queries are small by contract (the brute-force contract);
+    the corpus side never shuffles beyond the cell join."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    cent_rows = (spark.read.parquet(f"{index_path}/centroids")
+                 .orderBy("cluster").collect())
+    cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    n_cells = len(cents)
+    nprobe = min(nprobe, n_cells)
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        d = ((cents - qv) ** 2).sum(axis=1)
+        # stable argsort: equidistant centroids probe lowest cluster first
+        for c in np.argsort(d, kind="stable")[:nprobe]:
+            probe_rows.append((int(r[0]), int(c)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cluster int")
+    qv_df = queries.select(F.col(id_col).alias("query_id"),
+                           as_double(F.col(vec_col)).alias("qv"))
+    probed = probes.join(qv_df, "query_id")
+
+    probe_set = sorted({c for _, c in probe_rows})
+    cells = (spark.read.parquet(f"{index_path}/cells")
+             .filter(F.col("cluster").isin(probe_set))
+             .select(F.col("id").alias("neighbor_id"), "cluster",
+                     as_double(F.col("v")).alias("cv")))
+    scored = (
+        F.broadcast(probed).join(cells, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
+                 .alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              cell_col: str = "label",

@@ -1,0 +1,82 @@
+"""Persisted IVF index (`operators/similarity.py:materialize_ivf_index` /
+`knn_ivf_indexed`): build-once/query-many ANN with a partition-pruned cell
+scan and an nprobe recall dial.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.operators.similarity import (
+    knn_bruteforce, knn_ivf_indexed, materialize_ivf_index)
+
+K_CELLS = 4
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    # plant cluster structure (same construction as the recall test):
+    # shrink the random component, add a one-hot cluster center
+    center = F.array(*[
+        F.when(F.col("vec_id") % 4 == d, F.lit(1.0)).otherwise(F.lit(0.0))
+        for d in range(4)])
+    clustered = emb.select(
+        "vec_id",
+        F.zip_with(
+            F.slice(F.transform("embedding",
+                                lambda x: x.cast("double") * 0.2), 1, 64),
+            F.concat(center, F.array_repeat(F.lit(0.0), 60)),
+            lambda a, b: a + b).alias("embedding"))
+    materialize_ivf_index(clustered, path, k=K_CELLS, iters=3)
+    queries = clustered.filter(F.col("vec_id") % 20 == 0).cache()
+    return path, clustered, queries
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+class TestIvfIndex:
+    def test_probe_all_equals_bruteforce(self, spark, built):
+        """nprobe = all cells searches the full corpus: results must be
+        IDENTICAL to exact brute force (same ranking tie-breaks)."""
+        path, clustered, queries = built
+        exact = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+                 for r in knn_bruteforce(queries, clustered, k=5).collect()}
+        got = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+               for r in knn_ivf_indexed(queries, path, k=5,
+                                        nprobe=K_CELLS).collect()}
+        assert got == exact
+
+    def test_nprobe1_recall_floor(self, spark, built):
+        path, clustered, queries = built
+        truth = _pairs(knn_bruteforce(queries, clustered, k=5))
+        found = _pairs(knn_ivf_indexed(queries, path, k=5, nprobe=1))
+        recall = len(truth & found) / len(truth)
+        assert recall >= 0.85, f"nprobe=1 recall {recall:.2f} below floor"
+
+    def test_nprobe_monotone_recall(self, spark, built):
+        """More probes can only add candidates — recall must be monotone
+        in nprobe (the dial's contract)."""
+        path, clustered, queries = built
+        truth = _pairs(knn_bruteforce(queries, clustered, k=5))
+        r = [len(truth & _pairs(knn_ivf_indexed(queries, path, k=5,
+                                                nprobe=p))) / len(truth)
+             for p in (1, 2, K_CELLS)]
+        assert r[0] <= r[1] <= r[2] == 1.0
+
+    def test_cells_scan_partition_pruned(self, spark, built):
+        """The physical plan must prune unprobed cell partitions: probing
+        1 cell reads 1 of K_CELLS partition directories."""
+        path, _, queries = built
+        one_q = queries.limit(1)
+        plan = knn_ivf_indexed(one_q, path, k=5, nprobe=1) \
+            ._jdf.queryExecution().executedPlan().toString()
+        import re
+        m = re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*\]", plan)
+        assert m, f"no partition filter on cluster in plan:\n{plan[:2000]}"
