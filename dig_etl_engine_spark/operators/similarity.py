@@ -330,6 +330,124 @@ def knn_ivf_indexed(queries: DataFrame, index_path: str, *, k: int = 5,
             .filter(F.col("rank") <= k))
 
 
+def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
+                                threshold: float = 0.99, nprobe: int = 1,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                round_digits: int = 4,
+                                append: bool = True) -> DataFrame:
+    """Semantic near-dup check of a new batch against a
+    :func:`materialize_ivf_index` corpus — the embedding-space sibling of
+    ``dedup.incremental_minhash_dedup``, sharing one physical index with
+    :func:`knn_ivf_indexed`.
+
+    Shape: batch vectors get their ``nprobe`` nearest cells from the tiny
+    broadcast centroid table inside one Arrow ``mapInPandas`` pass (the
+    batch is NOT small by contract, so assignment never touches the
+    driver). The cells scan is pruned to the batch's occupied cells, each
+    cell groups corpus + batch rows onto one executor, and the cell's
+    batch×all cosine block is one BLAS matmul. Returns
+    ``(doc_a, doc_b, cosine, origin)`` with ``doc_a`` a batch doc;
+    batch-internal pairs (``origin='batch'``) have ``doc_a < doc_b``.
+    Same cell-boundary approximation as :func:`embedding_near_dup_pairs`;
+    raise ``nprobe`` to catch straddlers. ``append=True`` adds the batch
+    (primary cell only) to the index for the next round."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from dig_etl_engine_spark.session import ship_package
+
+    spark = batch.sparkSession
+    ship_package(spark)
+    cent_rows = (spark.read.parquet(f"{index_path}/centroids")
+                 .orderBy("cluster").collect())
+    cents = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    nprobe = min(nprobe, len(cents))
+    c2 = (cents ** 2).sum(axis=1)
+
+    assign_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("is_primary", T.BooleanType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["v"].tolist(), dtype=np.float64)
+            d = (m ** 2).sum(axis=1)[:, None] - 2 * (m @ cents.T) + c2
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame({
+                "id": np.repeat(pdf["id"].to_numpy(np.int64), nprobe),
+                "v": [v for v in pdf["v"] for _ in range(nprobe)],
+                "cluster": order.ravel().astype(np.int32),
+                "is_primary": np.tile(
+                    np.arange(nprobe) == 0, n)})
+
+    new_rows = (batch.select(F.col(id_col).alias("id"),
+                             as_double(F.col(vec_col)).alias("v"))
+                .mapInPandas(assign, assign_schema)
+                .localCheckpoint(eager=False))
+
+    occupied = sorted({r["cluster"] for r in
+                       new_rows.select("cluster").distinct().collect()})
+    old_rows = (spark.read.parquet(f"{index_path}/cells")
+                .filter(F.col("cluster").isin(occupied))
+                .select("id", as_double(F.col("v")).alias("v"), "cluster",
+                        F.lit(False).alias("is_new"),
+                        F.lit(True).alias("is_primary")))
+    both = new_rows.select("id", "v", "cluster",
+                           F.lit(True).alias("is_new"), "is_primary") \
+        .unionByName(old_rows)
+
+    margin = 0.5 * 10.0 ** (-round_digits)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        new = pdf[pdf["is_new"]]
+        if not len(new):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": [],
+                                 "origin": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64",
+                 "cosine": "float64", "origin": "object"})
+        ids = pdf["id"].to_numpy(np.int64)
+        v = np.array(pdf["v"].tolist(), dtype=np.float64)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        is_new = pdf["is_new"].to_numpy(bool)
+        ni = np.flatnonzero(is_new)
+        sims = v[ni] @ v.T                       # |new| × |all|
+        ai, bi = np.where(sims >= threshold - margin)
+        a_ids, b_ids = ids[ni[ai]], ids[bi]
+        b_new = is_new[bi]
+        # drop self-pairs; orient batch-internal pairs doc_a < doc_b
+        # (each survives once — the mirrored duplicate is dropped)
+        keep = (a_ids != b_ids) & (~b_new | (a_ids < b_ids))
+        return pd.DataFrame({
+            "doc_a": a_ids[keep], "doc_b": b_ids[keep],
+            "cosine": sims[ai, bi][keep],
+            "origin": np.where(b_new[keep], "batch", "corpus")})
+
+    result = (
+        both.groupBy("cluster").applyInPandas(
+            cell_pairs,
+            "doc_a long, doc_b long, cosine double, origin string")
+        # nprobe > 1 can surface the same pair in several probed cells
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("cosine", F.round("cosine", round_digits))
+        .filter(F.col("cosine") >= threshold)
+    )
+    if append:
+        # pin before append — see incremental_minhash_dedup
+        result = result.localCheckpoint(eager=True)
+        (new_rows.filter("is_primary").select("id", "v", "cluster")
+         .write.mode("append").partitionBy("cluster")
+         .parquet(f"{index_path}/cells"))
+    return result
+
+
 def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              cell_col: str = "label",

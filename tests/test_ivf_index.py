@@ -70,6 +70,77 @@ class TestIvfIndex:
              for p in (1, 2, K_CELLS)]
         assert r[0] <= r[1] <= r[2] == 1.0
 
+    def test_incremental_embedding_dedup_matches_numpy_oracle(
+            self, spark, built):
+        """nprobe=1 pair set equals an independent NumPy oracle: cosine ≥
+        threshold among same-primary-cell rows of corpus ∪ batch, minus
+        corpus-only pairs, batch doc first."""
+        import numpy as np
+
+        from dig_etl_engine_spark.operators.similarity import (
+            incremental_embedding_dedup)
+
+        path, clustered, _ = built
+        batch = clustered.filter(F.col("vec_id") % 20 == 7).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        got = {(r.doc_a, r.doc_b, r.origin): r.cosine
+               for r in incremental_embedding_dedup(
+                   batch, path, threshold=0.9, append=False).collect()}
+
+        cents = np.array(
+            [r["centroid"] for r in spark.read.parquet(f"{path}/centroids")
+             .orderBy("cluster").collect()], dtype=np.float64)
+        def rowmap(df):
+            return {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                    for r in df.collect()}
+        old, new = rowmap(clustered), rowmap(batch)
+        every = {**old, **new}
+        cell = {i: int(((cents - v) ** 2).sum(axis=1).argmin())
+                for i, v in every.items()}
+        expect = {}
+        ids = sorted(every)
+        for a in sorted(new):
+            va = every[a] / np.linalg.norm(every[a])
+            for b in ids:
+                if b == a or cell[b] != cell[a]:
+                    continue
+                if b in new and not a < b:
+                    continue
+                c = round(float(va @ (every[b] / np.linalg.norm(every[b]))), 4)
+                if c >= 0.9:
+                    expect[(a, b, "batch" if b in new else "corpus")] = c
+        assert got == expect
+        assert len(got) > 0     # exact copies must have matched
+        # every batch doc is an exact copy of a corpus doc: its pair is
+        # present at cosine 1.0
+        assert all(
+            got.get((i + 100000, i, "corpus")) == 1.0
+            for i in old if i % 20 == 7)
+
+    def test_incremental_embedding_append_feeds_next_batch(
+            self, spark, built, tmp_path):
+        from dig_etl_engine_spark.operators.similarity import (
+            incremental_embedding_dedup, materialize_ivf_index)
+
+        path = str(tmp_path / "index2")
+        _, clustered, _ = built
+        materialize_ivf_index(clustered, path, k=K_CELLS, iters=3)
+        b1 = clustered.filter(F.col("vec_id") % 20 == 7).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        r1 = incremental_embedding_dedup(b1, path, threshold=0.9,
+                                         append=True)
+        # pinned result: no batch doc matched through its own append
+        assert not any(r.doc_b >= 100000 and r.origin == "corpus"
+                       for r in r1.collect())
+        # a second batch duplicating a first-batch doc finds it as corpus
+        b2 = b1.limit(1).select((F.col("vec_id") + 100000).alias("vec_id"),
+                                "embedding")
+        hit = {(r.doc_a, r.doc_b): r.origin
+               for r in incremental_embedding_dedup(
+                   b2, path, threshold=0.9, append=False).collect()}
+        first_id = b1.limit(1).collect()[0].vec_id
+        assert hit.get((first_id + 100000, first_id)) == "corpus"
+
     def test_cells_scan_partition_pruned(self, spark, built):
         """The physical plan must prune unprobed cell partitions: probing
         1 cell reads 1 of K_CELLS partition directories."""
