@@ -165,6 +165,38 @@ def run_windowed_counts(source: DataFrame, *, target_path: str,
             .trigger(availableNow=True).start())
 
 
+def run_session_windows(source: DataFrame, *, target_path: str,
+                        checkpoint_dir: str, gap: str = "30 minutes",
+                        watermark: str = "1 hour", ts_col: str = "ts",
+                        key_col: str = "user_id") -> StreamingQuery:
+    """Streaming sessionization — the online form of the batch
+    ``sessionize_events`` query, via Spark's native ``session_window``
+    (dynamic-gap event-time windows that MERGE as events arrive: two
+    sessions bridged by a late event inside the watermark collapse into
+    one before finalization — semantics a hand-rolled stateful op gets
+    wrong easily, and the reference has nothing like; SURVEY §1.2).
+
+    Scale shape: state is per (key, open session) in the state store,
+    partitioned by the groupBy shuffle; a session finalizes (append mode)
+    once the watermark passes its end + gap, so state for quiet keys is
+    bounded by the watermark horizon, not stream lifetime.
+    """
+    agg = (
+        source.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                 F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), key_col,
+                "n_events", "sum_value")
+    )
+    return (agg.writeStream.outputMode("append").format("parquet")
+            .option("path", target_path)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
 def reset_offsets(checkpoint_dir: str) -> None:
     """C2 (`reset_offset.py:25-39`; `manager.py:135-161`): reprocess from
     scratch by discarding stream progress."""

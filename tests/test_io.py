@@ -431,6 +431,66 @@ class TestStreamingIngest:
                        ("2024-01-02", "view"): (1, 3.0),
                        ("2024-01-03", "click"): (1, 1.0)}
 
+    def test_session_windows_merge_and_finalize(self, spark, tmp_path):
+        """Streaming sessionization via native session_window: dynamic-gap
+        sessions MERGE when a late-but-inside-watermark event bridges two
+        open sessions, and finalize (append mode) only once the watermark
+        passes session end. The merge is the semantics worth pinning — a
+        batch-style gap rule applied per micro-batch would emit two
+        sessions for the bridged key."""
+        import json
+        from pyspark.sql import types as T
+        from dig_etl_engine_spark.streaming.ingest import (
+            file_stream_source, run_session_windows)
+
+        schema = T.StructType([
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ])
+        src = tmp_path / "in"; src.mkdir()
+        target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def drop(name, rows):
+            with open(src / name, "w") as fh:
+                for ts, u in rows:
+                    fh.write(json.dumps(
+                        {"ts": ts, "user_id": u, "value": 1.0}) + "\n")
+
+        def run():
+            q = run_session_windows(
+                file_stream_source(spark, str(src), schema),
+                target_path=target, checkpoint_dir=ckpt)
+            q.awaitTermination()
+
+        # u2's two events sit 40 min apart — two open sessions until the
+        # 10:20 bridge arrives in the NEXT batch (above the 10:00
+        # watermark, so accepted) and merges them
+        drop("a.json", [("2024-01-01T10:00:00", "u1"),
+                        ("2024-01-01T10:10:00", "u1"),
+                        ("2024-01-01T10:00:00", "u2"),
+                        ("2024-01-01T10:40:00", "u2"),
+                        ("2024-01-01T11:00:00", "clk")])
+        run()     # watermark 10:00 — nothing finalized yet
+        assert spark.read.schema(
+            "session_start timestamp, session_end timestamp, "
+            "user_id string, n_events long, sum_value double"
+        ).parquet(target).count() == 0
+
+        drop("b.json", [("2024-01-01T10:20:00", "u2"),   # bridges u2
+                        ("2024-01-01T12:30:00", "u1"),   # new open session
+                        ("2024-01-01T13:00:00", "clk")])
+        run()     # watermark 12:00 finalizes everything ending before it
+
+        got = {(r.user_id, str(r.session_start)[11:16],
+                str(r.session_end)[11:16]): r.n_events
+               for r in spark.read.parquet(target).collect()}
+        assert got == {
+            ("u1", "10:00", "10:40"): 2,
+            ("u2", "10:00", "11:10"): 3,     # ONE merged session of 3
+            ("clk", "11:00", "11:30"): 1,
+        }
+
     def test_kafka_builders_construct(self, spark):
         # no broker in the container: assert the gated builders produce
         # configured writer objects without starting anything
