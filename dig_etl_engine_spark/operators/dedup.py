@@ -119,7 +119,8 @@ def _minhash_state(df: DataFrame, content_col: str, *, id_col: str,
 def minhash_lsh_pairs(df: DataFrame, content_col: str, *,
                       id_col: str = "doc_id", k: int = 3,
                       num_hashes: int = 16, bands: int = 4,
-                      threshold: float = 0.6) -> DataFrame:
+                      threshold: float = 0.6,
+                      max_bucket: int | None = None) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
     Shape (the 100 TB shape, and the only fast one on Spark):
@@ -142,16 +143,50 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str, *,
 
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b. P(miss | similarity s)
     = (1-s^r)^b — the standard S-curve; deterministic given md5.
+
+    ``max_bucket`` is the hot-bucket guard for boilerplate storms: a crawl
+    with thousands of near-identical templated pages puts them all in the
+    same band bucket, and the all-pairs self-join goes quadratic in that
+    one bucket. Buckets larger than the cap switch to STAR pairing — every
+    member pairs with the bucket's min-id representative only — which
+    keeps the bucket linear and (after verification) preserves the
+    connected component for downstream clustering whenever members
+    actually verify against the representative; direct pairs between
+    non-representative members of an oversized bucket are the recall
+    trade, so the cap should sit well above any organic bucket size.
+    Default None = exact all-pairs semantics (the oracle-checked shape).
     """
+    from pyspark.sql import Window
+
     sh, banded = _minhash_state(df, content_col, id_col=id_col, k=k,
                                 num_hashes=num_hashes, bands=bands)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band")
+        sized = (banded.withColumn("bsz", F.count(F.lit(1)).over(w))
+                 .withColumn("rep", F.min("id").over(w)))
+        small = sized.filter(F.col("bsz") <= max_bucket) \
+            .select("id", "band")
+        a, b = small.alias("a"), small.alias("b")
+        pairs_small = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("doc_a"),
+                    F.col("b.id").alias("doc_b")))
+        pairs_star = (sized.filter((F.col("bsz") > max_bucket)
+                                   & (F.col("id") != F.col("rep")))
+                      .select(F.col("rep").alias("doc_a"),
+                              F.col("id").alias("doc_b")))
+        cand = (pairs_small.unionByName(pairs_star)
+                .dropDuplicates(["doc_a", "doc_b"]))
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("doc_a"),
+                    F.col("b.id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
     return (
         cand.join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")),
                   "doc_a")

@@ -14,7 +14,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.operators.dedup import (
-    incremental_minhash_dedup, materialize_minhash_index, minhash_lsh_pairs)
+    connected_components, incremental_minhash_dedup,
+    materialize_minhash_index, minhash_lsh_pairs)
 
 
 def _doc(i: int, text: str) -> tuple:
@@ -104,6 +105,47 @@ class TestIncrementalMinhash:
         hits = {(r.doc_a, r.doc_b): r.origin for r in second.collect()}
         assert hits.get(("d020", "d011")) == "corpus"
         assert hits.get(("d020", "d012")) == "corpus"
+
+    def test_hot_bucket_guard_linear_pairs(self, spark):
+        """A boilerplate storm (many identical docs) must not go quadratic
+        when max_bucket caps it: the oversized bucket emits star pairs to
+        its min-id representative (linear), the component survives for
+        downstream clustering, and unrelated small buckets keep exact
+        all-pairs output."""
+        storm_text = ("identical boilerplate page header footer nav about "
+                      "contact terms privacy copyright all rights reserved")
+        base = ("the quick brown fox jumps over the lazy dog while rain "
+                "in spain falls mainly on the plain")
+        rows = [(f"s{i:02d}", storm_text) for i in range(12)]
+        rows += [("n00", base), ("n01", base + " tail")]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+        capped = minhash_lsh_pairs(docs, "text", threshold=0.5,
+                                   max_bucket=5)
+        got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+        storm_pairs = {(a, b) for a, b in got if a.startswith("s")}
+        # star: 11 pairs to the rep, not C(12,2)=66
+        assert storm_pairs == {("s00", f"s{i:02d}") for i in range(1, 12)}
+        assert ("n00", "n01") in got          # small bucket untouched
+
+        # the capped pair set still yields ONE storm component
+        edges = capped.select(
+            F.conv(F.substring(F.md5("doc_a"), 1, 15), 16, 10)
+             .cast("long").alias("a_h"),
+            F.conv(F.substring(F.md5("doc_b"), 1, 15), 16, 10)
+             .cast("long").alias("b_h"))
+        comp = connected_components(edges, src="a_h", dst="b_h")
+        n_components = comp.select("component").distinct().count()
+        assert n_components == 2              # storm + the n-pair
+
+        # cap above every bucket size == exact default semantics
+        exact = {(r.doc_a, r.doc_b, r.jaccard)
+                 for r in minhash_lsh_pairs(docs, "text",
+                                            threshold=0.5).collect()}
+        wide = {(r.doc_a, r.doc_b, r.jaccard)
+                for r in minhash_lsh_pairs(docs, "text", threshold=0.5,
+                                           max_bucket=1000).collect()}
+        assert wide == exact
 
     def test_append_does_not_pollute_own_result(self, spark,
                                                 corpus_and_batch, tmp_path):
