@@ -198,6 +198,56 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str, *,
     )
 
 
+# --- composed corpus dedup ----------------------------------------------------
+
+
+def dedup_corpus(df: DataFrame, content_col: str, *,
+                 id_col: str = "doc_id", k: int = 3,
+                 threshold: float = 0.6,
+                 max_bucket: int | None = None) -> DataFrame:
+    """The full dedup flow a corpus owner actually runs, composed from the
+    verified pieces: exact collapse → minhash-LSH near-dup pairs among the
+    exact survivors → connected components → min-id survivor per
+    component.
+
+    Returns one row PER INPUT DOC: ``(doc_id, survivor, reason)`` with
+    ``reason`` ∈ ``kept`` (the doc survives), ``exact_dup`` (byte-equal
+    content to its survivor's group), ``near_dup`` (linked through the
+    LSH component). Filtering a corpus is then one semi-join on
+    ``reason = 'kept'``.
+
+    Ordering matters at scale: exact dedup FIRST collapses boilerplate
+    storms before they hit the LSH band buckets (the quadratic-bucket
+    hazard ``max_bucket`` guards against — after exact collapse only
+    near-identical-but-not-equal storms remain for the guard).
+    ``id_col`` must be numeric (component ids are min-reduced longs).
+    """
+    fp = fingerprint_md5(F.col(content_col)).alias("fingerprint")
+    doc_fp = df.select(F.col(id_col).alias("doc_id"), fp)
+    groups = doc_fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("exact_rep"))
+    doc_rep = doc_fp.join(groups, "fingerprint").select("doc_id",
+                                                        "exact_rep")
+    reps = df.join(groups.select(F.col("exact_rep").alias(id_col)),
+                   id_col)
+    pairs = minhash_lsh_pairs(reps, content_col, id_col=id_col, k=k,
+                              threshold=threshold, max_bucket=max_bucket)
+    comp = connected_components(pairs)   # (doc_id, component) — edges only
+    rep_surv = (groups.select(F.col("exact_rep").alias("doc_id"))
+                .join(comp, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("component", "doc_id").alias("survivor"))
+                .withColumnRenamed("doc_id", "exact_rep"))
+    return (
+        doc_rep.join(rep_surv, "exact_rep")
+        .select(
+            "doc_id", "survivor",
+            F.when(F.col("doc_id") == F.col("survivor"), "kept")
+             .when(F.col("doc_id") == F.col("exact_rep"), "near_dup")
+             .otherwise("exact_dup").alias("reason"))
+    )
+
+
 # --- incremental minhash dedup ------------------------------------------------
 
 

@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.operators.dedup import (
-    connected_components, incremental_minhash_dedup,
+    connected_components, dedup_corpus, incremental_minhash_dedup,
     materialize_minhash_index, minhash_lsh_pairs)
 
 
@@ -146,6 +146,42 @@ class TestIncrementalMinhash:
                 for r in minhash_lsh_pairs(docs, "text", threshold=0.5,
                                            max_bucket=1000).collect()}
         assert wide == exact
+
+    def test_dedup_corpus_composed_flow(self, spark):
+        """dedup_corpus end-to-end golden: exact collapse, near-dup
+        linking (transitive through a chain), and per-doc survivor labels
+        derivable by hand."""
+        base = ("the quick brown fox jumps over the lazy dog while rain "
+                "in spain falls mainly on the plain every single day")
+        uniq = ("unrelated corpus text about {} alpha beta gamma delta "
+                "epsilon zeta eta theta iota kappa lambda mu nu xi")
+        rows = [
+            (1, base),
+            (2, base),                          # exact dup of 1
+            (3, base + " trailing tail"),       # near-dup of 1
+            (4, "entirely different document mentioning submarine "
+                "volcanoes oceanography bathymetry hydrothermal vents "
+                "plate tectonics magma chambers"),   # unique → kept
+            (6, uniq.format("harpsichords")),
+            (7, uniq.format("harpsichords") + " x"),       # chain 6-7
+            (8, uniq.format("harpsichords") + " x y z"),   # chain 7-8
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.survivor, r.reason)
+               for r in dedup_corpus(docs, "text",
+                                     threshold=0.5).collect()}
+        assert got == {
+            1: (1, "kept"),
+            2: (1, "exact_dup"),
+            3: (1, "near_dup"),
+            4: (4, "kept"),
+            6: (6, "kept"),
+            7: (6, "near_dup"),
+            8: (6, "near_dup"),     # transitive through 7
+        }
+        # filtering contract: kept docs are exactly the survivors
+        kept = {d for d, (s, r) in got.items() if r == "kept"}
+        assert kept == {s for s, _ in got.values()}
 
     def test_append_does_not_pollute_own_result(self, spark,
                                                 corpus_and_batch, tmp_path):
