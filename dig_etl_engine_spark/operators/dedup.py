@@ -116,6 +116,42 @@ def _minhash_state(df: DataFrame, content_col: str, *, id_col: str,
     return sh, banded
 
 
+def _self_join_pairs(banded: DataFrame,
+                     max_bucket: int | None) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from an ``(id, band)`` table:
+    all-pairs within each band bucket, or — with ``max_bucket`` — star
+    pairs to the bucket's min-id representative for oversized buckets
+    (the hot-bucket guard; semantics in :func:`minhash_lsh_pairs`)."""
+    from pyspark.sql import Window
+
+    if max_bucket is not None:
+        w = Window.partitionBy("band")
+        sized = (banded.withColumn("bsz", F.count(F.lit(1)).over(w))
+                 .withColumn("rep", F.min("id").over(w)))
+        small = sized.filter(F.col("bsz") <= max_bucket) \
+            .select("id", "band")
+        a, b = small.alias("a"), small.alias("b")
+        pairs_small = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("doc_a"),
+                    F.col("b.id").alias("doc_b")))
+        pairs_star = (sized.filter((F.col("bsz") > max_bucket)
+                                   & (F.col("id") != F.col("rep")))
+                      .select(F.col("rep").alias("doc_a"),
+                              F.col("id").alias("doc_b")))
+        return (pairs_small.unionByName(pairs_star)
+                .dropDuplicates(["doc_a", "doc_b"]))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"),
+                F.col("b.id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, content_col: str, *,
                       id_col: str = "doc_id", k: int = 3,
                       num_hashes: int = 16, bands: int = 4,
@@ -156,37 +192,9 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str, *,
     trade, so the cap should sit well above any organic bucket size.
     Default None = exact all-pairs semantics (the oracle-checked shape).
     """
-    from pyspark.sql import Window
-
     sh, banded = _minhash_state(df, content_col, id_col=id_col, k=k,
                                 num_hashes=num_hashes, bands=bands)
-    if max_bucket is not None:
-        w = Window.partitionBy("band")
-        sized = (banded.withColumn("bsz", F.count(F.lit(1)).over(w))
-                 .withColumn("rep", F.min("id").over(w)))
-        small = sized.filter(F.col("bsz") <= max_bucket) \
-            .select("id", "band")
-        a, b = small.alias("a"), small.alias("b")
-        pairs_small = (
-            a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("doc_a"),
-                    F.col("b.id").alias("doc_b")))
-        pairs_star = (sized.filter((F.col("bsz") > max_bucket)
-                                   & (F.col("id") != F.col("rep")))
-                      .select(F.col("rep").alias("doc_a"),
-                              F.col("id").alias("doc_b")))
-        cand = (pairs_small.unionByName(pairs_star)
-                .dropDuplicates(["doc_a", "doc_b"]))
-    else:
-        a, b = banded.alias("a"), banded.alias("b")
-        cand = (
-            a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("doc_a"),
-                    F.col("b.id").alias("doc_b"))
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
+    cand = _self_join_pairs(banded, max_bucket)
     return (
         cand.join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")),
                   "doc_a")
@@ -273,6 +281,7 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
                               content_col: str, id_col: str = "doc_id",
                               k: int = 3, num_hashes: int = 16,
                               bands: int = 4, threshold: float = 0.6,
+                              max_bucket: int | None = None,
                               append: bool = True) -> DataFrame:
     """Dedup a new batch against an indexed corpus AND itself — the
     steady-state operation of a training-data pipeline, where the corpus
@@ -291,7 +300,10 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
     With ``append=True`` the batch's band and shingle rows are appended to
     the index afterwards, so the next batch dedups against corpus + this
     batch. Batch ids must be disjoint from corpus ids (enforce upstream —
-    e.g. content-hash ids from ``url_id_synthesis``)."""
+    e.g. content-hash ids from ``url_id_synthesis``). ``max_bucket``
+    star-caps oversized batch-internal band buckets exactly as in
+    :func:`minhash_lsh_pairs` (equivalence holds for the uncapped
+    default)."""
     spark = batch.sparkSession
     sh_new, banded_new = _minhash_state(batch, content_col, id_col=id_col,
                                         k=k, num_hashes=num_hashes,
@@ -304,12 +316,9 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
     old_bands = spark.read.parquet(f"{index_path}/bands")
     old_sh = spark.read.parquet(f"{index_path}/shingles")
 
-    n, o = banded_new.alias("n"), banded_new.alias("o")
-    cand_int = (n.join(o, (F.col("n.band") == F.col("o.band"))
-                       & (F.col("n.id") < F.col("o.id")))
-                .select(F.col("n.id").alias("doc_a"),
-                        F.col("o.id").alias("doc_b"))
-                .dropDuplicates(["doc_a", "doc_b"])
+    # batch-internal candidates share the hot-bucket guard: a daily crawl
+    # full of one boilerplate template is exactly the storm case
+    cand_int = (_self_join_pairs(banded_new, max_bucket)
                 .withColumn("origin", F.lit("batch")))
     cand_ext = (banded_new.alias("n")
                 .join(old_bands.alias("c"),

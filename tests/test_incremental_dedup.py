@@ -183,6 +183,56 @@ class TestIncrementalMinhash:
         kept = {d for d, (s, r) in got.items() if r == "kept"}
         assert kept == {s for s, _ in got.values()}
 
+    def test_incremental_equivalence_property(self, spark, tmp_path):
+        """Property sweep over generated corpora: for ANY corpus/batch
+        split of documents built from a small token pool (so near-dup
+        relationships arise by chance), incremental == full-rerun delta.
+        Deterministic seeds; several corpus shapes in one Spark session."""
+        import random
+
+        pool = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau").split()
+        for seed in (1, 7, 42):
+            rng = random.Random(seed)
+            docs = []
+            for i in range(24):
+                if i and rng.random() < 0.4:
+                    # mutate an earlier doc: near-dup by chance
+                    words = docs[rng.randrange(len(docs))][1].split()
+                    j = rng.randrange(len(words))
+                    words[j] = rng.choice(pool)
+                    docs.append((i, " ".join(words)))
+                else:
+                    docs.append((i, " ".join(
+                        rng.choice(pool) for _ in range(12))))
+            rows = [(f"d{i:03d}", t) for i, t in docs]
+            cut = rng.randrange(8, 16)
+            corpus = spark.createDataFrame(rows[:cut],
+                                           "doc_id string, text string")
+            batch = spark.createDataFrame(rows[cut:],
+                                          "doc_id string, text string")
+            idx = str(tmp_path / f"idx_{seed}")
+            materialize_minhash_index(corpus, "text", idx)
+            inc = {(r.doc_a, r.doc_b): r.jaccard
+                   for r in incremental_minhash_dedup(
+                       batch, idx, content_col="text", threshold=0.4,
+                       append=False).collect()}
+
+            full = _pairs(minhash_lsh_pairs(
+                corpus.unionByName(batch), "text", threshold=0.4))
+            old = _pairs(minhash_lsh_pairs(corpus, "text", threshold=0.4))
+            batch_ids = {r[0] for r in rows[cut:]}
+            expect = {}
+            for (a, b), j in full.items():
+                if (a, b) in old:
+                    continue
+                if a in batch_ids and b in batch_ids:
+                    expect[(a, b)] = j
+                elif a in batch_ids or b in batch_ids:
+                    new, other = (a, b) if a in batch_ids else (b, a)
+                    expect[(new, other)] = j
+            assert inc == expect, f"seed {seed} diverged"
+
     def test_append_does_not_pollute_own_result(self, spark,
                                                 corpus_and_batch, tmp_path):
         # the returned pairs must be pinned before the append: no batch doc
