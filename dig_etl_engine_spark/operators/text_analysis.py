@@ -166,6 +166,50 @@ def pack_sequences(df, *, id_col: str = "doc_id", text_col: str = "text",
         F.floor((cum - F.col("n_tokens")) / budget).alias("seq_id"))
 
 
+def ngram_hashes(col: Column, n: int = 13) -> Column:
+    """Hashed word n-grams of a text column (array<long>), the unit of
+    benchmark decontamination. Same zip-shifted-slices shape as
+    ``dedup.shingles`` (never re-split inside a per-element lambda — the
+    O(n²) tokenization cliff documented there); xxhash64 because
+    decontamination needs speed, not cross-engine md5 stability. Docs
+    shorter than ``n`` tokens yield one whole-doc gram."""
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    n_out = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, 1 + j, n_out) for j in range(n)])
+    return F.transform(
+        zipped,
+        lambda s: F.xxhash64(F.concat_ws(
+            " ", *[s[str(j)] for j in range(n)])))
+
+
+def decontaminate(corpus, eval_set, *, n: int = 13,
+                  corpus_text: str = "text", eval_text: str = "text",
+                  id_col: str = "doc_id"):
+    """Benchmark decontamination (the GPT-3/Pile 13-gram rule): flag every
+    corpus document sharing at least one word ``n``-gram with the eval
+    set, so test data can be dropped from training corpora.
+
+    Returns ``(doc_id, n_hits)`` for CONTAMINATED docs only — filtering
+    is an anti-join back on the corpus. ``n_hits`` = distinct overlapping
+    grams (triage signal: 1 hit is often a quoted sentence, hundreds is a
+    verbatim inclusion).
+
+    Scale shape: the eval side (benchmarks — thousands of docs, not
+    billions) collapses to DISTINCT gram hashes and BROADCASTS; the
+    corpus explodes to (doc, gram) rows that semi-join the broadcast
+    hash set with zero shuffle of corpus data, then one groupBy(doc)
+    count. Corpus text itself never moves — only 8-byte hashes."""
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(ngram_hashes(F.col(corpus_text), n)).alias("g"))
+    eval_grams = (eval_set.select(
+        F.explode(ngram_hashes(F.col(eval_text), n)).alias("g"))
+        .distinct())
+    return (grams.join(F.broadcast(eval_grams), "g", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count_distinct("g").alias("n_hits")))
+
+
 def line_repetition_ratio(col: Column) -> Column:
     """Within-document repetition: fraction of lines that are duplicates
     of an earlier line (the C4/Gopher 'repeated lines' quality filter).
