@@ -273,7 +273,14 @@ def materialize_minhash_index(df: DataFrame, content_col: str, path: str, *,
     only its own band rows into place — the corpus side never moves."""
     sh, banded = _minhash_state(df, content_col, id_col=id_col, k=k,
                                 num_hashes=num_hashes, bands=bands)
-    banded.write.mode("overwrite").parquet(f"{path}/bands")
+    # cluster the band table by band value: each parquet file covers a
+    # narrow band range, so per-batch lookups benefit from row-group
+    # min/max skipping + Spark's runtime bloom filter, and the sorted
+    # column compresses far better. (Appends from incremental batches are
+    # each internally small; re-cluster with compact-style maintenance
+    # when append count grows.)
+    (banded.repartition(F.col("band")).sortWithinPartitions("band")
+     .write.mode("overwrite").parquet(f"{path}/bands"))
     sh.write.mode("overwrite").parquet(f"{path}/shingles")
 
 

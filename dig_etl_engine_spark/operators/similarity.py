@@ -245,6 +245,35 @@ def ivf_kmeans_train(df: DataFrame, *, k: int = 8, iters: int = 5,
     return assigned, centroids
 
 
+def quantize_embeddings(df: DataFrame, *, vec_col: str = "embedding",
+                        out_col: str = "q", scale_col: str = "q_scale"
+                        ) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    ``scale = max|x| / 127``, ``q_i = round(x_i / scale)``. Cuts vector
+    storage 4× (float32 → int8) — at 100 TB the difference between an
+    embedding table that fits the page cache and one that doesn't; recall
+    loss for cosine/top-k is negligible at int8 (the standard
+    faiss-style SQ8 trade). Dequantize with ``q_i * scale``.
+
+    Pure column algebra (transform + aggregate), codegen, no shuffle;
+    all-zero vectors keep scale 0 and quantize to zeros."""
+    v = as_double(F.col(vec_col))
+    amax = F.aggregate(v, F.lit(0.0),
+                       lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias(scale_col)
+    q = F.when(amax == 0.0,
+               F.transform(v, lambda x: F.lit(0).cast("tinyint"))) \
+         .otherwise(F.transform(
+             v, lambda x: F.round(x / (amax / 127.0))
+                           .cast("tinyint"))).alias(out_col)
+    return df.withColumns({scale_col: scale, out_col: q})
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """Inverse of :func:`quantize_embeddings` (lossy at int8 precision)."""
+    return F.transform(q, lambda x: x.cast("double") * scale)
+
+
 def materialize_ivf_index(corpus: DataFrame, path: str, *, k: int = 8,
                           iters: int = 5, id_col: str = "vec_id",
                           vec_col: str = "embedding") -> None:

@@ -166,6 +166,45 @@ def pack_sequences(df, *, id_col: str = "doc_id", text_col: str = "text",
         F.floor((cum - F.col("n_tokens")) / budget).alias("seq_id"))
 
 
+def chunk_documents(df, *, id_col: str = "doc_id", text_col: str = "text",
+                    chunk_tokens: int = 512, overlap: int = 64):
+    """Split documents into overlapping token-window chunks — the prep
+    step for embedding/RAG indexing and for long-doc training samples.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens; the final chunk
+    is the remainder (never empty, docs shorter than ``chunk_tokens``
+    yield exactly one whole-doc chunk). Output: one row per chunk —
+    ``(id, chunk_id, chunk_text, n_tokens)``, ``chunk_id`` 0-based in
+    document order.
+
+    Shape: pure column algebra — tokenize once, build the start-offset
+    sequence, posexplode, slice + rejoin. Narrow (no shuffle); chunk rows
+    stay partition-local with their document, exactly like kg_index's
+    generators."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # start offsets 0, stride, 2*stride, … while start < n (always ≥ one)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
+    starts = F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                         lambda i: i * stride)
+    return (df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n"),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"))
+        .select(
+            id_col, "chunk_id",
+            F.concat_ws(" ", F.slice("_toks", F.col("_start") + 1,
+                                     F.lit(chunk_tokens)))
+             .alias("chunk_text"),
+            F.least(F.lit(chunk_tokens),
+                    F.col("_n") - F.col("_start")).alias("n_tokens")))
+
+
 def ngram_hashes(col: Column, n: int = 13) -> Column:
     """Hashed word n-grams of a text column (array<long>), the unit of
     benchmark decontamination. Same zip-shifted-slices shape as

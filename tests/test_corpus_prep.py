@@ -1,0 +1,92 @@
+"""Corpus-prep operators: document chunking (`chunk_documents`) and int8
+embedding quantization (`quantize_embeddings`/`dequantize`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.operators.similarity import (
+    dequantize, quantize_embeddings)
+from dig_etl_engine_spark.operators.text_analysis import chunk_documents
+
+
+class TestChunkDocuments:
+    def _chunks(self, spark, text, **kw):
+        df = spark.createDataFrame([("d", text)],
+                                   "doc_id string, text string")
+        rows = chunk_documents(df, **kw).orderBy("chunk_id").collect()
+        return [(r.chunk_id, r.chunk_text, r.n_tokens) for r in rows]
+
+    def test_short_doc_single_chunk(self, spark):
+        got = self._chunks(spark, "a b c", chunk_tokens=10, overlap=2)
+        assert got == [(0, "a b c", 3)]
+
+    def test_windows_and_remainder(self, spark):
+        words = [f"w{i}" for i in range(10)]
+        got = self._chunks(spark, " ".join(words),
+                           chunk_tokens=4, overlap=1)
+        # stride 3: starts 0,3,6 → [w0..w3], [w3..w6], [w6..w9]
+        assert got == [(0, "w0 w1 w2 w3", 4),
+                       (1, "w3 w4 w5 w6", 4),
+                       (2, "w6 w7 w8 w9", 4)]
+        # every token is covered and consecutive chunks share the overlap
+        assert got[0][1].split()[-1] == got[1][1].split()[0]
+
+    def test_exact_boundary_no_empty_tail(self, spark):
+        got = self._chunks(spark, "a b c d", chunk_tokens=4, overlap=1)
+        assert got == [(0, "a b c d", 4)]
+
+    def test_coverage_reconstruction(self, spark):
+        """Dropping each chunk's leading overlap (except chunk 0) and
+        concatenating reproduces the document — no token lost or
+        duplicated by the windowing."""
+        words = [f"t{i}" for i in range(23)]
+        got = self._chunks(spark, " ".join(words),
+                           chunk_tokens=8, overlap=3)
+        rebuilt = got[0][1].split()
+        for _, text, _ in got[1:]:
+            rebuilt.extend(text.split()[3:])
+        assert rebuilt == words
+
+
+class TestQuantizeEmbeddings:
+    def test_roundtrip_error_bound_and_cosine(self, spark):
+        emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+        q = quantize_embeddings(emb)
+        checked = q.select(
+            # max |dequant - orig| must be ≤ scale/2 (round-to-nearest)
+            F.aggregate(
+                F.zip_with(dequantize(F.col("q"), F.col("q_scale")),
+                           F.transform("embedding",
+                                       lambda x: x.cast("double")),
+                           lambda a, b: F.abs(a - b)),
+                F.lit(0.0), lambda acc, x: F.greatest(acc, x)
+            ).alias("max_err"),
+            F.col("q_scale"))
+        bad = checked.filter(
+            F.col("max_err") > F.col("q_scale") / 2 + 1e-12).count()
+        assert bad == 0
+
+        from dig_etl_engine_spark.operators.similarity import cosine
+        cos = q.select(cosine(
+            dequantize(F.col("q"), F.col("q_scale")),
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("c")).agg(F.min("c")).head()[0]
+        assert cos >= 0.999          # int8 barely moves the direction
+
+    def test_zero_vector(self, spark):
+        df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])],
+                                   "vec_id long, embedding array<float>")
+        r = quantize_embeddings(df).head()
+        assert r.q_scale == 0.0 and list(r.q) == [0, 0, 0]
+
+    def test_int8_range(self, spark):
+        emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+        q = quantize_embeddings(emb)
+        mx = q.select(F.aggregate(
+            F.transform("q", lambda x: F.abs(x.cast("int"))),
+            F.lit(0), lambda a, x: F.greatest(a, x)).alias("m")) \
+            .agg(F.max("m")).head()[0]
+        assert mx <= 127
