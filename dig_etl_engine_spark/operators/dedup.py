@@ -278,10 +278,15 @@ def materialize_minhash_index(df: DataFrame, content_col: str, path: str, *,
     # min/max skipping + Spark's runtime bloom filter, and the sorted
     # column compresses far better. (Appends from incremental batches are
     # each internally small; re-cluster with compact-style maintenance
-    # when append count grows.)
+    # when append count grows.) Both tables carry an _ab append-partition
+    # column (-1 = the base build) so incremental batch appends can land
+    # in their own _ab=<batch_id> partitions for retry idempotence.
     (banded.repartition(F.col("band")).sortWithinPartitions("band")
-     .write.mode("overwrite").parquet(f"{path}/bands"))
-    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+     .withColumn("_ab", F.lit(-1))
+     .write.mode("overwrite").partitionBy("_ab").parquet(f"{path}/bands"))
+    (sh.withColumn("_ab", F.lit(-1))
+     .write.mode("overwrite").partitionBy("_ab")
+     .parquet(f"{path}/shingles"))
 
 
 def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
@@ -289,7 +294,8 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
                               k: int = 3, num_hashes: int = 16,
                               bands: int = 4, threshold: float = 0.6,
                               max_bucket: int | None = None,
-                              append: bool = True) -> DataFrame:
+                              append: bool = True,
+                              batch_id: int | None = None) -> DataFrame:
     """Dedup a new batch against an indexed corpus AND itself — the
     steady-state operation of a training-data pipeline, where the corpus
     was deduped once (:func:`materialize_minhash_index`) and fresh crawl
@@ -310,7 +316,15 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
     e.g. content-hash ids from ``url_id_synthesis``). ``max_bucket``
     star-caps oversized batch-internal band buckets exactly as in
     :func:`minhash_lsh_pairs` (equivalence holds for the uncapped
-    default)."""
+    default).
+
+    From a streaming ``foreachBatch``, pass the micro-batch id as
+    ``batch_id``: the append then lands in a ``_ab=<id>`` partition via
+    dynamic partition overwrite, so a RETRY of the same micro-batch
+    replaces its own rows instead of double-appending them — the same
+    idempotence pattern as the ingest quarantine
+    (``streaming/ingest.py:write_quarantine``). A plain append (no
+    ``batch_id``) is NOT retry-safe."""
     spark = batch.sparkSession
     sh_new, banded_new = _minhash_state(batch, content_col, id_col=id_col,
                                         k=k, num_hashes=num_hashes,
@@ -320,8 +334,12 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
     sh_new = sh_new.localCheckpoint(eager=False)
     banded_new = banded_new.localCheckpoint(eager=False)
 
-    old_bands = spark.read.parquet(f"{index_path}/bands")
-    old_sh = spark.read.parquet(f"{index_path}/shingles")
+    # narrow the reads: batch-id appends add an _ab partition column that
+    # must not leak into the joins/unions
+    old_bands = spark.read.parquet(f"{index_path}/bands") \
+        .select("id", "band")
+    old_sh = spark.read.parquet(f"{index_path}/shingles") \
+        .select("id", "sh")
 
     # batch-internal candidates share the hot-bucket guard: a daily crawl
     # full of one boilerplate template is exactly the storm case
@@ -349,13 +367,37 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
         .select("doc_a", "doc_b", "jaccard", "origin")
     )
     if append:
+        import uuid
+
         # pin the result BEFORE appending: the lazy plan re-lists the index
         # directory at execution, and post-append it would contain the
         # batch's own rows (spurious self-matches). The pair set is small
         # (verified dups only), so eager materialization is bounded.
         result = result.localCheckpoint(eager=True)
-        banded_new.write.mode("append").parquet(f"{index_path}/bands")
-        sh_new.write.mode("append").parquet(f"{index_path}/shingles")
+        ab = (batch_id if batch_id is not None
+              else int(uuid.uuid4().hex[:8], 16))
+        bands_out = banded_new.withColumn("_ab", F.lit(ab))
+        sh_out = sh_new.withColumn("_ab", F.lit(ab))
+        if batch_id is not None:
+            # dynamic overwrite of this batch's own _ab partition: a
+            # micro-batch retry replaces its rows, never duplicates them
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           "dynamic")
+            try:
+                bands_out.write.mode("overwrite").partitionBy("_ab") \
+                    .parquet(f"{index_path}/bands")
+                sh_out.write.mode("overwrite").partitionBy("_ab") \
+                    .parquet(f"{index_path}/shingles")
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            bands_out.write.mode("append").partitionBy("_ab") \
+                .parquet(f"{index_path}/bands")
+            sh_out.write.mode("append").partitionBy("_ab") \
+                .parquet(f"{index_path}/shingles")
     return result
 
 
