@@ -292,9 +292,13 @@ def materialize_ivf_index(corpus: DataFrame, path: str, *, k: int = 8,
     spark = corpus.sparkSession
     assigned, centroids = ivf_kmeans_train(corpus, k=k, iters=iters,
                                            id_col=id_col, vec_col=vec_col)
+    # _ab append-partition column (-1 = base build): incremental batch
+    # appends land in (cluster, _ab=<batch_id>) partitions so a streaming
+    # retry replaces its own rows — see incremental_embedding_dedup
     (corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
      .join(assigned, "id")
-     .write.mode("overwrite").partitionBy("cluster")
+     .withColumn("_ab", F.lit(-1))
+     .write.mode("overwrite").partitionBy("cluster", "_ab")
      .parquet(f"{path}/cells"))
     cent_pdf = pd.DataFrame({
         "cluster": range(len(centroids)),
@@ -364,7 +368,8 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",
                                 round_digits: int = 4,
-                                append: bool = True) -> DataFrame:
+                                append: bool = True,
+                                batch_id: int | None = None) -> DataFrame:
     """Semantic near-dup check of a new batch against a
     :func:`materialize_ivf_index` corpus — the embedding-space sibling of
     ``dedup.incremental_minhash_dedup``, sharing one physical index with
@@ -380,7 +385,10 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
     batch-internal pairs (``origin='batch'``) have ``doc_a < doc_b``.
     Same cell-boundary approximation as :func:`embedding_near_dup_pairs`;
     raise ``nprobe`` to catch straddlers. ``append=True`` adds the batch
-    (primary cell only) to the index for the next round."""
+    (primary cell only) to the index for the next round; from a streaming
+    ``foreachBatch`` pass the micro-batch id as ``batch_id`` so a retry
+    overwrites its own ``(cluster, _ab)`` partitions instead of
+    double-appending (same pattern as ``incremental_minhash_dedup``)."""
     import numpy as np
     import pandas as pd
 
@@ -469,11 +477,30 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
         .filter(F.col("cosine") >= threshold)
     )
     if append:
+        import uuid
+
         # pin before append — see incremental_minhash_dedup
         result = result.localCheckpoint(eager=True)
-        (new_rows.filter("is_primary").select("id", "v", "cluster")
-         .write.mode("append").partitionBy("cluster")
-         .parquet(f"{index_path}/cells"))
+        ab = (batch_id if batch_id is not None
+              else int(uuid.uuid4().hex[:8], 16))
+        out = (new_rows.filter("is_primary")
+               .select("id", "v", "cluster")
+               .withColumn("_ab", F.lit(ab)))
+        if batch_id is not None:
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           "dynamic")
+            try:
+                out.write.mode("overwrite") \
+                    .partitionBy("cluster", "_ab") \
+                    .parquet(f"{index_path}/cells")
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            out.write.mode("append").partitionBy("cluster", "_ab") \
+                .parquet(f"{index_path}/cells")
     return result
 
 

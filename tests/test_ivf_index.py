@@ -141,6 +141,25 @@ class TestIvfIndex:
         first_id = b1.limit(1).collect()[0].vec_id
         assert hit.get((first_id + 100000, first_id)) == "corpus"
 
+    def test_incremental_embedding_retry_idempotent(self, spark, built,
+                                                    tmp_path):
+        """batch_id append retry replaces its own (cluster, _ab)
+        partitions: index row count unchanged after a re-run."""
+        from dig_etl_engine_spark.operators.similarity import (
+            incremental_embedding_dedup, materialize_ivf_index)
+
+        path = str(tmp_path / "index3")
+        _, clustered, _ = built
+        materialize_ivf_index(clustered, path, k=K_CELLS, iters=3)
+        b1 = clustered.filter(F.col("vec_id") % 20 == 7).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        incremental_embedding_dedup(b1, path, threshold=0.9, append=True,
+                                    batch_id=3)
+        n = spark.read.parquet(f"{path}/cells").count()
+        incremental_embedding_dedup(b1, path, threshold=0.9, append=True,
+                                    batch_id=3)
+        assert spark.read.parquet(f"{path}/cells").count() == n
+
     def test_cells_scan_partition_pruned(self, spark, built):
         """The physical plan must prune unprobed cell partitions: probing
         1 cell reads 1 of K_CELLS partition directories."""

@@ -123,6 +123,24 @@ class TestJoinStrategy:
         assert not [l for l in plan.splitlines()
                     if "band#" in l and "sh#" in l]
 
+    def test_incremental_band_join_carries_no_arrays(self, spark, tmp_path):
+        """Same no-array-payload rule for the incremental path: both the
+        batch-internal self-join and the batch-vs-index join move only
+        (id, band); shingles join back for verified candidates only."""
+        from dig_etl_engine_spark.operators.dedup import (
+            incremental_minhash_dedup, materialize_minhash_index)
+        docs = spark.createDataFrame(
+            [(i, "some text tokens here repeated " * 3) for i in range(10)],
+            "doc_id long, text string")
+        idx = str(tmp_path / "mh")
+        materialize_minhash_index(docs, "text", idx)
+        batch = docs.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+        plan = formatted(incremental_minhash_dedup(
+            batch, idx, content_col="text", append=False))
+        assert "hashpartitioning(band" in plan
+        assert not [l for l in plan.splitlines()
+                    if "band#" in l and "sh#" in l]
+
 
 class TestCodegenPurity:
     def test_text_quality_is_jvm_only(self, spark):
