@@ -245,6 +245,36 @@ def ivf_kmeans_train(df: DataFrame, *, k: int = 8, iters: int = 5,
     return assigned, centroids
 
 
+def hashed_bow_embedding(df: DataFrame, text_col: str, *,
+                         id_col: str = "doc_id", dim: int = 16,
+                         out_col: str = "embedding") -> DataFrame:
+    """Model-free text featurizer: L2-normalized hashed bag-of-words
+    vector (the classic feature-hashing trick). Gives every ANN / near-dup
+    operator in this module a deterministic embedding source when no
+    learned model is available — cosine then measures token-multiset
+    overlap.
+
+    Shape: the minhash/simhash stage pattern — explode tokens → one
+    scalar xxhash64 per token (codegen) → groupBy(id) with ``dim``
+    conditional sums (map-side combine, ONE shuffle) → assemble +
+    normalize. Never a per-dim HOF fold (the interpreted cliff in
+    operators/dedup.py)."""
+    tok = df.select(F.col(id_col).alias("id"),
+                    F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                      r"\s+")).alias("t"))
+    hashed = tok.select("id", F.pmod(F.xxhash64("t"), F.lit(dim)).alias("h"))
+    sums = hashed.groupBy("id").agg(*[
+        F.sum((F.col("h") == i).cast("double")).alias(f"d{i}")
+        for i in range(dim)])
+    vec = F.array(*[F.col(f"d{i}") for i in range(dim)])
+    norm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    return sums.select(
+        F.col("id").alias(id_col),
+        F.transform(vec, lambda x: (x / norm).cast("float"))
+         .alias(out_col))
+
+
 def quantize_embeddings(df: DataFrame, *, vec_col: str = "embedding",
                         out_col: str = "q", scale_col: str = "q_scale"
                         ) -> DataFrame:
