@@ -320,11 +320,13 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
 
     From a streaming ``foreachBatch``, pass the micro-batch id as
     ``batch_id``: the append then lands in a ``_ab=<id>`` partition via
-    dynamic partition overwrite, so a RETRY of the same micro-batch
-    replaces its own rows instead of double-appending them — the same
-    idempotence pattern as the ingest quarantine
-    (``streaming/ingest.py:write_quarantine``). A plain append (no
-    ``batch_id``) is NOT retry-safe."""
+    dynamic partition overwrite, AND index rows already carrying this
+    batch id are excluded from the corpus side — so a RETRY of the same
+    micro-batch both replaces its own rows instead of double-appending
+    them and computes the IDENTICAL result (its first attempt's rows
+    can't masquerade as corpus matches). Same idempotence pattern as the
+    ingest quarantine (``streaming/ingest.py:write_quarantine``). A plain
+    append (no ``batch_id``) is NOT retry-safe."""
     spark = batch.sparkSession
     sh_new, banded_new = _minhash_state(batch, content_col, id_col=id_col,
                                         k=k, num_hashes=num_hashes,
@@ -334,20 +336,36 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
     sh_new = sh_new.localCheckpoint(eager=False)
     banded_new = banded_new.localCheckpoint(eager=False)
 
-    # narrow the reads: batch-id appends add an _ab partition column that
-    # must not leak into the joins/unions
-    old_bands = spark.read.parquet(f"{index_path}/bands") \
-        .select("id", "band")
-    old_sh = spark.read.parquet(f"{index_path}/shingles") \
-        .select("id", "sh")
+    # narrow the reads (the _ab partition column must not leak into the
+    # joins/unions), excluding this batch's own prior rows on a retry.
+    # An index materialized over an EMPTY corpus (a stream's cold start)
+    # has no schema-bearing files — fall back to empty tables shaped like
+    # the batch's own state.
+    from pyspark.errors import AnalysisException
+
+    try:
+        ob = spark.read.parquet(f"{index_path}/bands")
+        osh = spark.read.parquet(f"{index_path}/shingles")
+    except AnalysisException:
+        ob = spark.createDataFrame([], banded_new.schema)
+        osh = spark.createDataFrame([], sh_new.schema)
+    if batch_id is not None and "_ab" in ob.columns:
+        ob = ob.filter(F.col("_ab") != batch_id)
+        osh = osh.filter(F.col("_ab") != batch_id)
+    old_bands = ob.select("id", "band")
+    old_sh = osh.select("id", "sh")
 
     # batch-internal candidates share the hot-bucket guard: a daily crawl
     # full of one boilerplate template is exactly the storm case
     cand_int = (_self_join_pairs(banded_new, max_bucket)
                 .withColumn("origin", F.lit("batch")))
+    # id inequality belt-and-braces: ids are disjoint by contract, but a
+    # violated contract (or an index rebuilt over the batch) must not
+    # produce self-matches
     cand_ext = (banded_new.alias("n")
                 .join(old_bands.alias("c"),
-                      F.col("n.band") == F.col("c.band"))
+                      (F.col("n.band") == F.col("c.band"))
+                      & (F.col("n.id") != F.col("c.id")))
                 .select(F.col("n.id").alias("doc_a"),
                         F.col("c.id").alias("doc_b"))
                 .dropDuplicates(["doc_a", "doc_b"])

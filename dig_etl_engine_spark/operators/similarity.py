@@ -462,11 +462,14 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
 
     occupied = sorted({r["cluster"] for r in
                        new_rows.select("cluster").distinct().collect()})
-    old_rows = (spark.read.parquet(f"{index_path}/cells")
-                .filter(F.col("cluster").isin(occupied))
-                .select("id", as_double(F.col("v")).alias("v"), "cluster",
-                        F.lit(False).alias("is_new"),
-                        F.lit(True).alias("is_primary")))
+    cells_raw = (spark.read.parquet(f"{index_path}/cells")
+                 .filter(F.col("cluster").isin(occupied)))
+    if batch_id is not None and "_ab" in cells_raw.columns:
+        # retry safety: this batch's own first-attempt rows are not corpus
+        cells_raw = cells_raw.filter(F.col("_ab") != batch_id)
+    old_rows = cells_raw.select(
+        "id", as_double(F.col("v")).alias("v"), "cluster",
+        F.lit(False).alias("is_new"), F.lit(True).alias("is_primary"))
     both = new_rows.select("id", "v", "cluster",
                            F.lit(True).alias("is_new"), "is_primary") \
         .unionByName(old_rows)

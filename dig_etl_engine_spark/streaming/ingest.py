@@ -136,6 +136,73 @@ def run_ingest(source: DataFrame, *, target_path: str,
     return writer.start()
 
 
+def run_dedup_ingest(source: DataFrame, *, target_path: str,
+                     quarantine_path: str, checkpoint_dir: str,
+                     index_path: str, content_col: str = "text",
+                     key_col: str = "doc_id",
+                     order_col: str = "kafka_offset",
+                     threshold: float = 0.6,
+                     max_bucket: int | None = None,
+                     buckets: int | None = 64) -> StreamingQuery:
+    """Streaming ingest with online NEAR-dup suppression — the
+    first-seen-dedup idea (streaming/stateful.py) upgraded from exact
+    fingerprints to minhash similarity, backed by the persisted band
+    index instead of the state store (signature state outlives any one
+    stream and is shared with batch jobs).
+
+    Per micro-batch: validate → quarantine invalid → dedup the batch
+    against the index (all corpus history + every earlier batch) and
+    itself → drop flagged docs → upsert survivors → append the batch's
+    signatures under ``_ab=<micro-batch id>``. Every write is
+    retry-idempotent: quarantine and signature appends replace their own
+    batch partition, the dedup excludes its own partition when retried,
+    and the KG merge is a pure function of (key, order).
+
+    Drop rule (first-seen semantics): a batch doc matching the index
+    (``origin='corpus'``) drops — earlier stream content wins; for
+    batch-internal pairs the min-id doc survives. The index records ALL
+    batch docs (kept and dropped), so any future doc similar to anything
+    ever seen is suppressed. Build the initial index with
+    ``materialize_minhash_index`` (empty corpus is fine)."""
+    from dig_etl_engine_spark.operators.dedup import incremental_minhash_dedup
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        valid_pred = (F.col(key_col).isNotNull()
+                      & (F.length(F.trim(F.col(key_col))) > 0))
+        batch = batch.persist()
+        try:
+            invalid = batch.filter(~valid_pred)
+            if invalid.limit(1).count():
+                write_quarantine(invalid, batch_id, quarantine_path)
+            valid = batch.filter(valid_pred)
+            dups = incremental_minhash_dedup(
+                valid, index_path, content_col=content_col,
+                id_col=key_col, threshold=threshold,
+                max_bucket=max_bucket, append=True, batch_id=batch_id)
+            drop = (dups.filter(F.col("origin") == "corpus")
+                    .select(F.col("doc_a").alias(key_col))
+                    .unionByName(
+                        dups.filter(F.col("origin") == "batch")
+                        .select(F.col("doc_b").alias(key_col)))
+                    .distinct())
+            survivors = valid.join(drop, key_col, "left_anti")
+            if buckets:
+                upsert_partitioned(spark, target_path, survivors,
+                                   key_col=key_col, order_col=order_col,
+                                   buckets=buckets)
+            else:
+                upsert(spark, target_path, survivors,
+                       key_col=key_col, order_col=order_col)
+        finally:
+            batch.unpersist()
+
+    return (source.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(process_batch)
+            .trigger(availableNow=True).start())
+
+
 def run_windowed_counts(source: DataFrame, *, target_path: str,
                         checkpoint_dir: str, window: str = "1 day",
                         watermark: str = "1 hour", ts_col: str = "ts",

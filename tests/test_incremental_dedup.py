@@ -205,13 +205,10 @@ class TestIncrementalMinhash:
                   append=True, batch_id=5).collect()}
         assert spark.read.parquet(f"{idx}/bands").count() == n_bands
         assert spark.read.parquet(f"{idx}/shingles").count() == n_sh
-        # NOTE: the retry SEES the first attempt's rows as 'corpus' (the
-        # result is computed before the overwrite), so pair results are
-        # compared on the original (doc_a, doc_b) keys against r1 plus
-        # self-matches filtered by id disjointness upstream; here ids
-        # repeat, so just check r1's pairs all survive with equal scores
-        for k_, v in r1.items():
-            assert r2.get(k_) == v
+        # retry correctness, not just append idempotence: the retry
+        # excludes its own _ab partition from the corpus side, so the
+        # result is IDENTICAL to the first attempt
+        assert r2 == r1
 
     def test_incremental_equivalence_property(self, spark, tmp_path):
         """Property sweep over generated corpora: for ANY corpus/batch

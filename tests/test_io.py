@@ -431,6 +431,69 @@ class TestStreamingIngest:
                        ("2024-01-02", "view"): (1, 3.0),
                        ("2024-01-03", "click"): (1, 1.0)}
 
+    def test_dedup_ingest_suppresses_near_dups_across_batches(
+            self, spark, tmp_path):
+        """run_dedup_ingest end-to-end from a cold start: batch-internal
+        near-dups collapse to the min-id doc, later batches' docs similar
+        to ANY earlier content are suppressed via the persisted index,
+        invalid docs quarantine, and unique docs flow through."""
+        import json
+        from pyspark.sql import types as T
+        from dig_etl_engine_spark.operators.dedup import (
+            materialize_minhash_index)
+        from dig_etl_engine_spark.sinks.kg_table import read_partitioned
+        from dig_etl_engine_spark.streaming.ingest import (
+            file_stream_source, run_dedup_ingest)
+
+        base = ("the quick brown fox jumps over the lazy dog while rain "
+                "in spain falls mainly on the plain every day")
+        other = ("entirely different text about submarine volcanoes "
+                 "hydrothermal vents bathymetry and oceanic plates")
+        schema = T.StructType([
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("kafka_offset", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+        src = tmp_path / "in"; src.mkdir()
+        target, quarantine = str(tmp_path / "kg"), str(tmp_path / "q")
+        ckpt, idx = str(tmp_path / "ckpt"), str(tmp_path / "mh")
+
+        # cold start: index materialized over an EMPTY corpus
+        materialize_minhash_index(
+            spark.createDataFrame([], "doc_id string, text string"),
+            "text", idx)
+
+        def drop(name, rows):
+            with open(src / name, "w") as fh:
+                for d, o, t in rows:
+                    fh.write(json.dumps(
+                        {"doc_id": d, "kafka_offset": o, "text": t}) + "\n")
+
+        def run():
+            q = run_dedup_ingest(
+                file_stream_source(spark, str(src), schema),
+                target_path=target, quarantine_path=quarantine,
+                checkpoint_dir=ckpt, index_path=idx,
+                threshold=0.5, buckets=4)
+            q.awaitTermination()
+
+        drop("a.json", [("a", 1, base),
+                        ("b", 2, base + " extra tail"),   # near-dup of a
+                        (None, 3, "orphan doc")])
+        run()
+        got = {r.doc_id for r in read_partitioned(spark, target).collect()}
+        assert got == {"a"}                       # b collapsed into a
+        assert spark.read.parquet(quarantine).count() == 1
+
+        # d repeats b's exact text: b was DROPPED in batch 1, but the
+        # index records dropped docs too, so d still collides (with both
+        # a's and b's signatures) and is suppressed
+        drop("b.json", [("d", 4, base + " extra tail"),
+                        ("e", 5, other)])                    # unique
+        run()
+        got = {r.doc_id for r in read_partitioned(spark, target).collect()}
+        assert got == {"a", "e"}                  # d suppressed via index
+
     def test_session_windows_merge_and_finalize(self, spark, tmp_path):
         """Streaming sessionization via native session_window: dynamic-gap
         sessions MERGE when a late-but-inside-watermark event bridges two
