@@ -51,6 +51,39 @@ class TestChunkDocuments:
         assert rebuilt == words
 
 
+class TestChunkProperties:
+    def test_reconstruction_property_sweep(self, spark):
+        """For arbitrary (doc length, chunk size, overlap) shapes: chunk 0
+        starts at token 0, consecutive starts advance by stride, the
+        overlap-stripped concatenation reproduces the doc exactly, and
+        every chunk except possibly the last is full-size."""
+        import itertools
+        cases = [(n, c, o)
+                 for n, c, o in itertools.product(
+                     (1, 2, 5, 16, 17, 31, 64), (4, 8, 16), (0, 1, 3))
+                 if o < c]
+        rows = [(f"{n}_{c}_{o}", " ".join(f"t{i}" for i in range(n)))
+                for n, c, o in cases]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        by_doc = {}
+        for c, o in {(c, o) for _, c, o in cases}:
+            sub = df.filter(F.col("doc_id").endswith(f"_{c}_{o}"))
+            out = chunk_documents(sub, chunk_tokens=c, overlap=o)
+            for r in out.collect():
+                by_doc.setdefault(r.doc_id, []).append(
+                    (r.chunk_id, r.chunk_text, r.n_tokens))
+        for (n, c, o) in cases:
+            chunks = sorted(by_doc[f"{n}_{c}_{o}"])
+            assert chunks[0][0] == 0
+            assert [i for i, _, _ in chunks] == list(range(len(chunks)))
+            rebuilt = chunks[0][1].split()
+            for _, text, _ in chunks[1:]:
+                rebuilt.extend(text.split()[o:])
+            assert rebuilt == [f"t{i}" for i in range(n)], (n, c, o)
+            for _, text, ntok in chunks[:-1]:
+                assert len(text.split()) == c == ntok, (n, c, o)
+
+
 class TestQuantizeEmbeddings:
     def test_roundtrip_error_bound_and_cosine(self, spark):
         emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
