@@ -256,6 +256,46 @@ def dedup_corpus(df: DataFrame, content_col: str, *,
     )
 
 
+def merge_duplicates(df: DataFrame, assignment: DataFrame, *,
+                     id_col: str = "doc_id",
+                     order_col: str | None = None,
+                     first_non_null: tuple[str, ...] = ()) -> DataFrame:
+    """Collapse a corpus onto its dedup survivors, merging field values
+    from the duplicates — the step after :func:`dedup_corpus` that turns
+    "these docs are the same" into one enriched record (the ES
+    last-write-wins upsert's richer cousin: per-FIELD survivorship, not
+    per-doc).
+
+    ``assignment`` is :func:`dedup_corpus` output (``doc_id, survivor``).
+    The survivor's own row wins every field it has; columns named in
+    ``first_non_null`` fall back to the highest-``order_col`` non-null
+    value among its duplicates (recency merge). With no ``order_col`` the
+    survivor id doubles as the order (deterministic). One groupBy(
+    survivor) shuffle; ``max_by`` keeps the merge inside codegen.
+    """
+    order = F.col(order_col) if order_col else F.col(id_col)
+    joined = df.join(assignment.select(id_col, "survivor"), id_col)
+    # the survivor's own values must dominate any duplicate's: give them
+    # an order rank above every real order value
+    is_surv = (F.col(id_col) == F.col("survivor")).cast("int")
+    aggs = []
+    for c in df.columns:
+        if c == id_col:
+            continue
+        if c in first_non_null:
+            aggs.append(F.max_by(
+                F.col(c),
+                F.when(F.col(c).isNotNull(),
+                       F.struct(is_surv.alias("s"), order.alias("o")))
+            ).alias(c))
+        else:
+            aggs.append(F.max_by(
+                F.col(c), F.struct(is_surv.alias("s"), order.alias("o"))
+            ).alias(c))
+    return (joined.groupBy(F.col("survivor").alias(id_col))
+            .agg(*aggs))
+
+
 # --- incremental minhash dedup ------------------------------------------------
 
 

@@ -183,6 +183,29 @@ class TestIncrementalMinhash:
         kept = {d for d, (s, r) in got.items() if r == "kept"}
         assert kept == {s for s, _ in got.values()}
 
+    def test_merge_duplicates_field_survivorship(self, spark):
+        """Survivor fields dominate; first_non_null columns backfill from
+        the highest-order duplicate; standalone docs pass through."""
+        from dig_etl_engine_spark.operators.dedup import merge_duplicates
+
+        docs = spark.createDataFrame(
+            [(1, "T1", None, 10), (2, "T2", "A2", 20), (3, None, "A3", 15),
+             (4, "T4", None, 5)],
+            "doc_id long, title string, author string, v long")
+        assign = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, survivor long")
+        got = {r.doc_id: (r.title, r.author, r.v)
+               for r in merge_duplicates(
+                   docs, assign, order_col="v",
+                   first_non_null=("author",)).collect()}
+        assert got == {
+            # title: survivor's own (T1) even though doc 2 has higher v;
+            # author: survivor null -> doc 2's A2 (v=20 beats v=15);
+            # v: survivor's own 10
+            1: ("T1", "A2", 10),
+            4: ("T4", None, 5),
+        }
+
     def test_batch_id_append_retry_idempotent(self, spark,
                                               corpus_and_batch, tmp_path):
         """A foreachBatch retry re-runs the same micro-batch: with
