@@ -183,6 +183,54 @@ class TestIncrementalMinhash:
         kept = {d for d, (s, r) in got.items() if r == "kept"}
         assert kept == {s for s, _ in got.values()}
 
+    def test_lsh_s_curve_matches_theory(self, spark):
+        """Empirical validation of the banding model the docstrings claim:
+        P(detect | jaccard s) = 1 − (1 − s^r)^b with r=4 rows, b=4 bands.
+        Construct 60 isolated pairs per similarity level (pair-unique
+        tokens, so only intra-pair collisions are possible), measure the
+        detected fraction per level, and compare to the model at each
+        pair's ACTUAL jaccard. md5 makes the outcome deterministic; the
+        tolerance (±0.2 ≈ 3σ at n=60) guards model mismatch, not seed
+        luck."""
+        rows = []
+        n_pairs, T = 60, 40
+        for d in (1, 2, 3, 5):              # tokens replaced → sim level
+            for p in range(n_pairs):
+                pid = f"{d}_{p}"
+                base = [f"w{pid}_{j}" for j in range(T)]
+                mod = list(base)
+                for r_ in range(d):         # spread replacements out
+                    mod[(r_ * 7 + 3) % T] = f"r{pid}_{r_}"
+                rows.append((2 * (d * 1000 + p), " ".join(base)))
+                rows.append((2 * (d * 1000 + p) + 1, " ".join(mod)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        from dig_etl_engine_spark.operators.dedup import jaccard, shingles
+        actual = (docs.alias("a").join(
+            docs.alias("b"),
+            F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+            .filter(F.col("a.doc_id") % 2 == 0)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                jaccard(shingles(F.col("a.text")),
+                        shingles(F.col("b.text"))).alias("j")))
+        detected = {r.doc_a for r in minhash_lsh_pairs(
+            docs, "text", threshold=0.0).collect()}
+
+        import collections
+        stat = collections.defaultdict(lambda: [0.0, 0, 0])
+        for r in actual.collect():
+            d_level = r.doc_a // 2000
+            s = stat[d_level]
+            s[0] += 1 - (1 - r.j ** 4) ** 4      # model prediction
+            s[1] += 1
+            s[2] += r.doc_a in detected
+        for d_level, (pred_sum, n, hits) in stat.items():
+            predicted, empirical = pred_sum / n, hits / n
+            assert abs(empirical - predicted) < 0.2, (
+                f"level d={d_level}: empirical {empirical:.2f} vs "
+                f"model {predicted:.2f}")
+
     def test_merge_duplicates_field_survivorship(self, spark):
         """Survivor fields dominate; first_non_null columns backfill from
         the highest-order duplicate; standalone docs pass through."""
