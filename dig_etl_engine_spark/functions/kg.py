@@ -119,7 +119,12 @@ def load_bm25_stats(spark, path: str, terms: list[str]) -> tuple:
             .filter(F.col("term").isin(list(terms))).collect())
     df_counts = {t: 0 for t in terms}
     df_counts.update({r["term"]: r["df"] for r in hits})
-    return row["n_docs"], float(row["avgdl"]), df_counts
+    # an empty-corpus build writes n_docs=0 with a null avgdl (and a
+    # pathological build could write zero rows) — degrade to zero stats
+    # instead of a TypeError deep in the query path
+    if row is None:
+        return 0, 0.0, df_counts
+    return row["n_docs"], float(row["avgdl"] or 0.0), df_counts
 
 
 def high_confidence_keys(index_df: DataFrame) -> DataFrame:

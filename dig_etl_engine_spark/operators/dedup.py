@@ -327,6 +327,26 @@ def materialize_minhash_index(df: DataFrame, content_col: str, path: str, *,
     (sh.withColumn("_ab", F.lit(-1))
      .write.mode("overwrite").partitionBy("_ab")
      .parquet(f"{path}/shingles"))
+    # persist the build parameters: signatures computed with different
+    # (k, num_hashes, bands) NEVER collide with the indexed rows, and the
+    # failure mode is silent zero matches — incremental readers load
+    # these instead of trusting their own defaults
+    (df.sparkSession.createDataFrame(
+        [(k, num_hashes, bands)], "k int, num_hashes int, bands int")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+
+def _load_minhash_meta(spark, index_path: str,
+                       k: int, num_hashes: int, bands: int) -> tuple:
+    """Prefer the index's persisted build parameters over caller-supplied
+    values (pre-meta indexes fall back to the arguments)."""
+    try:
+        row = spark.read.parquet(f"{index_path}/meta").head()
+        if row is not None:
+            return row["k"], row["num_hashes"], row["bands"]
+    except Exception:  # noqa: BLE001 - legacy index without meta
+        pass
+    return k, num_hashes, bands
 
 
 def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
@@ -368,6 +388,10 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
     ingest quarantine (``streaming/ingest.py:write_quarantine``). A plain
     append (no ``batch_id``) is NOT retry-safe."""
     spark = batch.sparkSession
+    # the index's persisted build parameters win over the arguments — a
+    # mismatch would silently produce zero corpus matches
+    k, num_hashes, bands = _load_minhash_meta(spark, index_path,
+                                              k, num_hashes, bands)
     sh_new, banded_new = _minhash_state(batch, content_col, id_col=id_col,
                                         k=k, num_hashes=num_hashes,
                                         bands=bands)
@@ -399,11 +423,31 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
     # full of one boilerplate template is exactly the storm case
     cand_int = (_self_join_pairs(banded_new, max_bucket)
                 .withColumn("origin", F.lit("batch")))
+    # the batch-vs-corpus join needs the hot-bucket guard too: day N of a
+    # boilerplate storm joins the batch's storm docs against every
+    # previously appended storm row. Restrict the corpus side to the
+    # batch's bands first (broadcast semi of ≤ bands·|batch| values), THEN
+    # size-cap — the window runs over only the matching corpus rows, not
+    # the whole index
+    ob_hit = old_bands
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        nb = banded_new.select("band").distinct()
+        w = Window.partitionBy("band")
+        sized = (old_bands.join(F.broadcast(nb), "band")
+                 .withColumn("bsz", F.count(F.lit(1)).over(w))
+                 .withColumn("rep", F.min("id").over(w)))
+        # oversized corpus buckets contribute only their min-id
+        # representative — same star semantics as _self_join_pairs
+        ob_hit = sized.filter((F.col("bsz") <= max_bucket)
+                              | (F.col("id") == F.col("rep"))) \
+            .select("id", "band")
     # id inequality belt-and-braces: ids are disjoint by contract, but a
     # violated contract (or an index rebuilt over the batch) must not
     # produce self-matches
     cand_ext = (banded_new.alias("n")
-                .join(old_bands.alias("c"),
+                .join(ob_hit.alias("c"),
                       (F.col("n.band") == F.col("c.band"))
                       & (F.col("n.id") != F.col("c.id")))
                 .select(F.col("n.id").alias("doc_a"),

@@ -266,13 +266,17 @@ def hashed_bow_embedding(df: DataFrame, text_col: str, *,
     sums = hashed.groupBy("id").agg(*[
         F.sum((F.col("h") == i).cast("double")).alias(f"d{i}")
         for i in range(dim)])
-    vec = F.array(*[F.col(f"d{i}") for i in range(dim)])
-    norm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
-                              F.lit(0.0), lambda a, x: a + x))
+    # normalize by unrolled column arithmetic, NOT a transform lambda
+    # closing over an aggregate fold — HOF lambdas are interpreted and
+    # re-evaluate the closed-over expression per element (the cliff
+    # documented in operators/dedup.py); plain column math stays in
+    # whole-stage codegen with subexpression elimination
+    norm = F.sqrt(sum(F.col(f"d{i}") * F.col(f"d{i}")
+                      for i in range(dim)))
     return sums.select(
         F.col("id").alias(id_col),
-        F.transform(vec, lambda x: (x / norm).cast("float"))
-         .alias(out_col))
+        F.array(*[(F.col(f"d{i}") / norm).cast("float")
+                  for i in range(dim)]).alias(out_col))
 
 
 def quantize_embeddings(df: DataFrame, *, vec_col: str = "embedding",
@@ -285,18 +289,41 @@ def quantize_embeddings(df: DataFrame, *, vec_col: str = "embedding",
     loss for cosine/top-k is negligible at int8 (the standard
     faiss-style SQ8 trade). Dequantize with ``q_i * scale``.
 
-    Pure column algebra (transform + aggregate), codegen, no shuffle;
-    all-zero vectors keep scale 0 and quantize to zeros."""
-    v = as_double(F.col(vec_col))
-    amax = F.aggregate(v, F.lit(0.0),
-                       lambda acc, x: F.greatest(acc, F.abs(x)))
-    scale = (amax / F.lit(127.0)).alias(scale_col)
-    q = F.when(amax == 0.0,
-               F.transform(v, lambda x: F.lit(0).cast("tinyint"))) \
-         .otherwise(F.transform(
-             v, lambda x: F.round(x / (amax / 127.0))
-                           .cast("tinyint"))).alias(out_col)
-    return df.withColumns({scale_col: scale, out_col: q})
+    One Arrow-batched pandas UDF, no shuffle; all-zero vectors keep
+    scale 0 and quantize to zeros. (An expression-level draft folded the
+    per-vector max INSIDE a transform lambda — interpreted HOFs
+    re-evaluate the closed-over fold per element, O(dim²)/row; the
+    vectorized batch kernel does one BLAS-ish pass.)"""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from dig_etl_engine_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.ByteType())),
+           T.StructField(scale_col, T.DoubleType())])
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            amax = np.abs(m).max(axis=1)
+            scale = amax / 127.0
+            safe = np.where(scale == 0.0, 1.0, scale)
+            # floor(|x|/s + 0.5) with the sign restored = round
+            # half-away-from-zero, matching Spark's round() convention
+            q = (np.sign(m) * np.floor(np.abs(m) / safe[:, None] + 0.5)) \
+                .astype(np.int8)
+            pdf = pdf.copy()
+            pdf[out_col] = list(q)
+            pdf[scale_col] = scale
+            yield pdf
+
+    return df.mapInPandas(part, out_schema)
 
 
 def dequantize(q: Column, scale: Column) -> Column:
@@ -324,8 +351,12 @@ def materialize_ivf_index(corpus: DataFrame, path: str, *, k: int = 8,
                                            id_col=id_col, vec_col=vec_col)
     # _ab append-partition column (-1 = base build): incremental batch
     # appends land in (cluster, _ab=<batch_id>) partitions so a streaming
-    # retry replaces its own rows — see incremental_embedding_dedup
-    (corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # retry replaces its own rows — see incremental_embedding_dedup.
+    # v is stored as array<double> so base files and incremental appends
+    # (whose assignment pass emits doubles) share one parquet schema —
+    # a float base under double appends breaks non-mergeSchema reads.
+    (corpus.select(F.col(id_col).alias("id"),
+                   as_double(F.col(vec_col)).alias("v"))
      .join(assigned, "id")
      .withColumn("_ab", F.lit(-1))
      .write.mode("overwrite").partitionBy("cluster", "_ab")

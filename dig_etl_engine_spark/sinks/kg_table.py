@@ -187,9 +187,33 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
     import glob
     import math
 
-    # sweep temp/old litter from prior crashed runs before new work
-    for stale in glob.glob(os.path.join(target_path, ".compact_tmp_*")):
-        shutil.rmtree(stale, ignore_errors=True)
+    # recover from a prior crashed run before new work. States, keyed by
+    # which of (bucket dir d, .compact_tmp, .compact_old) survive:
+    #   d + tmp        → crash mid/post tmp write, swap not started: drop tmp
+    #   old + tmp, no d → crash between the two swap renames: tmp is the
+    #                     complete compacted copy — FINISH the swap
+    #   old, no d       → pathological; restore the original
+    #   d + old         → crash before the old-copy cleanup: drop old
+    def _bucket_dir(marker: str) -> str:
+        kb = os.path.basename(marker).split("_")[2]
+        return os.path.join(target_path, f"_kb={kb}")
+
+    for tmp_ in glob.glob(os.path.join(target_path, ".compact_tmp_*")):
+        d_ = _bucket_dir(tmp_)
+        if not os.path.isdir(d_):
+            logger.warning("compact_partitioned: completing interrupted "
+                           "swap for %s from %s", d_, tmp_)
+            os.rename(tmp_, d_)
+        else:
+            shutil.rmtree(tmp_, ignore_errors=True)
+    for old_ in glob.glob(os.path.join(target_path, ".compact_old_*")):
+        d_ = _bucket_dir(old_)
+        if not os.path.isdir(d_):
+            logger.warning("compact_partitioned: restoring %s from "
+                           "pre-compaction copy %s", d_, old_)
+            os.rename(old_, d_)
+        else:
+            shutil.rmtree(old_, ignore_errors=True)
 
     todo: list[tuple[int, int]] = []
     for d in sorted(glob.glob(os.path.join(target_path, "_kb=*"))):

@@ -235,7 +235,8 @@ def run_windowed_counts(source: DataFrame, *, target_path: str,
 def run_session_windows(source: DataFrame, *, target_path: str,
                         checkpoint_dir: str, gap: str = "30 minutes",
                         watermark: str = "1 hour", ts_col: str = "ts",
-                        key_col: str = "user_id") -> StreamingQuery:
+                        key_col: str = "user_id",
+                        value_col: str | None = "value") -> StreamingQuery:
     """Streaming sessionization — the online form of the batch
     ``sessionize_events`` query, via Spark's native ``session_window``
     (dynamic-gap event-time windows that MERGE as events arrive: two
@@ -248,15 +249,18 @@ def run_session_windows(source: DataFrame, *, target_path: str,
     once the watermark passes its end + gap, so state for quiet keys is
     bounded by the watermark horizon, not stream lifetime.
     """
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    out = ["n_events"]
+    if value_col is not None:      # sources without a metric column skip it
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+        out.append("sum_value")
     agg = (
         source.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
                  F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(*aggs)
         .select(F.col("w.start").alias("session_start"),
-                F.col("w.end").alias("session_end"), key_col,
-                "n_events", "sum_value")
+                F.col("w.end").alias("session_end"), key_col, *out)
     )
     return (agg.writeStream.outputMode("append").format("parquet")
             .option("path", target_path)

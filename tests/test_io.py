@@ -632,3 +632,32 @@ class TestCompaction:
         after = {r.doc_id for r in
                  kg_table.read_partitioned(spark, p).collect()}
         assert after == before
+
+    def test_compact_completes_interrupted_swap(self, spark, tmp_path):
+        """Crash between the two swap renames leaves (.compact_tmp_*,
+        .compact_old_*) and no bucket dir; the next run must FINISH the
+        swap from the complete tmp copy — not delete it."""
+        import glob
+        import os
+        p = str(tmp_path / "t")
+        b = spark.createDataFrame(
+            [(f"k{i}", i, "base") for i in range(10)], TestUpsert.SCHEMA)
+        kg_table.upsert_partitioned(spark, p, b, buckets=2)
+        before = {r.doc_id for r in
+                  kg_table.read_partitioned(spark, p).collect()}
+
+        # simulate the mid-swap crash on bucket 0: d → old, tmp = the
+        # compacted copy (here: a byte-identical copy of the bucket)
+        d0 = sorted(glob.glob(os.path.join(p, "_kb=*")))[0]
+        kb = d0.rsplit("=", 1)[1]
+        import shutil
+        shutil.copytree(d0, os.path.join(p, f".compact_tmp_{kb}_dead"))
+        os.rename(d0, os.path.join(p, f".compact_old_{kb}_dead"))
+        assert not os.path.isdir(d0)
+
+        assert kg_table.compact_partitioned(spark, p) == 0
+        assert os.path.isdir(d0)                      # bucket restored
+        assert not glob.glob(os.path.join(p, ".compact_*"))
+        after = {r.doc_id for r in
+                 kg_table.read_partitioned(spark, p).collect()}
+        assert after == before
