@@ -1,0 +1,73 @@
+"""Classifier-based corpus quality filtering — the fastText-style
+"train a small classifier on good-vs-bad text, score the crawl" stage
+that sits between heuristic gates and model-based curation in LLM data
+pipelines (the reference has nothing comparable; this is part of the
+training-data extension surface, like operators/dedup.py).
+
+Features are the repo's own heuristic columns (text_analysis) assembled
+into a vector; the model is Spark MLlib logistic regression, so training
+and scoring are both distributed and the scoring path is one JVM-side
+model transform — no Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FEATURES = ("n_tokens", "stop_ratio", "distinct_ratio",
+            "mean_tok_len", "line_rep")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the heuristic feature columns used by the classifier —
+    pure column math (codegen, no shuffle), shared between training and
+    scoring so the two can never skew."""
+    from dig_etl_engine_spark.operators.text_analysis import (
+        distinct_token_ratio, line_repetition_ratio, mean_token_length,
+        stopword_ratio, token_count)
+
+    t = F.col(text_col)
+    return df.withColumns({
+        "n_tokens": token_count(t).cast("double"),
+        "stop_ratio": stopword_ratio(t),
+        "distinct_ratio": distinct_token_ratio(t),
+        "mean_tok_len": mean_token_length(t),
+        "line_rep": line_repetition_ratio(t),
+    })
+
+
+def train_quality_classifier(labeled: DataFrame, *, text_col: str = "text",
+                             label_col: str = "label",
+                             max_iter: int = 50, reg: float = 0.01):
+    """Train the filter on a labeled sample (1 = keep-quality, 0 = junk;
+    the classic recipe labels a curated corpus 1 and raw crawl 0).
+    Returns a fitted PipelineModel (assembler + logistic regression) —
+    ``model.write().overwrite().save(path)`` / ``PipelineModel.load`` for
+    reuse across jobs. Deterministic: LR over a fixed feature order with
+    a fixed iteration budget."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = quality_features(labeled, text_col)
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=list(FEATURES), outputCol="features"),
+        LogisticRegression(featuresCol="features", labelCol=label_col,
+                           maxIter=max_iter, regParam=reg),
+    ])
+    return pipe.fit(feats)
+
+
+def score_quality(df: DataFrame, model, *, text_col: str = "text",
+                  out_col: str = "quality_prob") -> DataFrame:
+    """Append P(quality) per doc. The transform is JVM-side (MLlib);
+    corpus filtering is then ``filter(col(out_col) >= cutoff)`` — choose
+    the cutoff on a held-out sample for the recall/precision trade."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(quality_features(df, text_col))
+    return (scored.withColumn(
+        out_col, vector_to_array(F.col("probability")).getItem(1))
+        .drop("features", "rawPrediction", "probability", "prediction",
+              *FEATURES))

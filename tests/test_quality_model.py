@@ -1,0 +1,61 @@
+"""Classifier-based quality filter (`operators/quality_model.py`):
+train on labeled good/junk text, score a held-out set, persist the model.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.operators.quality_model import (
+    score_quality, train_quality_classifier)
+
+GOOD = ("the committee published its annual report on water quality and "
+        "the measures taken to improve river basins across the region "
+        "with detailed findings for each district")
+JUNK_REP = "buy now " * 30
+JUNK_SPAM = "aaaaaaaaaaaaaaaa " * 12
+
+
+def _labeled(spark, n=30):
+    rows = []
+    for i in range(n):
+        rows.append((f"g{i}", GOOD + f" sample {i} extra detail", 1.0))
+        junk = JUNK_REP if i % 2 else JUNK_SPAM
+        rows.append((f"j{i}", junk + f"x{i}", 0.0))
+    return spark.createDataFrame(rows,
+                                 "doc_id string, text string, label double")
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    return train_quality_classifier(_labeled(spark))
+
+
+def test_separates_heldout_good_from_junk(spark, model):
+    held = spark.createDataFrame([
+        ("h1", GOOD + " fresh unseen phrasing of the findings"),
+        ("h2", "the council met on tuesday to review the harbour works "
+               "and approved the revised schedule for the autumn"),
+        ("h3", "click here " * 25),
+        ("h4", "zzzzzzzzzzzz " * 15),
+    ], "doc_id string, text string")
+    got = {r.doc_id: r.quality_prob
+           for r in score_quality(held, model).collect()}
+    assert min(got["h1"], got["h2"]) > max(got["h3"], got["h4"])
+    assert got["h1"] > 0.8 and got["h4"] < 0.2
+    # scoring drops the internal feature/vector columns
+    cols = set(score_quality(held, model).columns)
+    assert cols == {"doc_id", "text", "quality_prob"}
+
+
+def test_model_save_load_roundtrip(spark, model, tmp_path):
+    from pyspark.ml import PipelineModel
+    p = str(tmp_path / "qmodel")
+    model.write().overwrite().save(p)
+    loaded = PipelineModel.load(p)
+    held = spark.createDataFrame([("x", GOOD)], "doc_id string, text string")
+    a = score_quality(held, model).head().quality_prob
+    b = score_quality(held, loaded).head().quality_prob
+    assert a == b
