@@ -249,6 +249,54 @@ def decontaminate(corpus, eval_set, *, n: int = 13,
             .agg(F.count_distinct("g").alias("n_hits")))
 
 
+def mix_sources(sources, weights, *, target_tokens: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                salt: str = "mix"):
+    """Weighted multi-source mixing to a token budget — the Pile-style
+    recipe: each source contributes ``target_tokens · w_s / Σw`` tokens,
+    sampled doc-wise. Returns the union with a ``source`` column and the
+    per-source sampling plan (for the run report).
+
+    Sampling is HASH-based (xxhash64 of id + salt), not rand(): the same
+    inputs always select the same docs, task retries can't change the
+    mix, and changing ``salt`` draws a fresh epoch. A source whose
+    allotment exceeds its size is taken whole (fraction capped at 1) and
+    the shortfall is logged — upweighting beyond 1 is an epoch-repeat
+    decision for the trainer, not silent duplication here.
+
+    Scale shape: one token-count aggregate per source (map-side combined)
+    to size the plan, then a narrow hash-filter per source — no shuffle,
+    no collect beyond k scalars.
+    """
+    import logging
+
+    logger = logging.getLogger(__name__)
+    total_w = sum(weights[name] for name in sources)
+    plan = {}
+    sampled = []
+    denom = 1 << 20
+    for name, df in sources.items():
+        toks = df.select(token_count(F.col(text_col)).alias("n"))
+        have = toks.agg(F.sum("n").alias("s")).head()["s"] or 0
+        want = target_tokens * weights[name] / total_w
+        frac = min(1.0, want / have) if have else 0.0
+        if have and want > have:
+            logger.warning(
+                "mix_sources: source %s has %d tokens, allotment %.0f — "
+                "taking all (shortfall %.0f)", name, have, want,
+                want - have)
+        plan[name] = {"have": have, "want": round(want), "fraction": frac}
+        gate = F.pmod(F.xxhash64(F.col(id_col).cast("string"),
+                                 F.lit(salt), F.lit(name)),
+                      F.lit(denom)) < int(frac * denom)
+        sampled.append(df.filter(gate)
+                       .withColumn("source", F.lit(name)))
+    out = sampled[0]
+    for s in sampled[1:]:
+        out = out.unionByName(s)
+    return out, plan
+
+
 def line_repetition_ratio(col: Column) -> Column:
     """Within-document repetition: fraction of lines that are duplicates
     of an earlier line (the C4/Gopher 'repeated lines' quality filter).

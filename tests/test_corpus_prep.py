@@ -84,6 +84,46 @@ class TestChunkProperties:
                 assert len(text.split()) == c == ntok, (n, c, o)
 
 
+class TestMixSources:
+    def test_weighted_token_shares_and_determinism(self, spark):
+        docs = load_tables(spark, "/root/testdata/sf0.01")["documents"]
+        a = docs.filter(F.col("doc_id") % 2 == 0)
+        b = docs.filter(F.col("doc_id") % 2 == 1)
+        from dig_etl_engine_spark.operators.text_analysis import (
+            mix_sources, token_count)
+
+        mixed, plan = mix_sources(
+            {"a": a, "b": b}, {"a": 3.0, "b": 1.0}, target_tokens=20000)
+        got = {r.source: r.s for r in mixed.groupBy("source").agg(
+            F.sum(token_count(F.col("text"))).alias("s")).collect()}
+        # 3:1 split of 20k → 15k / 5k, hash-sampling noise ±25%
+        assert abs(got["a"] - 15000) < 3750, got
+        assert abs(got["b"] - 5000) < 1250, got
+        assert plan["a"]["want"] == 15000 and plan["b"]["want"] == 5000
+
+        mixed2, _ = mix_sources(
+            {"a": a, "b": b}, {"a": 3.0, "b": 1.0}, target_tokens=20000)
+        ids = lambda m: sorted(r.doc_id for r in m.select("doc_id").collect())
+        assert ids(mixed) == ids(mixed2)        # hash gate → deterministic
+        mixed3, _ = mix_sources(
+            {"a": a, "b": b}, {"a": 3.0, "b": 1.0}, target_tokens=20000,
+            salt="epoch2")
+        assert ids(mixed3) != ids(mixed)        # new salt → new draw
+
+    def test_small_source_taken_whole(self, spark):
+        from dig_etl_engine_spark.operators.text_analysis import mix_sources
+        tiny = spark.createDataFrame(
+            [(1, "only a few tokens here")], "doc_id long, text string")
+        big = spark.createDataFrame(
+            [(i, "word " * 50) for i in range(2, 60)],
+            "doc_id long, text string")
+        mixed, plan = mix_sources(
+            {"tiny": tiny, "big": big}, {"tiny": 5.0, "big": 1.0},
+            target_tokens=1000)
+        assert plan["tiny"]["fraction"] == 1.0
+        assert mixed.filter("source = 'tiny'").count() == 1
+
+
 class TestQuantizeEmbeddings:
     def test_roundtrip_error_bound_and_cosine(self, spark):
         emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
