@@ -276,22 +276,21 @@ def merge_duplicates(df: DataFrame, assignment: DataFrame, *,
     order = F.col(order_col) if order_col else F.col(id_col)
     joined = df.join(assignment.select(id_col, "survivor"), id_col)
     # the survivor's own values must dominate any duplicate's: give them
-    # an order rank above every real order value
+    # an order rank above every real order value. The id is the final
+    # tiebreak — two duplicates tying on order_col must not leave the
+    # winner to aggregation order (task retries would flip the output).
     is_surv = (F.col(id_col) == F.col("survivor")).cast("int")
+    rank = F.struct(is_surv.alias("s"), order.alias("o"),
+                    F.col(id_col).alias("i"))
     aggs = []
     for c in df.columns:
         if c == id_col:
             continue
         if c in first_non_null:
             aggs.append(F.max_by(
-                F.col(c),
-                F.when(F.col(c).isNotNull(),
-                       F.struct(is_surv.alias("s"), order.alias("o")))
-            ).alias(c))
+                F.col(c), F.when(F.col(c).isNotNull(), rank)).alias(c))
         else:
-            aggs.append(F.max_by(
-                F.col(c), F.struct(is_surv.alias("s"), order.alias("o"))
-            ).alias(c))
+            aggs.append(F.max_by(F.col(c), rank).alias(c))
     return (joined.groupBy(F.col("survivor").alias(id_col))
             .agg(*aggs))
 
@@ -340,11 +339,17 @@ def _load_minhash_meta(spark, index_path: str,
                        k: int, num_hashes: int, bands: int) -> tuple:
     """Prefer the index's persisted build parameters over caller-supplied
     values (pre-meta indexes fall back to the arguments)."""
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.parquet(f"{index_path}/meta").head()
         if row is not None:
             return row["k"], row["num_hashes"], row["bands"]
-    except Exception:  # noqa: BLE001 - legacy index without meta
+    except AnalysisException:
+        # legacy index without a meta table — trust the arguments. Any
+        # OTHER failure (transient storage/permission error) must raise:
+        # silently falling back would re-open the zero-match hole the
+        # meta table exists to close.
         pass
     return k, num_hashes, bands
 

@@ -15,25 +15,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-FEATURES = ("n_tokens", "stop_ratio", "distinct_ratio",
-            "mean_tok_len", "line_rep")
+# underscore-prefixed so user data columns (the repo's own profiling
+# queries emit e.g. n_tokens) are never clobbered or dropped by scoring
+FEATURES = ("_qf_n_tokens", "_qf_stop_ratio", "_qf_distinct_ratio",
+            "_qf_mean_tok_len", "_qf_line_rep")
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the heuristic feature columns used by the classifier —
     pure column math (codegen, no shuffle), shared between training and
-    scoring so the two can never skew."""
+    scoring so the two can never skew. Null text is treated as empty
+    (scores as junk) instead of feeding nulls into the assembler."""
     from dig_etl_engine_spark.operators.text_analysis import (
         distinct_token_ratio, line_repetition_ratio, mean_token_length,
         stopword_ratio, token_count)
 
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     return df.withColumns({
-        "n_tokens": token_count(t).cast("double"),
-        "stop_ratio": stopword_ratio(t),
-        "distinct_ratio": distinct_token_ratio(t),
-        "mean_tok_len": mean_token_length(t),
-        "line_rep": line_repetition_ratio(t),
+        "_qf_n_tokens": token_count(t).cast("double"),
+        "_qf_stop_ratio": stopword_ratio(t),
+        "_qf_distinct_ratio": distinct_token_ratio(t),
+        "_qf_mean_tok_len": mean_token_length(t),
+        "_qf_line_rep": line_repetition_ratio(t),
     })
 
 
@@ -52,9 +55,12 @@ def train_quality_classifier(labeled: DataFrame, *, text_col: str = "text",
 
     feats = quality_features(labeled, text_col)
     pipe = Pipeline(stages=[
-        VectorAssembler(inputCols=list(FEATURES), outputCol="features"),
-        LogisticRegression(featuresCol="features", labelCol=label_col,
-                           maxIter=max_iter, regParam=reg),
+        VectorAssembler(inputCols=list(FEATURES), outputCol="_qf_vec"),
+        LogisticRegression(featuresCol="_qf_vec", labelCol=label_col,
+                           maxIter=max_iter, regParam=reg,
+                           rawPredictionCol="_qf_raw",
+                           probabilityCol="_qf_prob",
+                           predictionCol="_qf_pred"),
     ])
     return pipe.fit(feats)
 
@@ -68,6 +74,5 @@ def score_quality(df: DataFrame, model, *, text_col: str = "text",
 
     scored = model.transform(quality_features(df, text_col))
     return (scored.withColumn(
-        out_col, vector_to_array(F.col("probability")).getItem(1))
-        .drop("features", "rawPrediction", "probability", "prediction",
-              *FEATURES))
+        out_col, vector_to_array(F.col("_qf_prob")).getItem(1))
+        .drop("_qf_vec", "_qf_raw", "_qf_prob", "_qf_pred", *FEATURES))

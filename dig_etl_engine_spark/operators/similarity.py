@@ -295,22 +295,20 @@ def quantize_embeddings(df: DataFrame, *, vec_col: str = "embedding",
     re-evaluate the closed-over fold per element, O(dim²)/row; the
     vectorized batch kernel does one BLAS-ish pass.)"""
     import numpy as np
-
-    from pyspark.sql import types as T
+    import pandas as pd
 
     from dig_etl_engine_spark.session import ship_package
 
     ship_package(df.sparkSession)
-    out_schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField(out_col, T.ArrayType(T.ByteType())),
-           T.StructField(scale_col, T.DoubleType())])
 
-    def part(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    def _kernel(vs):
+        # null vectors pass through as (null, null), matching the old
+        # expression semantics instead of killing the job
+        out_q = [None] * len(vs)
+        out_s = [None] * len(vs)
+        valid = [i for i, v in enumerate(vs) if v is not None]
+        if valid:
+            m = np.array([vs.iloc[i] for i in valid], dtype=np.float64)
             amax = np.abs(m).max(axis=1)
             scale = amax / 127.0
             safe = np.where(scale == 0.0, 1.0, scale)
@@ -318,12 +316,23 @@ def quantize_embeddings(df: DataFrame, *, vec_col: str = "embedding",
             # half-away-from-zero, matching Spark's round() convention
             q = (np.sign(m) * np.floor(np.abs(m) / safe[:, None] + 0.5)) \
                 .astype(np.int8)
-            pdf = pdf.copy()
-            pdf[out_col] = list(q)
-            pdf[scale_col] = scale
-            yield pdf
+            for j, i in enumerate(valid):
+                out_q[i] = q[j]
+                out_s[i] = float(scale[j])
+        return pd.DataFrame({"q": out_q, "s": out_s})
 
-    return df.mapInPandas(part, out_schema)
+    # annotate with real classes (the module's `from __future__ import
+    # annotations` would otherwise leave unresolvable string hints)
+    _kernel.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
+    # scalar UDF over ONLY the vector column: every other column stays
+    # JVM-side (a mapInPandas draft serialized the whole row into Arrow
+    # and back — the dominant cost on tables carrying text/metadata)
+    qudf = F.pandas_udf(_kernel, "struct<q: array<tinyint>, s: double>")
+    packed = df.withColumn("_qs", qudf(as_double(F.col(vec_col))))
+    return (packed
+            .withColumn(out_col, F.col("_qs.q"))
+            .withColumn(scale_col, F.col("_qs.s"))
+            .drop("_qs"))
 
 
 def dequantize(q: Column, scale: Column) -> Column:

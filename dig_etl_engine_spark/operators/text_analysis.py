@@ -271,7 +271,11 @@ def mix_sources(sources, weights, *, target_tokens: int,
     import logging
 
     logger = logging.getLogger(__name__)
+    if not sources:
+        raise ValueError("mix_sources: no sources given")
     total_w = sum(weights[name] for name in sources)
+    if total_w <= 0:
+        raise ValueError("mix_sources: weights sum to zero")
     plan = {}
     sampled = []
     denom = 1 << 20
@@ -286,9 +290,14 @@ def mix_sources(sources, weights, *, target_tokens: int,
                 "taking all (shortfall %.0f)", name, have, want,
                 want - have)
         plan[name] = {"have": have, "want": round(want), "fraction": frac}
+        # a positive allotment must never truncate to a zero gate: a huge
+        # source with a tiny weight still contributes ~its smallest unit
+        thr = int(frac * denom)
+        if frac > 0:
+            thr = max(1, thr)
         gate = F.pmod(F.xxhash64(F.col(id_col).cast("string"),
                                  F.lit(salt), F.lit(name)),
-                      F.lit(denom)) < int(frac * denom)
+                      F.lit(denom)) < thr
         sampled.append(df.filter(gate)
                        .withColumn("source", F.lit(name)))
     out = sampled[0]

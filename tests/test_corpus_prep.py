@@ -155,6 +155,26 @@ class TestQuantizeEmbeddings:
         r = quantize_embeddings(df).head()
         assert r.q_scale == 0.0 and list(r.q) == [0, 0, 0]
 
+    def test_null_vector_passes_through(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, -2.0]), (2, None)],
+            "vec_id long, embedding array<float>")
+        rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+        assert rows[2].q is None and rows[2].q_scale is None
+        assert list(rows[1].q) == [64, -127]       # scale = 2/127
+
+    def test_only_vector_column_crosses_to_python(self, spark):
+        # the other columns must stay JVM-side: the Arrow eval node's
+        # input should reference only the cast vector, not doc text
+        df = spark.createDataFrame(
+            [(1, "big payload text", [1.0, 2.0])],
+            "vec_id long, text string, embedding array<float>")
+        plan = quantize_embeddings(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        eval_lines = [l for l in plan.splitlines()
+                      if "ArrowEvalPython" in l]
+        assert eval_lines and not any("text#" in l for l in eval_lines)
+
     def test_int8_range(self, spark):
         emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
         q = quantize_embeddings(emb)

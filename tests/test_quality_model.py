@@ -50,6 +50,18 @@ def test_separates_heldout_good_from_junk(spark, model):
     assert cols == {"doc_id", "text", "quality_prob"}
 
 
+def test_null_text_and_user_column_survive(spark, model):
+    # null text is scored (as empty) instead of crashing the assembler —
+    # what it scores is the model's business — and a user column that
+    # shares a heuristic's natural name is untouched
+    held = spark.createDataFrame(
+        [("h1", GOOD, 42), ("h2", None, 7)],
+        "doc_id string, text string, n_tokens int")
+    rows = {r.doc_id: r for r in score_quality(held, model).collect()}
+    assert 0.0 <= rows["h2"].quality_prob <= 1.0
+    assert rows["h1"].n_tokens == 42 and rows["h2"].n_tokens == 7
+
+
 def test_model_save_load_roundtrip(spark, model, tmp_path):
     from pyspark.ml import PipelineModel
     p = str(tmp_path / "qmodel")
