@@ -249,6 +249,51 @@ def decontaminate(corpus, eval_set, *, n: int = 13,
             .agg(F.count_distinct("g").alias("n_hits")))
 
 
+def global_line_dedup(df, *, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      keep_first: bool = True):
+    """C4's corpus-wide line dedup: a line occurring in more than one
+    place survives only at its first occurrence (``keep_first=True``,
+    ordered by doc id then line position) or nowhere (``False`` —
+    "remove any line that appeared more than once" verbatim). Documents
+    are reassembled in original line order; docs whose lines all vanish
+    yield an empty string.
+
+    Shape: posexplode lines → one shuffle keyed on the line fingerprint
+    (window min or count — map-side combined) → filter → regroup by doc
+    (second shuffle) → ``concat_ws`` over position-sorted survivors.
+    Blank lines are kept verbatim — they are structure, not content.
+    """
+    from pyspark.sql import Window as W
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"))
+    content = lines.withColumn(
+        "fp", F.when(F.trim("line") != "", F.xxhash64(F.trim("line"))))
+    w = W.partitionBy("fp")
+    if keep_first:
+        ranked = content.withColumn(
+            "first", F.min(F.struct(id_col, "pos")).over(w))
+        kept = ranked.filter(
+            F.col("fp").isNull()
+            | (F.struct(id_col, "pos") == F.col("first")))
+    else:
+        counted = content.withColumn("n", F.count(F.lit(1)).over(w))
+        kept = counted.filter(F.col("fp").isNull() | (F.col("n") == 1))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("pos", "line"))).alias("ls"))
+               .select(id_col,
+                       F.concat_ws("\n", F.transform(
+                           "ls", lambda s: s["line"])).alias(text_col)))
+    # docs that lost every line still appear (empty text), preserving
+    # the corpus's doc set for downstream joins
+    return (df.select(id_col).join(rebuilt, id_col, "left")
+            .select(id_col, F.coalesce(text_col, F.lit(""))
+                    .alias(text_col)))
+
+
 def mix_sources(sources, weights, *, target_tokens: int,
                 id_col: str = "doc_id", text_col: str = "text",
                 salt: str = "mix"):

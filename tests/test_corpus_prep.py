@@ -84,6 +84,50 @@ class TestChunkProperties:
                 assert len(text.split()) == c == ntok, (n, c, o)
 
 
+class TestGlobalLineDedup:
+    DOCS = [
+        (1, "unique alpha line\nshared boilerplate footer\nsecond unique"),
+        (2, "another doc body\nshared boilerplate footer\nown ending"),
+        (3, "shared boilerplate footer"),
+        (4, "totally untouched document\nwith two lines"),
+    ]
+
+    def test_keep_first_occurrence(self, spark):
+        from dig_etl_engine_spark.operators.text_analysis import (
+            global_line_dedup)
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {r.doc_id: r.text
+               for r in global_line_dedup(df).collect()}
+        assert got == {
+            1: "unique alpha line\nshared boilerplate footer\n"
+               "second unique",                     # first occurrence kept
+            2: "another doc body\nown ending",
+            3: "",                                  # doc reduced to empty
+            4: "totally untouched document\nwith two lines",
+        }
+
+    def test_drop_all_occurrences(self, spark):
+        from dig_etl_engine_spark.operators.text_analysis import (
+            global_line_dedup)
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {r.doc_id: r.text
+               for r in global_line_dedup(df, keep_first=False).collect()}
+        assert got[1] == "unique alpha line\nsecond unique"
+        assert got[3] == ""
+
+    def test_blank_lines_are_structure(self, spark):
+        from dig_etl_engine_spark.operators.text_analysis import (
+            global_line_dedup)
+        df = spark.createDataFrame(
+            [(1, "para one\n\npara two"), (2, "other\n\nmore")],
+            "doc_id long, text string")
+        got = {r.doc_id: r.text
+               for r in global_line_dedup(df).collect()}
+        # the empty separator line appears in both docs but is never
+        # treated as a duplicate line
+        assert got == {1: "para one\n\npara two", 2: "other\n\nmore"}
+
+
 class TestMixSources:
     def test_weighted_token_shares_and_determinism(self, spark):
         docs = load_tables(spark, "/root/testdata/sf0.01")["documents"]
