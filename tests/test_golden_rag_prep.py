@@ -58,6 +58,17 @@ def test_duplicated_paragraph_is_top_neighbor(spark, chunked_index):
         assert top[0].cosine == 1.0
 
 
+def test_featurizer_stays_jvm_side(spark):
+    # hashed_bow_embedding must be pure column math — no Python eval
+    # nodes, unrolled normalization (the HOF cliff fix)
+    df = spark.createDataFrame([(1, "some words here")],
+                               "doc_id long, text string")
+    plan = hashed_bow_embedding(df, "text", id_col="doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
 def test_unrelated_chunks_score_low(spark, chunked_index):
     path, embedded = chunked_index
     probe = embedded.filter(F.col("vec_id") == 300)   # gamma chunk 0
