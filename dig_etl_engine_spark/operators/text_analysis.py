@@ -269,18 +269,21 @@ def global_line_dedup(df, *, id_col: str = "doc_id",
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"))
-    content = lines.withColumn(
-        "fp", F.when(F.trim("line") != "", F.xxhash64(F.trim("line"))))
+    # blank lines bypass the window entirely: they'd otherwise all share
+    # one fingerprint partition — a guaranteed skewed window task on any
+    # real corpus (billions of blank lines, one partition)
+    blank = lines.filter(F.trim("line") == "")
+    content = lines.filter(F.trim("line") != "").withColumn(
+        "fp", F.xxhash64(F.trim("line")))
     w = W.partitionBy("fp")
     if keep_first:
         ranked = content.withColumn(
             "first", F.min(F.struct(id_col, "pos")).over(w))
-        kept = ranked.filter(
-            F.col("fp").isNull()
-            | (F.struct(id_col, "pos") == F.col("first")))
+        kept = ranked.filter(F.struct(id_col, "pos") == F.col("first"))
     else:
         counted = content.withColumn("n", F.count(F.lit(1)).over(w))
-        kept = counted.filter(F.col("fp").isNull() | (F.col("n") == 1))
+        kept = counted.filter(F.col("n") == 1)
+    kept = kept.select(id_col, "pos", "line").unionByName(blank)
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_sort(F.collect_list(
                    F.struct("pos", "line"))).alias("ls"))
