@@ -249,6 +249,74 @@ def decontaminate(corpus, eval_set, *, n: int = 13,
             .agg(F.count_distinct("g").alias("n_hits")))
 
 
+def ngram_repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Gopher's duplicate n-gram fraction: 1 − distinct/total over word
+    ``n``-grams — catches looped phrases that line- and token-level
+    repetition miss (a spam page cycling one sentence has unique lines
+    but massive trigram repetition). 0 for docs with < ``n`` tokens.
+    Pure column math, no shuffle; grams built by the zip-shifted-slices
+    shape (see ``dedup.shingles`` for why never per-position lambdas)."""
+    toks = tokens(F.lower(col))
+    n_out = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, 1 + j, F.greatest(n_out, F.lit(0)))
+                            for j in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
+    return F.when(n_out <= 1, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(grams)) / n_out, 6))
+
+
+def gopher_gates(col: Column, *, min_tokens: int = 50,
+                 max_tokens: int = 100_000) -> Column:
+    """The Gopher corpus-filter rule set as one struct column of boolean
+    gates plus the combined verdict — apply with
+    ``df.withColumn("g", gopher_gates(F.col("text"))).filter("g.pass_all")``.
+
+    Gates (Rae et al. 2021, §A1.1, restated over whitespace tokens):
+      * ``word_count``      — token count in [min_tokens, max_tokens]
+      * ``mean_word_len``   — mean token length in [3, 10]
+      * ``symbol_ratio``    — '#' or '…' to token ratio < 0.1
+      * ``bullet_lines``    — < 90% of lines start with a bullet
+      * ``ellipsis_lines``  — < 30% of lines end with an ellipsis
+      * ``alpha_words``     — ≥ 80% of tokens contain a letter
+      * ``stopword_hits``   — ≥ 2 distinct common-English stopwords
+
+    Each sub-gate is exposed so curation reports can count WHY docs
+    fail, not just how many. Pure column math, no shuffle."""
+    toks = tokens(col)
+    n = F.size(toks)
+    lines = F.filter(F.transform(F.split(col, r"\n"),
+                                 lambda l: F.trim(l)), lambda l: l != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    mean_len = mean_token_length(col)
+    symbols = (F.length(col) - F.length(F.translate(col, "#…", "")))
+    bullets = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^([•‣▪*-])")))
+    ellipses = F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    sw = F.array(*[F.lit(s) for s in
+                   ("the", "be", "to", "of", "and", "that", "have",
+                    "with")])
+    sw_hits = F.size(F.array_intersect(
+        F.array_distinct(tokens(F.lower(col))), sw))
+    gates = {
+        "word_count": (n >= min_tokens) & (n <= max_tokens),
+        "mean_word_len": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "symbol_ratio": (symbols / F.greatest(n, F.lit(1))) < 0.1,
+        "bullet_lines": (bullets / n_lines) < 0.9,
+        "ellipsis_lines": (ellipses / n_lines) < 0.3,
+        "alpha_words": (alpha / F.greatest(n, F.lit(1))) >= 0.8,
+        "stopword_hits": sw_hits >= 2,
+    }
+    pass_all = None
+    for g in gates.values():
+        pass_all = g if pass_all is None else (pass_all & g)
+    return F.struct(
+        *[v.alias(k) for k, v in gates.items()],
+        pass_all.alias("pass_all"))
+
+
 def global_line_dedup(df, *, id_col: str = "doc_id",
                       text_col: str = "text",
                       keep_first: bool = True):

@@ -84,6 +84,55 @@ class TestChunkProperties:
                 assert len(text.split()) == c == ntok, (n, c, o)
 
 
+class TestGopherGates:
+    GOOD = ("the committee have agreed to publish the findings and that "
+            "report will be shared with all of the districts next week "
+            "so every member can review the details before the meeting "
+            "which is planned for the first tuesday of next month with "
+            "time reserved for questions and a short briefing from the "
+            "chair about the budget")               # >50 tokens, clean
+
+    def _gates(self, spark, text, **kw):
+        from dig_etl_engine_spark.operators.text_analysis import (
+            gopher_gates)
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return df.select(gopher_gates(F.col("text"), **kw)
+                         .alias("g")).head()["g"].asDict()
+
+    def test_clean_doc_passes_all(self, spark):
+        g = self._gates(spark, self.GOOD)
+        assert g["pass_all"] and all(g.values())
+
+    def test_each_gate_fails_for_its_own_reason(self, spark):
+        assert not self._gates(spark, "too short")["word_count"]
+        g = self._gates(spark, "## " * 60)
+        assert not g["symbol_ratio"] and not g["alpha_words"]
+        bullets = "\n".join("• item " + "word " * 9 for _ in range(10))
+        assert not self._gates(spark, bullets)["bullet_lines"]
+        dots = "\n".join("the line trails off... " * 3 + "..."
+                         for _ in range(10))
+        assert not self._gates(spark, dots)["ellipsis_lines"]
+        nosw = " ".join(f"xylophone{i}" for i in range(60))
+        assert not self._gates(spark, nosw)["stopword_hits"]
+        longw = " ".join("a" * 15 for _ in range(60)) + " the of"
+        assert not self._gates(spark, longw)["mean_word_len"]
+
+    def test_ngram_repetition(self, spark):
+        from dig_etl_engine_spark.operators.text_analysis import (
+            ngram_repetition_ratio)
+        df = spark.createDataFrame(
+            [(1, "buy cheap pills now " * 10),
+             (2, "a perfectly ordinary sentence with no looped phrases"),
+             (3, "ab")],
+            "doc_id long, text string")
+        got = {r.doc_id: r.rep for r in df.select(
+            "doc_id", ngram_repetition_ratio(F.col("text"))
+            .alias("rep")).collect()}
+        assert got[1] > 0.8           # looped phrase → massive trigram rep
+        assert got[2] == 0.0
+        assert got[3] == 0.0          # sub-n doc
+
+
 class TestGlobalLineDedup:
     DOCS = [
         (1, "unique alpha line\nshared boilerplate footer\nsecond unique"),
