@@ -128,21 +128,14 @@ def read_excel(spark: SparkSession, path: str,
     """S3: spreadsheet source (driver-side — the reference's sheets are
     human-sized, `dig_tabular_import.py:107-160`; ``sheet_number`` 1-based,
     every cell a string). ``.xlsx`` parses with the stdlib OOXML reader
-    (`sources/xlsx.py` — zipfile + ElementTree, no Excel engine needed);
-    legacy binary ``.xls`` stays gated on an external engine."""
+    (`sources/xlsx.py` — zipfile + ElementTree); legacy binary ``.xls``
+    with the stdlib BIFF8 reader (`sources/xls.py`) — no Excel engine
+    needed for either."""
     spec = spec or TabularSpec()
     ext = os.path.splitext(path)[1].lower()
     if ext == ".xls":
-        try:
-            import pandas as pd
-            pdf = pd.read_excel(path, sheet_name=spec.sheet_number - 1,
-                                header=None, dtype=str)
-        except ImportError as exc:  # pragma: no cover - gated dependency
-            raise NotImplementedError(
-                "legacy .xls parsing needs xlrd (not in container); "
-                "convert to .xlsx for the stdlib path") from exc
-        rows = [[("" if v is None or v != v else str(v)) for v in row]
-                for row in pdf.values.tolist()]
+        from dig_etl_engine_spark.sources.xls import read_xls_grid
+        rows = read_xls_grid(path, spec.sheet_number)
     else:
         from dig_etl_engine_spark.sources.xlsx import read_xlsx_grid
         rows = read_xlsx_grid(path, spec.sheet_number)

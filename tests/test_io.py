@@ -81,12 +81,14 @@ class TestGridWindowing:
         assert df.columns == ["x", "y"]
         assert [tuple(r) for r in df.collect()] == [("1", "2")]
 
-    def test_xls_gate(self, spark, tmp_path):
-        """Legacy binary .xls (not zip/XML) stays gated on an engine."""
+    def test_xls_corrupt_raises_clearly(self, spark, tmp_path):
+        """Legacy .xls now parses via the stdlib BIFF8 reader
+        (test_xls_reader.py); a truncated/corrupt container must raise a
+        clear format error, not crash obscurely."""
         from dig_etl_engine_spark.sources.tabular import read_excel
         p = tmp_path / "x.xls"
-        p.write_bytes(b"\xd0\xcf\x11\xe0 not ooxml")
-        with pytest.raises((NotImplementedError, ValueError)):
+        p.write_bytes(b"\xd0\xcf\x11\xe0 not a real compound file")
+        with pytest.raises(ValueError):
             read_excel(spark, str(p))
 
 
