@@ -256,12 +256,11 @@ def ngram_repetition_ratio(col: Column, n: int = 3) -> Column:
     but massive trigram repetition). 0 for docs with < ``n`` tokens.
     Pure column math, no shuffle; grams built by the zip-shifted-slices
     shape (see ``dedup.shingles`` for why never per-position lambdas)."""
-    toks = tokens(F.lower(col))
-    n_out = F.size(toks) - (n - 1)
-    zipped = F.arrays_zip(*[F.slice(toks, 1 + j, F.greatest(n_out, F.lit(0)))
-                            for j in range(n)])
-    grams = F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
+    # deferred import: dedup imports this module at top level
+    from dig_etl_engine_spark.operators.dedup import shingles
+
+    n_out = F.size(tokens(col)) - (n - 1)
+    grams = shingles(F.lower(col), n)
     return F.when(n_out <= 1, F.lit(0.0)).otherwise(
         F.round(1.0 - F.size(F.array_distinct(grams)) / n_out, 6))
 
@@ -289,7 +288,11 @@ def gopher_gates(col: Column, *, min_tokens: int = 50,
                                  lambda l: F.trim(l)), lambda l: l != "")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     mean_len = mean_token_length(col)
-    symbols = (F.length(col) - F.length(F.translate(col, "#…", "")))
+    # '#' chars plus ellipses in BOTH forms — the ASCII three-dot
+    # ellipsis is the common one in web text, same as the line gate below
+    symbols = (F.length(col) - F.length(F.translate(col, "#", ""))
+               + F.size(F.regexp_extract_all(col, F.lit(r"(\.\.\.|…)"),
+                                             F.lit(0))))
     bullets = F.size(F.filter(
         lines, lambda l: l.rlike(r"^([•‣▪*-])")))
     ellipses = F.size(F.filter(
@@ -323,46 +326,48 @@ def global_line_dedup(df, *, id_col: str = "doc_id",
     """C4's corpus-wide line dedup: a line occurring in more than one
     place survives only at its first occurrence (``keep_first=True``,
     ordered by doc id then line position) or nowhere (``False`` —
-    "remove any line that appeared more than once" verbatim). Documents
-    are reassembled in original line order; docs whose lines all vanish
-    yield an empty string.
+    "remove any line that appeared more than once"). Line equality is
+    VERBATIM — whitespace-variant lines are distinct, matching the C4
+    rule. Documents are reassembled in original line order; docs whose
+    lines all vanish yield an empty string; columns other than
+    ``text_col`` pass through untouched.
 
-    Shape: posexplode lines → one shuffle keyed on the line fingerprint
-    (window min or count — map-side combined) → filter → regroup by doc
-    (second shuffle) → ``concat_ws`` over position-sorted survivors.
-    Blank lines are kept verbatim — they are structure, not content.
+    Shape: posexplode lines → groupBy(line) min/count (map-side partial
+    aggregation, so a billion-copy boilerplate line combines per
+    partition BEFORE the shuffle — the skew-safe shape a window over the
+    line key would not have) → equi-join back (AQE skew-join covers the
+    residual hot key) → regroup by doc. Equality is decided on the line
+    VALUE, never a hash alone — 64-bit fingerprints collide at corpus
+    scale and would silently delete innocent lines. Whitespace-only
+    lines (including bare ``\\r`` from CRLF corpora) are structure, not
+    content: they bypass dedup and are kept verbatim.
     """
-    from pyspark.sql import Window as W
-
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"))
-    # blank lines bypass the window entirely: they'd otherwise all share
-    # one fingerprint partition — a guaranteed skewed window task on any
-    # real corpus (billions of blank lines, one partition)
-    blank = lines.filter(F.trim("line") == "")
-    content = lines.filter(F.trim("line") != "").withColumn(
-        "fp", F.xxhash64(F.trim("line")))
-    w = W.partitionBy("fp")
+    blank_pred = F.col("line").rlike(r"^\s*$")
+    blank = lines.filter(blank_pred)
+    content = lines.filter(~blank_pred)
+    stats = content.groupBy("line").agg(
+        F.min(F.struct(id_col, "pos")).alias("first"),
+        F.count(F.lit(1)).alias("n"))
+    joined = content.join(stats, "line")
     if keep_first:
-        ranked = content.withColumn(
-            "first", F.min(F.struct(id_col, "pos")).over(w))
-        kept = ranked.filter(F.struct(id_col, "pos") == F.col("first"))
+        kept = joined.filter(F.struct(id_col, "pos") == F.col("first"))
     else:
-        counted = content.withColumn("n", F.count(F.lit(1)).over(w))
-        kept = counted.filter(F.col("n") == 1)
+        kept = joined.filter(F.col("n") == 1)
     kept = kept.select(id_col, "pos", "line").unionByName(blank)
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_sort(F.collect_list(
                    F.struct("pos", "line"))).alias("ls"))
                .select(id_col,
                        F.concat_ws("\n", F.transform(
-                           "ls", lambda s: s["line"])).alias(text_col)))
-    # docs that lost every line still appear (empty text), preserving
-    # the corpus's doc set for downstream joins
-    return (df.select(id_col).join(rebuilt, id_col, "left")
-            .select(id_col, F.coalesce(text_col, F.lit(""))
-                    .alias(text_col)))
+                           "ls", lambda s: s["line"])).alias("_gld_text")))
+    # docs that lost every line still appear (empty text), and every
+    # other input column survives
+    return (df.join(rebuilt, id_col, "left")
+            .withColumn(text_col, F.coalesce("_gld_text", F.lit("")))
+            .drop("_gld_text"))
 
 
 def mix_sources(sources, weights, *, target_tokens: int,

@@ -30,12 +30,14 @@ class XlsFormatError(ValueError):
 
 
 def _read_chain(data: bytes, fat: list[int], start: int,
-                sector_size: int, base: int) -> bytes:
+                sector_size: int) -> bytes:
     out = []
     sec = start
     seen = 0
     while sec not in (_ENDOFCHAIN, _FREESECT):
-        off = base + sec * sector_size
+        # MS-CFB: sector N starts at (N+1) * sector_size — identical to
+        # 512 + N*512 for v3, but NOT for v4's 4096-byte sectors
+        off = (sec + 1) * sector_size
         out.append(data[off:off + sector_size])
         if sec >= len(fat):
             raise XlsFormatError(f"FAT chain points past FAT: {sec}")
@@ -64,7 +66,7 @@ def _cfb_stream(data: bytes, name: bytes) -> bytes:
     difat = list(struct.unpack_from("<109I", data, 76))
     sec = first_difat
     for _ in range(n_difat):
-        off = 512 + sec * sector_size
+        off = (sec + 1) * sector_size
         ents = struct.unpack_from(f"<{sector_size // 4}I", data, off)
         difat.extend(ents[:-1])
         sec = ents[-1]
@@ -73,9 +75,9 @@ def _cfb_stream(data: bytes, name: bytes) -> bytes:
         if fs in (_ENDOFCHAIN, _FREESECT):
             continue
         fat.extend(struct.unpack_from(f"<{sector_size // 4}I", data,
-                                      512 + fs * sector_size))
+                                      (fs + 1) * sector_size))
 
-    directory = _read_chain(data, fat, first_dir, sector_size, 512)
+    directory = _read_chain(data, fat, first_dir, sector_size)
     root_start = root_size = None
     target_start = target_size = None
     for off in range(0, len(directory) - 127, 128):
@@ -93,22 +95,28 @@ def _cfb_stream(data: bytes, name: bytes) -> bytes:
 
     if target_size >= mini_cutoff:
         return _read_chain(data, fat, target_start,
-                           sector_size, 512)[:target_size]
+                           sector_size)[:target_size]
     # mini-stream: the root entry's FAT chain is the container; the
     # miniFAT chains mini-sectors inside it
-    container = _read_chain(data, fat, root_start, sector_size,
-                            512)[:root_size]
+    container = _read_chain(data, fat, root_start,
+                            sector_size)[:root_size]
     minifat: list[int] = []
     sec = first_minifat
     for _ in range(n_minifat):
         minifat.extend(struct.unpack_from(
-            f"<{sector_size // 4}I", data, 512 + sec * sector_size))
+            f"<{sector_size // 4}I", data, (sec + 1) * sector_size))
         sec = fat[sec]
     out = []
     sec = target_start
+    seen = 0
     while sec not in (_ENDOFCHAIN, _FREESECT):
         out.append(container[sec * mini_size:(sec + 1) * mini_size])
+        if sec >= len(minifat):
+            raise XlsFormatError("miniFAT chain points past miniFAT")
         sec = minifat[sec]
+        seen += 1
+        if seen > len(minifat) + 1:
+            raise XlsFormatError("miniFAT chain cycle")
     return b"".join(out)[:target_size]
 
 
@@ -139,6 +147,8 @@ def _parse_sst(payload: bytes, continues: list[bytes]) -> list[str]:
 
     def _next_part() -> None:
         nonlocal pi, off
+        if pi + 1 >= len(parts):
+            raise XlsFormatError("corrupt SST: ran out of CONTINUE data")
         pi += 1
         off = 0
 
@@ -166,6 +176,10 @@ def _parse_sst(payload: bytes, continues: list[bytes]) -> list[str]:
                 wide = bool(_read(1)[0] & 0x01)   # fresh grbit
             unit = 2 if wide else 1
             take = min(remaining, _avail() // unit)
+            if take == 0:
+                # a wide string leaving a single dangling byte in the
+                # record — corrupt input; never spin
+                raise XlsFormatError("corrupt SST: truncated character")
             raw = _read(take * unit)
             chars.append(raw.decode("utf-16-le" if wide else "latin-1"))
             remaining -= take
@@ -199,11 +213,25 @@ def read_xls_grid(path: str, sheet_number: int = 1) -> list[list[str]]:
     with open(path, "rb") as fh:
         data = fh.read()
     try:
+        return _read_grid(data, sheet_number)
+    except (struct.error, IndexError) as exc:
+        # truncated/corrupt payloads surface as struct underflows or
+        # bad SST indexes deep in record parsing — one clear error
+        raise XlsFormatError(f"corrupt .xls file: {exc}") from exc
+
+
+def _read_grid(data: bytes, sheet_number: int) -> list[list[str]]:
+    try:
         wb = _cfb_stream(data, "Workbook".encode("utf-16-le"))
     except XlsFormatError:
+        if data[:8] != b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+            raise
         wb = _cfb_stream(data, "Book".encode("utf-16-le"))
 
-    # workbook globals: SST (+ its CONTINUEs) and sheet offsets
+    # workbook globals: SST (+ its CONTINUEs) and sheet offsets. The
+    # globals substream ends at its own EOF record, BEFORE the first
+    # sheet substream — stop there instead of scanning every sheet's
+    # cell records in the whole stream.
     sst: list[str] = []
     sheet_offsets: list[int] = []
     pending_sst: bytes | None = None
@@ -215,11 +243,8 @@ def read_xls_grid(path: str, sheet_number: int = 1) -> list[list[str]]:
             pending_cont.append(payload)
         elif rid == 0x85:                       # BOUNDSHEET
             sheet_offsets.append(struct.unpack_from("<I", payload, 0)[0])
-        elif rid == 0x0A and not sheet_offsets:
-            break                               # end of globals, no sheets
-        elif pending_sst is not None and rid not in (0x3C,):
-            sst = _parse_sst(pending_sst, pending_cont)
-            pending_sst = None
+        elif rid == 0x0A:
+            break                               # end of globals
     if pending_sst is not None:
         sst = _parse_sst(pending_sst, pending_cont)
     if not 1 <= sheet_number <= len(sheet_offsets):
@@ -265,8 +290,14 @@ def read_xls_grid(path: str, sheet_number: int = 1) -> list[list[str]]:
                 put(r, c, _fmt_num(struct.unpack("<d", res)[0]))
         elif rid == 0x204:                      # LABEL (inline string)
             r, c, _x, cch = struct.unpack_from("<HHHH", payload)
-            wide = payload[8] & 0x01
-            raw = payload[9:9 + cch * (2 if wide else 1)]
+            flags = payload[8]
+            pos = 9
+            if flags & 0x08:                    # rich runs: skip cRun
+                pos += 2
+            if flags & 0x04:                    # ext: skip cbExtRst
+                pos += 4
+            wide = flags & 0x01
+            raw = payload[pos:pos + cch * (2 if wide else 1)]
             put(r, c, raw.decode("utf-16-le" if wide else "latin-1"))
 
     if max_r < 0:

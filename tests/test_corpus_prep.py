@@ -164,6 +164,24 @@ class TestGlobalLineDedup:
         assert got[1] == "unique alpha line\nsecond unique"
         assert got[3] == ""
 
+    def test_verbatim_equality_and_crlf(self, spark):
+        """Whitespace-variant lines are DISTINCT (C4 dedups verbatim
+        lines), CRLF paragraph separators count as blank structure, and
+        metadata columns pass through."""
+        from dig_etl_engine_spark.operators.text_analysis import (
+            global_line_dedup)
+        df = spark.createDataFrame(
+            [(1, "foo bar", "web"),
+             (2, "   foo bar   ", "pdf"),        # distinct from doc 1
+             (3, "para one\r\n\r\npara two", "web")],
+            "doc_id long, text string, source string")
+        got = {r.doc_id: (r.text, r.source)
+               for r in global_line_dedup(df).collect()}
+        assert got[1] == ("foo bar", "web")
+        assert got[2] == ("   foo bar   ", "pdf")   # NOT deduped
+        # \r lines are whitespace-only → kept as structure verbatim
+        assert got[3] == ("para one\r\n\r\npara two", "web")
+
     def test_blank_lines_are_structure(self, spark):
         from dig_etl_engine_spark.operators.text_analysis import (
             global_line_dedup)
