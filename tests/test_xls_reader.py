@@ -80,11 +80,12 @@ def _workbook_stream(sst_split: int | None = None) -> bytes:
     return globals_ + sheet
 
 
-def _cfb(stream: bytes) -> bytes:
-    """Wrap one 'Workbook' stream in a minimal v3 OLE2 container:
+def _cfb(stream: bytes, sect: int = 512) -> bytes:
+    """Wrap one 'Workbook' stream in a minimal OLE2 container:
     sector 0 = FAT, sector 1 = directory, 2.. = the stream (padded past
-    the 4096-byte mini cutoff so the regular FAT path is exercised)."""
-    sect = 512
+    the 4096-byte mini cutoff so the regular FAT path is exercised).
+    ``sect=4096`` builds a version-4 container, whose sector offsets are
+    (sector+1)*size — NOT header_size + sector*size."""
     padded = stream + b"\x00" * ((-len(stream)) % sect)
     n_stream = max(len(padded) // sect, 8)
     padded += b"\x00" * (n_stream * sect - len(padded))
@@ -108,14 +109,20 @@ def _cfb(stream: bytes) -> bytes:
     directory = (entry("Root Entry", 5, END, 0, child=1)
                  + entry("Workbook", 2, 2, n_stream * sect)
                  + b"\x00" * 128 * 2)
+    shift = sect.bit_length() - 1
+    major = 0x4 if sect == 4096 else 0x3
     header = (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
-              + struct.pack("<HHHHH", 0x3E, 0x3, 0xFFFE, 9, 6)
+              + struct.pack("<HHHHH", 0x3E, major, 0xFFFE, shift, 6)
               + b"\x00" * 6
-              + struct.pack("<IIIII", 0, 1, 1, 0, 4096)
+              + struct.pack("<IIIII", 1 if major == 4 else 0, 1, 1, 0, 4096)
               + struct.pack("<IIII", END, 0, END, 0)
               + struct.pack("<I", 0)            # DIFAT[0] → FAT sector 0
               + struct.pack("<108I", *([FREE] * 108)))
     assert len(header) == 512
+    # v4: the header occupies a full 4096-byte sector, zero-padded
+    header += b"\x00" * (sect - 512)
+    # directory must fill its sector
+    directory += b"\x00" * (sect - len(directory))
     return header + fat_sector + directory + padded
 
 
@@ -153,6 +160,14 @@ def test_windowed_read_through_source(spark, tmp_path):
     rows = [tuple(r) for r in df.collect()]
     assert ("alpha", "12.5") in rows
     assert df.columns == ["name", "value"]
+
+
+def test_v4_container_4096_byte_sectors(spark, tmp_path):
+    """Version-4 compound files place sector N at (N+1)*4096 — a reader
+    hardcoding the v3 512-byte header offset reads garbage."""
+    p = tmp_path / "v4.xls"
+    p.write_bytes(_cfb(_workbook_stream(), sect=4096))
+    assert read_xls_grid(str(p)) == EXPECT
 
 
 def test_bad_magic_raises(tmp_path):
