@@ -254,6 +254,31 @@ class TestIncrementalMinhash:
             4: ("T4", None, 5),
         }
 
+    def test_dedup_then_merge_composition(self, spark):
+        """The advertised flow end to end: dedup_corpus labels feed
+        merge_duplicates directly, collapsing the corpus to enriched
+        survivor records."""
+        from dig_etl_engine_spark.operators.dedup import merge_duplicates
+
+        base = ("the quick brown fox jumps over the lazy dog while rain "
+                "in spain falls mainly on the plain every single day")
+        docs = spark.createDataFrame(
+            [(1, base, None, 10),
+             (2, base, "Reuters", 20),            # exact dup, has source
+             (3, base + " trailing tail", "AP", 15),   # near dup
+             (4, "entirely different text about submarine volcanoes "
+                 "bathymetry and hydrothermal vents", "AFP", 5)],
+            "doc_id long, text string, src string, v long")
+        assign = dedup_corpus(docs, "text", threshold=0.5) \
+            .select("doc_id", "survivor")
+        merged = {r.doc_id: (r.src, r.v)
+                  for r in merge_duplicates(
+                      docs, assign, order_col="v",
+                      first_non_null=("src",)).collect()}
+        # survivor 1 keeps its own v, backfills src from the highest-v
+        # duplicate that has one (doc 2's Reuters beats doc 3's AP)
+        assert merged == {1: ("Reuters", 10), 4: ("AFP", 5)}
+
     def test_batch_id_append_retry_idempotent(self, spark,
                                               corpus_and_batch, tmp_path):
         """A foreachBatch retry re-runs the same micro-batch: with
