@@ -460,9 +460,21 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
                 .dropDuplicates(["doc_a", "doc_b"])
                 .withColumn("origin", F.lit("corpus")))
     # verification shingles: doc_a is always a batch doc; doc_b comes from
-    # the batch for internal pairs, the index for corpus pairs
-    sh_b = sh_new.unionByName(old_sh).select(
-        F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # the batch for internal pairs, the index for corpus pairs. If the
+    # id-disjointness contract is violated (or the index was rebuilt over
+    # the batch), an id present on BOTH sides would fan each candidate
+    # into two result rows with different jaccards. Resolve AFTER the
+    # candidate join, at candidate scale (a pre-union groupBy(id) would
+    # re-aggregate the FULL corpus shingle table every batch — the
+    # O(corpus) cost this operator exists to avoid): per (doc_a, doc_b,
+    # origin), max_by picks the batch-priority row, so the batch's
+    # current content decides the jaccard deterministically. With the
+    # contract held every group has exactly one row and the agg is a
+    # no-op on values.
+    sh_b = (sh_new.select("id", "sh", F.lit(1).alias("_pri"))
+            .unionByName(old_sh.select("id", "sh", F.lit(0).alias("_pri")))
+            .select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"),
+                    "_pri"))
     result = (
         cand_int.unionByName(cand_ext)
         .join(sh_new.select(F.col("id").alias("doc_a"),
@@ -470,6 +482,8 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
         .join(sh_b, "doc_b")
         .withColumn("jaccard",
                     F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .groupBy("doc_a", "doc_b", "origin")
+        .agg(F.max_by("jaccard", "_pri").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard", "origin")
     )

@@ -184,7 +184,11 @@ def chunk_documents(df, *, id_col: str = "doc_id", text_col: str = "text",
     stride = chunk_tokens - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # null text counts as empty (one empty chunk), honoring the
+    # "never empty" contract and the null-coalescing convention shared
+    # with quality_features / global_line_dedup — a null here would
+    # posexplode to zero rows and silently drop the document
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n = F.size(toks)
     # start offsets 0, stride, 2*stride, … while start < n (always ≥ one)
     n_chunks = F.greatest(
@@ -370,24 +374,40 @@ def global_line_dedup(df, *, id_col: str = "doc_id",
             .drop("_gld_text"))
 
 
+def _mix_gate_hash(id_col: str, salt: str, name: str, denom: int,
+                   hash_mode: str) -> Column:
+    """The sampling-gate hash bucket in [0, denom): ``xxhash64`` (fast,
+    default) or ``md5`` (slower, reproducible in any engine with md5 —
+    the cross-engine-oracle mode, same trick as ``stratified_sample``)."""
+    if hash_mode == "xxhash64":
+        return F.pmod(F.xxhash64(F.col(id_col).cast("string"),
+                                 F.lit(salt), F.lit(name)), F.lit(denom))
+    if hash_mode == "md5":
+        h = F.md5(F.concat_ws("|", F.lit(salt), F.lit(name),
+                              F.col(id_col).cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % denom
+    raise ValueError(f"mix_sources: unknown hash_mode {hash_mode!r}")
+
+
 def mix_sources(sources, weights, *, target_tokens: int,
                 id_col: str = "doc_id", text_col: str = "text",
-                salt: str = "mix"):
+                salt: str = "mix", hash_mode: str = "xxhash64"):
     """Weighted multi-source mixing to a token budget — the Pile-style
     recipe: each source contributes ``target_tokens · w_s / Σw`` tokens,
     sampled doc-wise. Returns the union with a ``source`` column and the
     per-source sampling plan (for the run report).
 
-    Sampling is HASH-based (xxhash64 of id + salt), not rand(): the same
-    inputs always select the same docs, task retries can't change the
-    mix, and changing ``salt`` draws a fresh epoch. A source whose
-    allotment exceeds its size is taken whole (fraction capped at 1) and
-    the shortfall is logged — upweighting beyond 1 is an epoch-repeat
-    decision for the trainer, not silent duplication here.
+    Sampling is HASH-based (id + salt via ``hash_mode``), not rand():
+    the same inputs always select the same docs, task retries can't
+    change the mix, and changing ``salt`` draws a fresh epoch. A source
+    whose allotment exceeds its size is taken whole (fraction capped at
+    1) and the shortfall is logged — upweighting beyond 1 is an
+    epoch-repeat decision for the trainer, not silent duplication here.
 
-    Scale shape: one token-count aggregate per source (map-side combined)
-    to size the plan, then a narrow hash-filter per source — no shuffle,
-    no collect beyond k scalars.
+    Scale shape: ALL per-source token counts run as ONE Spark job (the
+    per-source aggregates union into a single plan — k sources cost one
+    driver round-trip, not k sequential ones), then a narrow hash-filter
+    per source — no further shuffle, no collect beyond k scalars.
     """
     import logging
 
@@ -397,12 +417,19 @@ def mix_sources(sources, weights, *, target_tokens: int,
     total_w = sum(weights[name] for name in sources)
     if total_w <= 0:
         raise ValueError("mix_sources: weights sum to zero")
+    # one sizing job for every source: per-source single-row aggregates
+    # (map-side combined, one scalar each) unioned and collected together
+    counts = None
+    for name, df in sources.items():
+        c = df.agg(F.sum(token_count(F.col(text_col))).alias("n")) \
+            .select(F.lit(name).alias("src"), "n")
+        counts = c if counts is None else counts.unionByName(c)
+    have_by_src = {r["src"]: (r["n"] or 0) for r in counts.collect()}
     plan = {}
     sampled = []
     denom = 1 << 20
     for name, df in sources.items():
-        toks = df.select(token_count(F.col(text_col)).alias("n"))
-        have = toks.agg(F.sum("n").alias("s")).head()["s"] or 0
+        have = have_by_src[name]
         want = target_tokens * weights[name] / total_w
         frac = min(1.0, want / have) if have else 0.0
         if have and want > have:
@@ -416,9 +443,7 @@ def mix_sources(sources, weights, *, target_tokens: int,
         thr = int(frac * denom)
         if frac > 0:
             thr = max(1, thr)
-        gate = F.pmod(F.xxhash64(F.col(id_col).cast("string"),
-                                 F.lit(salt), F.lit(name)),
-                      F.lit(denom)) < thr
+        gate = _mix_gate_hash(id_col, salt, name, denom, hash_mode) < thr
         sampled.append(df.filter(gate)
                        .withColumn("source", F.lit(name)))
     out = sampled[0]

@@ -183,6 +183,18 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
     Local-FS rename semantics here; on HDFS swap for FileSystem.rename, on
     S3 use a manifest-committing table format (Delta's OPTIMIZE is the
     managed-table equivalent).
+
+    Single-writer maintenance operation: do NOT run concurrently with
+    readers or upserts on the same table. The rename window above is
+    crash-SAFE but not reader-ATOMIC — a concurrent ``read_partitioned``
+    (or partition discovery) that lists the table during the instant
+    between the two renames sees no ``_kb=<n>`` directory and silently
+    returns results missing that whole bucket; a concurrent upsert can
+    rewrite a bucket between this function's read and its swap, losing
+    the upsert. Schedule compaction in the same maintenance slot that
+    owns the table (e.g. between streaming batches via
+    ``StreamingQuery.stop`` or a quiesced trigger), exactly as Delta's
+    OPTIMIZE takes a table-level lock.
     """
     import glob
     import math

@@ -228,6 +228,21 @@ def _read_grid(data: bytes, sheet_number: int) -> list[list[str]]:
             raise
         wb = _cfb_stream(data, "Book".encode("utf-16-le"))
 
+    # the globals substream must open with a BIFF8 BOF ([MS-XLS] 2.4.21:
+    # record 0x0809, vers 0x0600). The "Book" stream name above also
+    # matches BIFF5/7 workbooks, whose record layouts differ (no SST;
+    # LABEL is a flag-less byte string) — parsing them with the BIFF8
+    # reader below would silently decode cell text as mojibake, so
+    # reject anything pre-BIFF8 up front instead of misparsing.
+    rid, ln = struct.unpack_from("<HH", wb, 0)
+    if rid != 0x809 or ln < 4:
+        raise XlsFormatError("workbook stream does not start with BOF")
+    vers = struct.unpack_from("<H", wb, 4)[0]
+    if vers != 0x0600:
+        raise XlsFormatError(
+            f"unsupported BIFF version 0x{vers:04x} (pre-BIFF8 .xls — "
+            "only BIFF8, Excel 97+, is supported)")
+
     # workbook globals: SST (+ its CONTINUEs) and sheet offsets. The
     # globals substream ends at its own EOF record, BEFORE the first
     # sheet substream — stop there instead of scanning every sheet's

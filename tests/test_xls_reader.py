@@ -10,7 +10,7 @@ import struct
 
 import pytest
 
-from dig_etl_engine_spark.sources.xls import read_xls_grid
+from dig_etl_engine_spark.sources.xls import XlsFormatError, read_xls_grid
 
 FREE = 0xFFFFFFFF
 END = 0xFFFFFFFE
@@ -175,3 +175,15 @@ def test_bad_magic_raises(tmp_path):
     p.write_bytes(b"not an ole2 file at all" * 30)
     with pytest.raises(ValueError):
         read_xls_grid(str(p))
+
+
+def test_pre_biff8_version_rejected(tmp_path):
+    """A BIFF5 workbook (BOF vers 0x0500) has incompatible record layouts
+    (no SST, flag-less LABEL strings); the reader must refuse it with a
+    clear error instead of decoding cell text as mojibake."""
+    stream = bytearray(_workbook_stream())
+    assert struct.unpack_from("<H", stream, 4)[0] == 0x0600
+    struct.pack_into("<H", stream, 4, 0x0500)
+    path = _write(tmp_path, bytes(stream))
+    with pytest.raises(XlsFormatError, match="BIFF"):
+        read_xls_grid(path)
