@@ -247,22 +247,34 @@ def ivf_kmeans_train(df: DataFrame, *, k: int = 8, iters: int = 5,
 
 def hashed_bow_embedding(df: DataFrame, text_col: str, *,
                          id_col: str = "doc_id", dim: int = 16,
-                         out_col: str = "embedding") -> DataFrame:
+                         out_col: str = "embedding",
+                         hash_mode: str = "xxhash64") -> DataFrame:
     """Model-free text featurizer: L2-normalized hashed bag-of-words
     vector (the classic feature-hashing trick). Gives every ANN / near-dup
     operator in this module a deterministic embedding source when no
     learned model is available — cosine then measures token-multiset
     overlap.
 
+    ``hash_mode``: ``xxhash64`` (fast, default) or ``md5`` (any engine
+    with md5 can replay the bucketing — the cross-engine-oracle mode,
+    same convention as ``dedup.py``'s shingle hashes).
+
     Shape: the minhash/simhash stage pattern — explode tokens → one
-    scalar xxhash64 per token (codegen) → groupBy(id) with ``dim``
+    scalar hash per token (codegen) → groupBy(id) with ``dim``
     conditional sums (map-side combine, ONE shuffle) → assemble +
     normalize. Never a per-dim HOF fold (the interpreted cliff in
     operators/dedup.py)."""
     tok = df.select(F.col(id_col).alias("id"),
                     F.explode(F.split(F.trim(F.lower(F.col(text_col))),
                                       r"\s+")).alias("t"))
-    hashed = tok.select("id", F.pmod(F.xxhash64("t"), F.lit(dim)).alias("h"))
+    if hash_mode == "xxhash64":
+        h = F.pmod(F.xxhash64("t"), F.lit(dim))
+    elif hash_mode == "md5":
+        h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10) \
+            .cast("long") % dim
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    hashed = tok.select("id", h.alias("h"))
     sums = hashed.groupBy("id").agg(*[
         F.sum((F.col("h") == i).cast("double")).alias(f"d{i}")
         for i in range(dim)])

@@ -100,6 +100,7 @@ def _ensure_loaded() -> None:
         queries_extraction,
         queries_search,
         queries_llm,
+        queries_corpus,
         queries_timeseries,
         queries_io,
         queries_mapping,

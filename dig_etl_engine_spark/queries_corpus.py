@@ -1,0 +1,459 @@
+"""Registry entries for the round-3 LLM corpus-curation operators
+(BASELINE.json north star; the training-data extension surface beyond the
+reference's own operators — see `operators/text_analysis.py`,
+`operators/dedup.py`, `operators/similarity.py` Tier-2 docstrings).
+
+These operators were implemented + unit/golden-tested in round 3 but had
+no driver CORRECTNESS rows (the registry was frozen at 100 per round-2
+advice); this module registers each with a full DuckDB oracle so the
+driver's value-hash gate covers them.
+
+Hash conventions: operators default to xxhash64 (fast path); queries that
+need cross-engine oracle parity pass ``hash_mode='md5'`` where the
+operator exposes it (`mix_sources`, `hashed_bow_embedding`) — same
+convention as `operators/dedup.py`'s shingle hashes. `decontaminate`
+keeps xxhash64 and the oracle counts the gram STRINGS instead: the output
+(distinct overlapping grams per doc) is hash-free unless xxhash64
+collides within one doc's overlap set (P ≈ n²/2⁶⁴ ≈ 1e-8 at sf0.01 —
+documented, not silently assumed).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.operators import dedup as D
+from dig_etl_engine_spark.operators import similarity as S
+from dig_etl_engine_spark.operators import text_analysis as TA
+from dig_etl_engine_spark.queries import register
+
+
+def _scratch_path(sf_dir: str, name: str, marker: str) -> tuple[str, bool]:
+    """(cache_dir, is_fresh) for a build-once index artifact, keyed on the
+    source table's (basename, mtime, size) — same contract as
+    `queries_search._corpus_cache_path` (rebuild when the corpus
+    regenerates; marker file gates partial writes)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src) if os.path.exists(src) else None
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+           f"-{int(st.st_mtime) if st else 0}-{st.st_size if st else 0}")
+    path = os.path.join("/tmp/spark_graft_io", name, tag)
+    return path, os.path.exists(os.path.join(path, marker))
+
+
+# --- Gopher gates + n-gram repetition ----------------------------------------
+
+# Planted per-doc tails (doc_id % 4) so every gate fires on a real cohort:
+# 0 → a bullet storm (≥90% of lines bulleted → bullet gate fails),
+# 1 → trailing ellipses (2 of 3 lines → ellipsis gate fails),
+# 2 → symbol spam (## tokens → symbol + alpha gates fail), 3 → untouched.
+_BULLET_TAIL = "\n• bullet line" * 10
+_ELLIPSIS_TAIL = "\nand so it continues...\nmore to come..."
+_SYMBOL_TAIL = " " + "### " * 14 + "###"
+
+_GATED_TEXT_SQL = """
+      SELECT doc_id,
+             text || CASE doc_id % 4
+               WHEN 0 THEN '{b}'
+               WHEN 1 THEN '{e}'
+               WHEN 2 THEN '{s}'
+               ELSE '' END AS text
+      FROM documents
+""".format(b=_BULLET_TAIL.replace("\n", "' || chr(10) || '"),
+           e=_ELLIPSIS_TAIL.replace("\n", "' || chr(10) || '"),
+           s=_SYMBOL_TAIL)
+
+
+def _gated_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    tail = (F.when(F.col("doc_id") % 4 == 0, F.lit(_BULLET_TAIL))
+            .when(F.col("doc_id") % 4 == 1, F.lit(_ELLIPSIS_TAIL))
+            .when(F.col("doc_id") % 4 == 2, F.lit(_SYMBOL_TAIL))
+            .otherwise(F.lit("")))
+    return docs.select("doc_id",
+                       F.concat(F.col("text"), tail).alias("text"))
+
+
+@register(
+    "gopher_gates",
+    oracle=f"""
+    WITH g AS ({_GATED_TEXT_SQL}),
+    t AS (
+      -- Spark tokenizes on \\s+ (newlines included); the planted tails
+      -- contain newlines, so fold them to spaces before string_split
+      SELECT doc_id, text,
+             string_split(replace(text, chr(10), ' '), ' ') AS toks,
+             string_split(replace(lower(text), chr(10), ' '), ' ')
+               AS ltoks,
+             list_filter(list_transform(string_split(text, chr(10)),
+                         l -> trim(l)), l -> l <> '') AS lines
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             greatest(len(lines), 1) AS n_lines,
+             list_sum(list_transform(toks, x -> length(x)))
+               / greatest(len(toks), 1) AS mean_len,
+             (length(text) - length(replace(text, '#', ''))
+              + len(regexp_extract_all(text, '(\\.\\.\\.|…)'))) AS symbols,
+             len(list_filter(lines,
+                 l -> regexp_matches(l, '^[•‣▪*-]'))) AS bullets,
+             len(list_filter(lines,
+                 l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS ellipses,
+             len(list_filter(toks,
+                 l -> regexp_matches(l, '[A-Za-z]'))) AS alpha,
+             len(list_intersect(list_distinct(ltoks),
+                 ['the','be','to','of','and','that','have','with']))
+               AS sw_hits
+      FROM t
+    ),
+    gates AS (
+      SELECT doc_id,
+             (n >= 50 AND n <= 100000) AS word_count,
+             (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len,
+             (symbols / greatest(n, 1) < 0.1) AS symbol_ratio,
+             (bullets / n_lines < 0.9) AS bullet_lines,
+             (ellipses / n_lines < 0.3) AS ellipsis_lines,
+             (alpha / greatest(n, 1) >= 0.8) AS alpha_words,
+             (sw_hits >= 2) AS stopword_hits
+      FROM m
+    )
+    SELECT doc_id, word_count, mean_word_len, symbol_ratio, bullet_lines,
+           ellipsis_lines, alpha_words, stopword_hits,
+           (word_count AND mean_word_len AND symbol_ratio AND bullet_lines
+            AND ellipsis_lines AND alpha_words AND stopword_hits) AS pass_all
+    FROM gates
+    """,
+)
+def gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher corpus-filter rule set (`operators/text_analysis.py:
+    gopher_gates`; Rae et al. 2021 §A1.1): per-doc boolean verdict for
+    each of the 7 gates plus the combined pass, over a corpus with
+    planted bullet-storm / trailing-ellipsis / symbol-spam cohorts so
+    every gate fires somewhere. Pure column math, no shuffle; the oracle
+    restates each gate over the same token/line algebra."""
+    g = TA.gopher_gates(F.col("text"))
+    return (_gated_text(spark, sf_dir)
+            .select("doc_id", g.alias("g"))
+            .select("doc_id", "g.*"))
+
+
+@register(
+    "ngram_repetition",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM g),
+    s AS (
+      SELECT doc_id, len(toks) - 2 AS n_out,
+             list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(toks[i:least(i + 2, len(toks))], ' '))
+               AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN n_out <= 1 THEN 0.0
+                ELSE ROUND(1.0 - len(list_distinct(grams)) / n_out, 6)
+           END AS rep_ratio
+    FROM s
+    """,
+)
+def ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate n-gram fraction (`operators/text_analysis.py:
+    ngram_repetition_ratio`): 1 − distinct/total over word trigrams —
+    catches looped phrases that line-level repetition misses. Docs with
+    doc_id % 3 = 0 are doubled (text ∥ text) and must score ≈ 0.5+;
+    others keep their natural (vocab-driven) repetition. Pure column
+    math, no shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    txt = F.when(F.col("doc_id") % 3 == 0,
+                 F.concat(F.col("text"), F.lit(" "), F.col("text"))) \
+        .otherwise(F.col("text"))
+    return docs.select(
+        "doc_id", TA.ngram_repetition_ratio(txt, n=3).alias("rep_ratio"))
+
+
+# --- chunking -----------------------------------------------------------------
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks,
+             len(string_split(trim(text), ' ')) AS n
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, toks, n,
+             unnest(range(0, greatest(CAST(ceil((n - 8) / 24.0) AS BIGINT),
+                                      1))) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(toks[chunk_id * 24 + 1 :
+                                least(chunk_id * 24 + 32, n)], ' ')
+             AS chunk_text,
+           least(32, n - chunk_id * 24) AS n_tokens
+    FROM ch
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking for RAG/long-doc prep
+    (`operators/text_analysis.py:chunk_documents`): 32-token chunks with
+    8-token overlap (stride 24), final chunk = remainder, short docs →
+    one whole-doc chunk. Narrow posexplode — chunk rows stay
+    partition-local with their document, no shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    out = TA.chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return out.select("doc_id",
+                      F.col("chunk_id").cast("long").alias("chunk_id"),
+                      "chunk_text",
+                      F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+# --- decontamination ----------------------------------------------------------
+
+# eval set: the first 20 tokens of every doc_id % 17 == 0 document — the
+# planted contamination is those docs themselves (≥ 8 shared 13-grams).
+_EVAL_SLICE_SQL = """
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:20], ' ') AS text
+      FROM documents WHERE doc_id % 17 = 0
+"""
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+    WITH ev AS ({_EVAL_SLICE_SQL}),
+    evt AS (SELECT string_split(trim(lower(text)), ' ') AS toks FROM ev),
+    evg AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, greatest(len(toks) - 12, 1) + 1),
+                 i -> array_to_string(toks[i:least(i + 12, len(toks))], ' ')))
+               AS g
+      FROM evt
+    ),
+    ct AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+           FROM documents),
+    cg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 12, 1) + 1),
+                 i -> array_to_string(toks[i:least(i + 12, len(toks))], ' ')))
+               AS g
+      FROM ct
+    )
+    SELECT cg.doc_id, COUNT(DISTINCT cg.g) AS n_hits
+    FROM cg JOIN evg ON cg.g = evg.g
+    GROUP BY cg.doc_id
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (`operators/text_analysis.py:
+    decontaminate`; the GPT-3/Pile 13-gram rule): corpus docs sharing a
+    13-gram with the eval set, with distinct-hit counts. The eval set is
+    each %17 doc's first 20 tokens, so those docs are planted
+    contamination (8 shared grams each). Eval grams broadcast; corpus
+    text never shuffles — only 8-byte hashes move. The oracle counts the
+    gram STRINGS (the operator counts xxhash64 of them — identical
+    unless the hash collides within one doc's overlap set, P ≈ 1e-8
+    here; see module docstring)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    evals = (docs.filter(F.col("doc_id") % 17 == 0)
+             .select("doc_id",
+                     F.concat_ws(" ", F.slice(F.split(F.col("text"), " "),
+                                              1, 20)).alias("text")))
+    return TA.decontaminate(docs, evals, n=13)
+
+
+# --- C4 global line dedup -----------------------------------------------------
+
+_LINED_SQL = """
+      SELECT doc_id,
+             text || chr(10) || 'shared boilerplate footer' || chr(10)
+                  || 'group line ' || (doc_id % 5)::VARCHAR AS text
+      FROM documents
+"""
+
+
+@register(
+    "global_line_dedup",
+    oracle=f"""
+    WITH docs2 AS ({_LINED_SQL}),
+    ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM docs2),
+    flat AS (
+      SELECT doc_id, u['pos'] AS pos, u['line'] AS line FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(arr) + 1),
+                   i -> {{'pos': i, 'line': arr[i]}})) AS u
+        FROM ls)
+    ),
+    stats AS (
+      SELECT line, MIN(doc_id * 1000000 + pos) AS fk
+      FROM flat WHERE NOT regexp_matches(line, '^\\s*$')
+      GROUP BY line
+    ),
+    kept AS (
+      SELECT f.doc_id, f.pos, f.line
+      FROM flat f JOIN stats s
+        ON f.line = s.line AND f.doc_id * 1000000 + f.pos = s.fk
+      UNION ALL
+      SELECT doc_id, pos, line FROM flat
+      WHERE regexp_matches(line, '^\\s*$')
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.t, '') AS text
+    FROM docs2 d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def global_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's corpus-wide line dedup (`operators/text_analysis.py:
+    global_line_dedup`, keep_first): a line surviving only at its first
+    (doc, pos) occurrence, docs reassembled in line order. Every doc
+    carries a shared boilerplate footer (survives once, in doc 0) and a
+    mod-5 group line (survives in the min doc of its class). Shape:
+    groupBy(line) min/count with map-side combine — the skew-safe shape
+    a window over the line key would not have; equality on line VALUES,
+    never hash alone."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    lined = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit("\nshared boilerplate footer\ngroup line "),
+                 (F.col("doc_id") % 5).cast("string")).alias("text"))
+    return TA.global_line_dedup(lined, keep_first=True)
+
+
+# --- source mixing ------------------------------------------------------------
+
+_MIX_SOURCES = ("src0", "src1", "src2")
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 2.0, "src2": 4.0}
+_MIX_TARGET = 600
+
+
+def _mix_sql() -> str:
+    total_w = sum(_MIX_WEIGHTS.values())
+    want = " ".join(
+        f"WHEN '{s}' THEN {_MIX_TARGET * _MIX_WEIGHTS[s] / total_w}"
+        for s in _MIX_SOURCES)
+    src_list = ", ".join(f"'{s}'" for s in _MIX_SOURCES)
+    return f"""
+    WITH have AS (
+      SELECT source, SUM(len(string_split(text, ' '))) AS h
+      FROM documents WHERE source IN ({src_list})
+      GROUP BY source
+    ),
+    thr AS (
+      SELECT source,
+             CASE WHEN h = 0 THEN 0
+                  ELSE greatest(CAST(floor(least(1.0,
+                       (CASE source {want} END) / h) * 1048576) AS BIGINT),
+                       1) END AS t
+      FROM have
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE ('0x' || substr(md5('mix|' || d.source || '|'
+                              || d.doc_id::VARCHAR), 1, 8))::BIGINT
+          % 1048576 < thr.t
+    """
+
+
+@register("mix_sources", oracle=_mix_sql())
+def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source mixing to a token budget (`operators/
+    text_analysis.py:mix_sources`; the Pile recipe): 3 sources at weights
+    1:2:4 sampled doc-wise by a deterministic md5 gate (hash_mode='md5'
+    so the oracle replays the gate; the default xxhash64 mode is the
+    production fast path). All sizing aggregates run as ONE Spark job;
+    the sample filters are narrow — no shuffle, no collect beyond k
+    scalars."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sources = {s: docs.filter(F.col("source") == s).drop("source")
+               for s in _MIX_SOURCES}
+    mixed, _plan = TA.mix_sources(
+        sources, _MIX_WEIGHTS, target_tokens=_MIX_TARGET,
+        hash_mode="md5")
+    return mixed.select("doc_id", "source")
+
+
+# --- int8 quantization + hashed BoW -------------------------------------------
+
+
+@register(
+    "quantize_embeddings",
+    oracle="""
+    WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+      FROM t
+    )
+    SELECT vec_id,
+           list_transform(v, x -> CAST(
+               sign(x) * floor(abs(x) / (CASE WHEN sc = 0.0 THEN 1.0
+                                              ELSE sc END) + 0.5)
+               AS TINYINT)) AS q,
+           ROUND(sc, 9) AS q_scale
+    FROM s
+    """,
+)
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization (`operators/similarity.py:
+    quantize_embeddings`; the faiss-SQ8 trade): per-vector scale =
+    max|x|/127, q = round-half-away-from-zero(x/scale) — 4× storage cut
+    with ≥0.999 cosine fidelity (unit-tested). One Arrow-batched pandas
+    UDF over only the vector column, no shuffle. The oracle replays the
+    same float64 kernel (sign·floor(|x|/s + 0.5)) element-wise."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = S.quantize_embeddings(emb)
+    return out.select("vec_id", "q",
+                      F.round(F.col("q_scale"), 9).alias("q_scale"))
+
+
+def _bow_sql(dim: int = 16) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN h = {i} THEN 1.0 ELSE 0.0 END) AS d{i}"
+        for i in range(dim))
+    norm = " + ".join(f"d{i} * d{i}" for i in range(dim))
+    arr = ", ".join(f"CAST(d{i} / nn AS REAL)" for i in range(dim))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % {dim} AS h
+      FROM tok
+    ),
+    sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+    n AS (SELECT *, sqrt({norm}) AS nn FROM sums)
+    SELECT doc_id, [{arr}] AS embedding FROM n
+    """
+
+
+@register("hashed_bow_embedding", oracle=_bow_sql())
+def hashed_bow_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free hashed bag-of-words featurizer (`operators/
+    similarity.py:hashed_bow_embedding`): 16-dim L2-normalized token-count
+    vector via feature hashing (md5 mode for oracle parity; xxhash64 is
+    the production default). Explode → scalar hash (codegen) → ONE
+    map-side-combined shuffle → unrolled normalize. The per-dim sums are
+    exact integers and the norm is sqrt of their exact square sum, so
+    the float32 cast is bitwise identical cross-engine."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return S.hashed_bow_embedding(docs, "text", dim=16, hash_mode="md5")
