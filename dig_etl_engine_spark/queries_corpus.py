@@ -390,6 +390,199 @@ def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.select("doc_id", "source")
 
 
+# --- composed corpus dedup ----------------------------------------------------
+
+_SFX = " zz extra trailing tokens"
+_TAIL2 = " yy more tail tokens"
+
+# exact copies (+100000), first-generation near-dups (+200000) and
+# second-generation near-dups (+300000) so all three reason labels and a
+# multi-hop CC chain occur
+_DCORPUS_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text || '{_SFX}' FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 300000, text || '{_SFX}' || '{_TAIL2}'
+      FROM documents WHERE doc_id % 4 = 0
+"""
+
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+def _dedup_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    ex = (docs.filter(F.col("doc_id") % 2 == 0)
+          .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    m1 = (docs.filter(F.col("doc_id") % 2 == 0)
+          .select((F.col("doc_id") + 200000).alias("doc_id"),
+                  F.concat("text", F.lit(_SFX)).alias("text")))
+    m2 = (docs.filter(F.col("doc_id") % 4 == 0)
+          .select((F.col("doc_id") + 300000).alias("doc_id"),
+                  F.concat("text", F.lit(_SFX), F.lit(_TAIL2))
+                   .alias("text")))
+    return docs.unionByName(ex).unionByName(m1).unionByName(m2)
+
+
+def _dedup_corpus_sql() -> str:
+    from dig_etl_engine_spark.queries_llm import _minhash_ctes
+
+    reps = ("corpus AS (SELECT fp.doc_id, fp.text FROM fp "
+            "JOIN grp ON fp.doc_id = grp.exact_rep)")
+    return f"""
+    WITH RECURSIVE allc AS ({_DCORPUS_SQL}),
+    fp AS (SELECT doc_id, text, {_FP_SQL} AS f FROM allc),
+    grp AS (SELECT f, MIN(doc_id) AS exact_rep FROM fp GROUP BY f),
+    doc_rep AS (SELECT fp.doc_id, grp.exact_rep FROM fp
+                JOIN grp USING (f)),{_minhash_ctes(reps)},
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT u, v FROM edges
+              UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS component
+             FROM reach GROUP BY u),
+    rep_surv AS (
+      SELECT g.exact_rep, COALESCE(c.component, g.exact_rep) AS survivor
+      FROM (SELECT DISTINCT exact_rep FROM grp) g
+      LEFT JOIN comp c ON c.doc_id = g.exact_rep
+    )
+    SELECT dr.doc_id, rs.survivor,
+           CASE WHEN dr.doc_id = rs.survivor THEN 'kept'
+                WHEN dr.doc_id = dr.exact_rep THEN 'near_dup'
+                ELSE 'exact_dup' END AS reason
+    FROM doc_rep dr JOIN rep_surv rs USING (exact_rep)
+    """
+
+
+@register("dedup_corpus", oracle=_dedup_corpus_sql())
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed dedup flow a corpus owner actually runs
+    (`operators/dedup.py:dedup_corpus`): exact collapse → minhash-LSH
+    pairs among exact survivors → connected components → min-id survivor,
+    one labeled row per input doc (kept / exact_dup / near_dup). The
+    planted corpus has exact copies, first- and second-generation
+    near-dups, so components chain multi-hop and every label occurs. The
+    oracle replays exact grouping + the md5 minhash pipeline + recursive
+    transitive closure. Exact-first ordering is the scale win: boilerplate
+    storms collapse before they can flood LSH band buckets."""
+    return D.dedup_corpus(_dedup_corpus_df(spark, sf_dir), "text",
+                          threshold=0.5)
+
+
+@register(
+    "dedup_merge_survivors",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang,
+             source
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang, 'mirror'
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    fp AS (SELECT *, {_FP_SQL} AS f FROM corpus),
+    grp AS (SELECT f, MIN(doc_id) AS survivor FROM fp GROUP BY f),
+    j AS (
+      SELECT fp.*, grp.survivor,
+             (CASE WHEN fp.doc_id = grp.survivor THEN 1 ELSE 0 END)
+               * 1000000000 + fp.doc_id AS rnk
+      FROM fp JOIN grp USING (f)
+    )
+    SELECT survivor AS doc_id,
+           arg_max(text, rnk) AS text,
+           arg_max(lang, CASE WHEN lang IS NOT NULL THEN rnk END) AS lang,
+           arg_max(source, rnk) AS source
+    FROM j GROUP BY survivor
+    """,
+)
+def dedup_merge_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor merge (`operators/dedup.py:merge_duplicates`): collapse a
+    corpus onto its exact-dedup survivors with per-FIELD survivorship —
+    the survivor's own values dominate, and ``first_non_null`` columns
+    (here ``lang``, nulled for every %3 base doc) backfill from the
+    highest-ranked non-null duplicate (the 'mirror' copies). One
+    groupBy(survivor) shuffle, max_by keeps the merge in codegen; the
+    deterministic (is_survivor, order, id) rank means task retries can't
+    flip a winner. The oracle encodes the same rank as a scalar and uses
+    arg_max (null-ranks excluded on both engines)."""
+    from dig_etl_engine_spark.operators.text_analysis import fingerprint_md5
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None))
+         .otherwise(F.col("lang")).alias("lang"),
+        "source")
+    mut = (docs.filter(F.col("doc_id") % 2 == 0)
+           .select((F.col("doc_id") + 100000).alias("doc_id"), "text",
+                   "lang", F.lit("mirror").alias("source")))
+    corpus = base.unionByName(mut)
+    fp = corpus.select("doc_id", fingerprint_md5(F.col("text")).alias("f"))
+    grp = fp.groupBy("f").agg(F.min("doc_id").alias("survivor"))
+    assignment = fp.join(grp, "f").select("doc_id", "survivor")
+    return D.merge_duplicates(corpus, assignment,
+                              first_non_null=("lang",))
+
+
+def _incr_minhash_sql() -> str:
+    from dig_etl_engine_spark.queries_llm import _minhash_ctes
+
+    union = f"""
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || '{_SFX}' FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text || '{_SFX}' || '{_TAIL2}'
+      FROM documents WHERE doc_id % 4 = 0
+    )"""
+    return ("WITH " + _minhash_ctes(union) + """
+    SELECT CASE WHEN doc_a < 100000 THEN doc_b ELSE doc_a END AS doc_a,
+           CASE WHEN doc_a < 100000 THEN doc_a ELSE doc_b END AS doc_b,
+           jaccard,
+           CASE WHEN doc_a < 100000 THEN 'corpus' ELSE 'batch' END
+             AS origin
+    FROM verified
+    WHERE jaccard >= 0.5 AND doc_b >= 100000
+    """)
+
+
+@register("incremental_minhash_dedup", oracle=_incr_minhash_sql())
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state batch dedup against a persisted minhash index
+    (`operators/dedup.py:incremental_minhash_dedup` +
+    `materialize_minhash_index`): the corpus (documents) is indexed once
+    — band-clustered (id, band) rows + shingle arrays + persisted build
+    params under a content-keyed scratch path — and the daily batch
+    (near-dup mutants, two generations for batch-internal pairs) dedups
+    against corpus AND itself in O(batch), the corpus touched only
+    through the band-bucket join. ``append=False`` keeps the query a
+    pure read (re-runs identical). The oracle is the FULL-RERUN
+    EQUIVALENCE contract: a complete minhash pass over corpus ∪ batch,
+    restricted to batch-involving pairs and oriented batch-first — the
+    same shape `test_incremental_dedup.py` pins."""
+    path, fresh = _scratch_path(sf_dir, "mh_index", "meta/_SUCCESS")
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    if not fresh:
+        D.materialize_minhash_index(docs, "text", path)
+    b1 = (docs.filter(F.col("doc_id") % 2 == 0)
+          .select((F.col("doc_id") + 100000).alias("doc_id"),
+                  F.concat("text", F.lit(_SFX)).alias("text")))
+    b2 = (docs.filter(F.col("doc_id") % 4 == 0)
+          .select((F.col("doc_id") + 200000).alias("doc_id"),
+                  F.concat("text", F.lit(_SFX), F.lit(_TAIL2))
+                   .alias("text")))
+    return D.incremental_minhash_dedup(
+        b1.unionByName(b2), path, content_col="text",
+        threshold=0.5, append=False)
+
+
 # --- int8 quantization + hashed BoW -------------------------------------------
 
 
