@@ -617,6 +617,185 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("q_scale"), 9).alias("q_scale"))
 
 
+# --- persisted IVF index: indexed KNN + incremental embedding dedup ----------
+
+_IVF_K, _IVF_ITERS, _IVF_DIM = 8, 3, 64
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once IVF index over the embeddings table, shared by
+    `knn_ivf_indexed` and `incremental_embedding_dedup` (content-keyed
+    scratch cache; the build is `operators/similarity.py:
+    materialize_ivf_index` — cells physically partitionBy(cluster))."""
+    path, fresh = _scratch_path(sf_dir, "ivf_index", "centroids/_SUCCESS")
+    if not fresh:
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        S.materialize_ivf_index(emb, path, k=_IVF_K, iters=_IVF_ITERS)
+    return path
+
+
+def _knn_indexed_sql() -> str:
+    from dig_etl_engine_spark.queries_llm import _ivf_kmeans_ctes
+
+    it = _IVF_ITERS
+    return f"""
+    WITH {_ivf_kmeans_ctes(_IVF_K, it, _IVF_DIM)},
+    qd AS (SELECT * FROM vd WHERE id % 50 = 0),
+    probe AS (
+      SELECT id AS query_id, cluster FROM (
+        SELECT qd.id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY qd.id
+                 ORDER BY SUM((qd.x - c.c) * (qd.x - c.c)), c.cluster) AS rn
+        FROM qd JOIN c{it} c ON qd.dim = c.dim
+        GROUP BY qd.id, c.cluster
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT p.query_id, a.id AS neighbor_id
+      FROM probe p JOIN a{it} a
+        ON a.cluster = p.cluster AND a.id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          n.embedding::DOUBLE[]), 4)
+               AS cosine
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register("knn_ivf_indexed", oracle=_knn_indexed_sql())
+def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a PERSISTED IVF index (`operators/similarity.py:
+    materialize_ivf_index` + `knn_ivf_indexed`): cells trained by the
+    deterministic k-means (8 cells, 3 iters), corpus physically
+    partitionBy(cluster) so an nprobe=1 probe reads ~1/8 of the corpus
+    bytes via partition pruning (plan-pinned in `test_ivf_index.py`).
+    The oracle replays the full trained model in SQL — the k-means CTE
+    chain, query→cell argmin probe over the FINAL centroids, candidate
+    join against the final assignment, cosine top-5."""
+    path = _ivf_index_path(spark, sf_dir)
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.knn_ivf_indexed(emb.filter(F.col("vec_id") % 50 == 0),
+                             path, k=5, nprobe=1)
+
+
+def _incr_embedding_sql() -> str:
+    from dig_etl_engine_spark.queries_llm import _ivf_kmeans_ctes
+
+    it = _IVF_ITERS
+    return f"""
+    WITH {_ivf_kmeans_ctes(_IVF_K, it, _IVF_DIM)},
+    bv AS (
+      SELECT vec_id + 100000 AS id,
+             list_transform(embedding::DOUBLE[], x -> x + 0.001) AS v
+      FROM embeddings WHERE vec_id % 2 = 0
+      UNION ALL
+      SELECT vec_id + 200000,
+             list_transform(embedding::DOUBLE[], x -> x + 0.002)
+      FROM embeddings WHERE vec_id % 4 = 0
+    ),
+    bvd AS (
+      SELECT bv.id, CAST(t.range AS INT) AS dim,
+             bv.v[CAST(t.range AS INT)] AS x
+      FROM bv CROSS JOIN range(1, {_IVF_DIM + 1}) t
+    ),
+    bprobe AS (
+      SELECT id, cluster FROM (
+        SELECT bvd.id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY bvd.id
+                 ORDER BY SUM((bvd.x - c.c) * (bvd.x - c.c)), c.cluster)
+                 AS rn
+        FROM bvd JOIN c{it} c ON bvd.dim = c.dim
+        GROUP BY bvd.id, c.cluster
+      ) WHERE rn = 1
+    ),
+    pairs_c AS (
+      SELECT p.id AS doc_a, a.id AS doc_b,
+             ROUND(list_cosine_similarity(b.v, e.embedding::DOUBLE[]), 4)
+               AS cosine,
+             'corpus' AS origin
+      FROM bprobe p
+      JOIN bv b ON b.id = p.id
+      JOIN a{it} a ON a.cluster = p.cluster AND a.id <> p.id
+      JOIN embeddings e ON e.vec_id = a.id
+    ),
+    pairs_b AS (
+      SELECT p1.id AS doc_a, p2.id AS doc_b,
+             ROUND(list_cosine_similarity(b1.v, b2.v), 4) AS cosine,
+             'batch' AS origin
+      FROM bprobe p1
+      JOIN bprobe p2 ON p1.cluster = p2.cluster AND p1.id < p2.id
+      JOIN bv b1 ON b1.id = p1.id
+      JOIN bv b2 ON b2.id = p2.id
+    )
+    SELECT doc_a, doc_b, cosine, origin FROM pairs_c WHERE cosine >= 0.99
+    UNION ALL
+    SELECT doc_a, doc_b, cosine, origin FROM pairs_b WHERE cosine >= 0.99
+    """
+
+
+@register("incremental_embedding_dedup", oracle=_incr_embedding_sql())
+def incremental_embedding_dedup(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Semantic near-dup check of a new batch against the SAME persisted
+    IVF index `knn_ivf_indexed` queries (`operators/similarity.py:
+    incremental_embedding_dedup`): batch vectors (two generations of
+    +0.001/+0.002 perturbed mutants, so both corpus matches and
+    batch-internal pairs occur) probe their nearest cell inside one
+    Arrow mapInPandas pass, the cells scan prunes to occupied cells, and
+    each cell's batch×all cosine block is one BLAS matmul.
+    ``append=False`` keeps the query a pure read. The oracle replays the
+    trained centroids, batch probe assignment, and same-cell pairing
+    with the rounded-cosine threshold."""
+    path = _ivf_index_path(spark, sf_dir)
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    b1 = (emb.filter(F.col("vec_id") % 2 == 0)
+          .select((F.col("vec_id") + 100000).alias("vec_id"),
+                  F.transform(S.as_double(F.col("embedding")),
+                              lambda x: x + F.lit(0.001))
+                   .alias("embedding")))
+    b2 = (emb.filter(F.col("vec_id") % 4 == 0)
+          .select((F.col("vec_id") + 200000).alias("vec_id"),
+                  F.transform(S.as_double(F.col("embedding")),
+                              lambda x: x + F.lit(0.002))
+                   .alias("embedding")))
+    return S.incremental_embedding_dedup(
+        b1.unionByName(b2), path, threshold=0.99, nprobe=1, append=False)
+
+
+@register("quality_classifier_filter", oracle=None)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based corpus quality filter (`operators/
+    quality_model.py`; the fastText-style recipe): label the real docs 1
+    and synthetic low-diversity junk mutants 0, train MLlib logistic
+    regression over the heuristic feature columns, score the union
+    JVM-side, and gate at P(quality) ≥ 0.5. Model-bound (LBFGS
+    iterations), hence no SQL oracle — the driver's rows-only contract;
+    separation semantics are pinned by `test_quality_model.py`."""
+    from dig_etl_engine_spark.operators.quality_model import (
+        score_quality, train_quality_classifier)
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    junk = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("zzz"), 40)).alias("text"))
+    labeled = (docs.withColumn("label", F.lit(1.0))
+               .unionByName(junk.withColumn("label", F.lit(0.0))))
+    model = train_quality_classifier(labeled)
+    scored = score_quality(docs.unionByName(junk), model)
+    return scored.select(
+        "doc_id", (F.col("quality_prob") >= 0.5).alias("keep"))
+
+
 def _bow_sql(dim: int = 16) -> str:
     sums = ", ".join(
         f"SUM(CASE WHEN h = {i} THEN 1.0 ELSE 0.0 END) AS d{i}"

@@ -331,14 +331,13 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
 
 
-def _ivf_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    """Lloyd's k-means as chained CTEs: one (assign, update) CTE pair per
-    iteration. The trainer is deterministic by design (k lowest-id seeds,
-    fixed iteration count, argmin ties to the lowest cluster id) precisely
-    so it CAN be oracled. Cross-engine float64 noise is ~1e-13 while the
-    narrowest argmin margin on the test embeddings is 6.7e-6 (measured),
-    so assignments agree exactly; centroid norms are rounded to 4 digits
-    per the registry's double convention."""
+def _ivf_kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """The Lloyd's-k-means CTE chain (one (assign, update) pair per
+    iteration), reusable by every oracle that needs the trained model:
+    ends with ``a{iters}`` = each corpus vector's final cell assignment
+    (computed from the pre-update centroids, exactly like the Spark
+    trainer's last loop pass) and ``c{iters}`` = the final centroids.
+    Expects no leading WITH; starts at the ``v`` CTE."""
     prev = "c0"
     steps = []
     for i in range(1, iters + 1):
@@ -362,7 +361,7 @@ def _ivf_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     )""")
         prev = f"c{i}"
     return f"""
-    WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+    v AS (SELECT vec_id AS id, embedding FROM embeddings),
     vd AS (
       SELECT v.id, CAST(t.range AS INT) AS dim,
              CAST(v.embedding[CAST(t.range AS INT)] AS DOUBLE) AS x
@@ -373,12 +372,24 @@ def _ivf_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
       FROM (SELECT id FROM v ORDER BY id LIMIT {k})
     ),
     c0 AS (SELECT s.cluster, vd.dim, vd.x AS c
-           FROM seeds s JOIN vd ON s.id = vd.id),{",".join(steps)}
+           FROM seeds s JOIN vd ON s.id = vd.id),{",".join(steps)}"""
+
+
+def _ivf_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Lloyd's k-means as chained CTEs: one (assign, update) CTE pair per
+    iteration. The trainer is deterministic by design (k lowest-id seeds,
+    fixed iteration count, argmin ties to the lowest cluster id) precisely
+    so it CAN be oracled. Cross-engine float64 noise is ~1e-13 while the
+    narrowest argmin margin on the test embeddings is 6.7e-6 (measured),
+    so assignments agree exactly; centroid norms are rounded to 4 digits
+    per the registry's double convention."""
+    return f"""
+    WITH {_ivf_kmeans_ctes(k, iters, dim)}
     SELECT s.cluster, s.n_vectors, n.centroid_norm
     FROM (SELECT cluster, COUNT(*) AS n_vectors
           FROM a{iters} GROUP BY cluster) s
     JOIN (SELECT cluster, ROUND(SQRT(SUM(c * c)), 4) AS centroid_norm
-          FROM {prev} GROUP BY cluster) n
+          FROM c{iters} GROUP BY cluster) n
     ON s.cluster = n.cluster
     """
 
