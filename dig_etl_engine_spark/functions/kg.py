@@ -82,7 +82,8 @@ def load_index(df_or_spark, path: str) -> DataFrame:
 
 
 def materialize_bm25_stats(docs: DataFrame, path: str, *,
-                           text_col: str = "text") -> None:
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> None:
     """Persist the corpus statistics BM25 needs — alongside the index,
     at corpus-build time, the way the reference's Elasticsearch keeps df
     and field-length norms inside the inverted index it builds at ingest.
@@ -97,14 +98,59 @@ def materialize_bm25_stats(docs: DataFrame, path: str, *,
 
     Tokenization matches ``plans.weights.bm25_score_column`` (lower,
     trim, whitespace split) so build-time df and query-time tf agree.
+
+    STALENESS CONTRACT: these stats are a build-time snapshot. An
+    incremental doc_id upsert (``sinks/kg_table.py:upsert_*`` — K2)
+    changes the corpus WITHOUT refreshing df/avgdl, silently skewing
+    BM25 scores — the same drift Elasticsearch hides by rebuilding
+    df inside each segment merge. The build therefore persists a
+    content signature (order-independent ``bit_xor`` of
+    ``xxhash64(id, text)``) in the ``corpus`` table;
+    :func:`bm25_stats_stale` recomputes it against the current corpus
+    in one pass. Run the check (and re-materialize on drift) in the
+    same maintenance slot as bucket compaction — NOT per query, which
+    would re-scan the corpus and defeat the materialization.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     (docs.select(F.explode(F.array_distinct(toks)).alias("term"))
          .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
          .write.mode("overwrite").parquet(f"{path}/term_df"))
     (docs.agg(F.count(F.lit(1)).alias("n_docs"),
-              F.avg(F.size(toks)).alias("avgdl"))
+              F.avg(F.size(toks)).alias("avgdl"),
+              _corpus_signature(id_col, text_col).alias("corpus_sig"))
          .write.mode("overwrite").parquet(f"{path}/corpus"))
+
+
+def _corpus_signature(id_col: str, text_col: str):
+    """Order-independent corpus content signature: bit_xor of one
+    xxhash64 per (id, text) row — one narrow map-side-combining pass,
+    no shuffle beyond the single scalar, insensitive to partitioning
+    and row order. Detects adds, deletes AND in-place content rewrites
+    (an id-only signature would miss last-write-wins text updates)."""
+    return F.bit_xor(F.xxhash64(F.col(id_col).cast("string"),
+                                F.col(text_col)))
+
+
+def bm25_stats_stale(docs: DataFrame, path: str, *,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> bool:
+    """True when the persisted BM25 stats no longer describe ``docs``
+    (see the staleness contract on :func:`materialize_bm25_stats`).
+    Pre-signature builds (no ``corpus_sig`` column) report stale —
+    freshness can't be proven, so the maintenance job rebuilds once and
+    gains the signature. O(corpus) scan; maintenance-time only."""
+    from pyspark.errors import AnalysisException
+
+    spark = docs.sparkSession
+    try:
+        row = spark.read.parquet(f"{path}/corpus").head()
+    except AnalysisException:
+        return True
+    if row is None or "corpus_sig" not in row.asDict():
+        return True
+    cur = docs.agg(
+        _corpus_signature(id_col, text_col).alias("sig")).head()["sig"]
+    return (cur or 0) != (row["corpus_sig"] or 0)
 
 
 def load_bm25_stats(spark, path: str, terms: list[str]) -> tuple:

@@ -583,6 +583,168 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5, append=False)
 
 
+# --- the full curation pipeline, composed -------------------------------------
+
+_CUR_SOURCES = ("src0", "src1", "src2")
+_CUR_WEIGHTS = {"src0": 1.0, "src1": 2.0, "src2": 4.0}
+_CUR_TARGET = 400
+
+
+def _curation_full_sql() -> str:
+    from dig_etl_engine_spark.queries_llm import _QUALITY_SQL, _minhash_ctes
+
+    total_w = sum(_CUR_WEIGHTS.values())
+    want = " ".join(
+        f"WHEN '{s}' THEN {_CUR_TARGET * _CUR_WEIGHTS[s] / total_w}"
+        for s in _CUR_SOURCES)
+    src_list = ", ".join(f"'{s}'" for s in _CUR_SOURCES)
+    corpus_full = f"""
+      SELECT doc_id, text, lang, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang, source FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text || '{_SFX}', lang, source
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 300000, text || '{_SFX}' || '{_TAIL2}', lang, source
+      FROM documents WHERE doc_id % 4 = 0
+    """
+    reps = ("corpus AS (SELECT fp.doc_id, fp.text FROM fp "
+            "JOIN grp ON fp.doc_id = grp.exact_rep)")
+    return f"""
+    WITH RECURSIVE allc AS ({corpus_full}),
+    gt AS (
+      SELECT doc_id, text, lang, source,
+             string_split(lower(text), ' ') AS toks,
+             string_split(text, ' ') AS raw_toks
+      FROM allc
+    ),
+    gated AS (
+      SELECT doc_id, text, lang, source FROM gt
+      WHERE lang = 'en' AND {_QUALITY_SQL} >= 0.5
+    ),
+    fp AS (SELECT doc_id, text, source, {_FP_SQL} AS f FROM gated),
+    grp AS (SELECT f, MIN(doc_id) AS exact_rep FROM fp GROUP BY f),
+    doc_rep AS (SELECT fp.doc_id, grp.exact_rep FROM fp
+                JOIN grp USING (f)),{_minhash_ctes(reps)},
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT u, v FROM edges
+              UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS component
+             FROM reach GROUP BY u),
+    rep_surv AS (
+      SELECT g.exact_rep, COALESCE(c.component, g.exact_rep) AS survivor
+      FROM (SELECT DISTINCT exact_rep FROM grp) g
+      LEFT JOIN comp c ON c.doc_id = g.exact_rep
+    ),
+    kept AS (
+      SELECT dr.doc_id, g.text, g.source
+      FROM doc_rep dr
+      JOIN rep_surv rs USING (exact_rep)
+      JOIN gated g ON g.doc_id = dr.doc_id
+      WHERE dr.doc_id = rs.survivor
+    ),
+    evt AS (
+      SELECT string_split(trim(lower(array_to_string(
+               string_split(text, ' ')[1:20], ' '))), ' ') AS toks
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    evg AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, greatest(len(toks) - 12, 1) + 1),
+                 i -> array_to_string(toks[i:least(i + 12, len(toks))], ' ')))
+               AS g
+      FROM evt
+    ),
+    cg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 12, 1) + 1),
+                 i -> array_to_string(toks[i:least(i + 12, len(toks))], ' ')))
+               AS g
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+            FROM kept)
+    ),
+    contaminated AS (SELECT DISTINCT cg.doc_id
+                     FROM cg JOIN evg ON cg.g = evg.g),
+    clean AS (
+      SELECT k.* FROM kept k
+      LEFT JOIN contaminated c ON c.doc_id = k.doc_id
+      WHERE c.doc_id IS NULL
+    ),
+    have AS (
+      SELECT source, SUM(len(string_split(text, ' '))) AS h
+      FROM clean WHERE source IN ({src_list})
+      GROUP BY source
+    ),
+    thr AS (
+      SELECT source,
+             CASE WHEN h = 0 THEN 0
+                  ELSE greatest(CAST(floor(least(1.0,
+                       (CASE source {want} END) / h) * 1048576) AS BIGINT),
+                       1) END AS t
+      FROM have
+    )
+    SELECT cl.doc_id, cl.source
+    FROM clean cl JOIN thr ON cl.source = thr.source
+    WHERE ('0x' || substr(md5('mix|' || cl.source || '|'
+                              || cl.doc_id::VARCHAR), 1, 8))::BIGINT
+          % 1048576 < thr.t
+    """
+
+
+@register("corpus_curation_full", oracle=_curation_full_sql())
+def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-owner identity query — the COMPLETE curation pipeline
+    composed from driver-verified pieces, mirroring
+    `test_golden_corpus_pipeline.py` under the hash gate:
+
+        quality gate (en ∧ score ≥ 0.5) → dedup_corpus (exact + LSH +
+        CC, keep survivors) → decontaminate (13-gram eval overlap
+        anti-join) → mix_sources (1:2:4 md5-gated token budget)
+
+    over a corpus planted with exact copies and two near-dup mutant
+    generations. Every stage keeps the scale shape of its operator:
+    column-math gate, exact-first dedup, broadcast eval grams, one-job
+    mix sizing. The oracle is the composed CTE chain of the per-stage
+    oracles."""
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select("doc_id", "text", "lang", "source")
+    ex = (docs.filter(F.col("doc_id") % 2 == 0)
+          .select((F.col("doc_id") + 100000).alias("doc_id"), "text",
+                  "lang", "source"))
+    m1 = (docs.filter(F.col("doc_id") % 2 == 0)
+          .select((F.col("doc_id") + 200000).alias("doc_id"),
+                  F.concat("text", F.lit(_SFX)).alias("text"),
+                  "lang", "source"))
+    m2 = (docs.filter(F.col("doc_id") % 4 == 0)
+          .select((F.col("doc_id") + 300000).alias("doc_id"),
+                  F.concat("text", F.lit(_SFX), F.lit(_TAIL2))
+                   .alias("text"),
+                  "lang", "source"))
+    corpus = docs.unionByName(ex).unionByName(m1).unionByName(m2)
+    gated = corpus.filter(
+        (F.col("lang") == "en")
+        & (TA.quality_score(F.col("text")) >= 0.5))
+    labels = D.dedup_corpus(gated, "text", threshold=0.5)
+    kept = gated.join(
+        labels.filter(F.col("reason") == "kept").select("doc_id"),
+        "doc_id")
+    evals = (docs.filter(F.col("doc_id") % 17 == 0)
+             .select("doc_id",
+                     F.concat_ws(" ", F.slice(F.split(F.col("text"), " "),
+                                              1, 20)).alias("text")))
+    clean = kept.join(TA.decontaminate(kept, evals, n=13),
+                      "doc_id", "left_anti")
+    sources = {s: clean.filter(F.col("source") == s).drop("source")
+               for s in _CUR_SOURCES}
+    mixed, _plan = TA.mix_sources(
+        sources, _CUR_WEIGHTS, target_tokens=_CUR_TARGET, hash_mode="md5")
+    return mixed.select("doc_id", "source")
+
+
 # --- int8 quantization + hashed BoW -------------------------------------------
 
 
