@@ -587,7 +587,7 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUR_SOURCES = ("src0", "src1", "src2")
 _CUR_WEIGHTS = {"src0": 1.0, "src1": 2.0, "src2": 4.0}
-_CUR_TARGET = 400
+_CUR_TARGET = 2000
 
 
 def _curation_full_sql() -> str:
