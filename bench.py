@@ -41,6 +41,13 @@ HEADLINE = [
     "search_bm25_rank",           # stats now read from the materialized build
     "join_asof_rates",            # native-type tolerance gate
     "sequence_packing",           # parameterized bucket streams
+    # round-4 additions: the newly-registered curation surface
+    "dedup_corpus",               # composed exact->LSH->CC labeling
+    "global_line_dedup",          # C4 line dedup (map-side-combined groupBy)
+    "decontaminate_eval_overlap", # broadcast eval-gram semi-join
+    "knn_ivf_indexed",            # persisted partition-pruned IVF probe
+    "incremental_minhash_dedup",  # O(batch) dedup vs persisted band index
+    "corpus_curation_full",       # the composed identity pipeline
 ]
 
 
