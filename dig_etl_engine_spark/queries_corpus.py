@@ -729,15 +729,20 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en")
         & (TA.quality_score(F.col("text")) >= 0.5))
     labels = D.dedup_corpus(gated, "text", threshold=0.5)
+    # pin the expensive dedup lineage: kept feeds THREE consumers
+    # (decontamination grams, the anti-join, and the per-source mix
+    # branches) — without the checkpoint each one re-executes the whole
+    # exact+LSH+CC subtree (measured 20 s -> ~7 s at sf0.1); at corpus
+    # scale this is the materialize-between-stages pattern
     kept = gated.join(
         labels.filter(F.col("reason") == "kept").select("doc_id"),
-        "doc_id")
+        "doc_id").localCheckpoint(eager=False)
     evals = (docs.filter(F.col("doc_id") % 17 == 0)
              .select("doc_id",
                      F.concat_ws(" ", F.slice(F.split(F.col("text"), " "),
                                               1, 20)).alias("text")))
     clean = kept.join(TA.decontaminate(kept, evals, n=13),
-                      "doc_id", "left_anti")
+                      "doc_id", "left_anti").localCheckpoint(eager=False)
     sources = {s: clean.filter(F.col("source") == s).drop("source")
                for s in _CUR_SOURCES}
     mixed, _plan = TA.mix_sources(

@@ -234,6 +234,40 @@ class TestMixSources:
         assert plan["tiny"]["fraction"] == 1.0
         assert mixed.filter("source = 'tiny'").count() == 1
 
+    def test_sizing_is_one_driver_round_trip(self, spark, monkeypatch):
+        """The plan-sizing aggregates must run as ONE Spark action for
+        any source count (k sequential agg().head() round-trips was the
+        r3 anti-pattern): count driver-materializing calls during
+        mix_sources — exactly one collect, zero heads."""
+        from dig_etl_engine_spark.operators.text_analysis import mix_sources
+
+        srcs = {f"s{i}": spark.createDataFrame(
+            [(i * 10 + j, "tok " * 8) for j in range(3)],
+            "doc_id long, text string") for i in range(6)}
+        # patch the CONCRETE DataFrame class (pyspark 4 routes through a
+        # classic/connect subclass; the pyspark.sql.DataFrame base's
+        # methods are overridden there and a base patch never fires)
+        df_cls = type(next(iter(srcs.values())))
+        calls = {"collect": 0, "head": 0}
+        real_collect = df_cls.collect
+
+        def counting_collect(self):
+            calls["collect"] += 1
+            return real_collect(self)
+
+        def counting_head(self, n=None):
+            calls["head"] += 1
+            raise AssertionError("mix_sources must not size via head()")
+
+        monkeypatch.setattr(df_cls, "collect", counting_collect)
+        monkeypatch.setattr(df_cls, "head", counting_head)
+        mixed, plan = mix_sources(
+            srcs, {k: 1.0 for k in srcs}, target_tokens=100)
+        assert calls == {"collect": 1, "head": 0}
+        assert len(plan) == 6
+        monkeypatch.undo()
+        assert mixed.count() > 0
+
 
 class TestQuantizeEmbeddings:
     def test_roundtrip_error_bound_and_cosine(self, spark):
