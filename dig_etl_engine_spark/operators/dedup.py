@@ -522,6 +522,54 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
     return result
 
 
+def minhash_decontaminate(corpus: DataFrame, eval_set: DataFrame, *,
+                          content_col: str = "text",
+                          eval_text: str | None = None,
+                          id_col: str = "doc_id",
+                          eval_id: str = "doc_id",
+                          k: int = 3, num_hashes: int = 16,
+                          bands: int = 4,
+                          threshold: float = 0.5) -> DataFrame:
+    """FUZZY benchmark decontamination: flag corpus docs that are
+    minhash-LSH NEAR-duplicates of an eval document — the paraphrased /
+    partially-rewritten eval leakage the exact 13-gram rule
+    (:func:`text_analysis.decontaminate`) misses. Real pipelines run
+    both: exact grams first, fuzzy sweep behind it.
+
+    Returns ``(doc_id, eval_id, jaccard)`` for pairs with verified
+    shingle-Jaccard ≥ ``threshold``. Corpus and eval ids are separate
+    namespaces (numeric collisions are allowed and meaningless).
+
+    Scale shape: the eval side (benchmarks — thousands of docs) computes
+    its band table and BROADCASTS it; corpus band rows hash-join it with
+    zero corpus shuffle, and only verified-candidate shingle arrays move
+    for the exact-Jaccard check — the same candidates the full
+    corpus∪eval self-join would produce restricted to cross pairs
+    (the oracle replays exactly that)."""
+    sh_c, band_c = _minhash_state(corpus, content_col, id_col=id_col,
+                                  k=k, num_hashes=num_hashes, bands=bands)
+    sh_e, band_e = _minhash_state(eval_set, eval_text or content_col,
+                                  id_col=eval_id, k=k,
+                                  num_hashes=num_hashes, bands=bands)
+    cand = (band_c.join(
+        F.broadcast(band_e.select(F.col("id").alias("eval_id"), "band")),
+        "band")
+        .select(F.col("id").alias("doc_id"), "eval_id")
+        .dropDuplicates(["doc_id", "eval_id"]))
+    return (
+        cand
+        .join(sh_c.select(F.col("id").alias("doc_id"),
+                          F.col("sh").alias("sh_c")), "doc_id")
+        .join(F.broadcast(sh_e.select(F.col("id").alias("eval_id"),
+                                      F.col("sh").alias("sh_e"))),
+              "eval_id")
+        .withColumn("jaccard",
+                    F.round(jaccard(F.col("sh_c"), F.col("sh_e")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "eval_id", "jaccard")
+    )
+
+
 # --- simhash ------------------------------------------------------------------
 
 SIMHASH_BITS = 16

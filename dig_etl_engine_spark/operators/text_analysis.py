@@ -326,7 +326,8 @@ def gopher_gates(col: Column, *, min_tokens: int = 50,
 
 def global_line_dedup(df, *, id_col: str = "doc_id",
                       text_col: str = "text",
-                      keep_first: bool = True):
+                      keep_first: bool = True,
+                      sep: str = "\n"):
     """C4's corpus-wide line dedup: a line occurring in more than one
     place survives only at its first occurrence (``keep_first=True``,
     ordered by doc id then line position) or nowhere (``False`` —
@@ -335,6 +336,11 @@ def global_line_dedup(df, *, id_col: str = "doc_id",
     rule. Documents are reassembled in original line order; docs whose
     lines all vanish yield an empty string; columns other than
     ``text_col`` pass through untouched.
+
+    ``sep`` picks the dedup granularity: the default ``"\\n"`` is the
+    C4 line rule; ``"\\n\\n"`` dedups whole paragraphs (boilerplate
+    blocks that repeat across a site while their individual lines may
+    not). The separator is treated as a literal, not a regex.
 
     Shape: posexplode lines → groupBy(line) min/count (map-side partial
     aggregation, so a billion-copy boilerplate line combines per
@@ -346,9 +352,12 @@ def global_line_dedup(df, *, id_col: str = "doc_id",
     lines (including bare ``\\r`` from CRLF corpora) are structure, not
     content: they bypass dedup and are kept verbatim.
     """
+    import re
+
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"))
+        F.posexplode(F.split(F.col(text_col), re.escape(sep)))
+         .alias("pos", "line"))
     blank_pred = F.col("line").rlike(r"^\s*$")
     blank = lines.filter(blank_pred)
     content = lines.filter(~blank_pred)
@@ -365,13 +374,70 @@ def global_line_dedup(df, *, id_col: str = "doc_id",
                .agg(F.array_sort(F.collect_list(
                    F.struct("pos", "line"))).alias("ls"))
                .select(id_col,
-                       F.concat_ws("\n", F.transform(
+                       F.concat_ws(sep, F.transform(
                            "ls", lambda s: s["line"])).alias("_gld_text")))
     # docs that lost every line still appear (empty text), and every
     # other input column survives
     return (df.join(rebuilt, id_col, "left")
             .withColumn(text_col, F.coalesce("_gld_text", F.lit("")))
             .drop("_gld_text"))
+
+
+def top_ngrams(df, *, text_col: str = "text", n: int = 3, k: int = 20):
+    """Corpus-level most-frequent word n-grams — the boilerplate-discovery
+    report run before choosing dedup/filter thresholds (the C4/Gopher
+    papers' 'what repeats in this crawl' table). Returns the top ``k``
+    ``(gram, n_occurrences)`` under the deterministic total order
+    (count desc, gram asc).
+
+    Shape: explode grams (zip-shifted slices — see ``dedup.shingles``) →
+    groupBy(gram) count with map-side partial aggregation (a
+    billion-copy boilerplate gram combines per partition BEFORE the
+    shuffle) → ``orderBy(...).limit(k)``, which Spark executes as
+    TakeOrderedAndProject: per-partition top-k then a k-row driver
+    merge — never a single-partition global sort."""
+    from dig_etl_engine_spark.operators.dedup import shingles
+
+    grams = df.select(
+        F.explode(shingles(F.lower(F.col(text_col)), n)).alias("gram"))
+    return (grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+            .limit(k))
+
+
+def tfidf_keywords(df, *, id_col: str = "doc_id", text_col: str = "text",
+                   k: int = 5):
+    """Per-document top-``k`` keywords by smoothed TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``) — the model-free doc-summary /
+    routing signal (and the classic weighting the coarse search's BM25
+    generalizes). Returns ``(id, token, tfidf, rank)``.
+
+    Shape: one explode → groupBy(id, token) count (map-side combined)
+    gives tf; df reduces the SAME tf table (already distinct per doc) by
+    token; N arrives as a broadcast 1-row aggregate, never a driver
+    round-trip; scores stay in codegen and the per-doc top-k is one
+    window over (id). Scores are rounded BEFORE ranking so cross-engine
+    libm noise in ln() can't flip a tie at the k boundary."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                          r"\s+")).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "token")
+              .join(F.broadcast(n_docs))
+              .select(id_col, "token",
+                      F.round(F.col("tf")
+                              * (F.log((F.col("n_docs") + 1.0)
+                                       / (F.col("df") + 1.0)) + 1.0),
+                              6).alias("tfidf")))
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 def _mix_gate_hash(id_col: str, salt: str, name: str, denom: int,

@@ -583,6 +583,173 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5, append=False)
 
 
+# --- paragraph dedup, corpus n-gram profile, TF-IDF keywords ------------------
+
+_PARA_SQL = """
+      SELECT doc_id,
+             text || chr(10) || chr(10)
+                  || 'shared promo paragraph' || chr(10) || 'second promo line'
+                  || chr(10) || chr(10)
+                  || 'group para ' || (doc_id % 7)::VARCHAR AS text
+      FROM documents
+"""
+
+
+@register(
+    "paragraph_dedup",
+    oracle=f"""
+    WITH docs2 AS ({_PARA_SQL}),
+    ls AS (SELECT doc_id,
+                  string_split(text, chr(10) || chr(10)) AS arr
+           FROM docs2),
+    flat AS (
+      SELECT doc_id, u['pos'] AS pos, u['line'] AS line FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(arr) + 1),
+                   i -> {{'pos': i, 'line': arr[i]}})) AS u
+        FROM ls)
+    ),
+    stats AS (
+      SELECT line, MIN(doc_id * 1000000 + pos) AS fk
+      FROM flat WHERE NOT regexp_matches(line, '^\\s*$')
+      GROUP BY line
+    ),
+    kept AS (
+      SELECT f.doc_id, f.pos, f.line
+      FROM flat f JOIN stats s
+        ON f.line = s.line AND f.doc_id * 1000000 + f.pos = s.fk
+      UNION ALL
+      SELECT doc_id, pos, line FROM flat
+      WHERE regexp_matches(line, '^\\s*$')
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) || chr(10) ORDER BY pos) AS t
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.t, '') AS text
+    FROM docs2 d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PARAGRAPH dedup (`operators/text_analysis.py:
+    global_line_dedup` with ``sep='\\n\\n'``): whole repeated blocks — a
+    promo paragraph whose internal lines differ across pages — survive
+    only at their first occurrence. The planted paragraph contains an
+    internal newline, proving the granularity is the block, not the
+    line. Same map-side-combined groupBy(paragraph) shape as the line
+    rule."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    lined = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit("\n\nshared promo paragraph\nsecond promo line"
+                       "\n\ngroup para "),
+                 (F.col("doc_id") % 7).cast("string")).alias("text"))
+    return TA.global_line_dedup(lined, keep_first=True, sep="\n\n")
+
+
+@register(
+    "top_ngrams",
+    oracle="""
+    WITH t AS (SELECT string_split(lower(text), ' ') AS toks
+               FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(toks[i:least(i + 2, len(toks))], ' ')))
+               AS gram
+      FROM t
+    )
+    SELECT gram, COUNT(*) AS n_occurrences
+    FROM g GROUP BY gram
+    ORDER BY n_occurrences DESC, gram ASC LIMIT 20
+    """,
+)
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 trigram profile (`operators/text_analysis.py:
+    top_ngrams`): the boilerplate-discovery report run before choosing
+    dedup/filter thresholds. Map-side-combined gram counts; the global
+    top-k executes as TakeOrderedAndProject (per-partition top-k + k-row
+    driver merge), never a single-partition sort."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.top_ngrams(docs, n=3, k=20)
+
+
+@register(
+    "tfidf_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(lower(text)), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0))
+                            + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, token ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 smoothed TF-IDF keywords (`operators/
+    text_analysis.py:tfidf_keywords`): the model-free doc-summary /
+    routing signal. tf and df reduce the same exploded table; N is a
+    broadcast 1-row aggregate; scores round BEFORE ranking so
+    cross-engine ln() noise can't flip a boundary tie."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.tfidf_keywords(docs, k=5)
+
+
+# --- fuzzy (minhash) decontamination ------------------------------------------
+
+_FUZZY_EVAL_SFX = " eval probe tokens"
+
+
+def _fuzzy_decon_sql() -> str:
+    from dig_etl_engine_spark.queries_llm import _minhash_ctes
+
+    union = f"""
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000, text || '{_FUZZY_EVAL_SFX}' FROM documents
+      WHERE doc_id % 13 = 0
+    )"""
+    return ("WITH " + _minhash_ctes(union) + """
+    SELECT doc_a AS doc_id, doc_b AS eval_id, jaccard
+    FROM verified
+    WHERE jaccard >= 0.5 AND doc_a < 500000 AND doc_b >= 500000
+    """)
+
+
+@register("fuzzy_decontaminate", oracle=_fuzzy_decon_sql())
+def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (`operators/dedup.py:
+    minhash_decontaminate`): corpus docs minhash-near-duplicate to an
+    eval doc — the paraphrased leakage the exact 13-gram rule misses;
+    real pipelines run both. Eval set = near-copies of every %13 doc
+    (suffix-perturbed, ids offset to 500000+). The eval band table and
+    shingles BROADCAST; the corpus never shuffles. Oracle = the full
+    corpus∪eval minhash self-join restricted to cross pairs — the same
+    candidate set by construction."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    evals = (docs.filter(F.col("doc_id") % 13 == 0)
+             .select((F.col("doc_id") + 500000).alias("doc_id"),
+                     F.concat("text", F.lit(_FUZZY_EVAL_SFX))
+                      .alias("text")))
+    return D.minhash_decontaminate(docs, evals, threshold=0.5)
+
+
 # --- the full curation pipeline, composed -------------------------------------
 
 _CUR_SOURCES = ("src0", "src1", "src2")
