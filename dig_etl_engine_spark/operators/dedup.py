@@ -540,12 +540,17 @@ def minhash_decontaminate(corpus: DataFrame, eval_set: DataFrame, *,
     shingle-Jaccard ≥ ``threshold``. Corpus and eval ids are separate
     namespaces (numeric collisions are allowed and meaningless).
 
-    Scale shape: the eval side (benchmarks — thousands of docs) computes
-    its band table and BROADCASTS it; corpus band rows hash-join it with
-    zero corpus shuffle, and only verified-candidate shingle arrays move
-    for the exact-Jaccard check — the same candidates the full
-    corpus∪eval self-join would produce restricted to cross pairs
-    (the oracle replays exactly that)."""
+    Scale shape: the corpus NEVER shuffles. The eval side (benchmarks —
+    thousands of docs) computes its band table and BROADCASTS it; corpus
+    band rows hash-join it map-side, and the resulting candidate pairs
+    are eval-bounded (≤ |eval| · colliding-bucket sizes) so they
+    broadcast BACK into a second streaming pass over the corpus shingle
+    table for exact-Jaccard verification — two narrow corpus scans, zero
+    exchanges of corpus data. (Letting the verify join default to
+    sort-merge would shuffle every corpus shingle array to check a
+    handful of candidates.) The candidate set equals the full
+    corpus∪eval self-join restricted to cross pairs — the oracle replays
+    exactly that."""
     sh_c, band_c = _minhash_state(corpus, content_col, id_col=id_col,
                                   k=k, num_hashes=num_hashes, bands=bands)
     sh_e, band_e = _minhash_state(eval_set, eval_text or content_col,
@@ -557,9 +562,8 @@ def minhash_decontaminate(corpus: DataFrame, eval_set: DataFrame, *,
         .select(F.col("id").alias("doc_id"), "eval_id")
         .dropDuplicates(["doc_id", "eval_id"]))
     return (
-        cand
-        .join(sh_c.select(F.col("id").alias("doc_id"),
-                          F.col("sh").alias("sh_c")), "doc_id")
+        sh_c.select(F.col("id").alias("doc_id"), F.col("sh").alias("sh_c"))
+        .join(F.broadcast(cand), "doc_id")
         .join(F.broadcast(sh_e.select(F.col("id").alias("eval_id"),
                                       F.col("sh").alias("sh_e"))),
               "eval_id")

@@ -1,0 +1,139 @@
+"""Unit + plan-shape tests for the round-4 corpus profiling operators:
+top_ngrams, tfidf_keywords, paragraph-granularity global_line_dedup, and
+minhash_decontaminate (fuzzy eval leakage). The driver oracle checks
+value parity; these pin the semantics a hash can't explain (paraphrase
+recall vs the exact rule, separator granularity) and the plan shapes the
+operators promise (TakeOrdered top-k, broadcast eval side)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.operators.dedup import minhash_decontaminate
+from dig_etl_engine_spark.operators.text_analysis import (
+    decontaminate, global_line_dedup, tfidf_keywords, top_ngrams)
+
+
+class TestTopNgrams:
+    def test_counts_and_order(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c a b c"), (2, "a b c d e f"), (3, "x y z")],
+            "doc_id long, text string")
+        rows = top_ngrams(docs, n=3, k=3).collect()
+        # 'a b c' occurs 3x (twice in doc1: positions 0 and... doc1 grams:
+        # abc bca cab abc -> 2; doc2: abc -> 1) = 3 total
+        assert rows[0].gram == "a b c" and rows[0].n_occurrences == 3
+        assert len(rows) == 3
+
+    def test_plan_is_take_ordered(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d")], "doc_id long, text string")
+        plan = top_ngrams(docs, n=3, k=5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestTfidfKeywords:
+    def test_rare_token_outranks_common(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "common rare common"), (2, "common filler"),
+             (3, "common other")],
+            "doc_id long, text string")
+        rows = {(r.doc_id, r.rank): r.token
+                for r in tfidf_keywords(docs, k=2).collect()}
+        # 'rare' (df=1) beats 'common' (df=3) for doc 1 despite tf 1 vs 2?
+        # tf(common)=2 * (ln(4/4)+1)=2.0; tf(rare)=1 * (ln(4/2)+1)=1.693
+        # -> common still wins on tf; both present, common rank 1
+        assert rows[(1, 1)] == "common" and rows[(1, 2)] == "rare"
+
+    def test_broadcast_n_not_collected(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "b c")], "doc_id long, text string")
+        plan = tfidf_keywords(docs, k=1)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" \
+            in plan, plan
+
+
+class TestParagraphDedup:
+    def test_block_granularity(self, spark):
+        # the repeated PARAGRAPH contains two lines that also appear,
+        # individually, inside unique paragraphs — line-level dedup
+        # would delete those; paragraph-level must not
+        promo = "promo line one\npromo line two"
+        docs = spark.createDataFrame(
+            [(1, f"intro one\n\n{promo}"),
+             (2, f"intro two\n\n{promo}"),
+             (3, "solo doc\n\npromo line one kept inline")],
+            "doc_id long, text string")
+        out = {r.doc_id: r.text
+               for r in global_line_dedup(docs, sep="\n\n").collect()}
+        assert out[1] == f"intro one\n\n{promo}"   # first occurrence kept
+        assert out[2] == "intro two"               # repeat removed
+        assert "promo line one kept inline" in out[3]  # distinct block
+
+    def test_drop_all_mode(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "dup\n\nown one"), (2, "dup\n\nown two")],
+            "doc_id long, text string")
+        out = {r.doc_id: r.text
+               for r in global_line_dedup(docs, sep="\n\n",
+                                          keep_first=False).collect()}
+        assert out == {1: "own one", 2: "own two"}
+
+
+class TestMinhashDecontaminate:
+    BASE = ("the committee published its final report on river safety "
+            "after months of public hearings and detailed engineering "
+            "review across the whole region")
+
+    def test_catches_paraphrase_exact_rule_misses(self, spark):
+        # eval doc = corpus doc with scattered single-token edits: no
+        # 13 consecutive shared tokens survive, so the exact rule sees
+        # nothing — but the shingle set is still mostly shared
+        toks = self.BASE.split()
+        toks[3] = "released"
+        toks[11] = "waterway"
+        toks[19] = "thorough"
+        paraphrase = " ".join(toks)
+        corpus = spark.createDataFrame(
+            [(1, self.BASE), (2, "entirely unrelated text about farming "
+                                 "practices in the northern valley")],
+            "doc_id long, text string")
+        evals = spark.createDataFrame(
+            [(900, paraphrase)], "doc_id long, text string")
+        exact = decontaminate(corpus, evals, n=13).collect()
+        assert exact == []                       # the gap being closed
+        # scattered edits leave jaccard ~0.38 — below the default
+        # 4-band×4-row S-curve's reliable zone, so sweep with rows=1
+        # banding (16 bands of 1 hash: P(hit) = 1-(1-s)^16 ≈ 0.999),
+        # the standard LSH parameterization for low-threshold sweeps
+        fuzzy = minhash_decontaminate(corpus, evals, threshold=0.3,
+                                      num_hashes=16, bands=16).collect()
+        assert [(r.doc_id, r.eval_id) for r in fuzzy] == [(1, 900)]
+
+    def test_eval_side_broadcasts(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, self.BASE)], "doc_id long, text string")
+        evals = spark.createDataFrame(
+            [(900, self.BASE)], "doc_id long, text string")
+        plan = minhash_decontaminate(corpus, evals)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan, plan
+        # and the corpus side must not sort-merge against the eval bands
+        assert "SortMergeJoin" not in plan, plan
+
+
+def test_chunk_documents_null_text_yields_one_chunk(spark):
+    from dig_etl_engine_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "some real text"), (2, None)], "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == ""
+    assert len(by_doc[1]) == 1
