@@ -440,6 +440,51 @@ def tfidf_keywords(df, *, id_col: str = "doc_id", text_col: str = "text",
             .filter(F.col("rank") <= k))
 
 
+def repeated_window_flags(df, *, id_col: str = "doc_id",
+                          text_col: str = "text", w: int = 20,
+                          flag_fraction: float = 0.3):
+    """Approximate ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find corpus-wide
+    REPEATED ``w``-token windows and score each doc by the fraction of
+    its windows that repeat anywhere in the corpus (including within the
+    same doc). The true algorithm builds a corpus suffix array; the
+    window-hash approximation keeps the detection distributed and
+    shuffle-bounded, trading exact span boundaries for ±w-token
+    granularity — the standard practical substitute.
+
+    Returns ``(id, n_windows, n_repeated, repeated_fraction, flagged)``
+    with ``flagged = repeated_fraction >= flag_fraction``. Removal is
+    then a filter (drop flagged docs) or a downstream span-trim.
+
+    Shape: explode windows (zip-shifted slices, the ``dedup.shingles``
+    pattern) → per-(doc, window) partial count → global window count via
+    ONE groupBy with map-side combine (a billion-copy boilerplate window
+    combines per partition before the shuffle) → equi-join back (AQE
+    skew-join covers residual hot windows) → per-doc aggregate.
+    Equality is on the window STRING, not a hash — same
+    collision-correctness rule as ``global_line_dedup``."""
+    from dig_etl_engine_spark.operators.dedup import shingles
+
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.lower(F.col(text_col)), w)).alias("win"))
+    local = wins.groupBy("id", "win").agg(
+        F.count(F.lit(1)).alias("c_local"))
+    glob = local.groupBy("win").agg(F.sum("c_local").alias("n_global"))
+    return (local.join(glob, "win")
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.sum("c_local").alias("n_windows"),
+                 F.sum(F.when(F.col("n_global") > 1,
+                              F.col("c_local")).otherwise(0))
+                  .alias("n_repeated"))
+            .select(id_col, "n_windows", "n_repeated",
+                    F.round(F.col("n_repeated")
+                            / F.greatest(F.col("n_windows"), F.lit(1)), 6)
+                     .alias("repeated_fraction"))
+            .withColumn("flagged",
+                        F.col("repeated_fraction") >= flag_fraction))
+
+
 def _mix_gate_hash(id_col: str, salt: str, name: str, denom: int,
                    hash_mode: str) -> Column:
     """The sampling-gate hash bucket in [0, denom): ``xxhash64`` (fast,

@@ -710,6 +710,91 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.tfidf_keywords(docs, k=5)
 
 
+# --- approximate ExactSubstr: repeated-window dedup ---------------------------
+
+_BOILER = ("call now to subscribe and unlock every premium article today "
+           "for free")
+
+
+@register(
+    "repeated_window_dedup",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0 THEN text || ' {_BOILER}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM g),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 9, 1) + 1),
+                 i -> array_to_string(toks[i:least(i + 9, len(toks))], ' ')))
+               AS win
+      FROM t
+    ),
+    local AS (SELECT doc_id, win, COUNT(*) AS c_local
+              FROM wins GROUP BY doc_id, win),
+    gw AS (SELECT win, SUM(c_local) AS n_global
+           FROM local GROUP BY win)
+    SELECT l.doc_id,
+           SUM(c_local)::BIGINT AS n_windows,
+           SUM(CASE WHEN n_global > 1 THEN c_local ELSE 0 END)::BIGINT
+             AS n_repeated,
+           ROUND(SUM(CASE WHEN n_global > 1 THEN c_local ELSE 0 END)
+                 / greatest(SUM(c_local), 1), 6) AS repeated_fraction,
+           (ROUND(SUM(CASE WHEN n_global > 1 THEN c_local ELSE 0 END)
+                  / greatest(SUM(c_local), 1), 6) >= 0.05) AS flagged
+    FROM local l JOIN gw USING (win)
+    GROUP BY l.doc_id
+    """,
+)
+def repeated_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ExactSubstr dedup (`operators/text_analysis.py:
+    repeated_window_flags`; Lee et al. 2022): per-doc fraction of
+    10-token windows repeated anywhere in the corpus. A 12-token
+    boilerplate sentence planted on every %6 doc makes its interior
+    windows corpus-wide repeats; window equality is on the STRING, never
+    a hash alone. One map-side-combined window count + equi-join back —
+    the suffix-array algorithm's practical distributed substitute."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    g = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.col("text"), F.lit(" " + _BOILER)))
+         .otherwise(F.col("text")).alias("text"))
+    return TA.repeated_window_flags(g, w=10, flag_fraction=0.05)
+
+
+def _dedup_report_sql() -> str:
+    labels = _dedup_corpus_sql()
+    # reuse the labeling oracle verbatim as a CTE and roll it up
+    return f"""
+    WITH labels AS ({labels})
+    SELECT reason, COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT survivor)::BIGINT AS n_groups,
+           ROUND(COUNT(*) / (SELECT COUNT(*) FROM labels), 6) AS fraction
+    FROM labels GROUP BY reason
+    """
+
+
+@register("dedup_report", oracle=_dedup_report_sql())
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup run report a corpus owner reads before committing a
+    delete: per-reason doc counts, group counts and corpus fraction from
+    `dedup_corpus` labels (kept = post-dedup size; exact_dup + near_dup
+    = the reduction). One tiny aggregate over the labeling output; the
+    oracle recomputes the full labeling chain and the same rollup."""
+    labels = D.dedup_corpus(_dedup_corpus_df(spark, sf_dir), "text",
+                            threshold=0.5)
+    total = labels.count()
+    return (labels.groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("survivor").alias("n_groups"))
+            .withColumn("fraction",
+                        F.round(F.col("n_docs") / F.lit(total), 6)))
+
+
 # --- fuzzy (minhash) decontamination ------------------------------------------
 
 _FUZZY_EVAL_SFX = " eval probe tokens"
