@@ -440,6 +440,65 @@ def tfidf_keywords(df, *, id_col: str = "doc_id", text_col: str = "text",
             .filter(F.col("rank") <= k))
 
 
+def ngram_lm_scores(corpus, reference=None, *, id_col: str = "doc_id",
+                    text_col: str = "text", k_smooth: float = 0.1):
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020): score
+    every corpus doc by its mean trigram negative log-probability under
+    an add-k-smoothed trigram LM trained on ``reference`` (a trusted
+    corpus — CCNet uses Wikipedia; defaults to the corpus itself).
+    Low score ≈ fluent/in-domain; the perplexity band then drives
+    keep/drop/bucket decisions — the model-based filter family sitting
+    between the heuristic gates and the MLlib classifier.
+
+    ``P(w|ctx) = (c(ctx,w) + k) / (c(ctx) + k·V)`` with V = reference
+    vocab size; unseen contexts and words degrade smoothly to ~1/V.
+    Returns ``(id, n_trigrams, avg_neg_logp)`` — docs with < 3 tokens
+    carry no trigram evidence and are omitted (gate them on length
+    first).
+
+    Shape: trigram counts reduce the reference once (map-side combine);
+    context counts reduce the trigram table again instead of re-reading
+    the reference; V arrives as a broadcast 1-row aggregate. Scoring is
+    one trigram-keyed equi-join (AQE skew handles stop-phrase heads) +
+    per-doc aggregate. Everything stays in codegen — no Python, no
+    driver state, LM "training" is just distributed counting."""
+
+    def trigrams(df):
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        n_out = F.size(toks) - 2
+        zipped = F.arrays_zip(F.slice(toks, 1, n_out),
+                              F.slice(toks, 2, n_out),
+                              F.slice(toks, 3, n_out))
+        return (df.filter(F.size(toks) >= 3)
+                .select(F.col(id_col).alias("id"),
+                        F.explode(F.transform(
+                            zipped,
+                            lambda s: F.struct(
+                                F.concat_ws(" ", s["0"], s["1"])
+                                 .alias("ctx"),
+                                s["2"].alias("w")))).alias("t"))
+                .select("id", "t.ctx", "t.w"))
+
+    ref = reference if reference is not None else corpus
+    c3 = trigrams(ref).groupBy("ctx", "w").agg(
+        F.count(F.lit(1)).alias("c3"))
+    c2 = c3.groupBy("ctx").agg(F.sum("c3").alias("c2"))
+    vocab = ref.select(F.explode(F.split(
+        F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")) \
+        .agg(F.count_distinct("tok").alias("v"))
+    scored = (trigrams(corpus)
+              .join(c3, ["ctx", "w"], "left")
+              .join(c2, "ctx", "left")
+              .join(F.broadcast(vocab))
+              .select("id", (-F.log(
+                  (F.coalesce(F.col("c3"), F.lit(0)) + k_smooth)
+                  / (F.coalesce(F.col("c2"), F.lit(0))
+                     + k_smooth * F.col("v")))).alias("nlp")))
+    return (scored.groupBy(F.col("id").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                 F.round(F.avg("nlp"), 6).alias("avg_neg_logp")))
+
+
 def repeated_window_flags(df, *, id_col: str = "doc_id",
                           text_col: str = "text", w: int = 20,
                           flag_fraction: float = 0.3):

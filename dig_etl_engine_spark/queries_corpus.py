@@ -710,6 +710,65 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.tfidf_keywords(docs, k=5)
 
 
+# --- n-gram LM perplexity scoring ---------------------------------------------
+
+
+@register(
+    "ngram_lm_perplexity",
+    oracle="""
+    WITH reft AS (
+      SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    rt AS (
+      SELECT u['ctx'] AS ctx, u['w'] AS w FROM (
+        SELECT unnest(list_transform(range(1, len(toks) - 1),
+            i -> {'ctx': toks[i] || ' ' || toks[i + 1],
+                  'w': toks[i + 2]})) AS u
+        FROM reft WHERE len(toks) >= 3)
+    ),
+    c3 AS (SELECT ctx, w, COUNT(*) AS c3 FROM rt GROUP BY ctx, w),
+    c2 AS (SELECT ctx, SUM(c3) AS c2 FROM c3 GROUP BY ctx),
+    v AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest(toks) AS tok FROM reft)),
+    allt AS (
+      SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, u['ctx'] AS ctx, u['w'] AS w FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+            i -> {'ctx': toks[i] || ' ' || toks[i + 1],
+                  'w': toks[i + 2]})) AS u
+        FROM allt WHERE len(toks) >= 3)
+    ),
+    scored AS (
+      SELECT st.doc_id,
+             -ln((COALESCE(c3.c3, 0) + 0.1)
+                 / (COALESCE(c2.c2, 0) + 0.1 * v.v)) AS nlp
+      FROM st
+      LEFT JOIN c3 ON st.ctx = c3.ctx AND st.w = c3.w
+      LEFT JOIN c2 ON st.ctx = c2.ctx
+      CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
+           ROUND(AVG(nlp), 6) AS avg_neg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (`operators/text_analysis.py:
+    ngram_lm_scores`; Wenzek et al. 2020): every doc scored by mean
+    trigram negative log-prob under an add-0.1-smoothed trigram LM
+    trained on the even-id half of the corpus (the 'trusted reference'
+    split). Pure distributed counting + one trigram-keyed join — no
+    Python, no driver state; the oracle replays the counts, smoothing
+    and ln() with round-6 (cross-engine libm noise is ~1e-15)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    return TA.ngram_lm_scores(docs, ref, k_smooth=0.1)
+
+
 # --- approximate ExactSubstr: repeated-window dedup ---------------------------
 
 _BOILER = ("call now to subscribe and unlock every premium article today "
