@@ -126,6 +126,41 @@ class TestMinhashDecontaminate:
         assert "SortMergeJoin" not in plan, plan
 
 
+class TestNgramLmScores:
+    def test_fluent_scores_below_junk(self, spark):
+        """A doc made of reference trigrams must score (mean neg-logp)
+        well below a doc of unseen trigrams — the separation the CCNet
+        perplexity band relies on."""
+        from dig_etl_engine_spark.operators.text_analysis import (
+            ngram_lm_scores)
+
+        ref = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog") for i
+             in range(5)], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(100, "the quick brown fox jumps"),        # in-domain
+             (101, "zz qq vv kk pp ww")],               # unseen junk
+            "doc_id long, text string")
+        got = {r.doc_id: r.avg_neg_logp
+               for r in ngram_lm_scores(corpus, ref).collect()}
+        assert got[100] < got[101]
+        # in-domain trigrams: P ~ (5+0.1)/(5+0.1·8) -> nlp ~ ln(1.14)
+        assert got[100] < 0.5
+        # unseen: V=8 distinct ref tokens, P = 0.1/(0.1·8) = 1/8
+        assert got[101] == pytest.approx(2.079442, abs=1e-5)
+
+    def test_short_docs_omitted(self, spark):
+        from dig_etl_engine_spark.operators.text_analysis import (
+            ngram_lm_scores)
+
+        ref = spark.createDataFrame(
+            [(1, "a b c d")], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b")], "doc_id long, text string")
+        ids = {r.doc_id for r in ngram_lm_scores(corpus, ref).collect()}
+        assert ids == {1}
+
+
 def test_chunk_documents_null_text_yields_one_chunk(spark):
     from dig_etl_engine_spark.operators.text_analysis import chunk_documents
 

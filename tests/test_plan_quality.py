@@ -162,6 +162,30 @@ class TestCodegenPurity:
             plan = plan_of(qs[name](spark, SF))
             assert "EvalPython" not in plan, name
 
+    def test_corpus_operators_are_jvm_only(self, spark):
+        """The round-4 curation surface is pure column algebra + joins —
+        no Python anywhere in the hot path (the LM 'training' is
+        distributed counting, the window dedup is groupBy math)."""
+        from dig_etl_engine_spark import queries as registry
+        qs = registry.queries()
+        for name in ("ngram_lm_perplexity", "repeated_window_dedup",
+                     "top_ngrams", "tfidf_keywords", "gopher_gates",
+                     "global_line_dedup", "paragraph_dedup",
+                     "decontaminate_eval_overlap", "fuzzy_decontaminate"):
+            plan = plan_of(qs[name](spark, SF))
+            for marker in ("BatchEvalPython", "ArrowEvalPython",
+                           "MapInPandas", "FlatMapGroupsInPandas"):
+                assert marker not in plan, (name, marker)
+
+    def test_lm_scoring_has_partial_aggregation(self, spark):
+        """The trigram/context counts must map-side combine (partial_
+        aggregates before the exchange) — the property that keeps a
+        boilerplate-heavy corpus from shuffling one row per trigram."""
+        from dig_etl_engine_spark import queries as registry
+        plan = plan_of(registry.queries()["ngram_lm_perplexity"](
+            spark, SF))
+        assert "partial_count" in plan or "partial_sum" in plan, plan[:800]
+
     def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
         """Both sides bucketed on the join key with equal bucket counts →
         the SMJ consumes the bucket layout directly: zero Exchange in the
