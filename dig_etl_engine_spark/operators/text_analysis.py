@@ -253,6 +253,66 @@ def decontaminate(corpus, eval_set, *, n: int = 13,
             .agg(F.count_distinct("g").alias("n_hits")))
 
 
+def remove_contaminated_spans(corpus, eval_set, *, n: int = 13,
+                              corpus_text: str = "text",
+                              eval_text: str = "text",
+                              id_col: str = "doc_id"):
+    """Span-level decontamination: instead of dropping every document
+    that shares an ``n``-gram with the eval set (:func:`decontaminate`),
+    REMOVE just the tokens covered by a matching gram and keep the rest
+    of the document — the trim-the-leak-keep-the-doc policy large
+    curation pipelines apply when whole-doc dropping would cost too much
+    volume. Returns ``(id, text, n_removed)`` with ``text`` rebuilt from
+    the surviving tokens in order (single-space joined; a doc that was
+    one big quote comes back empty) and ``n_removed`` = distinct token
+    positions cut. Matching is case-insensitive; surviving tokens keep
+    their original case.
+
+    Shape: eval grams collapse to a broadcast DISTINCT set (benchmarks
+    are small by contract); corpus grams carry their start position
+    (posexplode over the zip-built gram array — never slice-in-lambda,
+    the O(n²) cliff in ``dedup.shingles``), semi-join the broadcast set,
+    and explode to covered positions (bounded by hits·n). One
+    groupBy(id) rebuild shuffle — the ``global_line_dedup`` shape;
+    corpus text never shuffles for detection, only for rebuild."""
+    from dig_etl_engine_spark.operators.dedup import shingles
+
+    toks = F.split(F.trim(F.col(corpus_text)), r"\s+")
+    base = corpus.select(F.col(id_col).alias("id"),
+                         toks.alias("toks"),
+                         F.size(toks).alias("n_toks"))
+    grams = corpus.select(
+        F.col(id_col).alias("id"), F.size(toks).alias("n_toks"),
+        F.posexplode(shingles(F.lower(F.col(corpus_text)), n))
+         .alias("pos", "gram"))
+    eval_grams = (eval_set.select(
+        F.explode(shingles(F.lower(F.col(eval_text)), n)).alias("gram"))
+        .distinct())
+    covered = (grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+               .select("id", F.explode(F.sequence(
+                   F.col("pos"),
+                   F.least(F.col("pos") + n, F.col("n_toks")) - 1))
+                   .alias("tpos"))
+               .distinct())
+    tok_rows = base.select(
+        "id", F.posexplode("toks").alias("tpos", "tok"))
+    kept = tok_rows.join(covered, ["id", "tpos"], "left_anti")
+    rebuilt = (kept.groupBy("id")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("tpos", "tok"))).alias("ts"))
+               .select("id", F.concat_ws(" ", F.transform(
+                   "ts", lambda s: s["tok"])).alias("_rc_text")))
+    removed = covered.groupBy("id").agg(
+        F.count(F.lit(1)).alias("_rc_removed"))
+    return (base.select("id")
+            .join(rebuilt, "id", "left")
+            .join(removed, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("_rc_text", F.lit("")).alias(corpus_text),
+                    F.coalesce("_rc_removed", F.lit(0))
+                     .alias("n_removed")))
+
+
 def ngram_repetition_ratio(col: Column, n: int = 3) -> Column:
     """Gopher's duplicate n-gram fraction: 1 − distinct/total over word
     ``n``-grams — catches looped phrases that line- and token-level

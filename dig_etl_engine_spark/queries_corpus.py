@@ -276,6 +276,80 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.decontaminate(docs, evals, n=13)
 
 
+@register(
+    "decontaminate_spans",
+    oracle=f"""
+    WITH ev AS ({_EVAL_SLICE_SQL}),
+    evt AS (SELECT string_split(trim(lower(text)), ' ') AS toks FROM ev),
+    evg AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, greatest(len(toks) - 12, 1) + 1),
+                 i -> array_to_string(toks[i:least(i + 12, len(toks))], ' ')))
+               AS gram
+      FROM evt
+    ),
+    ct AS (SELECT doc_id, string_split(trim(text), ' ') AS toks,
+                  string_split(trim(lower(text)), ' ') AS ltoks
+           FROM documents),
+    cg AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             u['pos'] AS pos, u['gram'] AS gram
+      FROM (
+        SELECT doc_id, toks,
+               unnest(list_transform(
+                   range(1, greatest(len(ltoks) - 12, 1) + 1),
+                   i -> {{'pos': i - 1,
+                         'gram': array_to_string(
+                             ltoks[i:least(i + 12, len(ltoks))], ' ')}}))
+                 AS u
+        FROM ct)
+    ),
+    covered AS (
+      SELECT DISTINCT cg.doc_id,
+             unnest(range(pos, least(pos + 13, n_toks))) AS tpos
+      FROM cg JOIN evg ON cg.gram = evg.gram
+    ),
+    tok_rows AS (
+      SELECT doc_id, u['tpos'] AS tpos, u['tok'] AS tok FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+               i -> {{'tpos': i - 1, 'tok': toks[i]}})) AS u
+        FROM ct)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.tok FROM tok_rows t
+      LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+      WHERE c.doc_id IS NULL
+    ),
+    rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS t
+                FROM kept GROUP BY doc_id),
+    removed AS (SELECT doc_id, COUNT(*) AS r FROM covered GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(rb.t, '') AS text,
+           COALESCE(rm.r, 0)::BIGINT AS n_removed
+    FROM documents d
+    LEFT JOIN rebuilt rb ON rb.doc_id = d.doc_id
+    LEFT JOIN removed rm ON rm.doc_id = d.doc_id
+    """,
+)
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (`operators/text_analysis.py:
+    remove_contaminated_spans`): rather than dropping a contaminated
+    doc, cut exactly the tokens covered by an eval-matching 13-gram and
+    keep the rest — the trim-the-leak policy used when whole-doc drops
+    cost too much volume. Same planted eval set as
+    `decontaminate_eval_overlap` (each %17 doc's first 20 tokens →
+    those docs lose their first 20 tokens and keep their tails). Eval
+    grams broadcast; detection never shuffles corpus text; one
+    groupBy rebuild. Spark compares grams by string; the oracle
+    replays positions and coverage exactly."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    evals = (docs.filter(F.col("doc_id") % 17 == 0)
+             .select("doc_id",
+                     F.concat_ws(" ", F.slice(F.split(F.col("text"), " "),
+                                              1, 20)).alias("text")))
+    return TA.remove_contaminated_spans(
+        docs.select("doc_id", "text"), evals, n=13)
+
+
 # --- C4 global line dedup -----------------------------------------------------
 
 _LINED_SQL = """
