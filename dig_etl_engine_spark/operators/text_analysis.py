@@ -500,6 +500,33 @@ def tfidf_keywords(df, *, id_col: str = "doc_id", text_col: str = "text",
             .filter(F.col("rank") <= k))
 
 
+def corpus_diff(old, new, *, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Snapshot diff between two corpus versions — the audit a corpus
+    owner runs before re-tokenizing: which docs were added, removed, or
+    content-changed since the last training run (and hence what fraction
+    of cached tokenization/embedding work is reusable). Returns one row
+    per doc id in either version: ``(id, status)`` with status ∈
+    added / removed / changed / unchanged; changed = same id, different
+    normalized content fingerprint.
+
+    Shape: each side reduces to (id, fingerprint) — narrow column math
+    over the scan — then ONE full-outer hash join on the id; no text
+    moves. At warehouse scale both sides pre-bucket by id
+    (``catalog.materialize_bucketed``) and the join runs
+    exchange-free."""
+    of = old.select(F.col(id_col).alias("id"),
+                    fingerprint_md5(F.col(text_col)).alias("f_old"))
+    nf = new.select(F.col(id_col).alias("id"),
+                    fingerprint_md5(F.col(text_col)).alias("f_new"))
+    return (of.join(nf, "id", "full_outer")
+            .select(F.col("id").alias(id_col),
+                    F.when(F.col("f_old").isNull(), "added")
+                     .when(F.col("f_new").isNull(), "removed")
+                     .when(F.col("f_old") != F.col("f_new"), "changed")
+                     .otherwise("unchanged").alias("status")))
+
+
 def ngram_lm_scores(corpus, reference=None, *, id_col: str = "doc_id",
                     text_col: str = "text", k_smooth: float = 0.1):
     """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020): score

@@ -784,6 +784,53 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.tfidf_keywords(docs, k=5)
 
 
+# --- corpus snapshot diff -----------------------------------------------------
+
+
+@register(
+    "corpus_diff",
+    oracle=f"""
+    WITH oldv AS (SELECT doc_id, {_FP_SQL} AS f FROM documents),
+    newv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN md5(trim(regexp_replace(
+                       lower(text || ' revised edition'),
+                       '\\s+', ' ', 'g')))
+                  ELSE {_FP_SQL} END AS f
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 100000, {_FP_SQL} FROM documents
+      WHERE doc_id % 11 = 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.f IS NULL THEN 'added'
+                WHEN n.f IS NULL THEN 'removed'
+                WHEN o.f <> n.f THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+    """,
+)
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (`operators/text_analysis.py:corpus_diff`):
+    old = documents; new = documents minus every %7 doc (removed), with
+    every remaining %5 doc's text revised (changed) and %11 mirror docs
+    appended (added). Each side reduces to (id, fingerprint) — no text
+    moves — and ONE full-outer hash join labels every id; the audit that
+    sizes incremental re-tokenization work."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    new = (docs.filter(F.col("doc_id") % 7 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 5 == 0,
+                          F.concat("text", F.lit(" revised edition")))
+                    .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               docs.filter(F.col("doc_id") % 11 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       "text")))
+    return TA.corpus_diff(docs, new)
+
+
 # --- n-gram LM perplexity scoring ---------------------------------------------
 
 
