@@ -784,6 +784,44 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.tfidf_keywords(docs, k=5)
 
 
+# --- corpus cardinality profile -----------------------------------------------
+
+
+@register(
+    "corpus_cardinality_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT source, doc_id,
+             unnest(string_split(trim(lower(text)), ' ')) AS t
+      FROM documents
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+           COUNT(t)::BIGINT AS n_tokens,
+           COUNT(DISTINCT t)::BIGINT AS n_distinct_tokens
+    FROM tok GROUP BY source
+    """,
+)
+def corpus_cardinality_profile(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Per-source corpus cardinality report: docs, tokens, distinct
+    tokens — the sizing numbers every mix/dedup decision starts from.
+    This registered variant uses EXACT distinct counts so the driver can
+    hash-check it; at 100 TB swap `count_distinct` for
+    `approx_count_distinct` (HLL, one pass, no distinct shuffle) — the
+    sketch path's error bound is pinned by
+    `test_corpus_profiling.py:test_approx_cardinality_close_to_exact`."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(
+        "source", "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                          r"\s+")).alias("t"))
+    return (tok.groupBy("source")
+            .agg(F.count_distinct("doc_id").alias("n_docs"),
+                 F.count("t").alias("n_tokens"),
+                 F.count_distinct("t").alias("n_distinct_tokens")))
+
+
 # --- corpus snapshot diff -----------------------------------------------------
 
 

@@ -161,6 +161,60 @@ class TestNgramLmScores:
         assert ids == {1}
 
 
+def test_approx_cardinality_close_to_exact(spark):
+    """The 100 TB path for the cardinality profile swaps count_distinct
+    for approx_count_distinct (HLL, no distinct shuffle); pin the
+    relative error at the default rsd=0.05 on real data."""
+    from dig_etl_engine_spark.catalog import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.01")["documents"]
+    tok = docs.select(F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                        r"\s+")).alias("t"))
+    row = tok.agg(
+        F.count_distinct("t").alias("exact"),
+        F.approx_count_distinct("t").alias("approx")).head()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
+
+
+def test_corpus_diff_statuses(spark):
+    from dig_etl_engine_spark.operators.text_analysis import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "now different"), (4, "brand new")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}
+    # whitespace-variant content is the SAME fingerprint (normalized)
+    new2 = spark.createDataFrame(
+        [(1, "  same   text ")], "doc_id long, text string")
+    got2 = {r.doc_id: r.status
+            for r in corpus_diff(old.filter("doc_id = 1"),
+                                 new2).collect()}
+    assert got2 == {1: "unchanged"}
+
+
+def test_remove_contaminated_spans_cuts_only_the_leak(spark):
+    from dig_etl_engine_spark.operators.text_analysis import (
+        remove_contaminated_spans)
+
+    corpus = spark.createDataFrame(
+        [(1, "Keep head tokens LEAK A B C D E plus tail stays here"),
+         (2, "totally clean document with no overlap at all")],
+        "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(9, "leak a b c d e")], "doc_id long, text string")
+    out = {r.doc_id: (r.text, r.n_removed)
+           for r in remove_contaminated_spans(corpus, evals,
+                                              n=6).collect()}
+    # exactly the 6 leak tokens go; case of survivors is preserved
+    assert out[1] == ("Keep head tokens plus tail stays here", 6)
+    assert out[2][1] == 0 and out[2][0].startswith("totally clean")
+
+
 def test_chunk_documents_null_text_yields_one_chunk(spark):
     from dig_etl_engine_spark.operators.text_analysis import chunk_documents
 
