@@ -1,12 +1,14 @@
-"""Registry entries for the round-3 LLM corpus-curation operators
-(BASELINE.json north star; the training-data extension surface beyond the
+"""Registry entries for the LLM corpus-curation operator surface
+(BASELINE.json north star; the training-data extension beyond the
 reference's own operators — see `operators/text_analysis.py`,
-`operators/dedup.py`, `operators/similarity.py` Tier-2 docstrings).
+`operators/dedup.py`, `operators/similarity.py`).
 
-These operators were implemented + unit/golden-tested in round 3 but had
-no driver CORRECTNESS rows (the registry was frozen at 100 per round-2
-advice); this module registers each with a full DuckDB oracle so the
-driver's value-hash gate covers them.
+Covers (a) the round-3 operators that were unit/golden-tested but had no
+driver CORRECTNESS rows (registry frozen at 100 per round-2 advice) and
+(b) the round-4 additions (paragraph/window dedup, TF-IDF, n-gram
+profiling, LM perplexity, fuzzy + span decontamination, corpus diff and
+cardinality) — each registered with a full DuckDB oracle so the driver's
+value-hash gate covers it.
 
 Hash conventions: operators default to xxhash64 (fast path); queries that
 need cross-engine oracle parity pass ``hash_mode='md5'`` where the
@@ -1003,14 +1005,18 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_corpus` labels (kept = post-dedup size; exact_dup + near_dup
     = the reduction). One tiny aggregate over the labeling output; the
     oracle recomputes the full labeling chain and the same rollup."""
+    from pyspark.sql import Window as W
+
     labels = D.dedup_corpus(_dedup_corpus_df(spark, sf_dir), "text",
                             threshold=0.5)
-    total = labels.count()
-    return (labels.groupBy("reason")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.count_distinct("survivor").alias("n_groups"))
-            .withColumn("fraction",
-                        F.round(F.col("n_docs") / F.lit(total), 6)))
+    agg = labels.groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("survivor").alias("n_groups"))
+    # total via a window over the (3-row) aggregate — one execution of
+    # the labeling chain, no separate count() action re-running it
+    total = F.sum("n_docs").over(W.partitionBy(F.lit(1)))
+    return agg.withColumn("fraction",
+                          F.round(F.col("n_docs") / total, 6))
 
 
 # --- fuzzy (minhash) decontamination ------------------------------------------
