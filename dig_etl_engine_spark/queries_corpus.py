@@ -1260,6 +1260,80 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("q_scale"), 9).alias("q_scale"))
 
 
+# --- product quantization -----------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM = 4, 8, 2, 64
+
+
+def _pq_sql() -> str:
+    """Per-subspace deterministic-k-means chains (the `_ivf_kmeans_ctes`
+    recipe, suffixed per subspace over re-indexed dim slices), joined
+    into the code array."""
+    m, k, iters, dim = _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM
+    d_sub = dim // m
+    parts = [f"""
+    v AS (SELECT vec_id AS id, embedding FROM embeddings),
+    seeds AS (
+      SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cluster
+      FROM (SELECT id FROM v ORDER BY id LIMIT {k})
+    )"""]
+    for s in range(m):
+        prev = f"c0_{s}"
+        parts.append(f"""
+    vd_{s} AS (
+      SELECT v.id, CAST(t.range AS INT) AS dim,
+             CAST(v.embedding[CAST(t.range AS INT) + {s * d_sub}]
+                  AS DOUBLE) AS x
+      FROM v CROSS JOIN range(1, {d_sub + 1}) t
+    ),
+    c0_{s} AS (SELECT sd.cluster, vd_{s}.dim, vd_{s}.x AS c
+               FROM seeds sd JOIN vd_{s} ON sd.id = vd_{s}.id)""")
+        for i in range(1, iters + 1):
+            parts.append(f"""
+    a{i}_{s} AS (
+      SELECT id, cluster FROM (
+        SELECT vd_{s}.id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY vd_{s}.id
+                 ORDER BY SUM((vd_{s}.x - c.c) * (vd_{s}.x - c.c)),
+                          c.cluster) AS rn
+        FROM vd_{s} JOIN {prev} c ON vd_{s}.dim = c.dim
+        GROUP BY vd_{s}.id, c.cluster
+      ) WHERE rn = 1
+    ),
+    c{i}_{s} AS (
+      SELECT p.cluster, p.dim, COALESCE(u.m, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT a{i}_{s}.cluster, vd_{s}.dim, AVG(vd_{s}.x) AS m
+        FROM a{i}_{s} JOIN vd_{s} ON a{i}_{s}.id = vd_{s}.id
+        GROUP BY a{i}_{s}.cluster, vd_{s}.dim
+      ) u ON p.cluster = u.cluster AND p.dim = u.dim
+    )""")
+            prev = f"c{i}_{s}"
+    joins = " ".join(
+        f"JOIN a{iters}_{s} ON a{iters}_{s}.id = a{iters}_0.id"
+        for s in range(1, m))
+    codes = ", ".join(f"a{iters}_{s}.cluster" for s in range(m))
+    return ("WITH " + ",".join(parts) + f"""
+    SELECT a{iters}_0.id AS vec_id, [{codes}] AS codes
+    FROM a{iters}_0 {joins}
+    """)
+
+
+@register("pq_encode", oracle=_pq_sql())
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (`operators/similarity.py:pq_train_encode`;
+    Jégou et al. 2011): 4 subspaces × 8-centroid codebooks trained by
+    the deterministic k-means over slice projections of one scan, each
+    vector encoded as 4 codes (log2(8)·4 bits vs 32·64 — the compression
+    tier above SQ8). The oracle replays all four training chains over
+    the re-indexed dim slices and joins the final assignments into the
+    code array."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    codes, _books = S.pq_train_encode(emb, m=_PQ_M, k=_PQ_K,
+                                      iters=_PQ_ITERS, dim=_PQ_DIM)
+    return codes
+
+
 # --- persisted IVF index: indexed KNN + incremental embedding dedup ----------
 
 _IVF_K, _IVF_ITERS, _IVF_DIM = 8, 3, 64
