@@ -1059,6 +1059,85 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_decontaminate(docs, evals, threshold=0.5)
 
 
+# --- the full RAG-prep pipeline, composed -------------------------------------
+
+
+def _rag_sql(dim: int = 16) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN h = {i} THEN 1.0 ELSE 0.0 END) AS d{i}"
+        for i in range(dim))
+    norm = " + ".join(f"d{i} * d{i}" for i in range(dim))
+    arr = ", ".join(f"CAST(d{i} / nn AS REAL)" for i in range(dim))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks,
+             len(string_split(trim(text), ' ')) AS n
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id * 100 + chunk_id AS cid,
+             array_to_string(toks[chunk_id * 24 + 1 :
+                                  least(chunk_id * 24 + 32, n)], ' ')
+               AS chunk_text
+      FROM (
+        SELECT doc_id, toks, n,
+               unnest(range(0, greatest(CAST(ceil((n - 8) / 24.0)
+                                             AS BIGINT), 1))) AS chunk_id
+        FROM t)
+    ),
+    tok AS (
+      SELECT cid, unnest(string_split(trim(lower(chunk_text)), ' ')) AS tk
+      FROM ch
+    ),
+    hashed AS (
+      SELECT cid, ('0x' || substr(md5(tk), 1, 8))::BIGINT % {dim} AS h
+      FROM tok
+    ),
+    sums AS (SELECT cid, {sums} FROM hashed GROUP BY cid),
+    vecs AS (
+      SELECT cid, [{arr}] AS v
+      FROM (SELECT *, sqrt({norm}) AS nn FROM sums)
+    ),
+    scored AS (
+      SELECT q.cid AS query_cid, c.cid AS neighbor_cid,
+             ROUND(list_cosine_similarity(q.v::DOUBLE[], c.v::DOUBLE[]), 4)
+               AS cosine
+      FROM vecs q JOIN vecs c ON q.cid <> c.cid
+      WHERE q.cid // 100 % 100 = 0
+    )
+    SELECT query_cid, neighbor_cid, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_cid
+                 ORDER BY cosine DESC, neighbor_cid ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@register("rag_pipeline_full", oracle=_rag_sql())
+def rag_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed RAG-prep identity query, mirroring
+    `test_golden_rag_prep.py` under the driver's hash gate: documents →
+    overlapping 32/8 token chunks (`chunk_documents`) → per-chunk
+    hashed-BoW embeddings (`hashed_bow_embedding`, md5 mode — bitwise-
+    stable float32) → exact cosine top-3 neighbors for every chunk of
+    the %100 query docs (`knn_bruteforce`). Chunk ids pack as
+    doc_id·100 + chunk_id. Each stage keeps its operator's scale shape:
+    narrow chunk explode, one-shuffle featurizer, corpus-streaming
+    Arrow-BLAS scoring with per-batch top-k."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    chunks = TA.chunk_documents(docs, chunk_tokens=32, overlap=8) \
+        .select((F.col("doc_id") * 100 + F.col("chunk_id")).alias("cid"),
+                "chunk_text")
+    vecs = S.hashed_bow_embedding(chunks, "chunk_text", id_col="cid",
+                                  dim=16, hash_mode="md5")
+    queries = vecs.filter((F.col("cid") / 100).cast("long") % 100 == 0)
+    out = S.knn_bruteforce(queries, vecs, k=3, id_col="cid",
+                           vec_col="embedding")
+    return out.select(F.col("query_id").alias("query_cid"),
+                      F.col("neighbor_id").alias("neighbor_cid"),
+                      "cosine", "rank")
+
+
 # --- the full curation pipeline, composed -------------------------------------
 
 _CUR_SOURCES = ("src0", "src1", "src2")
