@@ -292,6 +292,55 @@ def pq_train_encode(df: DataFrame, *, m: int = 4, k: int = 8,
     return out, books
 
 
+def pq_adc_search(queries: DataFrame, codes: DataFrame, books, *,
+                  k: int = 5, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  round_digits: int = 6) -> DataFrame:
+    """Asymmetric distance computation over a PQ-encoded corpus (the
+    search half of :func:`pq_train_encode`): each query precomputes an
+    m×k table of partial squared distances to every codebook centroid,
+    and a corpus vector's distance is just the SUM of m table lookups —
+    the corpus is never decoded, only its codes move.
+
+    Returns ``(query_id, neighbor_id, dist, rank)``, ascending distance,
+    ties to the lower id, self-pairs excluded.
+
+    Shape: the distance table is |Q|·m·k scalars (a few KB — queries are
+    small by the same contract as :func:`knn_bruteforce`), built
+    driver-side and BROADCAST; codes posexplode to (id, subspace, code)
+    narrow rows that hash-join the broadcast table and re-aggregate by
+    (query, id) with map-side combine. Everything after the tiny local
+    table is JVM column math — no Python per row, no corpus shuffle
+    beyond the (query × id) partial-sum combine."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    m = len(books)
+    d_sub = books[0].shape[1]
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        for s in range(m):
+            qs = qv[s * d_sub:(s + 1) * d_sub]
+            pd_ = ((books[s] - qs) ** 2).sum(axis=1)
+            rows.extend((int(r[0]), s, int(j), float(pd_[j]))
+                        for j in range(len(pd_)))
+    ptab = spark.createDataFrame(
+        rows, "query_id long, s int, code int, pd double")
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("s", "code"))
+    scored = (exploded.join(F.broadcast(ptab), ["s", "code"])
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.round(F.sum("pd"), round_digits).alias("dist")))
+    w = W.partitionBy("query_id").orderBy(F.asc("dist"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def hashed_bow_embedding(df: DataFrame, text_col: str, *,
                          id_col: str = "doc_id", dim: int = 16,
                          out_col: str = "embedding",

@@ -1344,10 +1344,12 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM = 4, 8, 2, 64
 
 
-def _pq_sql() -> str:
-    """Per-subspace deterministic-k-means chains (the `_ivf_kmeans_ctes`
-    recipe, suffixed per subspace over re-indexed dim slices), joined
-    into the code array."""
+def _pq_chain_parts() -> list[str]:
+    """The per-subspace deterministic-k-means CTE chains (the
+    `_ivf_kmeans_ctes` recipe, suffixed per subspace over re-indexed dim
+    slices) — shared by the encode and ADC-search oracles. Ends with
+    ``a{iters}_{s}`` (assignments = codes) and ``c{iters}_{s}`` (final
+    codebooks) per subspace."""
     m, k, iters, dim = _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM
     d_sub = dim // m
     parts = [f"""
@@ -1388,14 +1390,64 @@ def _pq_sql() -> str:
       ) u ON p.cluster = u.cluster AND p.dim = u.dim
     )""")
             prev = f"c{i}_{s}"
+    return parts
+
+
+def _pq_sql() -> str:
+    m, iters = _PQ_M, _PQ_ITERS
     joins = " ".join(
         f"JOIN a{iters}_{s} ON a{iters}_{s}.id = a{iters}_0.id"
         for s in range(1, m))
     codes = ", ".join(f"a{iters}_{s}.cluster" for s in range(m))
-    return ("WITH " + ",".join(parts) + f"""
+    return ("WITH " + ",".join(_pq_chain_parts()) + f"""
     SELECT a{iters}_0.id AS vec_id, [{codes}] AS codes
     FROM a{iters}_0 {joins}
     """)
+
+
+def _pq_adc_sql() -> str:
+    m, iters = _PQ_M, _PQ_ITERS
+    ptab = " UNION ALL ".join(f"""
+      SELECT vd_{s}.id AS query_id, {s} AS s, c.cluster AS code,
+             SUM((vd_{s}.x - c.c) * (vd_{s}.x - c.c)) AS pd
+      FROM vd_{s} JOIN c{iters}_{s} c ON vd_{s}.dim = c.dim
+      WHERE vd_{s}.id % 50 = 0
+      GROUP BY vd_{s}.id, c.cluster""" for s in range(m))
+    codesl = " UNION ALL ".join(
+        f"SELECT id, {s} AS s, cluster AS code FROM a{iters}_{s}"
+        for s in range(m))
+    return ("WITH " + ",".join(_pq_chain_parts()) + f""",
+    ptab AS ({ptab}),
+    codesl AS ({codesl}),
+    scored AS (
+      SELECT p.query_id, cl.id AS neighbor_id,
+             ROUND(SUM(p.pd), 6) AS dist
+      FROM codesl cl JOIN ptab p ON p.s = cl.s AND p.code = cl.code
+      WHERE p.query_id <> cl.id
+      GROUP BY p.query_id, cl.id
+    )
+    SELECT query_id, neighbor_id, dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dist ASC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """)
+
+
+@register("pq_adc_topk", oracle=_pq_adc_sql())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over the PQ-encoded corpus
+    (`operators/similarity.py:pq_adc_search`): each %50 query vector
+    precomputes an m×k partial-distance table against the trained
+    codebooks (broadcast — a few KB), and corpus distances are m table
+    lookups summed per code row; the corpus is never decoded. The
+    oracle recomputes the tables from the training-chain centroids and
+    replays the lookup-sum ranking."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    codes, books = S.pq_train_encode(emb, m=_PQ_M, k=_PQ_K,
+                                     iters=_PQ_ITERS, dim=_PQ_DIM)
+    return S.pq_adc_search(emb.filter(F.col("vec_id") % 50 == 0),
+                           codes, books, k=3)
 
 
 @register("pq_encode", oracle=_pq_sql())
