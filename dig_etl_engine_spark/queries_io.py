@@ -332,3 +332,219 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.read.parquet(target) \
         .select("fingerprint", "kafka_offset", "event_type", "value")
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+    sess AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*)::BIGINT AS n_events,
+             ROUND(SUM(value), 2) AS sum_value
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT strftime(session_start, '%Y-%m-%d %H:%M:%S.%f')
+             AS session_start,
+           strftime(session_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           user_id, n_events, sum_value
+    FROM sess
+    WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via native ``session_window``
+    (`streaming/ingest.py:run_session_windows`) — the online form of the
+    batch `sessionize_events` query: dynamic-gap (30 min) event-time
+    windows per user, 1-hour watermark, availableNow drain. A session is
+    FINALIZED (append mode) only once the final watermark (max ts − 1h)
+    passes its end (last event + gap), so late tail sessions stay open
+    and are NOT emitted — the oracle replays exactly that rule
+    relationally (gap-split sessions, end = last + 30 min, watermark
+    cut). Timestamps project as strings per the registry convention."""
+    from dig_etl_engine_spark.streaming.ingest import (
+        file_stream_source, run_session_windows)
+
+    events = load_tables(spark, sf_dir)["events"] \
+        .select(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+                .alias("ts"), "user_id", "value")
+
+    root = _scratch("sessstream")
+    in_dir, target = os.path.join(root, "in"), os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    events.coalesce(1).write.mode("overwrite").json(in_dir)
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = file_stream_source(spark, in_dir, schema)
+    q = run_session_windows(src, target_path=target, checkpoint_dir=ckpt,
+                            gap="30 minutes", watermark="1 hour")
+    q.awaitTermination()
+    return (spark.read.parquet(target)
+            .select(F.date_format("session_start",
+                                  "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("session_start"),
+                    F.date_format("session_end",
+                                  "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("session_end"),
+                    "user_id", "n_events", "sum_value"))
+
+
+_SD_SFX = " zz extra trailing tokens"
+
+
+def _stream_dedup_oracle_sql() -> str:
+    from dig_etl_engine_spark.queries_llm import _minhash_ctes
+
+    union = f"""
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 100000, text || '{_SD_SFX}' FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 300000, text || '{_SD_SFX}' FROM documents
+      WHERE doc_id % 2 = 1
+    )"""
+    return ("WITH " + _minhash_ctes(union) + f"""
+    , pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+    batch AS (
+      SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 100000 FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 300000 FROM documents WHERE doc_id % 2 = 1
+    ),
+    dropped AS (
+      -- matched an indexed corpus doc (even originals), either side
+      SELECT p.doc_b AS doc_id FROM pairs p
+      WHERE p.doc_a % 2 = 0 AND p.doc_a < 100000 AND p.doc_b IN
+            (SELECT doc_id FROM batch)
+      UNION
+      SELECT p.doc_a FROM pairs p
+      WHERE p.doc_b % 2 = 0 AND p.doc_b < 100000 AND p.doc_a IN
+            (SELECT doc_id FROM batch)
+      UNION
+      -- batch-internal: the larger id of a batch-batch pair
+      SELECT p.doc_b FROM pairs p
+      WHERE p.doc_a IN (SELECT doc_id FROM batch)
+        AND p.doc_b IN (SELECT doc_id FROM batch)
+    )
+    SELECT b.doc_id FROM batch b
+    LEFT JOIN dropped d ON d.doc_id = b.doc_id
+    WHERE d.doc_id IS NULL
+    """)
+
+
+@register("stream_dedup_ingest", oracle=_stream_dedup_oracle_sql())
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup-suppressing ingest (`streaming/ingest.py:
+    run_dedup_ingest`): a real Structured Streaming run against a
+    PERSISTED minhash index — corpus = the even documents, indexed once;
+    the stream drop carries near-dup mutants of corpus docs (suppressed,
+    ``origin='corpus'``), brand-new odd docs (kept), and mutants of
+    those odd docs (suppressed batch-internally, min id wins). Survivors
+    upsert into the KG table; batch signatures append under the
+    micro-batch's ``_ab`` partition (retry-idempotent). The input is one
+    file → one micro-batch, and the first-seen survivor set is
+    batch-split-invariant anyway (a near-dup pair split across batches
+    drops the same later doc via the index), so the oracle replays the
+    full corpus∪batch minhash self-join + drop rule relationally."""
+    from dig_etl_engine_spark.operators.dedup import (
+        materialize_minhash_index)
+    from dig_etl_engine_spark.sinks.kg_table import (
+        create_table_if_not_exists)
+    from dig_etl_engine_spark.streaming.ingest import (
+        file_stream_source, run_dedup_ingest)
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    root = _scratch("dedupstream")
+    index = os.path.join(root, "mh")
+    materialize_minhash_index(docs.filter(F.col("doc_id") % 2 == 0),
+                              "text", index)
+    evens_mut = (docs.filter(F.col("doc_id") % 2 == 0)
+                 .select((F.col("doc_id") + 100000).alias("doc_id"),
+                         F.concat("text", F.lit(_SD_SFX)).alias("text")))
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    odds_mut = (odds.select((F.col("doc_id") + 300000).alias("doc_id"),
+                            F.concat("text", F.lit(_SD_SFX))
+                             .alias("text")))
+    # doc_id stays NUMERIC: the batch-internal drop rule is min-ID wins,
+    # and a string-typed id would order '7' > '300007' lexicographically,
+    # silently flipping which near-dup survives
+    batch = (odds.unionByName(evens_mut).unionByName(odds_mut)
+             .select("doc_id", "text",
+                     F.col("doc_id").alias("kafka_offset")))
+
+    in_dir, target = os.path.join(root, "in"), os.path.join(root, "kg")
+    quarantine, ckpt = os.path.join(root, "bad"), os.path.join(root, "ck")
+    batch.coalesce(1).write.mode("overwrite").json(in_dir)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("kafka_offset", T.LongType()),
+    ])
+    create_table_if_not_exists(spark, target, schema)
+    q = run_dedup_ingest(
+        file_stream_source(spark, in_dir, schema),
+        target_path=target, quarantine_path=quarantine,
+        checkpoint_dir=ckpt, index_path=index, threshold=0.5,
+        buckets=None)
+    q.awaitTermination()
+    return (spark.read.parquet(target)
+            .select(F.col("doc_id")))
+
+
+@register("stream_dedup_ingest_oracle",
+          oracle=_stream_dedup_oracle_sql())
+def stream_dedup_ingest_oracle(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """The batch-path contract behind `stream_dedup_ingest`: the SAME
+    fixture (even-doc index, mutant+fresh drop) pushed through the
+    non-streaming incremental path (`incremental_minhash_dedup` with the
+    stream's first-seen drop rule — corpus match drops the batch doc,
+    batch-internal pairs drop the larger id) against the same oracle.
+    Together the pair proves the streaming wrapper adds only
+    micro-batch plumbing on top of a verified kernel."""
+    from dig_etl_engine_spark.operators.dedup import (
+        incremental_minhash_dedup, materialize_minhash_index)
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    root = _scratch("dedupstream_oracle")
+    index = os.path.join(root, "mh")
+    materialize_minhash_index(docs.filter(F.col("doc_id") % 2 == 0),
+                              "text", index)
+    evens_mut = (docs.filter(F.col("doc_id") % 2 == 0)
+                 .select((F.col("doc_id") + 100000).alias("doc_id"),
+                         F.concat("text", F.lit(_SD_SFX)).alias("text")))
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    odds_mut = (odds.select((F.col("doc_id") + 300000).alias("doc_id"),
+                            F.concat("text", F.lit(_SD_SFX))
+                             .alias("text")))
+    batch = odds.unionByName(evens_mut).unionByName(odds_mut)
+    dups = incremental_minhash_dedup(batch, index, content_col="text",
+                                     threshold=0.5, append=False)
+    drop = (dups.filter(F.col("origin") == "corpus")
+            .select(F.col("doc_a").alias("doc_id"))
+            .unionByName(dups.filter(F.col("origin") == "batch")
+                         .select(F.col("doc_b").alias("doc_id")))
+            .distinct())
+    return batch.select("doc_id").join(drop, "doc_id", "left_anti")
