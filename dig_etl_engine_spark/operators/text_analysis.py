@@ -500,6 +500,45 @@ def tfidf_keywords(df, *, id_col: str = "doc_id", text_col: str = "text",
             .filter(F.col("rank") <= k))
 
 
+def vocab_coverage(corpus, reference=None, *, vocab_size: int = 1000,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Tokenizer-fit check: per-doc fraction of tokens OUTSIDE the
+    reference top-``vocab_size`` vocabulary (the OOV rate a
+    whitespace-proxy tokenizer would see) — high-OOV docs are the ones a
+    fixed vocab will shred into bytes, and a rising corpus-level OOV
+    rate is the signal to retrain the tokenizer. ``reference`` defaults
+    to the corpus itself.
+
+    Returns ``(id, n_tokens, n_oov, oov_rate)``.
+
+    Shape: the vocabulary is a top-k over the reference token counts
+    (map-side combined groupBy → TakeOrdered k rows, ties to the
+    lexicographically smaller token) and BROADCASTS — vocabularies are
+    small by definition; the corpus explodes once and left-anti-joins
+    the broadcast vocab per token, then one groupBy(id) rollup."""
+    ref = reference if reference is not None else corpus
+
+    def toks(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                              r"\s+")).alias("t"))
+
+    vocab = (toks(ref).groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.desc("n"), F.asc("t")).limit(vocab_size)
+             .select("t"))
+    ct = toks(corpus)
+    oov = (ct.join(F.broadcast(vocab), "t", "left_anti")
+           .groupBy("id").agg(F.count(F.lit(1)).alias("n_oov")))
+    tot = ct.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (tot.join(oov, "id", "left")
+            .select(F.col("id").alias(id_col), "n_tokens",
+                    F.coalesce("n_oov", F.lit(0)).alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.greatest(
+                            F.col("n_tokens"), F.lit(1)), 6)))
+
+
 def corpus_diff(old, new, *, id_col: str = "doc_id",
                 text_col: str = "text"):
     """Snapshot diff between two corpus versions — the audit a corpus

@@ -824,6 +824,80 @@ def corpus_cardinality_profile(spark: SparkSession, sf_dir: str
                  F.count_distinct("t").alias("n_distinct_tokens")))
 
 
+# --- vocabulary coverage + numeric profile ------------------------------------
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, COUNT(*) AS n FROM tok GROUP BY t
+        ORDER BY n DESC, t ASC LIMIT 16)
+    ),
+    oov AS (
+      SELECT tok.doc_id, COUNT(*) AS n_oov
+      FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+      WHERE vocab.t IS NULL GROUP BY tok.doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_tokens,
+           COALESCE(oov.n_oov, 0) AS n_oov,
+           ROUND(COALESCE(oov.n_oov, 0)
+                 / greatest(tot.n_tokens, 1), 6) AS oov_rate
+    FROM tot LEFT JOIN oov ON oov.doc_id = tot.doc_id
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit / OOV profiling (`operators/text_analysis.py:
+    vocab_coverage`): per-doc fraction of tokens outside the corpus's
+    own top-16 vocabulary (16, not the usual tens of thousands, because
+    the synthetic corpus has a tiny vocabulary — the shape is what
+    scales). Vocab = deterministic top-k (count desc, token asc),
+    broadcast; corpus explodes once, anti-joins per token, one rollup."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.vocab_coverage(docs, vocab_size=16)
+
+
+@register(
+    "numeric_profile_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n,
+           ROUND(MIN(value), 6) AS min_v,
+           ROUND(MAX(value), 6) AS max_v,
+           ROUND(AVG(value), 6) AS mean_v,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def numeric_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric data-quality profile over the event stream: count /
+    min / max / mean / EXACT p50 + p95 per event type — the
+    distribution report that catches unit regressions and outlier
+    storms before training consumes the data. Spark's exact
+    `percentile` and DuckDB's `quantile_cont` share the linear-
+    interpolation definition, so the driver hash-checks the quantiles
+    bit-for-bit (after the registry's round-6 convention). At 100 TB
+    swap `percentile` for `percentile_approx` — same plan shape, one
+    pass, bounded sketch memory."""
+    events = load_tables(spark, sf_dir)["events"]
+    return (events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("value"), 6).alias("min_v"),
+                 F.round(F.max("value"), 6).alias("max_v"),
+                 F.round(F.avg("value"), 6).alias("mean_v"),
+                 F.round(F.percentile("value", F.lit(0.5)), 6)
+                  .alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.95)), 6)
+                  .alias("p95")))
+
+
 # --- corpus snapshot diff -----------------------------------------------------
 
 
