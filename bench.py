@@ -48,6 +48,8 @@ HEADLINE = [
     "knn_ivf_indexed",            # persisted partition-pruned IVF probe
     "incremental_minhash_dedup",  # O(batch) dedup vs persisted band index
     "corpus_curation_full",       # the composed identity pipeline
+    "ngram_lm_perplexity",        # trigram-LM counting + keyed join
+    "repeated_window_dedup",      # approximate-ExactSubstr window counts
 ]
 
 

@@ -272,19 +272,29 @@ def pq_train_encode(df: DataFrame, *, m: int = 4, k: int = 8,
     Arrow passes."""
     if dim % m:
         raise ValueError("dim must divide evenly into m subspaces")
+    from concurrent.futures import ThreadPoolExecutor
+
     d_sub = dim // m
-    codes = None
-    books = []
-    for s in range(m):
+
+    def train(s: int):
         sub = df.select(
             F.col(id_col).alias("id"),
             F.slice(as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
              .alias("v"))
-        assigned, cents = ivf_kmeans_train(sub, k=k, iters=iters,
-                                           id_col="id", vec_col="v")
+        return ivf_kmeans_train(sub, k=k, iters=iters,
+                                id_col="id", vec_col="v")
+
+    # the m trainings are independent model fits over disjoint dim
+    # slices — submit them CONCURRENTLY (driver threads; Spark schedules
+    # the jobs in parallel) instead of serializing m·iters rounds of
+    # assign/update job latency. Results land in subspace order.
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        results = list(pool.map(train, range(m)))
+    codes = None
+    books = []
+    for s, (assigned, cents) in enumerate(results):
         books.append(cents)
-        a = assigned.select("id",
-                            F.col("cluster").alias(f"c{s}"))
+        a = assigned.select("id", F.col("cluster").alias(f"c{s}"))
         codes = a if codes is None else codes.join(a, "id")
     out = codes.select(
         F.col("id").alias(id_col),

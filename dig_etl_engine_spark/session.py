@@ -20,10 +20,13 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 import zipfile
 from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_SHIP_LOCK = threading.Lock()
 
 
 def get_spark(app_name: str = "dig_etl_engine_spark",
@@ -84,10 +87,22 @@ def ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_dig_pkg_shipped", False):
         return
-    pkg_dir = Path(__file__).resolve().parent
-    zpath = Path(tempfile.gettempdir()) / "dig_etl_engine_spark_pyfiles.zip"
-    with zipfile.ZipFile(zpath, "w") as z:
-        for p in sorted(pkg_dir.rglob("*.py")):
-            z.write(p, f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
-    sc.addPyFile(str(zpath))
-    sc._dig_pkg_shipped = True
+    # operators may run from concurrent driver threads (e.g. the PQ
+    # trainer fits its subspaces in parallel); without the lock two
+    # threads rebuild the zip simultaneously and executors abort with
+    # "exists and does not match contents" on fetch. Also write to a
+    # temp name + atomic rename so a half-written zip is never the file
+    # addPyFile registers.
+    with _SHIP_LOCK:
+        if getattr(sc, "_dig_pkg_shipped", False):
+            return
+        pkg_dir = Path(__file__).resolve().parent
+        zpath = (Path(tempfile.gettempdir())
+                 / "dig_etl_engine_spark_pyfiles.zip")
+        tmp = zpath.with_suffix(f".{os.getpid()}.tmp")
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
+        os.replace(tmp, zpath)
+        sc.addPyFile(str(zpath))
+        sc._dig_pkg_shipped = True
