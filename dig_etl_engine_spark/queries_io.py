@@ -513,6 +513,79 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id")))
 
 
+@register(
+    "stream_decontaminate_ingest",
+    oracle="""
+    WITH evt AS (
+      SELECT string_split(trim(lower(array_to_string(
+               string_split(text, ' ')[1:20], ' '))), ' ') AS toks
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    evg AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, greatest(len(toks) - 12, 1) + 1),
+                 i -> array_to_string(toks[i:least(i + 12, len(toks))], ' ')))
+               AS g
+      FROM evt
+    ),
+    cg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 12, 1) + 1),
+                 i -> array_to_string(toks[i:least(i + 12, len(toks))], ' ')))
+               AS g
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+            FROM documents)
+    ),
+    contaminated AS (SELECT DISTINCT cg.doc_id
+                     FROM cg JOIN evg ON cg.g = evg.g)
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    WHERE c.doc_id IS NULL
+    """,
+)
+def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Streaming eval-leak guard: `run_ingest`'s per-batch ``transform``
+    hook carrying the 13-gram decontamination gate — every micro-batch
+    anti-joins the broadcast eval-gram set before the upsert, so
+    contaminated docs never reach the KG table (the online form of
+    `decontaminate_eval_overlap`'s batch filter; same planted eval set).
+    Proves the module-pipeline hook composes with the curation
+    operators; the oracle replays the gram overlap and the anti-join."""
+    from dig_etl_engine_spark.operators.text_analysis import decontaminate
+    from dig_etl_engine_spark.sinks.kg_table import (
+        create_table_if_not_exists)
+    from dig_etl_engine_spark.streaming.ingest import (
+        file_stream_source, run_ingest)
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    evals = (docs.filter(F.col("doc_id") % 17 == 0)
+             .select("doc_id",
+                     F.concat_ws(" ", F.slice(F.split(F.col("text"), " "),
+                                              1, 20)).alias("text")))
+
+    def gate(valid: DataFrame) -> DataFrame:
+        return valid.join(decontaminate(valid, evals, n=13),
+                          "doc_id", "left_anti")
+
+    root = _scratch("deconstream")
+    in_dir, target = os.path.join(root, "in"), os.path.join(root, "kg")
+    quarantine, ckpt = os.path.join(root, "bad"), os.path.join(root, "ck")
+    (docs.select("doc_id", "text", F.col("doc_id").alias("kafka_offset"))
+     .coalesce(1).write.mode("overwrite").json(in_dir))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("kafka_offset", T.LongType()),
+    ])
+    create_table_if_not_exists(spark, target, schema)
+    q = run_ingest(file_stream_source(spark, in_dir, schema),
+                   target_path=target, quarantine_path=quarantine,
+                   checkpoint_dir=ckpt, transform=gate, buckets=None)
+    q.awaitTermination()
+    return spark.read.parquet(target).select("doc_id")
+
+
 @register("stream_dedup_ingest_oracle",
           oracle=_stream_dedup_oracle_sql())
 def stream_dedup_ingest_oracle(spark: SparkSession, sf_dir: str
