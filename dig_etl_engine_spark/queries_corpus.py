@@ -34,12 +34,15 @@ from dig_etl_engine_spark.operators import text_analysis as TA
 from dig_etl_engine_spark.queries import register
 
 
-def _scratch_path(sf_dir: str, name: str, marker: str) -> tuple[str, bool]:
-    """(cache_dir, is_fresh) for a build-once index artifact, keyed on the
-    source table's (basename, mtime, size) — same contract as
+def _scratch_path(sf_dir: str, name: str, marker: str,
+                  source_table: str = "documents") -> tuple[str, bool]:
+    """(cache_dir, is_fresh) for a build-once index artifact, keyed on
+    the SOURCE table's (basename, mtime, size) — same contract as
     `queries_search._corpus_cache_path` (rebuild when the corpus
-    regenerates; marker file gates partial writes)."""
-    src = os.path.join(sf_dir, "documents.parquet")
+    regenerates; marker file gates partial writes). Key on the table the
+    index actually derives from: an embeddings-backed index keyed on
+    documents would go silently stale if only embeddings regenerated."""
+    src = os.path.join(sf_dir, f"{source_table}.parquet")
     st = os.stat(src) if os.path.exists(src) else None
     tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
            f"-{int(st.st_mtime) if st else 0}-{st.st_size if st else 0}")
@@ -1549,7 +1552,8 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     `knn_ivf_indexed` and `incremental_embedding_dedup` (content-keyed
     scratch cache; the build is `operators/similarity.py:
     materialize_ivf_index` — cells physically partitionBy(cluster))."""
-    path, fresh = _scratch_path(sf_dir, "ivf_index", "centroids/_SUCCESS")
+    path, fresh = _scratch_path(sf_dir, "ivf_index", "centroids/_SUCCESS",
+                                source_table="embeddings")
     if not fresh:
         emb = load_tables(spark, sf_dir)["embeddings"]
         S.materialize_ivf_index(emb, path, k=_IVF_K, iters=_IVF_ITERS)
