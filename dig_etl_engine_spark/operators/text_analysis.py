@@ -500,6 +500,62 @@ def tfidf_keywords(df, *, id_col: str = "doc_id", text_col: str = "text",
             .filter(F.col("rank") <= k))
 
 
+# Compact original valence lexicon (AFINN-shaped: word → integer in
+# [-5, 5]), spanning common sentiment words plus the performance-domain
+# vocabulary this engine's own corpora use. Swap in a full lexicon via
+# the ``lexicon`` argument — the join shape is lexicon-size-independent.
+SENTIMENT_VALENCE = {
+    "good": 3, "great": 4, "excellent": 5, "love": 4, "like": 2,
+    "fast": 2, "quick": 2, "improved": 2, "win": 3, "best": 4,
+    "stable": 2, "correct": 2, "clean": 1, "big": 1, "easy": 2,
+    "bad": -3, "terrible": -4, "awful": -5, "hate": -4, "dislike": -2,
+    "slow": -2, "broken": -3, "crash": -4, "fail": -3, "failed": -3,
+    "error": -2, "bug": -2, "wrong": -2, "dirty": -1, "small": -1,
+    "hard": -2, "worst": -4, "leak": -3, "stale": -2, "flaky": -3,
+}
+
+
+def sentiment_scores(df, *, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     lexicon: dict[str, int] | None = None,
+                     threshold: float = 0.05):
+    """Lexicon-valence sentiment scoring (the classic AFINN recipe — the
+    'sentiment as column fns' item from the original blueprint, SURVEY
+    §7.1): mean per-token valence plus a pos/neu/neg label. Model-free
+    and deterministic; a learned classifier slots into the same output
+    contract via `operators/quality_model.py`'s pattern.
+
+    Returns ``(id, n_tokens, sent_sum, sentiment, label)`` with
+    ``sentiment = sent_sum / n_tokens`` (rounded) and label thresholded
+    at ±``threshold``.
+
+    Shape: explode tokens → broadcast-join the lexicon (tiny by
+    definition; the shape holds for 100k-word lexicons) → one
+    groupBy(id) rollup with map-side combine. No interpreted HOF
+    lookups — the per-token work is a hash-join probe in codegen."""
+    spark = df.sparkSession
+    lex = lexicon or SENTIMENT_VALENCE
+    lex_df = spark.createDataFrame(list(lex.items()),
+                                   "tok string, valence int")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                          r"\s+")).alias("tok"))
+    scored = (toks.join(F.broadcast(lex_df), "tok", "left")
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum(F.coalesce("valence", F.lit(0)))
+                    .alias("sent_sum")))
+    sent = F.round(F.col("sent_sum")
+                   / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+    return scored.select(
+        F.col("id").alias(id_col), "n_tokens", "sent_sum",
+        sent.alias("sentiment"),
+        F.when(sent > threshold, "pos")
+         .when(sent < -threshold, "neg")
+         .otherwise("neu").alias("label"))
+
+
 def vocab_coverage(corpus, reference=None, *, vocab_size: int = 1000,
                    id_col: str = "doc_id", text_col: str = "text"):
     """Tokenizer-fit check: per-doc fraction of tokens OUTSIDE the

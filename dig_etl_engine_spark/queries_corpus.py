@@ -827,6 +827,49 @@ def corpus_cardinality_profile(spark: SparkSession, sf_dir: str
                  F.count_distinct("t").alias("n_distinct_tokens")))
 
 
+# --- sentiment scoring --------------------------------------------------------
+
+
+def _sentiment_sql() -> str:
+    from dig_etl_engine_spark.operators.text_analysis import (
+        SENTIMENT_VALENCE)
+
+    values = ", ".join(f"('{w}', {v})"
+                       for w, v in SENTIMENT_VALENCE.items())
+    return f"""
+    WITH lex(tok, valence) AS (VALUES {values}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+      FROM documents
+    ),
+    scored AS (
+      SELECT t.doc_id, COUNT(*)::BIGINT AS n_tokens,
+             SUM(COALESCE(l.valence, 0))::BIGINT AS sent_sum
+      FROM toks t LEFT JOIN lex l ON t.tok = l.tok
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, sent_sum,
+           ROUND(sent_sum / greatest(n_tokens, 1), 6) AS sentiment,
+           CASE WHEN ROUND(sent_sum / greatest(n_tokens, 1), 6) > 0.05
+                THEN 'pos'
+                WHEN ROUND(sent_sum / greatest(n_tokens, 1), 6) < -0.05
+                THEN 'neg' ELSE 'neu' END AS label
+    FROM scored
+    """
+
+
+@register("sentiment_score", oracle=_sentiment_sql())
+def sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-valence sentiment scoring (`operators/text_analysis.py:
+    sentiment_scores`; the AFINN recipe — closes the 'sentiment as
+    column fns' item from the original blueprint, SURVEY §7.1). The
+    corpus vocabulary carries real valence (fast/slow/big/small), so
+    labels split non-trivially. Broadcast lexicon join + one map-side-
+    combined rollup; the oracle replays the lexicon as VALUES."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.sentiment_scores(docs)
+
+
 # --- vocabulary coverage + numeric profile ------------------------------------
 
 
