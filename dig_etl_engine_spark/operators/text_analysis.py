@@ -641,9 +641,12 @@ def ngram_lm_scores(corpus, reference=None, *, id_col: str = "doc_id",
     Shape: trigram counts reduce the reference once (map-side combine);
     context counts reduce the trigram table again instead of re-reading
     the reference; V arrives as a broadcast 1-row aggregate. Scoring is
-    one trigram-keyed equi-join (AQE skew handles stop-phrase heads) +
-    per-doc aggregate. Everything stays in codegen — no Python, no
-    driver state, LM "training" is just distributed counting."""
+    two keyed equi-joins — (ctx, w) for the trigram count, (ctx) for the
+    backoff denominator; the two-level fallback genuinely needs both
+    keys, the same reason KenLM keeps a trie per order — then one
+    per-doc aggregate. AQE skew-join handles stop-phrase head contexts.
+    Everything stays in codegen — no Python, no driver state, LM
+    "training" is just distributed counting."""
 
     def trigrams(df):
         toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
