@@ -204,6 +204,51 @@ class TestProductQuantization:
         assert ra == rb
 
 
+class TestSentimentScores:
+    def test_labels_and_means(self, spark):
+        from dig_etl_engine_spark.operators.text_analysis import (
+            sentiment_scores)
+
+        docs = spark.createDataFrame(
+            [(1, "the build is fast and stable and great"),
+             (2, "slow broken query with a terrible crash"),
+             (3, "the table has a column and a row")],
+            "doc_id long, text string")
+        got = {r.doc_id: r for r in sentiment_scores(docs).collect()}
+        # fast(2)+stable(2)+great(4) = 8 over 8 tokens
+        assert (got[1].sent_sum, got[1].label) == (8, "pos")
+        # slow(-2)+broken(-3)+terrible(-4)+crash(-4) = -13 over 7
+        assert (got[2].sent_sum, got[2].label) == (-13, "neg")
+        assert got[3].label == "neu" and got[3].sent_sum == 0
+
+    def test_custom_lexicon_swaps_in(self, spark):
+        from dig_etl_engine_spark.operators.text_analysis import (
+            sentiment_scores)
+
+        docs = spark.createDataFrame(
+            [(1, "foo bar foo")], "doc_id long, text string")
+        rows = sentiment_scores(docs, lexicon={"foo": 1}).collect()
+        assert rows[0].sent_sum == 2 and rows[0].label == "pos"
+
+
+class TestVocabCoverage:
+    def test_oov_against_reference_vocab(self, spark):
+        from dig_etl_engine_spark.operators.text_analysis import (
+            vocab_coverage)
+
+        ref = spark.createDataFrame(
+            [(1, "alpha alpha beta beta gamma")],
+            "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(10, "alpha beta novel words"), (11, "alpha beta")],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.n_oov)
+               for r in vocab_coverage(corpus, ref,
+                                       vocab_size=2).collect()}
+        # vocab = {alpha, beta} (counts 2,2; gamma count 1 missed)
+        assert got[10] == (4, 2) and got[11] == (2, 0)
+
+
 def test_approx_cardinality_close_to_exact(spark):
     """The 100 TB path for the cardinality profile swaps count_distinct
     for approx_count_distinct (HLL, no distinct shuffle); pin the
