@@ -500,6 +500,37 @@ def tfidf_keywords(df, *, id_col: str = "doc_id", text_col: str = "text",
             .filter(F.col("rank") <= k))
 
 
+def weighted_sample(df, k: int, *, weight_col: str,
+                    id_col: str = "doc_id", salt: str = "ws"):
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis–Spirakis A-ES scheme): each row draws a deterministic
+    uniform u from md5(salt | id) and gets priority ``-ln(u) / w`` —
+    the k SMALLEST priorities are a weighted-without-replacement sample
+    (each row's inclusion probability ∝ its weight). Hash-based, not
+    rand(): task retries, partitioning, and re-runs all draw the same
+    sample; a new ``salt`` draws a fresh epoch — the same contract as
+    ``mix_sources``/``stratified_sample``, upgraded from per-stratum
+    rates to continuous per-row weights (e.g. quality scores).
+
+    Non-positive/null weights never sample (priority +inf). Returns the
+    sampled rows with their ``_priority`` (ascending = first drawn).
+
+    Shape: pure column math for the priority, then ``orderBy(...).
+    limit(k)`` — TakeOrderedAndProject (per-partition top-k + k-row
+    driver merge), never a global sort."""
+    denom = float(1 << 32)
+    u = ((F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt),
+                          F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("double") + 1.0) / (denom + 1.0))
+    w = F.col(weight_col).cast("double")
+    prio = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
+    return (df.withColumn("_priority", F.round(prio, 9))
+            .filter(F.col("_priority") != float("inf"))
+            .orderBy(F.asc("_priority"), F.asc(id_col))
+            .limit(k))
+
+
 # Compact original valence lexicon (AFINN-shaped: word → integer in
 # [-5, 5]), spanning common sentiment words plus the performance-domain
 # vocabulary this engine's own corpora use. Swap in a full lexicon via

@@ -827,6 +827,38 @@ def corpus_cardinality_profile(spark: SparkSession, sf_dir: str
                  F.count_distinct("t").alias("n_distinct_tokens")))
 
 
+# --- weighted sampling --------------------------------------------------------
+
+
+@register(
+    "weighted_sample",
+    oracle="""
+    WITH pr AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(-ln((('0x' || substr(md5('ws|' || doc_id::VARCHAR),
+                                        1, 8))::BIGINT + 1.0)
+                       / (4294967296.0 + 1.0))
+                   / n_chars, 9) AS _priority
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, _priority
+    FROM pr ORDER BY _priority ASC, doc_id ASC LIMIT 50
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (`operators/text_analysis.py:weighted_sample`; Efraimidis–Spirakis
+    A-ES): 50 docs drawn with inclusion probability ∝ n_chars via
+    md5-derived exponential priorities — the quality/length-weighted
+    corpus sampling primitive, reproducible across runs, engines and
+    partitionings. TakeOrderedAndProject top-k, no global sort; the
+    oracle replays the priority formula (round-9 before ranking — the
+    k-boundary margins are ~1/n, far above cross-engine ln() noise)."""
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select("doc_id", "source", "n_chars")
+    return TA.weighted_sample(docs, 50, weight_col="n_chars")
+
+
 # --- sentiment scoring --------------------------------------------------------
 
 

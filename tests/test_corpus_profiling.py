@@ -204,6 +204,41 @@ class TestProductQuantization:
         assert ra == rb
 
 
+class TestWeightedSample:
+    def test_inclusion_tracks_weight_and_is_deterministic(self, spark):
+        from dig_etl_engine_spark.operators.text_analysis import (
+            weighted_sample)
+
+        rows = [(i, 10.0 if i < 50 else 1.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        heavy = light = 0
+        for s in range(8):                      # fixed salts → no flake
+            got = {r.doc_id for r in
+                   weighted_sample(df, 30, weight_col="w",
+                                   salt=f"s{s}").collect()}
+            assert len(got) == 30
+            heavy += sum(1 for d in got if d < 50)
+            light += sum(1 for d in got if d >= 50)
+        # A-ES: 10:1 weights over a 30-of-100 draw → heavy rows dominate
+        assert heavy > 3 * light, (heavy, light)
+        # same salt → identical sample
+        a = weighted_sample(df, 30, weight_col="w", salt="x").collect()
+        b = weighted_sample(df.repartition(7), 30, weight_col="w",
+                            salt="x").collect()
+        assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+
+    def test_nonpositive_weights_never_sample(self, spark):
+        from dig_etl_engine_spark.operators.text_analysis import (
+            weighted_sample)
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+            "doc_id long, w double")
+        got = [r.doc_id for r in
+               weighted_sample(df, 10, weight_col="w").collect()]
+        assert got == [1]
+
+
 class TestSentimentScores:
     def test_labels_and_means(self, spark):
         from dig_etl_engine_spark.operators.text_analysis import (
