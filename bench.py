@@ -50,6 +50,9 @@ HEADLINE = [
     "corpus_curation_full",       # the composed identity pipeline
     "ngram_lm_perplexity",        # trigram-LM counting + keyed join
     "repeated_window_dedup",      # approximate-ExactSubstr window counts
+    # round-4b additions: the data-selection surface
+    "semdedup",                   # learned-cluster semantic prune
+    "dsir_weights",               # hashed-bucket importance LMs
 ]
 
 

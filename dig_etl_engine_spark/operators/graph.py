@@ -1,0 +1,64 @@
+"""Link-graph operators for corpus quality scoring.
+
+PageRank over a document/host citation graph is the classic web-corpus
+quality prior (Page et al. 1999; CommonCrawl-derived corpora rank hosts
+this way to pick crawl frontiers and down-weight link farms). The dedup
+cluster step (`operators/dedup.py:connected_components`) covers the
+undirected case; this module adds the directed, weighted-propagation
+case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, *, iters: int = 5, damping: float = 0.85,
+             src: str = "src", dst: str = "dst",
+             round_digits: int = 6) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list:
+    ``r'(v) = (1-d)/N + d · Σ_{u→v} r(u)/out(u)``.
+
+    FIXED iteration count (not convergence-tested) for the same reason
+    ``similarity.ivf_kmeans_train`` fixes its loop: the whole
+    computation becomes replayable arithmetic — same data in, same ranks
+    out, on any engine or partitioning — so the driver can value-hash it
+    against an unrolled SQL oracle. Dangling mass (vertices with no
+    out-edges) is dropped, not redistributed — the simplified variant;
+    ranks then sum to < 1 when dangling vertices exist, which is fine
+    for a quality PRIOR where only the ordering matters. Parallel edges
+    count once per occurrence (multigraph semantics).
+
+    Returns ``(v, rank)`` for every vertex on either edge side.
+
+    Shape per iteration: one equi-join of the edge list against the
+    current rank table (both keyed on the source vertex — at warehouse
+    scale pre-bucket both on vertex id and the join runs exchange-free)
+    and one map-side-combined groupBy(dst). The rank table is
+    |V| two-column rows, never collected; ``localCheckpoint`` truncates
+    the doubling lineage each round exactly like
+    ``dedup.connected_components`` (measured there: re-planning the
+    full history dominates by round 2). N is the single driver scalar.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+    verts = (e.select(F.col("u").alias("v"))
+             .union(e.select(F.col("w").alias("v")))
+             .distinct().localCheckpoint(eager=True))
+    n = verts.count()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "u").localCheckpoint(eager=True)
+
+    ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (ed.join(ranks, ed["u"] == ranks["v"])
+                   .select(F.col("w").alias("v"),
+                           (F.col("r") / F.col("deg")).alias("c"))
+                   .groupBy("v").agg(F.sum("c").alias("s")))
+        ranks = (verts.join(contrib, "v", "left")
+                 .select("v", (F.lit(base) + damping
+                               * F.coalesce(F.col("s"), F.lit(0.0)))
+                         .alias("r"))
+                 .localCheckpoint(eager=False))
+    return ranks.select("v", F.round("r", round_digits).alias("rank"))

@@ -735,3 +735,50 @@ def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
         .applyInPandas(cell_pairs, "doc_a long, doc_b long, cosine double")
     return (cand.withColumn("cosine", F.round("cosine", round_digits))
             .filter(F.col("cosine") >= threshold))
+
+
+def semdedup(df: DataFrame, *, k: int = 8, iters: int = 3,
+             threshold: float = 0.95, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             round_digits: int = 4) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the embedding
+    space with k-means, then prune SEMANTIC duplicates — pairs whose
+    cosine similarity exceeds ``threshold`` — within each cluster,
+    keeping one representative per near-dup ball. Unlike
+    :func:`embedding_near_dup_pairs` (which requires a precomputed cell
+    column) this LEARNS the partition from the data, which is the whole
+    point of the paper: clustering first makes the pairwise step
+    tractable because the O(n²) comparison only ever runs inside a
+    cluster, never across the corpus.
+
+    Representative choice is deterministic keep-lowest-id: a vector is
+    dropped iff a LOWER-id vector in its cluster sits within the
+    threshold ball (the paper keeps a random / centroid-extremal member;
+    lowest-id is this repo's reproducibility convention — same rule as
+    ``dedup.exact_dedup``). One-pass, non-transitive: the classic greedy
+    approximation, documented rather than hidden.
+
+    Returns ``(id, cluster, kept)`` — one row per input vector.
+
+    Shape: the deterministic trainer (:func:`ivf_kmeans_train` — only
+    the k×d model crosses the driver) → one hash join to attach cluster
+    ids → :func:`embedding_near_dup_pairs` (one shuffle groups each
+    cluster; the cluster's pairwise block is a single BLAS Gram matmul)
+    → a left-anti-shaped marking join on the tiny dropped-id set. At
+    100 TB, k scales with corpus size so clusters stay
+    executor-memory-sized — the same contract the IVF search path
+    already imposes — and the pairwise work stays Θ(n·cluster_size),
+    not Θ(n²)."""
+    assigned, _cents = ivf_kmeans_train(df, k=k, iters=iters,
+                                        id_col=id_col, vec_col=vec_col)
+    cells = df.select(F.col(id_col).alias("id"), vec_col) \
+        .join(assigned, "id")
+    pairs = embedding_near_dup_pairs(
+        cells, id_col="id", vec_col=vec_col, cell_col="cluster",
+        threshold=threshold, round_digits=round_digits)
+    dropped = pairs.select(F.col("doc_b").alias("id")).distinct() \
+        .withColumn("dup", F.lit(True))
+    return (assigned.join(dropped, "id", "left")
+            .select(F.col("id").alias(id_col), "cluster",
+                    F.coalesce(~F.col("dup"), F.lit(True)).alias("kept")))

@@ -849,3 +849,137 @@ def line_repetition_ratio(col: Column) -> Column:
     n = F.size(lines)
     return F.when(n <= 1, F.lit(0.0)).otherwise(
         F.round(1.0 - F.size(F.array_distinct(lines)) / n, 6))
+
+
+def dsir_importance_weights(corpus, target, *, id_col: str = "doc_id",
+                            text_col: str = "text", buckets: int = 1024,
+                            k_smooth: float = 1.0,
+                            hash_mode: str = "xxhash64",
+                            salt: str = "dsir"):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus doc
+    by how much it looks like the TARGET distribution (a trusted,
+    in-domain corpus — the paper uses Wikipedia+books) relative to the
+    raw pool it came from. Features are HASHED unigrams+bigrams in
+    ``buckets`` bins; both distributions are add-k-smoothed bucket LMs;
+    a doc's log importance weight is the mean over its features of
+    ``log p_target(b) − log p_raw(b)``. Feed the weights to
+    :func:`weighted_sample` (A-ES) for the paper's resampling step.
+
+    Returns ``(id, n_feats, avg_log_ratio)`` — higher = more
+    target-like. ``hash_mode='md5'`` makes the bucket hash replayable in
+    any engine (the oracle mode, same convention as
+    :func:`mix_sources`); xxhash64 is the production fast path.
+
+    Shape: both bucket LMs are ONE map-side-combined groupBy over an
+    exploded gram stream, reduced to exactly ``buckets`` rows that
+    BROADCAST back into a second narrow corpus pass — the corpus text
+    never shuffles, and the model never touches the driver. Bigrams come
+    from zip-shifted slices (the ``shingles`` pattern), not a
+    self-join."""
+    def grams(df):
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+        bi = F.zip_with(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi),
+                        lambda a, b: F.concat_ws(" ", a, b))
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.concat(toks, bi)).alias("g"))
+
+    def bucket(g):
+        if hash_mode == "xxhash64":
+            return F.pmod(F.xxhash64(F.lit(salt), g), F.lit(buckets))
+        if hash_mode == "md5":
+            h = F.md5(F.concat_ws("|", F.lit(salt), g))
+            return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") \
+                % buckets
+        raise ValueError(f"dsir: unknown hash_mode {hash_mode!r}")
+
+    def bucket_logp(df, name):
+        counts = (grams(df).select(bucket(F.col("g")).alias("b"))
+                  .groupBy("b").agg(F.count(F.lit(1)).alias("c")))
+        total = counts.agg(F.sum("c").alias("n"))
+        return (counts.join(F.broadcast(total))
+                .select("b", F.log(
+                    (F.col("c") + k_smooth)
+                    / (F.col("n") + k_smooth * buckets)).alias(name)),
+                total)
+
+    p_t, t_total = bucket_logp(target, "lp_t")
+    p_r, r_total = bucket_logp(corpus, "lp_r")
+    # unseen buckets fall back to the smoothed floor log(k / (N + k·B));
+    # joining the totals (1 row, broadcast) keeps the floor exact.
+    cf = grams(corpus).select("id", bucket(F.col("g")).alias("b"))
+    floor_t = F.log(k_smooth / (F.col("n_t") + k_smooth * buckets))
+    floor_r = F.log(k_smooth / (F.col("n_r") + k_smooth * buckets))
+    return (cf.join(F.broadcast(p_t), "b", "left")
+            .join(F.broadcast(p_r), "b", "left")
+            .join(F.broadcast(t_total.select(F.col("n").alias("n_t"))))
+            .join(F.broadcast(r_total.select(F.col("n").alias("n_r"))))
+            .select("id", (F.coalesce(F.col("lp_t"), floor_t)
+                           - F.coalesce(F.col("lp_r"), floor_r))
+                    .alias("lr"))
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_feats"),
+                 F.round(F.avg("lr"), 6).alias("avg_log_ratio")))
+
+
+def bpe_pair_stats(df, *, text_col: str = "text", k: int = 20):
+    """The first iteration of BPE tokenizer training (Sennrich et al.
+    2016): count adjacent SYMBOL pairs (initial symbols = characters)
+    across the corpus, weighted by word frequency — the statistic the
+    merge rule ``argmax pair count`` consumes. Running this over the
+    training corpus is how a tokenizer's merge table is born; at corpus
+    scale the word-frequency table is the only shuffle that matters
+    because the per-word pair explosion runs over the DISTINCT word
+    table (vocabulary-sized, zipf-small), not the corpus stream.
+
+    Returns the top-``k`` ``(pair, n)`` rows, ties broken
+    lexicographically — deterministic across engines and layouts.
+
+    Shape: corpus → word counts (ONE map-side-combined groupBy); the
+    distinct-word table then explodes into (char_i, char_i+1) pairs via
+    a narrow ``transform(sequence(...))`` — no Python — and a second
+    vocabulary-sized groupBy sums word frequencies per pair. Top-k is
+    TakeOrderedAndProject, never a global sort."""
+    words = (df.select(F.explode(F.split(
+        F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    pairs = words.select(
+        "freq",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)))).alias("pair"))
+    return (pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(k))
+
+
+def assign_splits(df, fractions: dict[str, float], *,
+                  id_col: str = "doc_id", salt: str = "split",
+                  denom: int = 100000, hash_mode: str = "xxhash64"):
+    """Deterministic train/val/test assignment — the split a training
+    pipeline must make REPRODUCIBLY: the same doc lands in the same
+    split on every run, any partitioning, any engine, and adding docs
+    never moves existing ones (the property a random split lacks).
+    ``fractions`` maps split name → fraction (must sum to ≤ 1; any
+    remainder falls into the last split). Assignment hashes the doc id
+    into ``denom`` buckets and carves contiguous bucket ranges in the
+    fractions' insertion order.
+
+    Returns ``df`` with a ``split`` column appended. Pure narrow column
+    math — no shuffle, no sampling state; ``hash_mode='md5'`` is the
+    cross-engine-oracle mode (same convention as :func:`mix_sources`)."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"assign_splits: fractions sum to {total} > 1")
+    b = _mix_gate_hash(id_col, salt, "", denom, hash_mode)
+    names = list(fractions)
+    expr = None
+    hi = 0.0
+    for name in names[:-1]:
+        hi += fractions[name]
+        cond = b < int(hi * denom)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", last)

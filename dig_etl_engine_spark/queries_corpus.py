@@ -1025,11 +1025,11 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- n-gram LM perplexity scoring ---------------------------------------------
 
-
-@register(
-    "ngram_lm_perplexity",
-    oracle="""
-    WITH reft AS (
+# The trigram-LM scoring chain (reference = even-id docs, add-0.1
+# smoothing), shared by the per-doc score oracle and the CCNet bucket
+# oracle below: ends with per-doc (doc_id, n_trigrams, avg_neg_logp).
+_LM_DOC_SCORES_CTES = """
+    reft AS (
       SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
       FROM documents WHERE doc_id % 2 = 0
     ),
@@ -1055,7 +1055,7 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                   'w': toks[i + 2]})) AS u
         FROM allt WHERE len(toks) >= 3)
     ),
-    scored AS (
+    lm_scored AS (
       SELECT st.doc_id,
              -ln((COALESCE(c3.c3, 0) + 0.1)
                  / (COALESCE(c2.c2, 0) + 0.1 * v.v)) AS nlp
@@ -1063,10 +1063,19 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN c3 ON st.ctx = c3.ctx AND st.w = c3.w
       LEFT JOIN c2 ON st.ctx = c2.ctx
       CROSS JOIN v
-    )
-    SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
-           ROUND(AVG(nlp), 6) AS avg_neg_logp
-    FROM scored GROUP BY doc_id
+    ),
+    doc_scores AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
+             ROUND(AVG(nlp), 6) AS avg_neg_logp
+      FROM lm_scored GROUP BY doc_id
+    )"""
+
+
+@register(
+    "ngram_lm_perplexity",
+    oracle=f"""
+    WITH {_LM_DOC_SCORES_CTES}
+    SELECT doc_id, n_trigrams, avg_neg_logp FROM doc_scores
     """,
 )
 def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1830,3 +1839,317 @@ def hashed_bow_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the float32 cast is bitwise identical cross-engine."""
     docs = load_tables(spark, sf_dir)["documents"]
     return S.hashed_bow_embedding(docs, "text", dim=16, hash_mode="md5")
+
+
+# --- round-4b additions: SemDeDup, DSIR, tokenizer stats, splits, governance --
+
+_SEM_THRESH = 0.99
+_SEM_V_SQL = """SELECT vec_id AS id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 list_transform(embedding::DOUBLE[], x -> x + 0.001)
+          FROM embeddings WHERE vec_id % 5 = 0"""
+
+
+def _semdedup_sql() -> str:
+    from dig_etl_engine_spark.queries_llm import _ivf_kmeans_ctes
+
+    it = 3
+    return f"""
+    WITH {_ivf_kmeans_ctes(8, it, 64, v_sql=_SEM_V_SQL)},
+    pairs AS (
+      SELECT a.id AS ida, b.id AS idb,
+             ROUND(list_cosine_similarity(va.embedding::DOUBLE[],
+                                          vb.embedding::DOUBLE[]), 4)
+               AS cos
+      FROM a{it} a
+      JOIN a{it} b ON a.cluster = b.cluster AND a.id < b.id
+      JOIN v va ON va.id = a.id
+      JOIN v vb ON vb.id = b.id
+    ),
+    dropped AS (SELECT DISTINCT idb AS id FROM pairs
+                WHERE cos >= {_SEM_THRESH})
+    SELECT a.id AS vec_id, a.cluster, (d.id IS NULL) AS kept
+    FROM a{it} a LEFT JOIN dropped d ON a.id = d.id
+    """
+
+
+@register("semdedup", oracle=_semdedup_sql())
+def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (`operators/similarity.py:semdedup`; Abbas et al. 2023):
+    k-means-cluster the embedding space (the deterministic trainer), then
+    prune semantic near-dups within each cluster — cosine ≥ 0.99 to a
+    lower-id cluster-mate drops a vector. Corpus = embeddings plus
+    +0.001-perturbed mutants of every 5th vector, so real prunes occur.
+    The oracle replays the trained model (k-means CTE chain over the
+    planted union) plus the within-cluster pairwise cosine and the
+    keep-lowest-id rule. The pairwise step only ever runs inside one
+    cluster — Θ(n·cluster_size), the paper's tractability argument."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.select("vec_id", S.as_double(F.col("embedding"))
+                      .alias("embedding"))
+    mutants = (emb.filter(F.col("vec_id") % 5 == 0)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform(S.as_double(F.col("embedding")),
+                                   lambda x: x + F.lit(0.001))
+                        .alias("embedding")))
+    return S.semdedup(base.unionByName(mutants), k=8, iters=3,
+                      threshold=_SEM_THRESH)
+
+
+@register(
+    "dsir_weights",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(toks) AS g FROM d
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM d
+    ),
+    feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('dsir|' || g), 1, 8))::BIGINT % 1024 AS b
+      FROM grams
+    ),
+    tf AS (SELECT f.b FROM feats f JOIN documents dd USING (doc_id)
+           WHERE dd.lang = 'en'),
+    ct AS (SELECT b, COUNT(*) AS c FROM tf GROUP BY b),
+    nt AS (SELECT COUNT(*) AS n FROM tf),
+    cr AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY b),
+    nr AS (SELECT COUNT(*) AS n FROM feats),
+    scored AS (
+      SELECT f.doc_id,
+             ln((COALESCE(ct.c, 0) + 1.0) / (nt.n + 1024.0))
+             - ln((COALESCE(cr.c, 0) + 1.0) / (nr.n + 1024.0)) AS lr
+      FROM feats f
+      LEFT JOIN ct ON f.b = ct.b
+      LEFT JOIN cr ON f.b = cr.b
+      CROSS JOIN nt CROSS JOIN nr
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_feats,
+           ROUND(AVG(lr), 6) AS avg_log_ratio
+    FROM scored GROUP BY doc_id
+    """,
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (`operators/text_analysis.py:
+    dsir_importance_weights`; Xie et al. 2023): hashed unigram+bigram
+    bucket LMs for the TARGET distribution (the lang='en' slice — the
+    'trusted in-domain set') and the raw pool, add-1 smoothed; each doc
+    scored by its mean log probability ratio. Both LMs are one
+    map-side-combined groupBy reduced to 1024 rows that broadcast back —
+    the corpus text never shuffles. md5 hash mode so the oracle replays
+    the bucketing; feed the weights to `weighted_sample` for the
+    resampling step."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "en"),
+        buckets=1024, k_smooth=1.0, hash_mode="md5")
+
+
+@register(
+    "bpe_pair_stats",
+    oracle="""
+    WITH w AS (
+      SELECT g AS w, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(trim(lower(text)), ' ')) AS g
+        FROM documents)
+      WHERE length(g) >= 2 GROUP BY g
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+             i -> substr(w, CAST(i AS INT), 2))) AS pair, freq
+      FROM w
+    )
+    SELECT pair, SUM(freq)::BIGINT AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+)
+def bpe_pair_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge statistics (`operators/text_analysis.py:
+    bpe_pair_stats`; Sennrich et al. 2016): corpus-weighted adjacent
+    character-pair counts — the argmax input of the first tokenizer
+    merge. The pair explosion runs over the DISTINCT word table
+    (vocabulary-sized), not the corpus stream; top-20 with lexicographic
+    tiebreak is TakeOrderedAndProject."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.bpe_pair_stats(docs, k=20)
+
+
+_PPL_Q1 = 1.0 / 3
+_PPL_Q2 = 2.0 / 3
+
+
+@register(
+    "perplexity_buckets",
+    oracle=f"""
+    WITH {_LM_DOC_SCORES_CTES},
+    cuts AS (
+      SELECT quantile_cont(avg_neg_logp, {_PPL_Q1!r}) AS q1,
+             quantile_cont(avg_neg_logp, {_PPL_Q2!r}) AS q2
+      FROM doc_scores
+    )
+    SELECT s.doc_id,
+           CASE WHEN s.avg_neg_logp <= c.q1 THEN 'head'
+                WHEN s.avg_neg_logp <= c.q2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM doc_scores s CROSS JOIN cuts c
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity split (Wenzek et al. 2020):
+    docs bucketed by LM score tertiles — head trains first, tail gets
+    dropped or down-weighted. Cutoffs are exact percentiles computed as
+    a 2-scalar broadcast aggregate and compared back against the scored
+    stream — NO global sort/NTILE single-task bottleneck; at 100 TB swap
+    `percentile` for `percentile_approx` (same plan shape). A score
+    strictly between two order statistics can never equal the
+    interpolated cutoff, so the boundary compare is engine-stable."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    scores = TA.ngram_lm_scores(
+        docs, docs.filter(F.col("doc_id") % 2 == 0), k_smooth=0.1)
+    cuts = scores.agg(
+        F.percentile("avg_neg_logp", F.lit(_PPL_Q1)).alias("q1"),
+        F.percentile("avg_neg_logp", F.lit(_PPL_Q2)).alias("q2"))
+    return (scores.join(F.broadcast(cuts))
+            .select("doc_id",
+                    F.when(F.col("avg_neg_logp") <= F.col("q1"), "head")
+                     .when(F.col("avg_neg_logp") <= F.col("q2"), "middle")
+                     .otherwise("tail").alias("ppl_bucket")))
+
+
+@register(
+    "train_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 10000 THEN 'test'
+                WHEN b < 20000 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5('split||' || doc_id::VARCHAR), 1, 8))
+               ::BIGINT % 100000 AS b
+      FROM documents)
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (`operators/
+    text_analysis.py:assign_splits`): hash-gate split 10/10/80 — the
+    same doc lands in the same split on every run and engine, and new
+    docs never move existing ones. Pure narrow column math (no shuffle,
+    no sampling state); md5 mode for the oracle, xxhash64 in
+    production."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.assign_splits(
+        docs, {"test": 0.1, "val": 0.1, "train": 0.8},
+        hash_mode="md5").select("doc_id", "split")
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, {_FP_SQL} AS f FROM documents
+      UNION ALL
+      SELECT 'src' || ((doc_id + 3) % 20)::VARCHAR, {_FP_SQL}
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    sf AS (SELECT DISTINCT source, f FROM g)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*)::BIGINT AS n_shared
+    FROM sf a JOIN sf b ON a.f = b.f AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the governance report behind
+    every licensing/mixing decision: how many distinct documents each
+    PAIR of sources shares verbatim (by normalized content fingerprint).
+    Fixture plants every 7th doc into a second source so the matrix is
+    non-empty. Shape: each side reduces to distinct (source,
+    fingerprint) — narrow fingerprint math + one combine — then a
+    fingerprint-keyed self-join (AQE handles boilerplate-heavy hot
+    fingerprints; no text moves) and a source-pair rollup."""
+    from dig_etl_engine_spark.operators.text_analysis import fingerprint_md5
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    planted = (docs.filter(F.col("doc_id") % 7 == 0)
+               .select(F.concat(F.lit("src"),
+                                ((F.col("doc_id") + 3) % 20).cast("string"))
+                       .alias("source"), "text"))
+    g = docs.select("source", "text").unionByName(planted)
+    sf = g.select("source", fingerprint_md5(F.col("text")).alias("f")) \
+        .distinct()
+    a, b = sf.alias("a"), sf.alias("b")
+    return (a.join(b, (F.col("a.f") == F.col("b.f"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT verts.v,
+             CAST({1.0 - damping} AS DOUBLE) / nv.n
+             + CAST({damping} AS DOUBLE) * COALESCE(c.s, 0) AS r
+      FROM verts CROSS JOIN nv
+      LEFT JOIN (SELECT e2.w AS v, SUM({prev}.r / deg.deg) AS s
+                 FROM e2 JOIN {prev} ON e2.u = {prev}.v
+                 JOIN deg ON e2.u = deg.u
+                 GROUP BY e2.w) c ON verts.v = c.v
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    e AS (
+      SELECT doc_id AS u, (doc_id * 7 + 3) % nn.n AS w
+      FROM documents CROSS JOIN nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % nn.n
+      FROM documents CROSS JOIN nn
+    ),
+    e2 AS (SELECT u, w FROM e WHERE u <> w),
+    verts AS (SELECT DISTINCT v FROM
+              (SELECT u AS v FROM e2 UNION ALL SELECT w FROM e2)),
+    nv AS (SELECT COUNT(*) AS n FROM verts),
+    deg AS (SELECT u, COUNT(*) AS deg FROM e2 GROUP BY u),
+    r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / nv.n AS r
+           FROM verts CROSS JOIN nv),{",".join(steps)}
+    SELECT v, ROUND(r, 6) AS rank FROM r{iters}
+    """
+
+
+@register("doc_pagerank", oracle=_pagerank_sql())
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank corpus-quality prior (`operators/graph.py:pagerank`;
+    Page et al. 1999 — the host-ranking pass CommonCrawl-derived
+    corpora use to pick frontiers and down-weight link farms): 5 fixed
+    iterations, damping 0.85, over a deterministic synthetic citation
+    graph (each doc cites docs ``(7i+3) mod N`` and ``(13i+5) mod N``
+    — the fixture; a real corpus supplies its own edge list). Fixed
+    iteration count makes the whole propagation replayable arithmetic:
+    the oracle unrolls all 5 rounds as CTEs. Per round: one
+    vertex-keyed equi-join + one map-side-combined groupBy;
+    localCheckpoint truncates the doubling lineage like
+    `connected_components`."""
+    from dig_etl_engine_spark.operators.graph import pagerank
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    cnt = docs.count()
+    mk = lambda a, b: docs.select(  # noqa: E731
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * a + b) % cnt).alias("dst"))
+    edges = (mk(7, 3).unionByName(mk(13, 5))
+             .filter(F.col("src") != F.col("dst")))
+    return pagerank(edges, iters=5, damping=0.85)

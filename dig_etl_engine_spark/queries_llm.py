@@ -331,13 +331,16 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
 
 
-def _ivf_kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _ivf_kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64,
+                     v_sql: str | None = None) -> str:
     """The Lloyd's-k-means CTE chain (one (assign, update) pair per
     iteration), reusable by every oracle that needs the trained model:
     ends with ``a{iters}`` = each corpus vector's final cell assignment
     (computed from the pre-update centroids, exactly like the Spark
     trainer's last loop pass) and ``c{iters}`` = the final centroids.
-    Expects no leading WITH; starts at the ``v`` CTE."""
+    Expects no leading WITH; starts at the ``v`` CTE. ``v_sql``
+    overrides the training-set CTE body (must yield ``(id,
+    embedding)``) — the default is the whole embeddings table."""
     prev = "c0"
     steps = []
     for i in range(1, iters + 1):
@@ -360,8 +363,9 @@ def _ivf_kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
       ) u ON p.cluster = u.cluster AND p.dim = u.dim
     )""")
         prev = f"c{i}"
+    v_body = v_sql or "SELECT vec_id AS id, embedding FROM embeddings"
     return f"""
-    v AS (SELECT vec_id AS id, embedding FROM embeddings),
+    v AS ({v_body}),
     vd AS (
       SELECT v.id, CAST(t.range AS INT) AS dim,
              CAST(v.embedding[CAST(t.range AS INT)] AS DOUBLE) AS x

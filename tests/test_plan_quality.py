@@ -271,3 +271,39 @@ class TestShuffleReuse:
         plan = plan_of(join_range_bands(spark, SF))
         assert "BroadcastNestedLoopJoin" not in plan
         assert "_bkt" in plan
+
+
+class TestSelectionOpPlans:
+    def test_selection_ops_are_jvm_only(self, spark):
+        """DSIR scoring, BPE pair stats, split assignment and the
+        source-overlap matrix are pure column algebra + joins — no
+        Python operator anywhere (SemDeDup is the deliberate exception:
+        its pairwise block is an Arrow BLAS kernel)."""
+        from dig_etl_engine_spark import queries as registry
+        qs = registry.queries()
+        for name in ("dsir_weights", "bpe_pair_stats", "train_test_split",
+                     "source_overlap_matrix", "perplexity_buckets"):
+            plan = plan_of(qs[name](spark, SF))
+            for marker in ("BatchEvalPython", "ArrowEvalPython",
+                           "MapInPandas", "FlatMapGroupsInPandas"):
+                assert marker not in plan, (name, marker)
+
+    def test_dsir_bucket_lms_broadcast(self, spark):
+        """Both bucket LMs reduce to ≤`buckets` rows and must come back
+        as broadcasts — the corpus-side gram stream never joins through
+        an exchange keyed on the bucket id."""
+        from dig_etl_engine_spark import queries as registry
+        plan = plan_of(registry.queries()["dsir_weights"](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_bpe_topk_never_global_sorts(self, spark):
+        from dig_etl_engine_spark import queries as registry
+        plan = plan_of(registry.queries()["bpe_pair_stats"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_split_assignment_is_narrow(self, spark):
+        """assign_splits is a per-row hash gate: zero exchanges."""
+        from dig_etl_engine_spark import queries as registry
+        plan = plan_of(registry.queries()["train_test_split"](spark, SF))
+        assert "Exchange" not in plan
