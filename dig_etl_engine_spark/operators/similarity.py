@@ -782,3 +782,54 @@ def semdedup(df: DataFrame, *, k: int = 8, iters: int = 3,
     return (assigned.join(dropped, "id", "left")
             .select(F.col("id").alias(id_col), "cluster",
                     F.coalesce(~F.col("dup"), F.lit(True)).alias("kept")))
+
+
+def contrastive_pairs(df: DataFrame, *, k: int = 8, iters: int = 3,
+                      pos_threshold: float = 0.99,
+                      neg_band: tuple = (0.5, 0.9),
+                      m_negatives: int = 2,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      round_digits: int = 4) -> DataFrame:
+    """Contrastive pair mining for embedding-model training (the
+    hard-negative recipe behind E5/GTE-style retrievers, Xiong et al.
+    2021 ANCE): for every anchor vector emit its POSITIVES (near-dups,
+    cosine ≥ ``pos_threshold``) and its top-``m_negatives`` HARD
+    negatives — same-cluster neighbors inside the ``neg_band`` cosine
+    band: close enough to be confusable, far enough to be genuinely
+    different, which is exactly what a random in-batch negative is not.
+
+    Returns ``(anchor, other, cosine, pair_type)`` with pair_type ∈
+    positive / hard_negative; both directions of each pair are emitted
+    (each doc serves as an anchor). Negatives rank hardest-first
+    (cosine desc, id asc — deterministic on the ROUNDED cosine, so
+    replayable cross-engine).
+
+    Shape: the learned k-means partition bounds the candidate set the
+    same way :func:`semdedup` does — pairwise cosine only ever runs
+    inside a cluster (one BLAS Gram per cell via
+    :func:`embedding_near_dup_pairs` at the band floor) — then one
+    window shuffle keyed on the anchor ranks negatives. Θ(n·cluster)
+    compute, two shuffles total."""
+    from pyspark.sql import Window as W
+
+    neg_lo, neg_hi = neg_band
+    assigned, _cents = ivf_kmeans_train(df, k=k, iters=iters,
+                                        id_col=id_col, vec_col=vec_col)
+    cells = df.select(F.col(id_col).alias("id"), vec_col) \
+        .join(assigned, "id")
+    pairs = embedding_near_dup_pairs(
+        cells, id_col="id", vec_col=vec_col, cell_col="cluster",
+        threshold=neg_lo, round_digits=round_digits)
+    both = pairs.select(F.col("doc_a").alias("anchor"),
+                        F.col("doc_b").alias("other"), "cosine") \
+        .unionByName(pairs.select(F.col("doc_b").alias("anchor"),
+                                  F.col("doc_a").alias("other"), "cosine"))
+    pos = both.filter(F.col("cosine") >= pos_threshold) \
+        .withColumn("pair_type", F.lit("positive"))
+    rn = F.row_number().over(
+        W.partitionBy("anchor").orderBy(F.desc("cosine"), F.asc("other")))
+    neg = (both.filter((F.col("cosine") >= neg_lo)
+                       & (F.col("cosine") < neg_hi))
+           .withColumn("_rn", rn).filter(F.col("_rn") <= m_negatives)
+           .drop("_rn").withColumn("pair_type", F.lit("hard_negative")))
+    return pos.unionByName(neg)

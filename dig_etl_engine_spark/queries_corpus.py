@@ -1135,9 +1135,11 @@ def repeated_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated_window_flags`; Lee et al. 2022): per-doc fraction of
     10-token windows repeated anywhere in the corpus. A 12-token
     boilerplate sentence planted on every %6 doc makes its interior
-    windows corpus-wide repeats; window equality is on the STRING, never
-    a hash alone. One map-side-combined window count + equi-join back —
-    the suffix-array algorithm's practical distributed substitute."""
+    windows corpus-wide repeats; the count shuffle carries 128-bit md5
+    digests (collision P ≈ n²/2¹²⁸ — perturbs a fraction signal only;
+    the oracle's string equality is identical absent collisions). One
+    map-side-combined window count + equi-join back — the suffix-array
+    algorithm's practical distributed substitute."""
     docs = load_tables(spark, sf_dir)["documents"]
     g = docs.select(
         "doc_id",
@@ -2153,3 +2155,61 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (mk(7, 3).unionByName(mk(13, 5))
              .filter(F.col("src") != F.col("dst")))
     return pagerank(edges, iters=5, damping=0.85)
+
+
+def _contrastive_sql() -> str:
+    from dig_etl_engine_spark.queries_llm import _ivf_kmeans_ctes
+
+    it = 3
+    return f"""
+    WITH {_ivf_kmeans_ctes(8, it, 64, v_sql=_SEM_V_SQL)},
+    pairs AS (
+      SELECT a.id AS ida, b.id AS idb,
+             ROUND(list_cosine_similarity(va.embedding::DOUBLE[],
+                                          vb.embedding::DOUBLE[]), 4)
+               AS cosine
+      FROM a{it} a
+      JOIN a{it} b ON a.cluster = b.cluster AND a.id < b.id
+      JOIN v va ON va.id = a.id
+      JOIN v vb ON vb.id = b.id
+    ),
+    bi_dir AS (
+      SELECT ida AS anchor, idb AS other, cosine FROM pairs
+      UNION ALL
+      SELECT idb, ida, cosine FROM pairs
+    ),
+    neg AS (
+      SELECT anchor, other, cosine FROM (
+        SELECT anchor, other, cosine,
+               ROW_NUMBER() OVER (PARTITION BY anchor
+                 ORDER BY cosine DESC, other ASC) AS rn
+        FROM bi_dir WHERE cosine >= 0.5 AND cosine < 0.9
+      ) WHERE rn <= 2
+    )
+    SELECT anchor, other, cosine, 'positive' AS pair_type
+    FROM bi_dir WHERE cosine >= {_SEM_THRESH}
+    UNION ALL
+    SELECT anchor, other, cosine, 'hard_negative' FROM neg
+    """
+
+
+@register("contrastive_pairs", oracle=_contrastive_sql())
+def contrastive_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining (`operators/similarity.py:
+    contrastive_pairs`; the ANCE/E5 hard-negative recipe): per anchor,
+    near-dup positives (cosine ≥ 0.99 — the planted mutants) plus the
+    top-2 hardest same-cluster negatives in the [0.5, 0.9) cosine band.
+    Same mutant-planted corpus and learned partition as `semdedup`; the
+    oracle replays the trained model, the in-cluster pairwise cosines,
+    and the deterministic hardest-first ranking over rounded values."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.select("vec_id", S.as_double(F.col("embedding"))
+                      .alias("embedding"))
+    mutants = (emb.filter(F.col("vec_id") % 5 == 0)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform(S.as_double(F.col("embedding")),
+                                   lambda x: x + F.lit(0.001))
+                        .alias("embedding")))
+    return S.contrastive_pairs(base.unionByName(mutants), k=8, iters=3,
+                               pos_threshold=_SEM_THRESH,
+                               neg_band=(0.5, 0.9), m_negatives=2)

@@ -190,3 +190,70 @@ class TestPageRank:
         """In-degree hub outranks leaf sources after propagation."""
         got = self._pr(spark, [(1, 0), (2, 0), (3, 0), (0, 1)], iters=5)
         assert got[0] > got[1] > got[2] == got[3]
+
+
+class TestRepeatedWindowHashing:
+    def test_hashed_and_string_modes_agree(self, spark):
+        """md5-narrowed shuffle must produce identical per-doc fractions
+        to the string-equality variant (collisions aside)."""
+        from dig_etl_engine_spark.operators.text_analysis import (
+            repeated_window_flags)
+        rows = [(0, "a b c d e f"), (1, "a b c d x y"),
+                (2, "q r s t u v")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        h = {(r.doc_id): tuple(r)[1:] for r in repeated_window_flags(
+            df, w=4, hash_windows=True).collect()}
+        s = {(r.doc_id): tuple(r)[1:] for r in repeated_window_flags(
+            df, w=4, hash_windows=False).collect()}
+        assert h == s
+
+    def test_shuffle_carries_hashes_not_windows(self, spark):
+        """The count shuffle's key is the 32-char digest: no raw window
+        string survives past the project before the first exchange."""
+        from dig_etl_engine_spark.operators.text_analysis import (
+            repeated_window_flags)
+        df = spark.createDataFrame([(0, "a b c d e")],
+                                   "doc_id long, text string")
+        plan = repeated_window_flags(df, w=2)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "md5" in plan
+
+
+class TestContrastivePairs:
+    def test_positives_negatives_and_ranking(self, spark):
+        from dig_etl_engine_spark.operators.similarity import (
+            contrastive_pairs)
+        import math
+        # One cluster (k=1): anchor 0, a near-dup (1), two in-band
+        # neighbors at distinct cosines (2 hardest, 3 next, 4 third),
+        # and an out-of-band vector (5).
+        def vec(angle):
+            return [math.cos(angle), math.sin(angle), 0.0, 0.0]
+        rows = [(0, vec(0.0)), (1, vec(0.001)),       # cos≈1 → positive
+                (2, vec(0.6)), (3, vec(0.8)),         # cos .825/.697
+                (4, vec(0.9)), (5, vec(1.5))]         # cos .622/.071
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        got = contrastive_pairs(df, k=1, iters=1, pos_threshold=0.99,
+                                neg_band=(0.5, 0.9), m_negatives=2)
+        by_anchor = {}
+        for r in got.collect():
+            by_anchor.setdefault(r.anchor, []).append(r)
+        pos0 = [r.other for r in by_anchor[0] if r.pair_type == "positive"]
+        assert pos0 == [1]
+        # anchor 0's negatives: hardest two in [0.5, 0.9) by cosine are
+        # 2 (cos 0.6 ≈ .825) then 3 (cos 0.8 ≈ .697); 4 (.622) misses
+        # the m=2 cut
+        negs0 = [r.other for r in sorted(
+            (r for r in by_anchor[0] if r.pair_type == "hard_negative"),
+            key=lambda r: -r.cosine)]
+        assert negs0 == [2, 3]
+        # band respected everywhere; positives symmetric
+        for rs in by_anchor.values():
+            for r in rs:
+                if r.pair_type == "hard_negative":
+                    assert 0.5 <= r.cosine < 0.9
+                else:
+                    assert r.cosine >= 0.99
+        assert [r.other for r in by_anchor[1]
+                if r.pair_type == "positive"] == [0]
