@@ -50,3 +50,38 @@ def salted_join(facts: DataFrame, dim: DataFrame, on: str | list[str], *,
     d = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
     return f.join(d, [*keys, "_salt"], how).drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key: str, *, top_k: int = 5) -> DataFrame:
+    """Join/agg-key skew diagnostic — the measurement that DECIDES
+    whether a key needs :func:`salted_join` or AQE skew handling before
+    a 100 TB run, instead of discovering the straggler task in
+    production: per-key counts reduced to one summary row
+    ``(n_keys, n_rows, max_n, p50_n, p99_n, top_share)`` where
+    ``top_share`` is the fraction of all rows held by the ``top_k``
+    heaviest keys (the classic skew smell: top_share ≫ top_k/n_keys).
+
+    Shape: ONE map-side-combined groupBy(key) — the same shuffle the
+    join itself would do, but carrying only (key, count) — then a
+    scalar aggregate. `percentile` is exact here; at extreme key
+    cardinality swap `percentile_approx` (same plan shape). Heavy-hitter
+    identification without the count shuffle at all is what
+    `kmv_sketches`-style summaries are for; this profile is the exact
+    tool you run once per key before committing a join strategy."""
+    counts = df.groupBy(F.col(key).alias("k")) \
+        .agg(F.count(F.lit(1)).alias("n"))
+    # TakeOrderedAndProject, never a global window sort over all keys
+    top = counts.orderBy(F.desc("n"), F.asc("k")).limit(top_k) \
+        .agg(F.sum("n").alias("top_n"))
+    return (counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.percentile("n", F.lit(0.5)).alias("p50_n"),
+        F.percentile("n", F.lit(0.99)).alias("p99_n"))
+        .join(F.broadcast(top))
+        .select("n_keys", "n_rows", "max_n",
+                F.round("p50_n", 4).alias("p50_n"),
+                F.round("p99_n", 4).alias("p99_n"),
+                F.round(F.col("top_n") / F.col("n_rows"), 6)
+                .alias("top_share")))

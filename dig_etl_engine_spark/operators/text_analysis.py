@@ -995,3 +995,108 @@ def assign_splits(df, fractions: dict[str, float], *,
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", last)
+
+
+def bpe_train_merges(df, *, text_col: str = "text", n_merges: int = 8):
+    """Full BPE merge-table training (Sennrich et al. 2016): the
+    iterative loop that :func:`bpe_pair_stats` computes one step of.
+    Each iteration counts corpus-weighted adjacent symbol pairs, picks
+    the argmax (ties broken lexicographically — deterministic across
+    engines and layouts), and applies the merge everywhere; after
+    ``n_merges`` rounds the returned ``(step, pair, n)`` table IS the
+    tokenizer's merge list.
+
+    Scale shape: the corpus contributes exactly ONE map-side-combined
+    word-count shuffle; every merge iteration then runs over the
+    DISTINCT-word table (vocabulary-sized, zipf-small — ~10⁵–10⁶ rows
+    even at 100 TB), cached once. Per iteration: one vocabulary-sized
+    groupBy plus a 1-row argmax collect (k-scalar driver traffic, the
+    same contract as the IVF k-means trainer). The merge application is
+    a narrow string ``replace`` over a double-space-delimited symbol
+    encoding — ``' a  b ' → ' ab '`` — where each symbol carries its own
+    boundary spaces, so plain left-to-right non-overlapping replace is
+    EXACTLY greedy BPE merge application: runs like ``[a,a,a]`` become
+    ``[aa,a]`` (each occurrence is self-delimited; no match can cross a
+    symbol boundary or share a delimiter with the next occurrence).
+
+    Simplifications vs a production tokenizer (documented, not hidden):
+    lowercased whitespace words, no end-of-word marker, single-char
+    words excluded (they contribute no pairs).
+    """
+    merges, _ = _bpe_train(df, text_col=text_col, n_merges=n_merges)
+    return df.sparkSession.createDataFrame(
+        merges, "step INT, pair STRING, n BIGINT")
+
+
+def _bpe_train(df, *, text_col: str, n_merges: int):
+    """Shared training loop: returns ``(merges, vocab)`` where
+    ``merges`` is the driver-side ``[(step, pair, n), ...]`` list and
+    ``vocab`` is the vocabulary-sized DataFrame ``(w, freq, enc)`` with
+    ``enc`` the word's final symbol encoding after all merges (the
+    artifact :func:`bpe_subword_stats` joins against)."""
+    words = (df.select(F.explode(F.split(
+        F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    enc0 = F.concat(
+        F.lit(" "),
+        F.array_join(F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1))), "  "),
+        F.lit(" "))
+    base = words.select("w", "freq", enc0.alias("enc")).persist()
+    cur = base
+    try:
+        merges: list[tuple[int, str, int]] = []
+        for step in range(1, n_merges + 1):
+            syms = F.split(F.trim(F.col("enc")), "  ")
+            n = F.size(syms)
+            pairs = F.zip_with(
+                F.slice(syms, 1, n - 1), F.slice(syms, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b))
+            best = (cur.select("freq", F.explode(pairs).alias("pair"))
+                    .groupBy("pair").agg(F.sum("freq").alias("n"))
+                    .orderBy(F.desc("n"), F.asc("pair"))
+                    .limit(1).collect())
+            if not best:
+                break
+            pair, count = best[0]["pair"], int(best[0]["n"])
+            a, b = pair.split(" ")
+            cur = cur.withColumn("enc", F.replace(
+                F.col("enc"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")))
+            merges.append((step, pair, count))
+        return merges, cur
+    finally:
+        base.unpersist()
+
+
+def bpe_subword_stats(df, *, text_col: str = "text",
+                      id_col: str = "doc_id", n_merges: int = 8):
+    """Per-document subword statistics under a corpus-trained BPE
+    tokenizer: train the ``n_merges``-step merge table
+    (:func:`bpe_train_merges`), then encode every document and return
+    ``(id, n_words, n_subwords)`` — the fertility/compression metric a
+    tokenizer owner actually tracks (subwords-per-word ≈ how well the
+    vocabulary fits the corpus).
+
+    Encoding never re-runs the merge loop over the corpus: the trained
+    VOCABULARY table ``(w → final symbol encoding)`` is vocabulary-sized
+    and broadcasts; each document's words join against it and the
+    symbol count is ``size(split(enc))``. Words shorter than 2 chars
+    (excluded from training — they contribute no pairs) encode as one
+    symbol via the left-join fallback. The vocab lineage is recomputed
+    lazily here (one extra word-count pass); a production pipeline
+    would persist the trained vocab as a table artifact and reuse it —
+    the join shape is identical either way."""
+    _, vocab = _bpe_train(df, text_col=text_col, n_merges=n_merges)
+    n_sub = F.size(F.split(F.trim(F.col("enc")), "  "))
+    dw = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                          r"\s+")).alias("w"))
+    return (dw.join(F.broadcast(vocab.select("w", n_sub.alias("n_sub"))),
+                    "w", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.coalesce(F.col("n_sub"), F.lit(1)))
+                 .alias("n_subwords")))

@@ -2213,3 +2213,149 @@ def contrastive_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.contrastive_pairs(base.unionByName(mutants), k=8, iters=3,
                                pos_threshold=_SEM_THRESH,
                                neg_band=(0.5, 0.9), m_negatives=2)
+
+
+# --- Full BPE merge-table training -------------------------------------------
+
+def _bpe_oracle(n_merges: int, final: str | None = None) -> str:
+    """Unroll the BPE training loop as chained CTEs: pair-count →
+    argmax → merge-apply per step, over the same double-space-delimited
+    symbol encoding the Spark operator uses (see
+    `operators/text_analysis.py:bpe_train_merges` for why plain replace
+    on that encoding IS greedy BPE merge application). ``final``
+    overrides the trailing SELECT (default: the merge-table union);
+    the word ``w`` is carried through every ``e{s}`` CTE so a final
+    SELECT can join the trained vocabulary back to the corpus."""
+    ctes = [r"""w AS (
+      SELECT g AS w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS g
+        FROM documents)
+      WHERE length(g) >= 2 GROUP BY g
+    )""", """e0 AS (
+      SELECT w, freq,
+             ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+                   i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS enc
+      FROM w
+    )"""]
+    for s in range(1, n_merges + 1):
+        ctes.append(f"""p{s} AS (
+      SELECT pair, SUM(freq)::BIGINT AS n FROM (
+        SELECT freq, unnest(list_transform(range(1, len(syms)),
+               i -> syms[CAST(i AS INT)] || ' ' || syms[CAST(i AS INT) + 1]))
+               AS pair
+        FROM (SELECT freq, string_split(trim(enc), '  ') AS syms FROM e{s-1}))
+      GROUP BY pair
+    )""")
+        ctes.append(f"""b{s} AS (
+      SELECT pair, n FROM p{s} ORDER BY n DESC, pair ASC LIMIT 1
+    )""")
+        ctes.append(f"""e{s} AS (
+      SELECT w, freq, replace(enc,
+             ' ' || split_part(pair, ' ', 1) || '  '
+                 || split_part(pair, ' ', 2) || ' ',
+             ' ' || replace(pair, ' ', '') || ' ') AS enc
+      FROM e{s-1} CROSS JOIN b{s}
+    )""")
+    if final is None:
+        final = "\n    UNION ALL ".join(
+            f"SELECT {s} AS step, pair, n FROM b{s}"
+            for s in range(1, n_merges + 1))
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle(8))
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer merge-table training (`operators/
+    text_analysis.py:bpe_train_merges`; Sennrich et al. 2016): 8
+    iterations of count-pairs → argmax → merge-everywhere over the
+    corpus word table. One corpus-sized shuffle total (the word count);
+    each iteration is a vocabulary-sized groupBy + 1-row argmax collect
+    — the k-scalar-per-iteration driver contract shared with
+    `ivf_kmeans_train`. The oracle unrolls all 8 steps as CTE chains."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.bpe_train_merges(docs, n_merges=8)
+
+
+# --- KMV sketch source overlap (scale path of source_overlap_matrix) ---------
+
+@register(
+    "kmv_source_overlap",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT source, substr(md5(text), 1, 16) AS h FROM documents
+    ),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM e)
+      WHERE rn <= 128
+    ),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM sk) a
+      JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+    ),
+    u AS (
+      SELECT source_a, source_b, h,
+             MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM p JOIN sk s ON s.source = p.source_a
+        UNION ALL
+        SELECT p.source_a, p.source_b, s.h, 0 AS in_a, 1 AS in_b
+        FROM p JOIN sk s ON s.source = p.source_b)
+      GROUP BY source_a, source_b, h
+    ),
+    bott AS (
+      SELECT * FROM (
+        SELECT u.*, row_number() OVER (
+          PARTITION BY source_a, source_b ORDER BY h) AS urn FROM u)
+      WHERE urn <= 128
+    )
+    SELECT source_a, source_b,
+           COUNT(*)::BIGINT AS k_used,
+           SUM(in_a * in_b)::BIGINT AS n_common,
+           round(SUM(in_a * in_b)::DOUBLE / COUNT(*), 6) AS jaccard_est
+    FROM bott GROUP BY source_a, source_b
+    """,
+)
+def kmv_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch overlap (`operators/sketches.py`): the
+    governance matrix `source_overlap_matrix` computes exactly, here
+    estimated from 128-hash-per-source sketches — the 100 TB path where
+    the pairwise stage touches S·k sketch rows instead of every
+    distinct fingerprint. md5-hex hashes make the ESTIMATE itself
+    deterministic, so the oracle replays the estimator bit-for-bit;
+    `prefilter_salts=8` exercises the two-stage top-k that keeps any
+    single source's hash stream out of one task (identical result —
+    global minima are minima of their salt bucket too)."""
+    from dig_etl_engine_spark.operators.sketches import kmv_source_overlap
+    docs = load_tables(spark, sf_dir)["documents"]
+    return kmv_source_overlap(docs, k=128, hash_mode="md5",
+                              prefilter_salts=8)
+
+
+_BPE_STATS_FINAL = r""", dw AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_words,
+           SUM(COALESCE(len(string_split(trim(e.enc), '  ')), 1))::BIGINT
+             AS n_subwords
+    FROM dw LEFT JOIN e8 e USING (w) GROUP BY doc_id"""
+
+
+@register("bpe_subword_stats",
+          oracle=_bpe_oracle(8, final=_BPE_STATS_FINAL))
+def bpe_subword_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fertility under the corpus-trained 8-merge BPE
+    tokenizer (`operators/text_analysis.py:bpe_subword_stats`): train
+    the merge table, then encode every doc by BROADCAST-joining its
+    words against the trained vocabulary (w → final symbol encoding) —
+    the corpus is never re-scanned by the merge loop. The oracle reuses
+    the training CTE chain's final `e8` vocabulary and replays the
+    left-join fallback (sub-2-char words encode as one symbol)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TA.bpe_subword_stats(docs, n_merges=8)

@@ -621,3 +621,21 @@ def stream_dedup_ingest_oracle(spark: SparkSession, sf_dir: str
                          .select(F.col("doc_b").alias("doc_id")))
             .distinct())
     return batch.select("doc_id").join(drop, "doc_id", "left_anti")
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle="SELECT doc_id, source, lang, n_chars FROM documents",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar round-trip — the second Spark-native columnar
+    format besides parquet (S8's re-export family): documents → ORC
+    write → schema'd ORC read. Snappy-compressed, predicate-pushdown
+    capable like the parquet path; the oracle checks nothing was lost.
+    (Avro would need the external spark-avro jar — not in this
+    container, so it stays unregistered rather than silently gated.)"""
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select("doc_id", "source", "lang", "n_chars")
+    path = _scratch("orc_roundtrip")
+    docs.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("doc_id", "source", "lang", "n_chars")

@@ -698,3 +698,60 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bucket_width=5.0)
     return joined.select("event_id", "band_id",
                          F.round("value", 4).alias("value"))
+
+
+# --- Unpivot (melt) ----------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "unpivot_event_counts",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`unpivot` (melt) — the inverse of `pivot_event_counts`: the wide
+    per-user crosstab back to long form, proving pivot∘unpivot is
+    lossless. Zero-count cells (which only the wide form materializes,
+    via its `na.fill(0)`) are filtered out so the round-trip equals the
+    plain long group-by. Unpivot itself is a narrow generator over the
+    wide table — no shuffle beyond the pivot's own."""
+    wide = pivot_event_counts(spark, sf_dir)
+    long = wide.unpivot("user_id", _EVENT_TYPES, "event_type", "n")
+    return long.filter(F.col("n") > 0).select("user_id", "event_type", "n")
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT SUM(n) AS top_n FROM (
+        SELECT n FROM c ORDER BY n DESC, k ASC LIMIT 5)
+    )
+    SELECT COUNT(*)::BIGINT AS n_keys,
+           SUM(c.n)::BIGINT AS n_rows,
+           MAX(c.n)::BIGINT AS max_n,
+           round(quantile_cont(c.n, 0.5), 4) AS p50_n,
+           round(quantile_cont(c.n, 0.99), 4) AS p99_n,
+           round(ANY_VALUE(t.top_n)::DOUBLE / SUM(c.n), 6) AS top_share
+    FROM c CROSS JOIN t
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (`operators/skew.py:key_skew_profile`)
+    over events.user_id: per-key counts → one summary row with exact
+    p50/p99 per-key cardinality and the row share of the 5 heaviest
+    keys — the measurement that decides between a plain shuffle join,
+    `join_salted_skew`'s salting, or AQE skew-join before a 100 TB run.
+    Same shuffle the join would do but carrying only (key, count);
+    heavy-hitter total via TakeOrderedAndProject, never a global
+    window sort."""
+    from dig_etl_engine_spark.operators.skew import key_skew_profile as prof
+    ev = load_tables(spark, sf_dir)["events"]
+    return prof(ev, "user_id", top_k=5)
