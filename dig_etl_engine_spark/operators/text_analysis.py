@@ -1100,3 +1100,34 @@ def bpe_subword_stats(df, *, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum(F.coalesce(F.col("n_sub"), F.lit(1)))
                  .alias("n_subwords")))
+
+
+# CCNet-style normalization map: lowercase Latin-1 accents → ASCII.
+_ACCENT_FROM = "àáâãäåèéêëìíîïòóôõöùúûüçñýÿ"
+_ACCENT_TO = "aaaaaaeeeeiiiiooooouuuucnyy"
+_DIGIT_FROM = "123456789"
+_DIGIT_TO = "000000000"
+
+
+def ccnet_normalize(col: Column) -> Column:
+    """CCNet's dedup-normalization (Wenzek et al. 2020, `normalize` in
+    cc_net): lowercase → strip common Latin accents → map every digit
+    to 0 → drop punctuation → collapse whitespace. Deduplicating on the
+    NORMALIZED form catches the case/punctuation/number variants that
+    verbatim hashing misses (the paper dedups CommonCrawl paragraphs on
+    exactly this key). Pure codegen column math — `translate` +
+    `regexp_replace` chains, no Python, no shuffle; the same chain is
+    expressible in any engine for oracle parity (accent folding uses an
+    explicit translate TABLE, not locale-dependent Unicode NFD, so
+    engines can't disagree)."""
+    x = F.lower(col)
+    x = F.translate(x, _ACCENT_FROM + _DIGIT_FROM, _ACCENT_TO + _DIGIT_TO)
+    x = F.regexp_replace(x, r"[^\p{L}\p{N}\s]", "")
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+CCNET_NORMALIZE_SQL = (
+    "trim(regexp_replace(regexp_replace(translate(lower({col}), "
+    f"'{_ACCENT_FROM + _DIGIT_FROM}', '{_ACCENT_TO + _DIGIT_TO}'), "
+    r"'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"
+)

@@ -2359,3 +2359,56 @@ def bpe_subword_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-join fallback (sub-2-char words encode as one symbol)."""
     docs = load_tables(spark, sf_dir)["documents"]
     return TA.bpe_subword_stats(docs, n_merges=8)
+
+
+# --- CCNet normalization + normalized exact dedup ----------------------------
+
+_NORM_MUTANTS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) || ' !!!' FROM documents
+      WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, translate(text, 'aeo1', 'àéö7')
+      FROM documents WHERE doc_id % 3 = 1
+"""
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=f"""
+    WITH u AS ({_NORM_MUTANTS_SQL}),
+    k AS (
+      SELECT doc_id,
+             md5({TA.CCNET_NORMALIZE_SQL.format(col="text")}) AS key
+      FROM u
+    )
+    SELECT MIN(doc_id) AS canonical_id, COUNT(*)::BIGINT AS n_variants
+    FROM k GROUP BY key
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the CCNet-NORMALIZED key (`operators/
+    text_analysis.py:ccnet_normalize`; Wenzek et al. 2020): lowercase →
+    accent fold → digits→0 → strip punctuation → collapse whitespace,
+    then group on the md5 of that form. Catches the case/punctuation/
+    accent/digit variants verbatim hashing misses — planted here as
+    uppercase+'!!!' mutants (doc_id%3=0) and accent/digit mutants
+    (doc_id%3=1), each of which must collapse into its original's group.
+    One fingerprint-only shuffle, text never moves — same shape as
+    `dedup_exact`."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.select("doc_id", "text")
+    m1 = (docs.filter(F.col("doc_id") % 3 == 0)
+          .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                  F.concat(F.upper("text"), F.lit(" !!!")).alias("text")))
+    m2 = (docs.filter(F.col("doc_id") % 3 == 1)
+          .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                  F.translate(F.col("text"), "aeo1", "àéö7").alias("text")))
+    u = base.unionByName(m1).unionByName(m2)
+    key = F.md5(TA.ccnet_normalize(F.col("text")))
+    return (u.select("doc_id", key.alias("key"))
+            .groupBy("key")
+            .agg(F.min("doc_id").alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_variants"))
+            .drop("key"))

@@ -639,3 +639,34 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("orc_roundtrip")
     docs.write.mode("overwrite").orc(path)
     return spark.read.orc(path).select("doc_id", "source", "lang", "n_chars")
+
+
+@register(
+    "src_schema_evolution",
+    oracle="""
+    SELECT doc_id, source, NULL::VARCHAR AS lang, NULL::BIGINT AS n_chars,
+           'v1' AS batch
+    FROM documents
+    UNION ALL
+    SELECT doc_id, NULL::VARCHAR, lang, n_chars, 'v2' FROM documents
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches written with DIFFERENT
+    column sets (v1: doc_id+source; v2: doc_id+lang+n_chars) read back
+    as ONE table via `mergeSchema` — the drift every long-lived ingest
+    directory accumulates. Missing columns come back NULL per batch; the
+    oracle replays the union. Note the scale contract: mergeSchema
+    reads every file's footer to union schemas — at 100 TB you pin the
+    merged schema explicitly instead (`spark.read.schema(...)`), which
+    this query's SELECT also demonstrates by fixing the column order."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = _scratch("schema_evolution")
+    (docs.select("doc_id", "source", F.lit("v1").alias("batch"))
+     .write.mode("overwrite").parquet(os.path.join(path, "b=1")))
+    (docs.select("doc_id", "lang", "n_chars", F.lit("v2").alias("batch"))
+     .write.mode("overwrite").parquet(os.path.join(path, "b=2")))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(os.path.join(path, "b=1"),
+                       os.path.join(path, "b=2")))
+    return merged.select("doc_id", "source", "lang", "n_chars", "batch")

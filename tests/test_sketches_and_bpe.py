@@ -220,3 +220,26 @@ class TestKeySkewProfile:
         r = key_skew_profile(df, "k", top_k=5).collect()[0]
         assert r["n_keys"] == 10 and r["max_n"] == 10
         assert abs(r["top_share"] - 0.5) < 1e-9
+
+
+class TestCcnetNormalize:
+    def _norm(self, spark, s):
+        df = spark.createDataFrame([(s,)], "t STRING")
+        return df.select(TA.ccnet_normalize(F.col("t")).alias("n")) \
+            .collect()[0]["n"]
+
+    def test_folds_case_accents_digits_punct(self, spark):
+        assert self._norm(spark, "Héllo, Wörld! 42") == "hello world 00"
+
+    def test_collapses_whitespace(self, spark):
+        assert self._norm(spark, "  a\t b\n\nc  ") == "a b c"
+
+    def test_idempotent(self, spark):
+        s = "Çà et là — №7; naïve文"
+        once = self._norm(spark, s)
+        assert self._norm(spark, once) == once
+
+    def test_keeps_non_latin_letters(self, spark):
+        # \p{L} keeps CJK instead of destroying it (the oracle-parity
+        # restriction to [a-z0-9] only matters for ASCII corpora).
+        assert self._norm(spark, "中文 test") == "中文 test"
