@@ -40,3 +40,34 @@ def range_join(points: DataFrame, ranges: DataFrame, *, point_col: str,
             .filter((F.col(point_col) >= F.col(lo_col))
                     & (F.col(point_col) < F.col(hi_col)))
             .drop("_bkt"))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame, *,
+                          lo_cols: tuple[str, str], hi_cols: tuple[str, str],
+                          bucket_width: float) -> DataFrame:
+    """Interval×interval overlap join: every (left, right) row pair
+    whose half-open intervals intersect (``l_lo < r_hi AND r_lo <
+    l_hi``) — the second non-equi join shape Catalyst would plan as a
+    broadcast-nested-loop. Same bucketing strategy as :func:`range_join`
+    but BOTH sides fan out to the buckets they span.
+
+    A pair whose intervals share several buckets would meet several
+    times, so each candidate is kept only in its CANONICAL bucket — the
+    bucket containing ``greatest(l_lo, r_lo)``, i.e. where the overlap
+    starts, which both fans necessarily cover. That makes the output
+    exactly-once WITHOUT a dropDuplicates shuffle: one exchange per
+    side on the uniform bucket id, predicate + canonical filter after
+    the equi-join, nothing else."""
+    llo, rlo = lo_cols
+    lhi, rhi = hi_cols
+    lf = left.withColumn("_bkt", F.explode(F.sequence(
+        F.floor(F.col(llo) / bucket_width),
+        F.floor(F.col(lhi) / bucket_width))))
+    rf = right.withColumn("_bkt", F.explode(F.sequence(
+        F.floor(F.col(rlo) / bucket_width),
+        F.floor(F.col(rhi) / bucket_width))))
+    canon = F.floor(F.greatest(F.col(llo), F.col(rlo)) / bucket_width)
+    return (lf.join(rf, "_bkt")
+            .filter((F.col(llo) < F.col(rhi)) & (F.col(rlo) < F.col(lhi))
+                    & (F.col("_bkt") == canon))
+            .drop("_bkt"))

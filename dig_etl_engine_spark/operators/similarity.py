@@ -833,3 +833,29 @@ def contrastive_pairs(df: DataFrame, *, k: int = 8, iters: int = 3,
            .withColumn("_rn", rn).filter(F.col("_rn") <= m_negatives)
            .drop("_rn").withColumn("pair_type", F.lit("hard_negative")))
     return pos.unionByName(neg)
+
+
+def embedding_profile(df: DataFrame, *, vec_col: str = "embedding",
+                      round_digits: int = 4) -> DataFrame:
+    """Per-dimension QA profile of an embedding column — the drift /
+    sanity dashboard an embedding pipeline owner checks after every
+    re-embed: ``(dim, n, mean, std, min_v, max_v)``, one row per vector
+    dimension. A collapsed dimension (std ≈ 0), a mean far off center,
+    or a count mismatch across dims (ragged vectors) are all one-glance
+    visible.
+
+    Shape: ``posexplode`` of the vector → groupBy(dim). The explode is
+    narrow and the aggregation map-side combines to d rows per
+    partition, so the shuffle carries partitions×d rows regardless of
+    corpus size — the same partial-agg contract as the LM counting ops.
+    Values cast to double BEFORE aggregating (float32 inputs, double
+    accumulators in both engines); rounding bounds the cross-engine
+    sum-order wobble."""
+    v = df.select(F.posexplode(F.col(vec_col)).alias("dim", "v")) \
+        .select("dim", F.col("v").cast("double").alias("v"))
+    return (v.groupBy("dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("v"), round_digits).alias("mean"),
+                 F.round(F.stddev_samp("v"), round_digits).alias("std"),
+                 F.round(F.min("v"), round_digits).alias("min_v"),
+                 F.round(F.max("v"), round_digits).alias("max_v")))

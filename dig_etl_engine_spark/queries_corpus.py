@@ -2412,3 +2412,26 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("doc_id").alias("canonical_id"),
                  F.count(F.lit(1)).alias("n_variants"))
             .drop("key"))
+
+
+@register(
+    "embedding_profile",
+    oracle="""
+    SELECT CAST(i - 1 AS INT) AS dim,
+           COUNT(*)::BIGINT AS n,
+           round(AVG(embedding[i]::DOUBLE), 4) AS mean,
+           round(STDDEV_SAMP(embedding[i]::DOUBLE), 4) AS std,
+           round(MIN(embedding[i]::DOUBLE), 4) AS min_v,
+           round(MAX(embedding[i]::DOUBLE), 4) AS max_v
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY i
+    """,
+)
+def embedding_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA profile (`operators/similarity.py:
+    embedding_profile`): mean/std/min/max per vector dimension — the
+    re-embed drift dashboard (collapsed dims, off-center means, ragged
+    vectors). posexplode → map-side-combined groupBy(dim): the shuffle
+    carries partitions×64 rows at any corpus size."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.embedding_profile(emb)

@@ -755,3 +755,48 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dig_etl_engine_spark.operators.skew import key_skew_profile as prof
     ev = load_tables(spark, sf_dir)["events"]
     return prof(ev, "user_id", top_k=5)
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT event_id AS a_id, value AS a_lo, value + 2.0 AS a_hi
+      FROM events WHERE event_type = 'purchase' AND user_id % 20 = 0
+    ),
+    b AS (
+      SELECT event_id AS b_id, value * 1.1 AS b_lo, value * 1.1 + 3.0 AS b_hi
+      FROM events WHERE event_type = 'signup' AND user_id % 20 = 1
+    )
+    SELECT a_id, b_id,
+           round(GREATEST(a_lo, b_lo), 4) AS overlap_lo,
+           round(LEAST(a_hi, b_hi), 4) AS overlap_hi
+    FROM a, b WHERE a_lo < b_hi AND b_lo < a_hi
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (`operators/range_join.py:
+    interval_overlap_join`): two event-derived interval sets joined on
+    intersection via double-sided bucket fan-out + canonical-bucket
+    exactly-once emission — the oracle is the plain O(n²) predicate
+    join. Bucket width 4.0 ≈ the larger interval width keeps fan-out
+    ≤ 2 rows per interval."""
+    from dig_etl_engine_spark.operators.range_join import (
+        interval_overlap_join)
+    ev = load_tables(spark, sf_dir)["events"]
+    a = (ev.filter((F.col("event_type") == "purchase")
+                   & (F.col("user_id") % 20 == 0))
+         .select(F.col("event_id").alias("a_id"),
+                 F.col("value").alias("a_lo"),
+                 (F.col("value") + 2.0).alias("a_hi")))
+    b = (ev.filter((F.col("event_type") == "signup")
+                   & (F.col("user_id") % 20 == 1))
+         .select(F.col("event_id").alias("b_id"),
+                 (F.col("value") * 1.1).alias("b_lo"),
+                 (F.col("value") * 1.1 + 3.0).alias("b_hi")))
+    j = interval_overlap_join(a, b, lo_cols=("a_lo", "b_lo"),
+                              hi_cols=("a_hi", "b_hi"), bucket_width=4.0)
+    return j.select("a_id", "b_id",
+                    F.round(F.greatest("a_lo", "b_lo"), 4)
+                    .alias("overlap_lo"),
+                    F.round(F.least("a_hi", "b_hi"), 4).alias("overlap_hi"))

@@ -290,3 +290,28 @@ def ts_spreadsheet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("points").alias("p"),
     ).select("name", "dataset", "location",
              F.col("p.label").alias("label"), F.col("p.value").alias("value"))
+
+
+@register(
+    "ts_downsample_ohlc",
+    oracle="""
+    SELECT user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+           round(arg_min(value, ts), 4) AS open,
+           round(MAX(value), 4) AS high,
+           round(MIN(value), 4) AS low,
+           round(arg_max(value, ts), 4) AS close,
+           COUNT(*) AS n,
+           round(AVG(value), 4) AS mean_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket OHLC downsampling (`timeseries/convert.py:
+    downsample_ohlc`): per (user, day) open/high/low/close/count/mean
+    over the raw event stream — the TSDB `time_bucket` rollup as one
+    map-side-combined groupBy. Ties on the open/close timestamps break
+    on event_id in the operator; the oracle's arg_min/arg_max(v, ts)
+    is identical because (user_id, ts) is unique in this table."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return C.downsample_ohlc(ev)

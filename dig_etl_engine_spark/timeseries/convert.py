@@ -163,3 +163,33 @@ def label_template(parts: list[Column | str]) -> Column:
     cols = [F.coalesce(p, F.lit("")) if isinstance(p, Column) else F.lit(p)
             for p in parts]
     return F.concat(*cols)
+
+
+def downsample_ohlc(df, *, key_col: str = "user_id", ts_col: str = "ts",
+                    val_col: str = "value", id_col: str = "event_id",
+                    bucket: str = "day", round_digits: int = 4):
+    """Hypertable-style time-bucket rollup (the `time_bucket` +
+    first/last aggregate every TSDB exposes): per (key, bucket) the
+    OHLC summary — open = value at the earliest timestamp, close = at
+    the latest, high/low = max/min — plus count and mean. THE
+    downsampling step that turns a raw event stream into a dashboard
+    series.
+
+    One map-side-combined groupBy — open/close use `min_by`/`max_by`
+    keyed on ``struct(ts, id)`` so timestamp ties break
+    deterministically on the event id (the oracle's `arg_min(v, ts)`
+    form is identical whenever (key, ts) is unique, which the events
+    table guarantees). Bucket emitted as a formatted string (the
+    registry's timestamp-projection convention)."""
+    b = F.date_format(F.date_trunc(bucket, F.col(ts_col)),
+                      "yyyy-MM-dd" if bucket == "day" else
+                      "yyyy-MM-dd HH:mm:ss")
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    r = lambda c: F.round(c, round_digits)  # noqa: E731
+    return (df.groupBy(F.col(key_col), b.alias("bucket"))
+            .agg(r(F.min_by(F.col(val_col), order)).alias("open"),
+                 r(F.max(val_col)).alias("high"),
+                 r(F.min(val_col)).alias("low"),
+                 r(F.max_by(F.col(val_col), order)).alias("close"),
+                 F.count(F.lit(1)).alias("n"),
+                 r(F.avg(val_col)).alias("mean_v")))

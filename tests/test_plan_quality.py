@@ -340,3 +340,20 @@ class TestRound4bPlans:
         from dig_etl_engine_spark import queries as registry
         df = registry.queries()["kmv_source_overlap"](spark, SF)
         assert df.count() == 190  # 20 sources → C(20,2) pairs
+
+    def test_interval_overlap_avoids_nested_loop(self, spark):
+        """Double-sided bucket fan-out must plan as an equi-join on the
+        bucket id — no BroadcastNestedLoopJoin, no CartesianProduct —
+        and the canonical-bucket filter means no dropDuplicates
+        aggregate after the join."""
+        from dig_etl_engine_spark import queries as registry
+        plan = plan_of(registry.queries()["join_interval_overlap"](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_ohlc_single_aggregation(self, spark):
+        """OHLC rollup is ONE partial-agg groupBy: exactly one exchange."""
+        from dig_etl_engine_spark import queries as registry
+        plan = plan_of(registry.queries()["ts_downsample_ohlc"](spark, SF))
+        assert plan.count("Exchange") == 1
+        assert "partial_" in plan  # map-side combine present

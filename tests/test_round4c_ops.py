@@ -1,0 +1,100 @@
+"""Unit tests for the round-4c additions: interval-overlap join,
+OHLC time-bucket downsampling, and the per-dimension embedding
+profile."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.operators.range_join import interval_overlap_join
+from dig_etl_engine_spark.operators.similarity import embedding_profile
+from dig_etl_engine_spark.timeseries.convert import downsample_ohlc
+
+
+def _pairs(df):
+    return sorted((r["a"], r["b"]) for r in df.collect())
+
+
+class TestIntervalOverlapJoin:
+    def _join(self, spark, left, right, w=1.0):
+        ldf = spark.createDataFrame(left, "a LONG, llo DOUBLE, lhi DOUBLE")
+        rdf = spark.createDataFrame(right, "b LONG, rlo DOUBLE, rhi DOUBLE")
+        return interval_overlap_join(ldf, rdf, lo_cols=("llo", "rlo"),
+                                     hi_cols=("lhi", "rhi"), bucket_width=w)
+
+    def test_basic_overlap_and_strict_touching(self, spark):
+        left = [(1, 0.0, 2.0), (2, 5.0, 6.0)]
+        right = [(10, 1.0, 3.0),   # overlaps 1
+                 (11, 2.0, 4.0),   # touches 1 at 2.0 → half-open: NO
+                 (12, 5.5, 5.8)]   # inside 2
+        assert _pairs(self._join(spark, left, right)) == [(1, 10), (2, 12)]
+
+    def test_multi_bucket_overlap_emitted_once(self, spark):
+        # overlap spans 5 buckets at w=1; canonical-bucket filter must
+        # keep exactly one copy.
+        left = [(1, 0.0, 10.0)]
+        right = [(10, 3.0, 8.0)]
+        out = self._join(spark, left, right, w=1.0).collect()
+        assert len(out) == 1
+
+    def test_matches_bruteforce(self, spark):
+        import random
+        rng = random.Random(7)
+        left = [(i, v := rng.uniform(0, 50), v + rng.uniform(0.1, 5))
+                for i in range(60)]
+        right = [(100 + i, v := rng.uniform(0, 50), v + rng.uniform(0.1, 5))
+                 for i in range(60)]
+        got = _pairs(self._join(spark, left, right, w=3.0))
+        want = sorted((a, b) for a, al, ah in left for b, bl, bh in right
+                      if al < bh and bl < ah)
+        assert got == want
+
+    def test_negative_coordinates(self, spark):
+        left = [(1, -5.0, -3.0)]
+        right = [(10, -4.0, -3.5), (11, -3.0, -2.0)]
+        assert _pairs(self._join(spark, left, right, w=2.0)) == [(1, 10)]
+
+
+class TestDownsampleOhlc:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id LONG, ts TIMESTAMP, value DOUBLE, event_id LONG")
+
+    def test_ohlc_semantics(self, spark):
+        t = datetime.datetime
+        rows = [(1, t(2024, 1, 1, 9), 10.0, 1),
+                (1, t(2024, 1, 1, 12), 99.0, 2),
+                (1, t(2024, 1, 1, 18), 5.0, 3),
+                (1, t(2024, 1, 2, 9), 7.0, 4)]
+        out = {r["bucket"]: r for r in downsample_ohlc(
+            self._df(spark, rows)).collect()}
+        d1 = out["2024-01-01"]
+        assert (d1["open"], d1["high"], d1["low"], d1["close"],
+                d1["n"]) == (10.0, 99.0, 5.0, 5.0, 3)
+        assert abs(d1["mean_v"] - 38.0) < 1e-9
+        assert out["2024-01-02"]["open"] == out["2024-01-02"]["close"] == 7.0
+
+    def test_timestamp_tie_breaks_on_event_id(self, spark):
+        t = datetime.datetime(2024, 1, 1, 9)
+        rows = [(1, t, 50.0, 2), (1, t, 10.0, 1), (1, t, 70.0, 3)]
+        r = downsample_ohlc(self._df(spark, rows)).collect()[0]
+        assert r["open"] == 10.0 and r["close"] == 70.0  # by (ts, id)
+
+
+class TestEmbeddingProfile:
+    def test_hand_stats_and_collapsed_dim(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 5.0],), ([3.0, 5.0],)], "embedding ARRAY<FLOAT>")
+        out = {r["dim"]: r for r in embedding_profile(df).collect()}
+        assert out[0]["mean"] == 2.0 and out[0]["std"] > 0
+        assert (out[1]["mean"], out[1]["std"]) == (5.0, 0.0)  # collapsed
+        assert out[0]["n"] == out[1]["n"] == 2
+        assert (out[0]["min_v"], out[0]["max_v"]) == (1.0, 3.0)
+
+    def test_ragged_vectors_visible_in_counts(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 2.0],), ([3.0],)], "embedding ARRAY<FLOAT>")
+        out = {r["dim"]: r["n"] for r in embedding_profile(df).collect()}
+        assert out == {0: 2, 1: 1}
