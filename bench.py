@@ -53,6 +53,14 @@ HEADLINE = [
     # round-4b additions: the data-selection surface
     "semdedup",                   # learned-cluster semantic prune
     "dsir_weights",               # hashed-bucket importance LMs
+    # round-4c additions: tokenizer training + sketch/join/rollup paths
+    "bpe_train_merges",           # 8-iteration merge trainer (k-means-style
+                                  # 1-row argmax collect per round — job
+                                  # round-trips dominate at this SF)
+    "kmv_source_overlap",         # bottom-k sketches + pairwise estimate
+    "dedup_exact_normalized",     # CCNet normalize chain + md5 groupBy
+    "join_interval_overlap",      # double-sided bucket fan-out equi-join
+    "ts_downsample_ohlc",         # one-exchange OHLC time-bucket rollup
 ]
 
 
