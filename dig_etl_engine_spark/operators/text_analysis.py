@@ -1118,16 +1118,24 @@ def ccnet_normalize(col: Column) -> Column:
     exactly this key). Pure codegen column math — `translate` +
     `regexp_replace` chains, no Python, no shuffle; the same chain is
     expressible in any engine for oracle parity (accent folding uses an
-    explicit translate TABLE, not locale-dependent Unicode NFD, so
-    engines can't disagree)."""
+    explicit translate TABLE, not locale-dependent Unicode NFD, and
+    ``CCNET_NORMALIZE_SQL`` renders the identical regex classes for
+    RE2 — parity is exact for ASCII, the folded accent set, and
+    no-case scripts like CJK; exotic one-to-many case mappings are the
+    only place engine ``lower()`` implementations can differ)."""
     x = F.lower(col)
     x = F.translate(x, _ACCENT_FROM + _DIGIT_FROM, _ACCENT_TO + _DIGIT_TO)
     x = F.regexp_replace(x, r"[^\p{L}\p{N}\s]", "")
     return F.trim(F.regexp_replace(x, r"\s+", " "))
 
 
+# DuckDB (RE2) rendering of the SAME chain — identical regex classes
+# (\p{L}/\p{N} are supported by both RE2 and Java regex), identical
+# explicit translate table. Parity scope: exact for ASCII plus the
+# folded accent set and all no-case scripts (CJK); exotic one-to-many
+# case mappings (İ, ẞ) are the only place engine lower() can differ.
 CCNET_NORMALIZE_SQL = (
     "trim(regexp_replace(regexp_replace(translate(lower({col}), "
     f"'{_ACCENT_FROM + _DIGIT_FROM}', '{_ACCENT_TO + _DIGIT_TO}'), "
-    r"'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"
+    r"'[^\p{{L}}\p{{N}}\s]', '', 'g'), '\s+', ' ', 'g'))"  # {{ }}: survives .format
 )

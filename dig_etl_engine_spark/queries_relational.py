@@ -640,6 +640,11 @@ def join_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("ts_asof"))
 
 
+# Single source of truth for the pivot/unpivot pair and both oracles:
+# add a sixth event type HERE (and in the two oracle strings) only.
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
 @register(
     "pivot_event_counts",
     oracle="""
@@ -659,10 +664,9 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks plan caching and schema contracts at scale."""
     events = load_tables(spark, sf_dir)["events"]
     return (events.groupBy("user_id")
-            .pivot("event_type",
-                   ["click", "error", "purchase", "signup", "view"])
+            .pivot("event_type", _EVENT_TYPES)
             .count()
-            .na.fill(0, ["click", "error", "purchase", "signup", "view"]))
+            .na.fill(0, _EVENT_TYPES))
 
 
 @register(
@@ -701,9 +705,6 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Unpivot (melt) ----------------------------------------------------------
-
-_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
 
 @register(
     "unpivot_event_counts",

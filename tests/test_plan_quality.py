@@ -332,14 +332,23 @@ class TestRound4bPlans:
             assert marker not in plan
 
     def test_kmv_pairwise_is_sketch_sized(self, spark):
-        """After the sketch build, no corpus-derived exchange: every
-        post-sketch join input is ≤ S·k rows (the plan may pick any join
-        strategy there) — pinned by checking the only scans of the
-        corpus parquet feed the distinct+rank sketch subtree, and the
-        final aggregate's row estimate is pair-count sized."""
+        """The pairwise stage must consume the RANK-FILTERED sketches,
+        not the raw distinct-fingerprint stream: the plan has to carry
+        the row_number windows AND their rn <= k cutoffs (k=128 in the
+        registered query; the salted prefilter adds a second window +
+        cutoff pair). Dropping any of those filters is the 100 TB
+        regression this operator exists to avoid, and it would leave
+        the row count unchanged — so pin the plan, then the pair count
+        derived from the actual source cardinality."""
         from dig_etl_engine_spark import queries as registry
+        from dig_etl_engine_spark.catalog import load_tables
         df = registry.queries()["kmv_source_overlap"](spark, SF)
-        assert df.count() == 190  # 20 sources → C(20,2) pairs
+        plan = plan_of(df)
+        assert plan.count("row_number") >= 2      # salt-local + global rank
+        assert plan.count("<= 128") >= 2          # both rank cutoffs applied
+        s = load_tables(spark, SF)["documents"] \
+            .select("source").distinct().count()
+        assert df.count() == s * (s - 1) // 2
 
     def test_interval_overlap_avoids_nested_loop(self, spark):
         """Double-sided bucket fan-out must plan as an equi-join on the

@@ -243,3 +243,13 @@ class TestCcnetNormalize:
         # \p{L} keeps CJK instead of destroying it (the oracle-parity
         # restriction to [a-z0-9] only matters for ASCII corpora).
         assert self._norm(spark, "中文 test") == "中文 test"
+
+    def test_oracle_template_parity_on_non_ascii(self, spark):
+        """The shipped DuckDB rendering must agree with the Spark chain
+        beyond ASCII — the exact divergence a review once flagged when
+        the SQL template stripped [^a-z0-9] while Spark kept \\p{L}."""
+        import duckdb
+        s = "Héllo, 中文 žurnal 42! ...serie№7"
+        sql = TA.CCNET_NORMALIZE_SQL.format(col="?")
+        want = duckdb.execute(f"SELECT {sql}", [s]).fetchone()[0]
+        assert self._norm(spark, s) == want
