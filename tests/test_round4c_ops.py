@@ -136,3 +136,42 @@ class TestRollingAnomaly:
         out2 = {r["ts"]: r for r in rolling_anomaly(df2).collect()}
         assert out2["2024-01-04 00:00:00"]["roll_n"] == 1
         assert out2["2024-01-04 00:00:00"]["roll_sum"] == 5.0
+
+
+class TestSeededSweeps:
+    def test_interval_join_bruteforce_sweep(self, spark):
+        """Three seeded interval universes × bucket widths spanning
+        much-smaller / comparable / much-larger than interval length —
+        the bucketing must be invariant to width choice."""
+        import random
+        for seed, w in [(11, 0.5), (12, 4.0), (13, 40.0)]:
+            rng = random.Random(seed)
+            left = [(i, v := rng.uniform(-20, 20),
+                     v + rng.uniform(0.01, 6)) for i in range(40)]
+            right = [(100 + i, v := rng.uniform(-20, 20),
+                      v + rng.uniform(0.01, 6)) for i in range(40)]
+            ldf = spark.createDataFrame(left, "a LONG, llo DOUBLE, lhi DOUBLE")
+            rdf = spark.createDataFrame(right, "b LONG, rlo DOUBLE, rhi DOUBLE")
+            got = sorted((r["a"], r["b"]) for r in interval_overlap_join(
+                ldf, rdf, lo_cols=("llo", "rlo"), hi_cols=("lhi", "rhi"),
+                bucket_width=w).collect())
+            want = sorted((a, b) for a, al, ah in left for b, bl, bh in right
+                          if al < bh and bl < ah)
+            assert got == want, (seed, w)
+
+    def test_bpe_reference_sweep(self, spark):
+        """Seeded random corpora (skewed small alphabet → heavy merge
+        interaction, runs, resurfacing pairs) against the pure-Python
+        scan reference."""
+        import random
+        from tests.test_sketches_and_bpe import _ref_bpe
+        from dig_etl_engine_spark.operators import text_analysis as TA
+        for seed in (3, 5):
+            rng = random.Random(seed)
+            words = ["".join(rng.choice("aab") for _ in range(
+                rng.randint(2, 6))) for _ in range(30)]
+            texts = [" ".join(rng.choices(words, k=12)) for _ in range(8)]
+            df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+            got = [(r["step"], r["pair"], r["n"])
+                   for r in TA.bpe_train_merges(df, n_merges=4).collect()]
+            assert got == _ref_bpe(texts, 4), seed
