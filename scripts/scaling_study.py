@@ -1,0 +1,140 @@
+"""Scaling study: run the heavy operator families on 1x/4x/16x
+replicas of the sf0.1 corpus and report how wall time grows.
+
+The registry bench (bench.py) fixes the data size; this script is the
+evidence for the 100 TB story — each operator's cost curve should be
+~linear (or n·log n) in corpus size if the plan shapes are right. A
+super-linear curve means a quadratic candidate set, a driver
+bottleneck, or a broadcast that stopped fitting.
+
+Replication: doc_id gets a disjoint offset per copy and a per-copy
+suffix token is appended to the text, so replicas are NEAR-dups (same
+shingle mass, distinct fingerprints) — the worst case for dedup
+families, not the trivial exact-collapse case.
+
+Usage:  python scripts/scaling_study.py [ks]   (default "1,4,16")
+Writes one JSON line per (op, k) to stdout and a summary table at the
+end. Uses /tmp scratch; safe to re-run.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dig_etl_engine_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.1"
+
+
+def scaled_docs(spark, k: int):
+    base = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text", "lang", "source")
+    parts = [base]
+    for i in range(1, k):
+        parts.append(base.select(
+            (F.col("doc_id") + 1000000 * i).alias("doc_id"),
+            F.concat("text", F.lit(f" copytag{i}")).alias("text"),
+            "lang", "source"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_embeddings(spark, k: int):
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    parts = [base]
+    for i in range(1, k):
+        parts.append(base.select(
+            (F.col("vec_id") + 1000000 * i).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: x + F.lit(float(i)) * 1e-4)
+            .alias("embedding"),
+            "label"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ops(spark, docs_path: str, emb_path: str):
+    """(name, thunk) pairs over MATERIALIZED scaled tables — the read
+    is part of the timing, like bench.py."""
+    from dig_etl_engine_spark.operators import dedup as D
+    from dig_etl_engine_spark.operators import similarity as S
+    from dig_etl_engine_spark.operators import text_analysis as TA
+    from dig_etl_engine_spark.operators.sketches import kmv_source_overlap
+
+    def docs():
+        return spark.read.parquet(docs_path)
+
+    def emb():
+        return spark.read.parquet(emb_path)
+
+    return [
+        ("dedup_exact", lambda: D.exact_dedup(docs(), "text").count()),
+        ("dedup_minhash_lsh",
+         lambda: D.minhash_lsh_pairs(docs(), "text", threshold=0.5).count()),
+        ("dedup_corpus",
+         lambda: D.dedup_corpus(docs(), "text", threshold=0.5).count()),
+        ("global_line_dedup",
+         lambda: TA.global_line_dedup(docs()).count()),
+        ("gopher_gates",
+         lambda: docs().select(
+             TA.gopher_gates(F.col("text")).alias("g")).count()),
+        ("bpe_train_merges",
+         lambda: TA.bpe_train_merges(docs(), n_merges=8).count()),
+        ("kmv_source_overlap",
+         lambda: kmv_source_overlap(docs(), k=128).count()),
+        ("knn_cosine_ivf",
+         lambda: S.knn_ivf(emb().limit(10), emb(), k=10).count()),
+        ("ann_hyperplane_lsh",
+         lambda: S.assign_hyperplane_buckets(emb(), n_planes=16).count()),
+    ]
+
+
+def main() -> None:
+    ks = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1
+                           else "1,4,16").split(",")]
+    spark = get_spark("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen/Arrow warmup so the x1 column isn't inflated by
+    # first-run overhead (which would make every growth ratio look
+    # better than it is)
+    wdocs = scaled_docs(spark, 1)
+    wdocs.count()
+    from dig_etl_engine_spark.operators import dedup as _D
+    _D.exact_dedup(wdocs, "text").count()
+    results: dict[str, dict[int, float]] = {}
+    for k in ks:
+        droot = f"/tmp/spark_graft_scale/x{k}"
+        dp, ep = f"{droot}/documents.parquet", f"{droot}/embeddings.parquet"
+        scaled_docs(spark, k).write.mode("overwrite").parquet(dp)
+        scaled_embeddings(spark, k).write.mode("overwrite").parquet(ep)
+        for name, fn in ops(spark, dp, ep):
+            t0 = time.time()
+            n = fn()
+            dt = round(time.time() - t0, 3)
+            results.setdefault(name, {})[k] = dt
+            print(json.dumps({"op": name, "k": k, "sec": dt, "rows": n}),
+                  flush=True)
+    print("\n| op | " + " | ".join(f"x{k}" for k in ks)
+          + " | growth vs xK |")
+    print("|---|" + "---|" * (len(ks) + 1))
+    for name, row in results.items():
+        ratio = (round(row[ks[-1]] / row[ks[0]], 2)
+                 if row.get(ks[0]) else "-")
+        print(f"| {name} | "
+              + " | ".join(f"{row[k]:.2f}s" for k in ks)
+              + f" | {ratio}× over {ks[-1]}× data |")
+
+
+if __name__ == "__main__":
+    main()
