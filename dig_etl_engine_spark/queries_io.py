@@ -670,3 +670,29 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
               .parquet(os.path.join(path, "b=1"),
                        os.path.join(path, "b=2")))
     return merged.select("doc_id", "source", "lang", "n_chars", "batch")
+
+
+@register(
+    "sink_webdataset_roundtrip",
+    oracle="SELECT doc_id, text, lang, source FROM documents",
+)
+def sink_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard export → streamed re-import
+    (`sinks/webdataset.py`): documents written as 8 hash-assigned,
+    bit-reproducible `shard-*.tar` files ({key}.txt + {key}.json
+    members), read back via `binaryFile` + Arrow member re-grouping.
+    The manifest collect is n_shards rows (bounded, cold path); the
+    oracle checks the round trip lost nothing — ids, text, and the
+    JSON-carried metadata all survive the tar hop."""
+    from dig_etl_engine_spark.sinks.webdataset import (
+        read_webdataset, write_webdataset)
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = _scratch("webdataset")
+    manifest = write_webdataset(docs, path, meta_cols=["lang", "source"],
+                                n_shards=8)
+    assert sum(r["n_docs"] for r in manifest.collect()) == docs.count()
+    back = read_webdataset(spark, path)
+    meta = F.from_json("meta", "lang STRING, source STRING")
+    return back.select(
+        F.col("key").cast("long").alias("doc_id"), "text",
+        meta["lang"].alias("lang"), meta["source"].alias("source"))
