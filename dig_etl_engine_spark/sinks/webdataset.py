@@ -49,6 +49,7 @@ _READ_SCHEMA = T.StructType([
     T.StructField("key", T.StringType()),
     T.StructField("text", T.StringType()),
     T.StructField("meta", T.StringType()),
+    T.StructField("bin", T.BinaryType()),
 ])
 
 
@@ -64,27 +65,37 @@ def _add_member(tar: tarfile.TarFile, name: str, payload: bytes) -> None:
 def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
                      text_col: str = "text",
                      meta_cols: list[str] | None = None,
+                     bin_col: str | None = None, bin_ext: str = "bin",
                      n_shards: int = 8) -> DataFrame:
     """Export ``df`` as ``shard-{k:05d}.tar`` files under ``path``;
     returns the manifest ``(shard, path, n_docs, n_bytes)``. Keys are
-    zero-padded ids so tar member order == id order."""
+    zero-padded ids so tar member order == id order. ``bin_col`` adds a
+    ``{key}.{bin_ext}`` member per row from a binary column — the
+    multimodal payload path (image/audio bytes ride the same Arrow
+    batches; NULL payload → member omitted, matching the webdataset
+    convention of absent extensions)."""
     meta_cols = meta_cols or []
     os.makedirs(path, exist_ok=True)
+    bin_expr = (F.col(bin_col).cast("binary") if bin_col
+                else F.lit(None).cast("binary"))
     prepped = (df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(text_col).cast("string").alias("_text"),
         F.to_json(F.struct(*[F.col(c) for c in meta_cols])).alias("_meta"),
+        bin_expr.alias("_bin"),
         F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_shards))
         .cast("int").alias("_shard"))
         .repartition(n_shards, "_shard"))
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: dict[int, list[tuple[int, str, str]]] = {}
+        rows: dict[int, list[tuple[int, str, str, bytes | None]]] = {}
         for b in batches:
-            for _id, _text, _meta, _shard in zip(
-                    b["_id"], b["_text"], b["_meta"], b["_shard"]):
+            for _id, _text, _meta, _bin, _shard in zip(
+                    b["_id"], b["_text"], b["_meta"], b["_bin"],
+                    b["_shard"]):
                 rows.setdefault(int(_shard), []).append(
-                    (int(_id), _text, _meta))
+                    (int(_id), _text, _meta,
+                     bytes(_bin) if _bin is not None else None))
         out = []
         for shard, members in rows.items():
             p = os.path.join(path, f"shard-{shard:05d}.tar")
@@ -92,12 +103,15 @@ def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
             # tar, and the last attempt wins with identical bytes
             tmp = f"{p}.tmp.{os.getpid()}"
             with tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT) as tar:
-                for _id, _text, _meta in sorted(members):
+                for _id, _text, _meta, _bin in sorted(
+                        members, key=lambda m: m[0]):
                     key = f"{_id:012d}"
                     _add_member(tar, f"{key}.txt",
                                 (_text or "").encode("utf-8"))
                     _add_member(tar, f"{key}.json",
                                 (_meta or "{}").encode("utf-8"))
+                    if _bin is not None:
+                        _add_member(tar, f"{key}.{bin_ext}", _bin)
             os.replace(tmp, p)
             out.append((shard, p, len(members), os.path.getsize(p)))
         yield pd.DataFrame(out, columns=["shard", "path",
@@ -126,11 +140,14 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                         samples.setdefault(stem, {})[ext] = \
                             tar.extractfile(m).read()
                     for stem, parts in samples.items():
+                        extra = [v for k, v in sorted(parts.items())
+                                 if k not in ("txt", "json")]
                         out.append((shard, stem,
                                     parts.get("txt", b"").decode("utf-8"),
                                     parts.get("json", b"{}")
-                                    .decode("utf-8")))
+                                    .decode("utf-8"),
+                                    extra[0] if extra else None))
             yield pd.DataFrame(out, columns=["shard", "key",
-                                             "text", "meta"])
+                                             "text", "meta", "bin"])
 
     return files.select("path", "content").mapInPandas(parse, _READ_SCHEMA)

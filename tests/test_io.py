@@ -716,3 +716,23 @@ class TestWebdataset:
         back = {int(r["key"]): r["text"] for r in read_webdataset(
             spark, str(tmp_path / "wd")).collect()}
         assert back == {1: "", 2: ""}  # null text → empty member
+
+    def test_binary_members_roundtrip(self, spark, tmp_path):
+        """Multimodal payload path: a binary column rides as
+        {key}.jpg members; NULL payload → member omitted."""
+        from dig_etl_engine_spark.sinks.webdataset import (
+            read_webdataset, write_webdataset)
+        df = spark.createDataFrame(
+            [(1, "cap one", bytearray(b"\xff\xd8fakejpeg1")),
+             (2, "cap two", bytearray(b"\xff\xd8fakejpeg2")),
+             (3, "no image", None)],
+            "doc_id LONG, text STRING, img BINARY")
+        write_webdataset(df, str(tmp_path / "wd"), bin_col="img",
+                         bin_ext="jpg", n_shards=2).collect()
+        back = {int(r["key"]): (r["text"], bytes(r["bin"])
+                                if r["bin"] is not None else None)
+                for r in read_webdataset(spark,
+                                         str(tmp_path / "wd")).collect()}
+        assert back[1] == ("cap one", b"\xff\xd8fakejpeg1")
+        assert back[2] == ("cap two", b"\xff\xd8fakejpeg2")
+        assert back[3] == ("no image", None)
