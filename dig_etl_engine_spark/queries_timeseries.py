@@ -328,8 +328,8 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
              STDDEV_SAMP(value) OVER fr AS roll_std
       FROM events
       WINDOW fr AS (PARTITION BY user_id ORDER BY ts
-                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING
-                                AND INTERVAL 1 SECOND PRECEDING)
+                    RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                                AND INTERVAL 1 MICROSECOND PRECEDING)
     )
     SELECT user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
@@ -348,8 +348,10 @@ def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day z-score anomaly flags per user
     (`timeseries/convert.py:rolling_anomaly`): event-time RANGE frame
     over the PRIOR week (leave-one-out baseline — a point in its own
-    baseline caps z below 3σ), incremental sliding aggregate, one
-    exchange; cold-start empty baselines never alert. Both engines
+    baseline caps z below 3σ) at microsecond precision, matching the
+    operator's strict-prior frame exactly even on sub-second-dense
+    streams; incremental sliding aggregate, one exchange; cold-start
+    empty baselines never alert. Both engines
     slide the frame in ascending event order, so the double
     accumulation sequence — and therefore the rounded stats — are
     identical."""

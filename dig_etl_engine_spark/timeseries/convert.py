@@ -200,12 +200,16 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
                     z_cut: float = 3.0, round_digits: int = 4):
     """Trailing-window anomaly scoring — the monitoring query every
     metrics pipeline runs: per key, each point scored against the
-    baseline of the PRIOR ``window_days`` (current row EXCLUDED —
+    baseline of the PRIOR ``window_days`` — every strictly-earlier
+    point within exactly ``window_days`` days (current row EXCLUDED —
     leave-one-out: a point inside its own baseline caps its z at
     (n−1)/√n ≈ 2.3 for a week of dailies, so a genuine spike could
     never cross a 3σ cut), flagged when |z| exceeds ``z_cut``.
-    Event-TIME range frame, not row frame: gaps in the series shrink
-    the window instead of silently reaching back weeks.
+    Event-TIME range frame at MICROSECOND precision (the native
+    timestamp resolution — a whole-second frame would silently include
+    sub-second-earlier neighbors the strict-prior contract excludes),
+    not row frame: gaps in the series shrink the window instead of
+    silently reaching back weeks.
 
     One window exchange on the key; the range frame slides
     incrementally (no per-row rescan). std over an empty or 1-point
@@ -220,8 +224,11 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
     (continuous-valued — boundary hits have measure ~0)."""
     from pyspark.sql import Window as W
 
-    w = (W.partitionBy(key_col).orderBy(F.unix_timestamp(F.col(ts_col)))
-         .rangeBetween(-(window_days - 1) * 86400, -1))
+    # NTZ-safe: unix_micros needs TIMESTAMP; the cast only shifts the
+    # epoch by a constant (session TZ), which a relative frame ignores
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (W.partitionBy(key_col).orderBy(us)
+         .rangeBetween(-window_days * 86400 * 1_000_000, -1))
     mean = F.avg(val_col).over(w)
     std = F.stddev_samp(val_col).over(w)
     z = F.when(std > 0, (F.col(val_col) - mean) / std)

@@ -100,40 +100,63 @@ def ops(spark, docs_path: str, emb_path: str):
     ]
 
 
-def main() -> None:
-    ks = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1
-                           else "1,4,16").split(",")]
+def run_single(k: int) -> None:
+    """One scale factor in THIS process — invoked in a fresh
+    subprocess per k by main(), which is the methodology SCALING.md
+    documents (a shared session accumulates localCheckpoint blocks and
+    cache entries across runs and inflates late measurements)."""
     spark = get_spark("scaling")
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen/Arrow warmup so the x1 column isn't inflated by
-    # first-run overhead (which would make every growth ratio look
-    # better than it is)
+    # JVM/codegen/Arrow warmup so the first op isn't inflated by
+    # first-run overhead (which would distort the growth ratios)
     wdocs = scaled_docs(spark, 1)
     wdocs.count()
     from dig_etl_engine_spark.operators import dedup as _D
     _D.exact_dedup(wdocs, "text").count()
+    droot = f"/tmp/spark_graft_scale/x{k}"
+    dp, ep = f"{droot}/documents.parquet", f"{droot}/embeddings.parquet"
+    scaled_docs(spark, k).write.mode("overwrite").parquet(dp)
+    scaled_embeddings(spark, k).write.mode("overwrite").parquet(ep)
+    for name, fn in ops(spark, dp, ep):
+        t0 = time.time()
+        n = fn()
+        dt = round(time.time() - t0, 3)
+        print(json.dumps({"op": name, "k": k, "sec": dt, "rows": n}),
+              flush=True)
+
+
+def main() -> None:
+    import subprocess
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--single":
+        run_single(int(sys.argv[2]))
+        return
+    ks = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1
+                           else "1,4,16").split(",")]
     results: dict[str, dict[int, float]] = {}
     for k in ks:
-        droot = f"/tmp/spark_graft_scale/x{k}"
-        dp, ep = f"{droot}/documents.parquet", f"{droot}/embeddings.parquet"
-        scaled_docs(spark, k).write.mode("overwrite").parquet(dp)
-        scaled_embeddings(spark, k).write.mode("overwrite").parquet(ep)
-        for name, fn in ops(spark, dp, ep):
-            t0 = time.time()
-            n = fn()
-            dt = round(time.time() - t0, 3)
-            results.setdefault(name, {})[k] = dt
-            print(json.dumps({"op": name, "k": k, "sec": dt, "rows": n}),
-                  flush=True)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single", str(k)],
+            capture_output=True, text=True, check=True)
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            d = json.loads(line)
+            results.setdefault(d["op"], {})[d["k"]] = d["sec"]
+            print(line, flush=True)
     print("\n| op | " + " | ".join(f"x{k}" for k in ks)
-          + " | growth vs xK |")
-    print("|---|" + "---|" * (len(ks) + 1))
+          + (" | time growth |" if len(ks) > 1 else " |"))
+    print("|---|" + "---|" * (len(ks) + (1 if len(ks) > 1 else 0)))
+    data_growth = ks[-1] // ks[0] if ks[0] else ks[-1]
     for name, row in results.items():
-        ratio = (round(row[ks[-1]] / row[ks[0]], 2)
-                 if row.get(ks[0]) else "-")
-        print(f"| {name} | "
-              + " | ".join(f"{row[k]:.2f}s" for k in ks)
-              + f" | {ratio}× over {ks[-1]}× data |")
+        line = f"| {name} | " + " | ".join(f"{row[k]:.2f}s" for k in ks)
+        if len(ks) > 1:
+            ratio = round(row[ks[-1]] / row[ks[0]], 2)
+            line += f" | {ratio}× over {data_growth}× data |"
+        else:
+            line += " |"
+        print(line)
 
 
 if __name__ == "__main__":

@@ -715,7 +715,9 @@ class TestWebdataset:
                          n_shards=2).collect()
         back = {int(r["key"]): r["text"] for r in read_webdataset(
             spark, str(tmp_path / "wd")).collect()}
-        assert back == {1: "", 2: ""}  # null text → empty member
+        # NULL → member omitted → NULL again; '' stays '' — the round
+        # trip distinguishes them instead of collapsing both to ''
+        assert back == {1: None, 2: ""}
 
     def test_binary_members_roundtrip(self, spark, tmp_path):
         """Multimodal payload path: a binary column rides as
@@ -729,10 +731,35 @@ class TestWebdataset:
             "doc_id LONG, text STRING, img BINARY")
         write_webdataset(df, str(tmp_path / "wd"), bin_col="img",
                          bin_ext="jpg", n_shards=2).collect()
-        back = {int(r["key"]): (r["text"], bytes(r["bin"])
-                                if r["bin"] is not None else None)
+        back = {int(r["key"]): (r["text"],
+                                {k: bytes(v) for k, v in r["bins"].items()}
+                                if r["bins"] is not None else None)
                 for r in read_webdataset(spark,
                                          str(tmp_path / "wd")).collect()}
-        assert back[1] == ("cap one", b"\xff\xd8fakejpeg1")
-        assert back[2] == ("cap two", b"\xff\xd8fakejpeg2")
+        assert back[1] == ("cap one", {"jpg": b"\xff\xd8fakejpeg1"})
+        assert back[2] == ("cap two", {"jpg": b"\xff\xd8fakejpeg2"})
         assert back[3] == ("no image", None)
+
+    def test_reexport_clears_stale_shards(self, spark, tmp_path):
+        """Shrinking the shard count must not leave old tars for the
+        reader's glob to pick up."""
+        from dig_etl_engine_spark.sinks.webdataset import (
+            read_webdataset, write_webdataset)
+        p = str(tmp_path / "wd")
+        write_webdataset(self._docs(spark, 40), p, meta_cols=["lang"],
+                         n_shards=16).collect()
+        write_webdataset(self._docs(spark, 10), p, meta_cols=["lang"],
+                         n_shards=2).collect()
+        back = read_webdataset(spark, p).collect()
+        assert len(back) == 10
+        assert {int(r["key"]) for r in back} == set(range(10))
+
+    def test_null_id_raises_clearly(self, spark, tmp_path):
+        from dig_etl_engine_spark.sinks.webdataset import write_webdataset
+        import pytest as _pytest
+        df = spark.createDataFrame(
+            [(1, "a", "en", "s"), (None, "b", "en", "s")],
+            "doc_id LONG, text STRING, lang STRING, source STRING")
+        with _pytest.raises(Exception, match="NULL 'doc_id'"):
+            write_webdataset(df, str(tmp_path / "wd"),
+                             n_shards=2).collect()
