@@ -801,3 +801,56 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.greatest("a_lo", "b_lo"), 4)
                     .alias("overlap_lo"),
                     F.round(F.least("a_hi", "b_hi"), 4).alias("overlap_hi"))
+
+
+@register(
+    "facet_cube",
+    oracle="""
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
+           COUNT(*) AS doc_count, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, CAST(user_id % 10 AS VARCHAR))
+    """,
+)
+def facet_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 superset, completing `facet_rollup`: CUBE emits ALL grouping
+    combinations (including per-bucket-across-types marginals the
+    rollup hierarchy skips) in ONE pass — Spark expands the grouping
+    sets map-side, so the shuffle carries one partial row per (group,
+    combination), never a per-combination rescan of the facts."""
+    ev = load_tables(spark, sf_dir)["events"]
+    bucket = (F.col("user_id") % 10).cast("string")
+    return (
+        ev.withColumn("user_bucket", bucket)
+        .cube("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("user_bucket"), F.lit("ALL")).alias("user_bucket"),
+            "doc_count", "sum_value",
+        )
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per facet — the distribution summary
+    behind every dashboard panel: floor-bucketing is pure column math
+    inside the scan, and the aggregation is one map-side-combined
+    shuffle of (type, bin) partials — at 100 TB the shuffle carries
+    |types|×|bins| rows per partition, nothing else."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 25.0).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n")))

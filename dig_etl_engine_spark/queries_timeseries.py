@@ -357,3 +357,68 @@ def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical."""
     ev = load_tables(spark, sf_dir)["events"]
     return C.rolling_anomaly(ev)
+
+
+@register(
+    "ts_gap_fill_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             ROUND(SUM(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    sparse AS (SELECT * FROM daily WHERE day(d) % 11 != 3),
+    span AS (
+      SELECT event_type, MIN(d) AS d0, MAX(d) AS d1
+      FROM sparse GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, CAST(dd AS DATE) AS d
+      FROM span, unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                        INTERVAL 1 DAY)) AS t(dd)
+    ),
+    g AS (
+      SELECT grid.event_type, grid.d, s.v
+      FROM grid LEFT JOIN sparse s USING (event_type, d)
+    ),
+    w AS (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+          OVER wp AS pd,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+          OVER wn AS nd
+      FROM g
+      WINDOW wp AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(d, '%Y-%m-%d') AS day,
+           ROUND(COALESCE(v,
+             CASE WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * ((d - pd) / (nd - pd)) END),
+             4) AS value,
+           CASE WHEN v IS NOT NULL THEN 'observed'
+                WHEN pv IS NULL THEN 'bfill_edge'
+                WHEN nv IS NULL THEN 'ffill_edge'
+                ELSE 'interpolated' END AS method
+    FROM w
+    """,
+)
+def ts_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resample with linear interpolation
+    (`timeseries/convert.py:gap_fill_linear` — the TSDB
+    time_bucket_gapfill + interpolate pair, superset of T4's
+    forward-fill): the daily per-type series with every
+    day-of-month%11==3 observation DELETED, re-densified onto the full
+    grid; interior gaps take the straight line between neighbors, edge
+    gaps carry the nearest value, and `method` tags provenance. The
+    interpolation is per-row arithmetic with an identical expression
+    tree in both engines — no accumulation-order wobble."""
+    d = _daily(spark, sf_dir).filter(F.dayofmonth("d") % 11 != 3)
+    return C.gap_fill_linear(d, key_col="event_type",
+                             date_col="d", val_col="v")

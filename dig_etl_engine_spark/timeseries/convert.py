@@ -241,3 +241,57 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
         F.round(F.sum(val_col).over(w), 2).alias("roll_sum"),
         r(z).alias("z"),
         F.coalesce(F.abs(z) > z_cut, F.lit(False)).alias("is_anomaly"))
+
+
+def gap_fill_linear(df, *, key_col: str = "series_id",
+                    date_col: str = "d", val_col: str = "v",
+                    round_digits: int = 4):
+    """Gap-filling resample to a regular daily grid with LINEAR
+    interpolation — the TSDB ``time_bucket_gapfill`` + ``interpolate``
+    pair, and the superset of T4's forward-fill: missing days between
+    two observations take the straight line between them; edge gaps
+    (before the first / after the last observation) carry the nearest
+    value. Output rows tag their provenance in ``method`` ∈
+    {observed, interpolated, ffill_edge, bfill_edge}.
+
+    Shape: the per-key (min, max) span is one map-side-combined agg;
+    the dense grid explodes NARROWLY from that span table (one row per
+    key-day, generated — not shuffled — where the span row lives); one
+    (key, day) left join against the observations and one window pass
+    per key complete the fill. The interpolation expression is pure
+    per-row arithmetic — deterministic and engine-identical (no
+    accumulation-order wobble)."""
+    from pyspark.sql import Window as W
+
+    span = df.groupBy(key_col).agg(F.min(date_col).alias("_d0"),
+                                   F.max(date_col).alias("_d1"))
+    grid = span.select(
+        key_col, F.explode(F.sequence("_d0", "_d1")).alias(date_col))
+    g = grid.join(df, [key_col, date_col], "left")
+    v = F.col(val_col)
+    wp = (W.partitionBy(key_col).orderBy(date_col)
+          .rowsBetween(W.unboundedPreceding, 0))
+    wn = (W.partitionBy(key_col).orderBy(date_col)
+          .rowsBetween(0, W.unboundedFollowing))
+    pv = F.last(v, ignorenulls=True).over(wp)
+    pdate = F.last(F.when(v.isNotNull(), F.col(date_col)),
+                   ignorenulls=True).over(wp)
+    nv = F.first(v, ignorenulls=True).over(wn)
+    ndate = F.first(F.when(v.isNotNull(), F.col(date_col)),
+                    ignorenulls=True).over(wn)
+    frac = (F.datediff(F.col(date_col), pdate)
+            / F.datediff(ndate, pdate))
+    filled = F.coalesce(
+        v,
+        F.when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * frac))
+    method = (F.when(v.isNotNull(), "observed")
+              .when(pv.isNull(), "bfill_edge")
+              .when(nv.isNull(), "ffill_edge")
+              .otherwise("interpolated"))
+    return g.select(
+        F.col(key_col),
+        F.date_format(date_col, "yyyy-MM-dd").alias("day"),
+        F.round(filled, round_digits).alias("value"),
+        method.alias("method"))

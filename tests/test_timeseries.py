@@ -162,3 +162,54 @@ class TestRegionExtraction:
             }],
         }])
         assert out[0]["ts"] == [("X", "1")]
+
+
+class TestGapFillLinear:
+    def test_interior_interpolation_and_edges(self, spark):
+        import datetime
+        from dig_etl_engine_spark.timeseries.convert import gap_fill_linear
+        d = datetime.date
+        rows = [("a", d(2024, 1, 2), 10.0),   # day 1 missing → bfill edge
+                ("a", d(2024, 1, 3), 10.0),
+                # days 4,5 missing → interpolate toward 40.0 on day 6
+                ("a", d(2024, 1, 6), 40.0)]
+        df = spark.createDataFrame(rows, "k STRING, d DATE, v DOUBLE")
+        out = {r["day"]: (r["value"], r["method"])
+               for r in gap_fill_linear(
+                   df, key_col="k", date_col="d", val_col="v").collect()}
+        assert out["2024-01-02"] == (10.0, "observed")
+        assert out["2024-01-04"] == (20.0, "interpolated")
+        assert out["2024-01-05"] == (30.0, "interpolated")
+        assert out["2024-01-06"] == (40.0, "observed")
+        # grid starts at the series' own min — no bfill row before it
+        assert "2024-01-01" not in out and len(out) == 5
+
+    def test_edge_gaps_carry_nearest(self, spark):
+        import datetime
+        from dig_etl_engine_spark.timeseries.convert import gap_fill_linear
+        d = datetime.date
+        # two series; b has a trailing gap inside its own span only
+        rows = [("a", d(2024, 1, 1), 1.0), ("a", d(2024, 1, 3), 3.0),
+                ("b", d(2024, 1, 1), 9.0), ("b", d(2024, 1, 2), None),
+                ("b", d(2024, 1, 3), None), ("b", d(2024, 1, 4), 5.0)]
+        df = spark.createDataFrame(rows, "k STRING, d DATE, v DOUBLE")
+        out = {(r["k"], r["day"]): (r["value"], r["method"])
+               for r in gap_fill_linear(
+                   df, key_col="k", date_col="d", val_col="v").collect()}
+        assert out[("a", "2024-01-02")] == (2.0, "interpolated")
+        # NULL observations are gaps too (left-join parity): b spans 4
+        # days, interior nulls interpolate 9 → 5
+        assert out[("b", "2024-01-02")][0] == pytest.approx(
+            9 + (5 - 9) / 3, abs=1e-4)
+        assert out[("b", "2024-01-03")][0] == pytest.approx(9 + 2 * (5 - 9) / 3, abs=1e-4)
+
+    def test_single_point_series(self, spark):
+        import datetime
+        from dig_etl_engine_spark.timeseries.convert import gap_fill_linear
+        df = spark.createDataFrame(
+            [("a", datetime.date(2024, 1, 5), 7.0)],
+            "k STRING, d DATE, v DOUBLE")
+        out = gap_fill_linear(df, key_col="k", date_col="d",
+                              val_col="v").collect()
+        assert len(out) == 1
+        assert (out[0]["value"], out[0]["method"]) == (7.0, "observed")
