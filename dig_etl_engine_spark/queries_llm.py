@@ -814,3 +814,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = frame_sample_plan(assets, every_ms=1000)
     return plan.select("doc_id", "duration_ms",
                        F.col("sample_ms").cast("long").alias("sample_ms"))
+
+
+@register(
+    "multimodal_webdataset_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           n_chars AS n_bytes,
+           lower(hex(substr(text, 1, 4))) AS header_hex,
+           md5(text) AS feature_md5
+    FROM documents
+    """,
+)
+def multimodal_webdataset_roundtrip(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The multimodal storage loop closed end-to-end: binary payloads
+    (text bytes standing in for images) exported as WebDataset tar
+    members (`sinks/webdataset.py`, NULL text → binary-only samples),
+    streamed back through `binaryFile` + Arrow member re-grouping, and
+    pushed through the decode-stub feature extractor
+    (`operators/multimodal.py:extract_features`). The oracle recomputes
+    the features from the SOURCE column, so every byte must survive
+    Arrow → tar → Arrow untouched for the md5 'features' to hash-match
+    — the strongest binary-integrity check the driver can express."""
+    from dig_etl_engine_spark.operators.multimodal import extract_features
+    from dig_etl_engine_spark.queries_io import _scratch
+    from dig_etl_engine_spark.sinks.webdataset import (
+        read_webdataset, write_webdataset)
+    docs = load_tables(spark, sf_dir)["documents"]
+    assets = docs.select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    path = _scratch("webdataset_mm")
+    write_webdataset(assets, path, bin_col="payload", bin_ext="bin",
+                     n_shards=8).collect()
+    back = read_webdataset(spark, path)
+    return extract_features(
+        back.select(F.col("key").cast("long").alias("doc_id"),
+                    F.col("bins")["bin"].alias("payload")))
