@@ -62,3 +62,45 @@ def pagerank(edges: DataFrame, *, iters: int = 5, damping: float = 0.85,
                          .alias("r"))
                  .localCheckpoint(eager=False))
     return ranks.select("v", F.round("r", round_digits).alias("rank"))
+
+
+def label_propagation(edges: DataFrame, *, iters: int = 4,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) over the UNDIRECTED graph of ``edges`` — the cheap community
+    detector used on link/host graphs to find mutually-citing clusters
+    (spam rings, mirror farms) that PageRank alone only down-weights.
+
+    Determinism over convergence, same doctrine as :func:`pagerank`:
+    every vertex starts labeled with itself; each round it adopts the
+    label that is most frequent among its neighbors, ties broken by the
+    SMALLEST label — synchronous updates plus a total tie order make
+    the whole run replayable arithmetic (an unrolled SQL oracle can
+    value-hash it), at the cost that bipartite structures may oscillate
+    rather than converge within the fixed rounds. Parallel edges count
+    once per occurrence (multigraph weights).
+
+    Returns ``(v, community)`` for every vertex on either edge side.
+
+    Shape per round: one vertex-keyed equi-join (neighbor labels), one
+    map-side-combined groupBy((v, label)), and one per-vertex argmax
+    window — all keyed on vertex id, so pre-bucketed storage runs the
+    joins exchange-free; `localCheckpoint` truncates the doubling
+    lineage each round exactly like `connected_components`."""
+    from pyspark.sql import Window as W
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+    bidir = (e.union(e.select(F.col("w").alias("u"),
+                              F.col("u").alias("w")))
+             .localCheckpoint(eager=True))
+    labels = (bidir.select(F.col("u").alias("v")).distinct()
+              .select("v", F.col("v").alias("lbl")))
+    rn = F.row_number().over(
+        W.partitionBy("v").orderBy(F.desc("n"), F.asc("lbl")))
+    for _ in range(iters):
+        nbr = (bidir.join(labels, bidir["u"] == labels["v"])
+               .select(F.col("w").alias("v"), "lbl"))
+        counts = nbr.groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("n"))
+        labels = (counts.withColumn("rn", rn).filter(F.col("rn") == 1)
+                  .select("v", "lbl").localCheckpoint(eager=False))
+    return labels.select("v", F.col("lbl").alias("community"))

@@ -2435,3 +2435,61 @@ def embedding_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries partitions×64 rows at any corpus size."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return S.embedding_profile(emb)
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    """Unrolled label-propagation oracle over the same synthetic
+    citation graph as `doc_pagerank`: per round, neighbor-label counts
+    → per-vertex argmax (smallest label on ties) — the deterministic
+    synchronous scheme `operators/graph.py:label_propagation` runs."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    l{i} AS (
+      SELECT v, lbl FROM (
+        SELECT b.w AS v, {prev}.lbl, COUNT(*) AS n,
+               row_number() OVER (PARTITION BY b.w
+                 ORDER BY COUNT(*) DESC, {prev}.lbl ASC) AS rn
+        FROM bidir b JOIN {prev} ON b.u = {prev}.v
+        GROUP BY b.w, {prev}.lbl)
+      WHERE rn = 1
+    )""")
+        prev = f"l{i}"
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    e AS (
+      SELECT doc_id AS u, (doc_id * 7 + 3) % nn.n AS w
+      FROM documents CROSS JOIN nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 5) % nn.n
+      FROM documents CROSS JOIN nn
+    ),
+    e2 AS (SELECT u, w FROM e WHERE u <> w),
+    bidir AS (SELECT u, w FROM e2 UNION ALL SELECT w AS u, u AS w FROM e2),
+    verts AS (SELECT DISTINCT u AS v FROM bidir),
+    l0 AS (SELECT v, v AS lbl FROM verts),{",".join(steps)}
+    SELECT v, lbl AS community FROM l{iters}
+    """
+
+
+@register("doc_communities", oracle=_lpa_sql())
+def doc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (`operators/graph.py:
+    label_propagation`; Raghavan et al. 2007) over the `doc_pagerank`
+    citation graph: the cheap mutually-citing-cluster detector (spam
+    rings, mirror farms) complementing the PageRank prior. 4 fixed
+    synchronous rounds with smallest-label tie-break — fully replayable
+    arithmetic, oracle unrolled round by round. Per round: one
+    vertex-keyed join + map-side-combined groupBy + per-vertex argmax
+    window."""
+    from dig_etl_engine_spark.operators.graph import label_propagation
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    cnt = docs.count()
+    mk = lambda a, b: docs.select(  # noqa: E731
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * a + b) % cnt).alias("dst"))
+    edges = (mk(7, 3).unionByName(mk(13, 5))
+             .filter(F.col("src") != F.col("dst")))
+    return label_propagation(edges, iters=4)

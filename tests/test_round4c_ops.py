@@ -175,3 +175,36 @@ class TestSeededSweeps:
             got = [(r["step"], r["pair"], r["n"])
                    for r in TA.bpe_train_merges(df, n_merges=4).collect()]
             assert got == _ref_bpe(texts, 4), seed
+
+
+class TestLabelPropagation:
+    def _run(self, spark, edges, iters=4):
+        from dig_etl_engine_spark.operators.graph import label_propagation
+        df = spark.createDataFrame(edges, "src LONG, dst LONG")
+        return {r["v"]: r["community"]
+                for r in label_propagation(df, iters=iters).collect()}
+
+    def test_bridged_triangles_split(self, spark):
+        out = self._run(spark, [(1, 2), (2, 3), (1, 3),
+                                (4, 5), (5, 6), (4, 6), (3, 4)])
+        left = {out[1], out[2], out[3]}
+        right = {out[4], out[5], out[6]}
+        assert len(left) == 1 and len(right) == 1
+        assert left != right  # the bridge must not merge the cliques
+
+    def test_clique_converges_to_min_label(self, spark):
+        out = self._run(spark, [(a, b) for a in range(10, 15)
+                                for b in range(10, 15) if a < b])
+        assert set(out.values()) == {10}
+
+    def test_deterministic_across_partitionings(self, spark):
+        from dig_etl_engine_spark.operators.graph import label_propagation
+        edges = [(i, (i * 3 + 1) % 40) for i in range(40)
+                 if i != (i * 3 + 1) % 40]
+        r1 = sorted(map(tuple, label_propagation(
+            spark.createDataFrame(edges, "src LONG, dst LONG")
+            .repartition(1), iters=4).collect()))
+        r7 = sorted(map(tuple, label_propagation(
+            spark.createDataFrame(edges, "src LONG, dst LONG")
+            .repartition(7), iters=4).collect()))
+        assert r1 == r7
