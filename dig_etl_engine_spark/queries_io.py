@@ -696,3 +696,92 @@ def sink_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         F.col("key").cast("long").alias("doc_id"), "text",
         meta["lang"].alias("lang"), meta["source"].alias("source"))
+
+
+@register(
+    "stream_ohlc_rollup",
+    oracle="""
+    SELECT user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+           round(arg_min(value, ts), 4) AS open,
+           round(MAX(value), 4) AS high,
+           round(MIN(value), 4) AS low,
+           round(arg_max(value, ts), 4) AS close,
+           COUNT(*) AS n,
+           round(AVG(value), 4) AS mean_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained OHLC rollup under Structured Streaming:
+    the event stream drains through `availableNow` micro-batches whose
+    foreachBatch computes per-batch MERGEABLE partials — (min/max
+    ``struct(ts, id, value)`` for open/close, min/low/max/high, count,
+    sum) — and folds them into the persisted rollup via re-aggregation
+    + atomic directory swap. The oracle is the GLOBAL one-shot rollup
+    (same as `ts_downsample_ohlc`), so the hash match proves the
+    incremental merge is batch-boundary-invariant: any micro-batching
+    of the stream yields byte-identical dashboards. Timestamps ride the
+    JSON hop at explicit microsecond precision."""
+    import shutil
+
+    TSFMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    events = load_tables(spark, sf_dir)["events"] \
+        .select("event_id", "ts", "user_id", "value")
+    root = _scratch("stream_ohlc")
+    in_dir = os.path.join(root, "in")
+    target = os.path.join(root, "rollup")
+    ckpt = os.path.join(root, "ckpt")
+    (events.select("event_id", F.date_format("ts", TSFMT).alias("ts"),
+                   "user_id", "value")
+     .coalesce(4).write.mode("overwrite").json(in_dir))
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    keys = ["user_id", "bucket"]
+
+    def merge(batch: DataFrame, _bid: int) -> None:
+        b = batch.select(
+            "event_id", F.to_timestamp("ts", TSFMT).alias("ts"),
+            "user_id", "value")
+        o = F.struct("ts", "event_id", "value")
+        part = (b.withColumn(
+            "bucket", F.date_format(F.date_trunc("day", "ts"),
+                                    "yyyy-MM-dd"))
+            .groupBy(*keys)
+            .agg(F.min(o).alias("omin"), F.max(o).alias("omax"),
+                 F.min("value").alias("low"), F.max("value").alias("high"),
+                 F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")))
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            part = batch.sparkSession.read.parquet(target) \
+                .unionByName(part)
+        folded = part.groupBy(*keys).agg(
+            F.min("omin").alias("omin"), F.max("omax").alias("omax"),
+            F.min("low").alias("low"), F.max("high").alias("high"),
+            F.sum("n").alias("n"), F.sum("s").alias("s"))
+        nxt = target + ".next"
+        folded.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(nxt, target)
+
+    # maxFilesPerTrigger=1 → four real micro-batches, so the
+    # cross-batch fold (the point of the query) actually executes;
+    # availableNow alone would drain everything in one batch
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(in_dir))
+    q = (stream.writeStream.foreachBatch(merge)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    r = spark.read.parquet(target)
+    rd = lambda c: F.round(c, 4)  # noqa: E731
+    return r.select(
+        "user_id", "bucket",
+        rd(F.col("omin")["value"]).alias("open"),
+        rd("high").alias("high"), rd("low").alias("low"),
+        rd(F.col("omax")["value"]).alias("close"),
+        "n", rd(F.col("s") / F.col("n")).alias("mean_v"))
