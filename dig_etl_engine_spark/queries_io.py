@@ -785,3 +785,91 @@ def stream_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rd("high").alias("high"), rd("low").alias("low"),
         rd(F.col("omax")["value"]).alias("close"),
         "n", rd(F.col("s") / F.col("n")).alias("mean_v"))
+
+
+@register(
+    "stream_kmv_cardinality",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT source, substr(md5(text), 1, 16) AS h FROM documents
+    ),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM e)
+      WHERE rn <= 16
+    ),
+    agg AS (
+      SELECT source, COUNT(*) AS n_sk, MAX(h) AS kth FROM sk GROUP BY source
+    )
+    SELECT source, n_sk,
+           CASE WHEN n_sk < 16 THEN n_sk::DOUBLE
+                ELSE round(15.0 / (('0x' || kth)::UBIGINT::DOUBLE
+                                   / 18446744073709551616.0), 4)
+           END AS est_distinct
+    FROM agg
+    """,
+)
+def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count via MERGEABLE KMV sketches: each
+    micro-batch's per-source bottom-16 md5 hashes fold into the
+    persisted sketch (union → re-rank → atomic swap — bottom-k of a
+    union IS the union of bottom-ks, the mergeability that makes KMV a
+    streaming sketch), then the k-th-smallest-hash estimator
+    ``n̂ = (k−1)/U₍ₖ₎`` (Bar-Yossef et al. 2002) reads cardinality off
+    the final 16-row-per-source state. The oracle replays the GLOBAL
+    sketch + estimator — deterministic because the hash IS the sample —
+    so the hash match proves micro-batch folding changes nothing.
+    Sketch state is k rows per source forever, the entire point at
+    100 TB."""
+    import shutil
+
+    K = 16
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select("source", "text")
+    root = _scratch("stream_kmv")
+    in_dir = os.path.join(root, "in")
+    target = os.path.join(root, "sketch")
+    ckpt = os.path.join(root, "ckpt")
+    docs.coalesce(4).write.mode("overwrite").json(in_dir)
+
+    schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def merge(batch: DataFrame, _bid: int) -> None:
+        from pyspark.sql import Window as W
+
+        part = batch.select(
+            "source", F.substring(F.md5("text"), 1, 16).alias("h")) \
+            .distinct()
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            part = batch.sparkSession.read.parquet(target) \
+                .unionByName(part)
+        rn = F.row_number().over(
+            W.partitionBy("source").orderBy("h"))
+        folded = (part.distinct().withColumn("rn", rn)
+                  .filter(F.col("rn") <= K).drop("rn"))
+        nxt = target + ".next"
+        folded.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(nxt, target)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(in_dir))
+    q = (stream.writeStream.foreachBatch(merge)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    sk = spark.read.parquet(target)
+    frac = (F.conv(F.max("h"), 16, 10).cast("decimal(20,0)")
+            .cast("double") / F.lit(float(2 ** 64)))
+    return (sk.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_sk"), frac.alias("frac"))
+            .select("source", "n_sk",
+                    F.when(F.col("n_sk") < K,
+                           F.col("n_sk").cast("double"))
+                    .otherwise(F.round((K - 1) / F.col("frac"), 4))
+                    .alias("est_distinct")))

@@ -900,3 +900,32 @@ def er_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.filter(dist <= 1)
             .select("q_id", F.col("c_custkey").alias("matched_id"),
                     dist.alias("distance")))
+
+
+@register(
+    "facet_top_docs",
+    oracle="""
+    SELECT event_type, event_id, round(value, 4) AS value, rk
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id ASC) AS rk
+      FROM events)
+    WHERE rk <= 3
+    """,
+)
+def facet_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (the ES 'top hits per facet' aggregation): the
+    3 highest-value events per type via a per-partition rank window —
+    ties broken by id for determinism. One exchange keyed on the facet;
+    at 100 TB a heavy facet's partition sorts only ITS rows, and a
+    two-stage salted pre-rank (the `kmv_sketches` prefilter pattern)
+    bounds even that if one facet dominates."""
+    ev = load_tables(spark, sf_dir)["events"]
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.desc("value"),
+                                            F.asc("event_id")))
+    return (ev.select("event_type", "event_id",
+                      F.round("value", 4).alias("value"),
+                      rk.alias("rk"))
+            .filter(F.col("rk") <= 3))
