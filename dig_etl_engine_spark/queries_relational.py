@@ -929,3 +929,98 @@ def facet_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("value", 4).alias("value"),
                       rk.alias("rk"))
             .filter(F.col("rk") <= 3))
+
+
+@register(
+    "window_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CASE WHEN s3.t3 IS NOT NULL THEN 3
+                WHEN s2.t2 IS NOT NULL THEN 2
+                WHEN s1.t1 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+)
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (the ClickHouse `windowFunnel`
+    shape): per user, the deepest prefix of view → click → purchase
+    reached IN ORDER — each step's timestamp must strictly follow the
+    previous step's FIRST occurrence (min-after-min semantics: the
+    greedy chain anchored at the earliest step-1 event). Three
+    user-keyed aggregations, each a map-side-combined groupBy + a
+    narrow per-user join — no window sort over the raw event stream,
+    and every shuffle carries one row per user."""
+    ev = load_tables(spark, sf_dir)["events"]
+    users = ev.select("user_id").distinct()
+    s1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (ev.filter(F.col("event_type") == "click")
+          .join(s1, "user_id").filter(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(s2, "user_id").filter(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (users.join(s1, "user_id", "left")
+            .join(s2, "user_id", "left")
+            .join(s3, "user_id", "left")
+            .select("user_id",
+                    F.when(F.col("t3").isNotNull(), 3)
+                    .when(F.col("t2").isNotNull(), 2)
+                    .when(F.col("t1").isNotNull(), 1)
+                    .otherwise(0).alias("funnel_level")))
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(wk) AS wk0 FROM act GROUP BY user_id)
+    SELECT strftime(c.wk0, '%Y-%m-%d') AS cohort_week,
+           CAST((a.wk - c.wk0) / 7 AS BIGINT) AS weeks_later,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the other canonical product-analytics
+    rollup: users grouped by first-active week, counted in every later
+    week they return. One distinct (user, week) pass, one per-user min
+    (the cohort), one join back, one count-distinct rollup — every
+    shuffle keyed on user or (cohort, offset), all map-side-combined;
+    the matrix itself is |weeks|² rows."""
+    ev = load_tables(spark, sf_dir)["events"]
+    act = (ev.select("user_id",
+                     F.to_date(F.date_trunc("week", "ts")).alias("wk"))
+           .distinct())
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    return (act.join(cohort, "user_id")
+            .groupBy(F.date_format("wk0", "yyyy-MM-dd")
+                     .alias("cohort_week"),
+                     (F.datediff("wk", "wk0") / 7).cast("long")
+                     .alias("weeks_later"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
