@@ -1024,3 +1024,66 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.datediff("wk", "wk0") / 7).cast("long")
                      .alias("weeks_later"))
             .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+@register(
+    "session_path_analysis",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY 1, 2
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 10
+    """,
+)
+def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 10 most common full event-type
+    sequences across (user, day) sessions — the 'what do users actually
+    do' query behind every product-flow diagram. Within-session order
+    is pinned by (ts, event_id), so the path string is deterministic;
+    sessions aggregate with ONE user-day-keyed shuffle (each group
+    sorts only its own handful of events inside the aggregate — never
+    a global sort), paths count with a second map-side-combined
+    shuffle, and top-10 is TakeOrderedAndProject."""
+    ev = load_tables(spark, sf_dir)["events"]
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"]), ">")
+    paths = (ev.groupBy("user_id", F.to_date(F.date_trunc("day", "ts"))
+                        .alias("d"))
+             .agg(path.alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), F.asc("path")).limit(10))
+
+
+@register(
+    "correlation_matrix",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price,
+           round(corr(l_quantity, l_discount), 4) AS qty_disc,
+           round(corr(l_extendedprice, l_discount), 4) AS price_disc,
+           round(corr(l_extendedprice, l_tax), 4) AS price_tax
+    FROM lineitem
+    """,
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations across the fact measures in ONE
+    aggregation pass — the EDA matrix behind feature selection. Every
+    `corr` is a native partial-aggregable accumulator (sums of products
+    — map-side combined, one shuffle of a handful of scalars for the
+    whole matrix, never a per-pair rescan). Rounded to 4dp: the
+    accumulation-order wobble between engines sits at ~1e-12 relative,
+    far inside the rounding."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    r = lambda a, b: F.round(F.corr(a, b), 4)  # noqa: E731
+    return li.agg(
+        r("l_quantity", "l_extendedprice").alias("qty_price"),
+        r("l_quantity", "l_discount").alias("qty_disc"),
+        r("l_extendedprice", "l_discount").alias("price_disc"),
+        r("l_extendedprice", "l_tax").alias("price_tax"))
