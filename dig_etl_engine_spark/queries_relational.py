@@ -1087,3 +1087,63 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         r("l_quantity", "l_discount").alias("qty_disc"),
         r("l_extendedprice", "l_discount").alias("price_disc"),
         r("l_extendedprice", "l_tax").alias("price_tax"))
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    freq AS (SELECT l_partkey, COUNT(*) AS n_p FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_pair,
+           round(n_pair::DOUBLE * n_orders.n / (fa.n_p * fb.n_p), 4)
+             AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN n_orders
+    ORDER BY n_pair DESC, part_a ASC, part_b ASC LIMIT 20
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity (the A-priori k=2 pass): part pairs
+    co-occurring in an order, ranked by support with lift
+    ``P(a,b)/(P(a)P(b))`` attached — the 'bought together' query. The
+    self-join fans out per ORDER, so candidate count is Σ C(basket,2):
+    bounded by basket size (~7 here), never |parts|² — the same
+    inverted-index blocking argument as `dedup_ngram_jaccard`. Distinct
+    items first (quantity doesn't multiply support), frequencies join
+    back broadcast-small, top-20 is TakeOrderedAndProject with full
+    deterministic tie order."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("part_a"),
+                      F.col("b.l_partkey").alias("part_b"))
+             .agg(F.count(F.lit(1)).alias("n_pair")))
+    fa = freq.select(F.col("l_partkey").alias("part_a"),
+                     F.col("n_p").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"),
+                     F.col("n_p").alias("n_b"))
+    return (pairs.join(F.broadcast(fa), "part_a")
+            .join(F.broadcast(fb), "part_b")
+            .select("part_a", "part_b", "n_pair",
+                    F.round(F.col("n_pair") * F.lit(float(n_orders))
+                            / (F.col("n_a") * F.col("n_b")), 4)
+                    .alias("lift"))
+            .orderBy(F.desc("n_pair"), F.asc("part_a"), F.asc("part_b"))
+            .limit(20))
