@@ -65,6 +65,39 @@ def train_quality_classifier(labeled: DataFrame, *, text_col: str = "text",
     return pipe.fit(feats)
 
 
+# Coefficients of `train_quality_classifier` fitted once over the sf0.01
+# documents table vs 40-token "zzz" junk mutants (the registry fixture),
+# rounded to 6 decimals and pinned — the production train-once /
+# score-everywhere split. Order matches FEATURES. `test_quality_model.py`
+# asserts the pinned model still separates real docs from junk and stays
+# sign-consistent with a fresh LBFGS fit.
+PINNED_COEFFICIENTS = (0.030574, 24.089819, 6.147928, 2.265041, 0.0)
+PINNED_INTERCEPT = -12.164041
+
+
+def quality_logit(df: DataFrame, *, text_col: str = "text",
+                  weights: tuple = PINNED_COEFFICIENTS,
+                  intercept: float = PINNED_INTERCEPT,
+                  out_col: str = "quality_logit") -> DataFrame:
+    """Score with a FIXED coefficient vector — pure column math (codegen,
+    no shuffle, no model object), the deployable half of the classifier:
+    train with :func:`train_quality_classifier` offline, ship the
+    coefficients, score the 100 TB corpus as one narrow projection.
+    ``keep = logit >= 0`` is exactly ``P(quality) >= 0.5`` without
+    evaluating the sigmoid (monotone transform) — and stays replayable
+    by any SQL engine, which LBFGS iterations are not.
+
+    The sum is built left-to-right in FEATURES order so an oracle writing
+    the same expression gets bitwise-identical IEEE doubles."""
+    feats = quality_features(df, text_col)
+    z: Column = F.lit(float(intercept))
+    for w, c in zip(weights, FEATURES):
+        if w == 0.0:
+            continue
+        z = z + F.lit(float(w)) * F.col(c)
+    return feats.withColumn(out_col, z).drop(*FEATURES)
+
+
 def score_quality(df: DataFrame, model, *, text_col: str = "text",
                   out_col: str = "quality_prob") -> DataFrame:
     """Append P(quality) per doc. The transform is JVM-side (MLlib);

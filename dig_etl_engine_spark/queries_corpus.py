@@ -1479,14 +1479,17 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, v,
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
       FROM t
+    ),
+    e AS (
+      SELECT vec_id, sc, CAST(r.range AS INT) - 1 AS pos,
+             v[CAST(r.range AS INT)] AS x
+      FROM s CROSS JOIN range(1, 65) r
     )
-    SELECT vec_id,
-           list_transform(v, x -> CAST(
-               sign(x) * floor(abs(x) / (CASE WHEN sc = 0.0 THEN 1.0
-                                              ELSE sc END) + 0.5)
-               AS TINYINT)) AS q,
-           ROUND(sc, 9) AS q_scale
-    FROM s
+    SELECT vec_id, ROUND(sc, 9) AS q_scale, pos,
+           CAST(sign(x) * floor(abs(x) / (CASE WHEN sc = 0.0 THEN 1.0
+                                               ELSE sc END) + 0.5)
+                AS TINYINT) AS q_val
+    FROM e
     """,
 )
 def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,11 +1498,17 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     max|x|/127, q = round-half-away-from-zero(x/scale) — 4× storage cut
     with ≥0.999 cosine fidelity (unit-tested). One Arrow-batched pandas
     UDF over only the vector column, no shuffle. The oracle replays the
-    same float64 kernel (sign·floor(|x|/s + 0.5)) element-wise."""
+    same float64 kernel (sign·floor(|x|/s + 0.5)) element-wise.
+
+    Registry output is the LONG form ``(vec_id, q_scale, pos, q_val)``
+    via posexplode — the driver's canonicalizer requires atomic columns
+    (the r4 ``unhashable type: 'list'`` lesson); the operator itself
+    still returns the packed ``array<tinyint>`` column."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     out = S.quantize_embeddings(emb)
-    return out.select("vec_id", "q",
-                      F.round(F.col("q_scale"), 9).alias("q_scale"))
+    return out.select("vec_id",
+                      F.round(F.col("q_scale"), 9).alias("q_scale"),
+                      F.posexplode("q").alias("pos", "q_val"))
 
 
 # --- product quantization -----------------------------------------------------
@@ -1558,14 +1567,10 @@ def _pq_chain_parts() -> list[str]:
 
 def _pq_sql() -> str:
     m, iters = _PQ_M, _PQ_ITERS
-    joins = " ".join(
-        f"JOIN a{iters}_{s} ON a{iters}_{s}.id = a{iters}_0.id"
-        for s in range(1, m))
-    codes = ", ".join(f"a{iters}_{s}.cluster" for s in range(m))
-    return ("WITH " + ",".join(_pq_chain_parts()) + f"""
-    SELECT a{iters}_0.id AS vec_id, [{codes}] AS codes
-    FROM a{iters}_0 {joins}
-    """)
+    unions = " UNION ALL ".join(
+        f"SELECT id AS vec_id, {s} AS s, cluster AS code FROM a{iters}_{s}"
+        for s in range(m))
+    return "WITH " + ",".join(_pq_chain_parts()) + " " + unions
 
 
 def _pq_adc_sql() -> str:
@@ -1620,12 +1625,15 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic k-means over slice projections of one scan, each
     vector encoded as 4 codes (log2(8)·4 bits vs 32·64 — the compression
     tier above SQ8). The oracle replays all four training chains over
-    the re-indexed dim slices and joins the final assignments into the
-    code array."""
+    the re-indexed dim slices and unions the final assignments.
+
+    Registry output is the LONG form ``(vec_id, s, code)`` via
+    posexplode (atomic-column driver contract); the operator returns
+    the packed ``array<int>`` codes."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     codes, _books = S.pq_train_encode(emb, m=_PQ_M, k=_PQ_K,
                                       iters=_PQ_ITERS, dim=_PQ_DIM)
-    return codes
+    return codes.select("vec_id", F.posexplode("codes").alias("s", "code"))
 
 
 # --- persisted IVF index: indexed KNN + incremental embedding dedup ----------
@@ -1784,28 +1792,65 @@ def incremental_embedding_dedup(spark: SparkSession, sf_dir: str
         b1.unionByName(b2), path, threshold=0.99, nprobe=1, append=False)
 
 
-@register("quality_classifier_filter", oracle=None)
+def _qcf_sql() -> str:
+    from dig_etl_engine_spark.operators.quality_model import (
+        PINNED_COEFFICIENTS, PINNED_INTERCEPT)
+
+    w0, w1, w2, w3, _w4 = PINNED_COEFFICIENTS
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, trim(repeat('zzz ', 40)) FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             string_split(trim(lower(text)), ' ') AS toks,
+             string_split(trim(text), ' ') AS raw_toks
+      FROM corpus
+    ),
+    z AS (
+      SELECT doc_id,
+             {PINNED_INTERCEPT}
+             + {w0} * len(toks)
+             + {w1} * (len(list_filter(toks,
+                         x -> x IN ('the','a','is','of','and')))
+                       / greatest(len(toks), 1))
+             + {w2} * (len(list_distinct(toks)) / greatest(len(toks), 1))
+             + {w3} * (list_sum(list_transform(raw_toks, t -> length(t)))
+                       / greatest(len(raw_toks), 1))
+               AS logit
+      FROM feat
+    )
+    SELECT doc_id, ROUND(logit, 6) AS quality_logit,
+           logit >= 0.0 AS keep
+    FROM z
+    """
+
+
+@register("quality_classifier_filter", oracle=_qcf_sql())
 def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-based corpus quality filter (`operators/
-    quality_model.py`; the fastText-style recipe): label the real docs 1
-    and synthetic low-diversity junk mutants 0, train MLlib logistic
-    regression over the heuristic feature columns, score the union
-    JVM-side, and gate at P(quality) ≥ 0.5. Model-bound (LBFGS
-    iterations), hence no SQL oracle — the driver's rows-only contract;
-    separation semantics are pinned by `test_quality_model.py`."""
-    from dig_etl_engine_spark.operators.quality_model import (
-        score_quality, train_quality_classifier)
+    quality_model.py`; the fastText-style recipe) in its deployable
+    form: LBFGS training runs offline (`train_quality_classifier`,
+    pinned by `test_quality_model.py` — model-bound, not SQL-replayable),
+    the fitted coefficients are shipped as constants, and scoring is
+    `quality_logit` — pure column math gating at logit ≥ 0, i.e.
+    P(quality) ≥ 0.5 without the sigmoid. Real docs vs 40-token junk
+    mutants, exactly the training fixture. The oracle replays the
+    pinned dot product + threshold feature-by-feature (same IEEE
+    evaluation order)."""
+    from dig_etl_engine_spark.operators.quality_model import quality_logit
 
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     junk = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat_ws(" ", F.array_repeat(F.lit("zzz"), 40)).alias("text"))
-    labeled = (docs.withColumn("label", F.lit(1.0))
-               .unionByName(junk.withColumn("label", F.lit(0.0))))
-    model = train_quality_classifier(labeled)
-    scored = score_quality(docs.unionByName(junk), model)
+    scored = quality_logit(docs.unionByName(junk))
     return scored.select(
-        "doc_id", (F.col("quality_prob") >= 0.5).alias("keep"))
+        "doc_id",
+        F.round(F.col("quality_logit"), 6).alias("quality_logit"),
+        (F.col("quality_logit") >= 0.0).alias("keep"))
 
 
 def _bow_sql(dim: int = 16) -> str:
@@ -1813,7 +1858,9 @@ def _bow_sql(dim: int = 16) -> str:
         f"SUM(CASE WHEN h = {i} THEN 1.0 ELSE 0.0 END) AS d{i}"
         for i in range(dim))
     norm = " + ".join(f"d{i} * d{i}" for i in range(dim))
-    arr = ", ".join(f"CAST(d{i} / nn AS REAL)" for i in range(dim))
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS pos, CAST(d{i} / nn AS REAL) AS val FROM n"
+        for i in range(dim))
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS t
@@ -1826,7 +1873,7 @@ def _bow_sql(dim: int = 16) -> str:
     ),
     sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
     n AS (SELECT *, sqrt({norm}) AS nn FROM sums)
-    SELECT doc_id, [{arr}] AS embedding FROM n
+    {unions}
     """
 
 
@@ -1838,9 +1885,14 @@ def hashed_bow_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production default). Explode → scalar hash (codegen) → ONE
     map-side-combined shuffle → unrolled normalize. The per-dim sums are
     exact integers and the norm is sqrt of their exact square sum, so
-    the float32 cast is bitwise identical cross-engine."""
+    the float32 cast is bitwise identical cross-engine.
+
+    Registry output is the LONG form ``(doc_id, pos, val)`` via
+    posexplode (atomic-column driver contract); the operator returns
+    the packed ``array<float>`` vector."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return S.hashed_bow_embedding(docs, "text", dim=16, hash_mode="md5")
+    out = S.hashed_bow_embedding(docs, "text", dim=16, hash_mode="md5")
+    return out.select("doc_id", F.posexplode("embedding").alias("pos", "val"))
 
 
 # --- round-4b additions: SemDeDup, DSIR, tokenizer stats, splits, governance --

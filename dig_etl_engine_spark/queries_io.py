@@ -698,6 +698,33 @@ def sink_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta["lang"].alias("lang"), meta["source"].alias("source"))
 
 
+def _batch_already_applied(target: str, bid: int) -> bool:
+    """foreachBatch is at-least-once: after a failure Spark replays the
+    last micro-batch, so a non-idempotent fold double-counts it. The
+    last-applied batch id is persisted INSIDE the state directory (an
+    underscore-prefixed file, invisible to the parquet reader, swapped
+    atomically with the state itself), so replay detection survives
+    crashes — the standard foreachBatch idempotence pattern."""
+    try:
+        with open(os.path.join(target, "_LAST_BATCH_ID")) as fh:
+            return bid <= int(fh.read().strip())
+    except (OSError, ValueError):
+        return False
+
+
+def _swap_state(folded: DataFrame, target: str, bid: int) -> None:
+    """Write the folded state to ``<target>.next`` (with the applied
+    batch id), then atomically swap it in."""
+    import shutil
+
+    nxt = target + ".next"
+    folded.write.mode("overwrite").parquet(nxt)
+    with open(os.path.join(nxt, "_LAST_BATCH_ID"), "w") as fh:
+        fh.write(str(bid))
+    shutil.rmtree(target, ignore_errors=True)
+    os.rename(nxt, target)
+
+
 @register(
     "stream_ohlc_rollup",
     oracle="""
@@ -721,10 +748,10 @@ def stream_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     + atomic directory swap. The oracle is the GLOBAL one-shot rollup
     (same as `ts_downsample_ohlc`), so the hash match proves the
     incremental merge is batch-boundary-invariant: any micro-batching
-    of the stream yields byte-identical dashboards. Timestamps ride the
-    JSON hop at explicit microsecond precision."""
-    import shutil
-
+    of the stream yields byte-identical dashboards — and the
+    `_batch_already_applied` guard makes the fold idempotent under
+    at-least-once replay, so the invariance holds across failures too.
+    Timestamps ride the JSON hop at explicit microsecond precision."""
     TSFMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
     events = load_tables(spark, sf_dir)["events"] \
         .select("event_id", "ts", "user_id", "value")
@@ -744,7 +771,9 @@ def stream_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     keys = ["user_id", "bucket"]
 
-    def merge(batch: DataFrame, _bid: int) -> None:
+    def merge(batch: DataFrame, bid: int) -> None:
+        if _batch_already_applied(target, bid):
+            return
         b = batch.select(
             "event_id", F.to_timestamp("ts", TSFMT).alias("ts"),
             "user_id", "value")
@@ -763,10 +792,7 @@ def stream_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("omin").alias("omin"), F.max("omax").alias("omax"),
             F.min("low").alias("low"), F.max("high").alias("high"),
             F.sum("n").alias("n"), F.sum("s").alias("s"))
-        nxt = target + ".next"
-        folded.write.mode("overwrite").parquet(nxt)
-        shutil.rmtree(target, ignore_errors=True)
-        os.rename(nxt, target)
+        _swap_state(folded, target, bid)
 
     # maxFilesPerTrigger=1 → four real micro-batches, so the
     # cross-batch fold (the point of the query) actually executes;
@@ -821,10 +847,10 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final 16-row-per-source state. The oracle replays the GLOBAL
     sketch + estimator — deterministic because the hash IS the sample —
     so the hash match proves micro-batch folding changes nothing.
-    Sketch state is k rows per source forever, the entire point at
-    100 TB."""
-    import shutil
-
+    (KMV folding is naturally idempotent — re-unioning the same hashes
+    is a no-op — but the `_batch_already_applied` guard still skips
+    replayed batches for symmetry and to save the re-rank.) Sketch
+    state is k rows per source forever, the entire point at 100 TB."""
     K = 16
     docs = load_tables(spark, sf_dir)["documents"] \
         .select("source", "text")
@@ -839,9 +865,11 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("text", T.StringType()),
     ])
 
-    def merge(batch: DataFrame, _bid: int) -> None:
+    def merge(batch: DataFrame, bid: int) -> None:
         from pyspark.sql import Window as W
 
+        if _batch_already_applied(target, bid):
+            return
         part = batch.select(
             "source", F.substring(F.md5("text"), 1, 16).alias("h")) \
             .distinct()
@@ -852,10 +880,7 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy("source").orderBy("h"))
         folded = (part.distinct().withColumn("rn", rn)
                   .filter(F.col("rn") <= K).drop("rn"))
-        nxt = target + ".next"
-        folded.write.mode("overwrite").parquet(nxt)
-        shutil.rmtree(target, ignore_errors=True)
-        os.rename(nxt, target)
+        _swap_state(folded, target, bid)
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).json(in_dir))

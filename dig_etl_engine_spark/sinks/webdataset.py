@@ -13,25 +13,33 @@ final member order; `mapInPandas` then STREAMS each Arrow batch into
 the open shard tar — only one batch is ever resident in the Python
 worker, so a shard of any size writes in bounded memory. Tar metadata
 is pinned (mtime=0, uid/gid=0, ustar), so shard bytes are
-bit-reproducible for identical input. Returns a manifest DataFrame,
-not the rows — the write IS the result.
+bit-reproducible for identical input.
 
-Single-writer contract: the writer clears existing ``shard-*.tar``
-files under the target path first (a re-export with fewer shards must
-not leave stale tars for the reader's glob) and renames each finished
-tar atomically, so a retried task never exposes a torn file. Do not
-run two writers against one path concurrently.
+Write safety: the export is EAGER and staged — shards are written
+under a hidden ``.staging-*`` directory inside the target path, and
+only after the whole job succeeds are the previous export's
+``shard-*.tar`` files removed and the new ones moved in (per-file
+atomic renames). A crashed or abandoned export therefore never
+destroys the prior one; stale staging dirs and ``*.tmp.*`` leftovers
+from crashed runs are swept on the next export. Single-writer
+contract: do not run two exports against one path concurrently.
 
 Local-path writes here (single-node container); on a cluster the same
 code points at a fuse/NFS mount or writes to a staging dir + uploads —
 the tar assembly is already executor-side either way.
 
-Reading back: `spark.read.format("binaryFile")` over the shard glob +
-an Arrow `mapInPandas` that re-groups tar members by stem — binary
-plumbing identical to `operators/multimodal.py`'s contract (the
-decode-free path works on any member payload). ALL non-txt/json
-members come back in a ``bins`` map column keyed by extension, so a
-foreign shard carrying several modalities per sample loses nothing.
+Reading back: shard PATHS are listed via `binaryFile` with the content
+column pruned away (only `path` is projected, so file bytes never ride
+the scan), and each executor task streams its tars member-by-member
+with `tarfile.open(name=path)` — bounded memory like the write path,
+and no `binaryFile` ~2 GiB whole-file cap. Members that are not
+regular files (directories, links) or have no extension are skipped,
+so foreign tars with READMEs or directory entries parse cleanly. ALL
+non-txt/json members come back in a ``bins`` map column keyed by
+extension, so a foreign shard carrying several modalities per sample
+loses nothing. Samples are grouped by CONTIGUOUS runs of one stem —
+the webdataset convention (required for any streaming reader); a tar
+that interleaves stems yields one row per run.
 """
 
 from __future__ import annotations
@@ -39,6 +47,7 @@ from __future__ import annotations
 import glob
 import io
 import os
+import shutil
 import tarfile
 from typing import Iterator
 
@@ -123,18 +132,31 @@ def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
                      bin_col: str | None = None, bin_ext: str = "bin",
                      n_shards: int = 8) -> DataFrame:
     """Export ``df`` as ``shard-{k:05d}.tar`` files under ``path``;
-    returns the manifest ``(shard, path, n_docs, n_bytes)`` (consume it
-    to run the job). Keys are zero-padded ids so tar member order ==
-    id order. ``bin_col`` adds a ``{key}.{bin_ext}`` member per row
-    from a binary column — the multimodal payload path (bytes ride the
-    same Arrow batches); NULL text or NULL payload → member omitted,
-    matching the webdataset convention of absent extensions (so NULL
-    and empty-string text survive a round trip DISTINGUISHABLY).
-    Rows with a NULL id are rejected with a clear error."""
+    returns the already-materialized manifest ``(shard, path, n_docs,
+    n_bytes)`` — the export runs EAGERLY inside this call (staged
+    write, swap-on-success; see module docstring), so by the time it
+    returns the shards under ``path`` are the new export and a failure
+    raises without touching the previous one. Keys are zero-padded ids
+    so tar member order == id order. ``bin_col`` adds a
+    ``{key}.{bin_ext}`` member per row from a binary column — the
+    multimodal payload path (bytes ride the same Arrow batches); NULL
+    text or NULL payload → member omitted, matching the webdataset
+    convention of absent extensions (so NULL and empty-string text
+    survive a round trip DISTINGUISHABLY). Rows with a NULL id are
+    rejected with a clear error."""
+    from dig_etl_engine_spark.session import ship_package
+
+    ship_package(df.sparkSession)
     meta_cols = meta_cols or []
     os.makedirs(path, exist_ok=True)
-    for stale in glob.glob(os.path.join(path, "shard-*.tar")):
-        os.remove(stale)  # re-export must not leave stale shards
+    # sweep leftovers of crashed runs (never the live shards)
+    for stale in glob.glob(os.path.join(path, "shard-*.tar.tmp.*")):
+        os.remove(stale)
+    for stale in glob.glob(os.path.join(path, ".staging-*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    staging = os.path.join(path, f".staging-{os.getpid()}")
+    os.makedirs(staging, exist_ok=True)
+
     bin_expr = (F.col(bin_col).cast("binary") if bin_col
                 else F.lit(None).cast("binary"))
     prepped = (df.select(
@@ -149,7 +171,7 @@ def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
 
     def write_partition(batches: Iterator[pd.DataFrame]
                         ) -> Iterator[pd.DataFrame]:
-        w = _ShardWriter(path, bin_ext)
+        w = _ShardWriter(staging, bin_ext)
         for b in batches:
             if b["_id"].isna().any():
                 raise ValueError(
@@ -163,42 +185,90 @@ def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
         yield pd.DataFrame(w.finish(), columns=["shard", "path",
                                                 "n_docs", "n_bytes"])
 
-    return prepped.mapInPandas(write_partition, _MANIFEST_SCHEMA)
+    spark = df.sparkSession
+    try:
+        # the action: n_shards manifest rows cross the driver (bounded)
+        rows = (prepped.mapInPandas(write_partition, _MANIFEST_SCHEMA)
+                .collect())
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    # success → swap: drop the previous export's shards, move the new
+    # ones in (per-file atomic renames; the reader glob never matches
+    # the hidden staging dir, so it sees old-or-new, never torn files)
+    for old in glob.glob(os.path.join(path, "shard-*.tar")):
+        os.remove(old)
+    final_rows = []
+    for shard, spath, n_docs, n_bytes in \
+            ((r["shard"], r["path"], r["n_docs"], r["n_bytes"])
+             for r in rows):
+        final = os.path.join(path, os.path.basename(spath))
+        os.replace(spath, final)
+        final_rows.append((shard, final, n_docs, n_bytes))
+    shutil.rmtree(staging, ignore_errors=True)
+    return spark.createDataFrame(final_rows, _MANIFEST_SCHEMA)
 
 
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     """Stream shard tars back into rows ``(shard, key, text, meta,
-    bins)``. One `binaryFile` row per shard; member re-grouping happens
-    inside an Arrow batch — no Python per-member round trips. ``text``
-    is NULL when the ``.txt`` member is absent; every other extension
-    lands in the ``bins`` map (ext → bytes), so multi-modality samples
-    are preserved in full."""
-    files = spark.read.format("binaryFile").load(
-        os.path.join(path, "shard-*.tar"))
+    bins)``. Shard paths are listed via `binaryFile` with ONLY the
+    `path` column projected (content is pruned at the scan — bytes
+    never load), then each task opens its tars with
+    ``tarfile.open(name=...)`` and walks members sequentially:
+    bounded memory regardless of shard size, no ~2 GiB binaryFile cap.
+    ``text`` is NULL when the ``.txt`` member is absent; every other
+    extension lands in the ``bins`` map (ext → bytes). Non-regular or
+    extensionless members (directory entries, READMEs) are skipped.
+    Samples are contiguous same-stem runs (the webdataset streaming
+    convention); rows are yielded in chunks so a huge shard never
+    materializes whole."""
+    from dig_etl_engine_spark.session import ship_package
+
+    ship_package(spark)
+    files = (spark.read.format("binaryFile")
+             .load(os.path.join(path, "shard-*.tar"))
+             .select("path"))
+    CHUNK = 1024
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            out = []
-            for fpath, content in zip(b["path"], b["content"]):
-                shard = int(os.path.basename(fpath).split("-")[1]
-                            .split(".")[0])
-                with tarfile.open(fileobj=io.BytesIO(content)) as tar:
-                    samples: dict[str, dict[str, bytes]] = {}
-                    for m in tar.getmembers():
-                        stem, ext = m.name.rsplit(".", 1)
-                        samples.setdefault(stem, {})[ext] = \
-                            tar.extractfile(m).read()
-                    for stem, parts in samples.items():
-                        txt = parts.get("txt")
-                        bins = {k: v for k, v in parts.items()
-                                if k not in ("txt", "json")} or None
-                        out.append((shard, stem,
-                                    txt.decode("utf-8")
-                                    if txt is not None else None,
-                                    parts.get("json", b"{}")
-                                    .decode("utf-8"),
-                                    bins))
-            yield pd.DataFrame(out, columns=["shard", "key",
-                                             "text", "meta", "bins"])
+        cols = ["shard", "key", "text", "meta", "bins"]
+        out: list[tuple] = []
 
-    return files.select("path", "content").mapInPandas(parse, _READ_SCHEMA)
+        def row(shard, stem, parts):
+            txt = parts.get("txt")
+            bins = {k: v for k, v in parts.items()
+                    if k not in ("txt", "json")} or None
+            return (shard, stem,
+                    txt.decode("utf-8") if txt is not None else None,
+                    parts.get("json", b"{}").decode("utf-8"), bins)
+
+        for b in batches:
+            for fpath in b["path"]:
+                local = fpath[5:] if fpath.startswith("file:") else fpath
+                shard = int(os.path.basename(local).split("-")[1]
+                            .split(".")[0])
+                stem_cur: str | None = None
+                parts: dict[str, bytes] = {}
+                with tarfile.open(local) as tar:
+                    for m in tar:
+                        if not m.isfile() or "." not in \
+                                os.path.basename(m.name):
+                            continue  # dirs, links, extensionless
+                        stem, ext = m.name.rsplit(".", 1)
+                        if stem != stem_cur:
+                            if stem_cur is not None:
+                                out.append(row(shard, stem_cur, parts))
+                            stem_cur, parts = stem, {}
+                        fh = tar.extractfile(m)
+                        if fh is None:
+                            continue
+                        parts[ext] = fh.read()
+                        if len(out) >= CHUNK:
+                            yield pd.DataFrame(out, columns=cols)
+                            out = []
+                    if stem_cur is not None:
+                        out.append(row(shard, stem_cur, parts))
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(parse, _READ_SCHEMA)

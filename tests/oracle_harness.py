@@ -42,11 +42,31 @@ def _norm_rows(cols, rows):
     return [c for c in sorted(cols)], out
 
 
+def assert_atomic_schema(name: str, sdf) -> list[str]:
+    """The driver's pandas canonicalizer sort_values-crashes on list/dict
+    cells (`TypeError: unhashable type` — the r4 failure mode), so every
+    registry output column must be atomic. Enforced here so the local
+    harness can never 'pre-validate green' a query the driver will
+    reject."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f"{name}: non-atomic output column {f.name!r} ({f.dataType.simpleString()}) "
+        "— the driver canonicalizer rejects array/map/struct; emit long "
+        "form via posexplode or to_json instead"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def compare(spark, sf_dir: str, name: str, spark_fn, sql: str,
             max_report: int = 5) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     errs: list[str] = []
     sdf = spark_fn(spark, sf_dir)
+    errs.extend(assert_atomic_schema(name, sdf))
+    if errs:
+        return errs
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 

@@ -763,3 +763,87 @@ class TestWebdataset:
         with _pytest.raises(Exception, match="NULL 'doc_id'"):
             write_webdataset(df, str(tmp_path / "wd"),
                              n_shards=2).collect()
+
+    def test_failed_export_preserves_previous_shards(self, spark,
+                                                     tmp_path):
+        """A crashed export (here: the NULL-id rejection mid-job) must
+        leave the prior export untouched — staged write, swap only on
+        success — and sweep its staging leftovers on the next run."""
+        import glob as _glob
+        from dig_etl_engine_spark.sinks.webdataset import (
+            read_webdataset, write_webdataset)
+        import pytest as _pytest
+        p = str(tmp_path / "wd")
+        write_webdataset(self._docs(spark, 10), p, meta_cols=["lang"],
+                         n_shards=2)
+        bad = spark.createDataFrame(
+            [(1, "a", "en", "s"), (None, "b", "en", "s")],
+            "doc_id LONG, text STRING, lang STRING, source STRING")
+        with _pytest.raises(Exception, match="NULL 'doc_id'"):
+            write_webdataset(bad, p, n_shards=2)
+        assert not _glob.glob(os.path.join(p, ".staging-*"))
+        assert not _glob.glob(os.path.join(p, "shard-*.tar.tmp.*"))
+        back = read_webdataset(spark, p).collect()
+        assert {int(r["key"]) for r in back} == set(range(10))
+
+    def test_foreign_tar_members_skipped(self, spark, tmp_path):
+        """Foreign tars carry directory entries, extensionless READMEs
+        and the odd symlink; the reader must skip them instead of
+        crashing on rsplit/extractfile."""
+        import io as _io
+        import tarfile as _tarfile
+        from dig_etl_engine_spark.sinks.webdataset import read_webdataset
+        p = tmp_path / "wd"
+        p.mkdir()
+        with _tarfile.open(p / "shard-00000.tar", "w") as tar:
+            d = _tarfile.TarInfo("data")          # directory member
+            d.type = _tarfile.DIRTYPE
+            tar.addfile(d)
+            r = _tarfile.TarInfo("README")        # extensionless file
+            r.size = 5
+            tar.addfile(r, _io.BytesIO(b"hello"))
+            ln = _tarfile.TarInfo("alias.txt")    # symlink, not a file
+            ln.type = _tarfile.SYMTYPE
+            ln.linkname = "000000000001.txt"
+            tar.addfile(ln)
+            for name, payload in [("000000000001.txt", b"real doc"),
+                                  ("000000000001.json", b"{}")]:
+                i = _tarfile.TarInfo(name)
+                i.size = len(payload)
+                tar.addfile(i, _io.BytesIO(payload))
+        back = read_webdataset(spark, str(p)).collect()
+        assert len(back) == 1
+        assert back[0]["key"] == "000000000001"
+        assert back[0]["text"] == "real doc"
+
+
+class TestForeachBatchIdempotence:
+    """The streaming rollup folds must skip replayed micro-batches —
+    foreachBatch is at-least-once (`queries_io._batch_already_applied`
+    + `_swap_state`)."""
+
+    def test_replayed_batch_is_skipped(self, spark, tmp_path):
+        from dig_etl_engine_spark.queries_io import (
+            _batch_already_applied, _swap_state)
+        target = str(tmp_path / "state")
+        s0 = spark.createDataFrame([(1, 10)], "k LONG, n LONG")
+        assert not _batch_already_applied(target, 0)
+        _swap_state(s0, target, 0)
+        # same bid again → replay detected, fold must be skipped
+        assert _batch_already_applied(target, 0)
+        assert not _batch_already_applied(target, 1)
+        s1 = spark.createDataFrame([(1, 30)], "k LONG, n LONG")
+        _swap_state(s1, target, 1)
+        assert _batch_already_applied(target, 1)
+        rows = spark.read.parquet(target).collect()
+        assert [(r["k"], r["n"]) for r in rows] == [(1, 30)]
+
+    def test_batch_id_survives_swap_atomically(self, spark, tmp_path):
+        """The id file lives INSIDE the state dir and is `_`-prefixed:
+        swapped with the data, invisible to the parquet reader."""
+        from dig_etl_engine_spark.queries_io import _swap_state
+        target = str(tmp_path / "state")
+        df = spark.createDataFrame([(1, 1)], "k LONG, n LONG")
+        _swap_state(df, target, 7)
+        assert open(os.path.join(target, "_LAST_BATCH_ID")).read() == "7"
+        assert spark.read.parquet(target).count() == 1

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from dig_etl_engine_spark import queries as registry
-from tests.oracle_harness import compare
+from tests.oracle_harness import assert_atomic_schema, compare
 
 
 def _pairs():
@@ -20,6 +20,7 @@ def _pairs():
 def test_query_matches_oracle(spark, sf_oracle, name, fn, sql):
     if sql is None:
         df = fn(spark, sf_oracle)
+        assert not assert_atomic_schema(name, df)
         assert df.count() >= 0  # rows-only check, like the driver
         return
     errs = compare(spark, sf_oracle, name, fn, sql)

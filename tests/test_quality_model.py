@@ -71,3 +71,51 @@ def test_model_save_load_roundtrip(spark, model, tmp_path):
     a = score_quality(held, model).head().quality_prob
     b = score_quality(held, loaded).head().quality_prob
     assert a == b
+
+
+class TestPinnedModel:
+    """The deployable train-once/score-everywhere split: the registry's
+    `quality_classifier_filter` scores with PINNED_COEFFICIENTS (shipped
+    constants), so the pinned model must keep separating the fixture it
+    was fitted on and stay sign-consistent with a fresh LBFGS fit."""
+
+    def test_pinned_model_separates_real_docs_from_junk(self, spark,
+                                                        sf_unit):
+        from dig_etl_engine_spark.catalog import load_tables
+        from dig_etl_engine_spark.operators.quality_model import (
+            quality_logit)
+        docs = load_tables(spark, sf_unit)["documents"] \
+            .select("doc_id", "text")
+        junk = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.array_repeat(F.lit("zzz"), 40))
+            .alias("text"))
+        scored = quality_logit(docs.unionByName(junk))
+        agg = scored.withColumn("is_junk", F.col("doc_id") >= 100000) \
+            .groupBy("is_junk") \
+            .agg(F.min("quality_logit").alias("lo"),
+                 F.max("quality_logit").alias("hi"))
+        r = {row["is_junk"]: row for row in agg.collect()}
+        assert r[True]["hi"] < 0.0 < r[False]["lo"], (
+            "pinned coefficients no longer separate the training fixture"
+        )
+
+    def test_pinned_coefficients_sign_consistent_with_fresh_fit(
+            self, spark, sf_unit):
+        from dig_etl_engine_spark.catalog import load_tables
+        from dig_etl_engine_spark.operators.quality_model import (
+            PINNED_COEFFICIENTS, train_quality_classifier)
+        docs = load_tables(spark, sf_unit)["documents"] \
+            .select("doc_id", "text")
+        junk = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.array_repeat(F.lit("zzz"), 40))
+            .alias("text"))
+        labeled = (docs.withColumn("label", F.lit(1.0))
+                   .unionByName(junk.withColumn("label", F.lit(0.0))))
+        lr = train_quality_classifier(labeled).stages[-1]
+        for pinned, fresh in zip(PINNED_COEFFICIENTS, lr.coefficients):
+            if abs(fresh) > 1e-6:  # dead features may drift either way
+                assert pinned * fresh >= 0, (
+                    f"pinned {pinned} vs fresh {fresh}: sign flip — "
+                    "retrain and re-pin PINNED_COEFFICIENTS")
