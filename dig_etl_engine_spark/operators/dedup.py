@@ -657,9 +657,60 @@ def simhash_bucket_pairs(df: DataFrame, content_col: str, *,
     )
 
 
+# Edge count below which connected_components finishes driver-side
+# (numpy min-label + pointer jumping): 2M edges ≈ 32 MB of longs on the
+# driver — trivial — while the distributed star loop would spend O(log² n)
+# rounds of shuffle + job latency on a graph that fits one machine. The
+# same hybrid GraphFrames uses; at 100 TB the banded near-dup edge set is
+# orders of magnitude smaller than the corpus, so most real runs take
+# this path too, and anything bigger falls through to the star loop.
+SMALL_GRAPH_EDGES = 2_000_000
+
+
+def _connected_components_local(e: DataFrame) -> DataFrame:
+    """Driver-side CC over a (u, v) long-pair frame that fits in memory:
+    vectorized min-label hooking + full pointer jumping (numpy — no
+    per-edge Python). Labels only decrease and parent pointers always
+    point to lower indices, so the loop terminates in O(log n) passes.
+    Returns (doc_id, component=min reachable id), matching the
+    distributed path exactly."""
+    import numpy as np
+
+    spark = e.sparkSession
+    pdf = e.toPandas()
+    schema = "doc_id long, component long"
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    u = pdf["u"].to_numpy(np.int64)
+    v = pdf["v"].to_numpy(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:u.size], inv[u.size:]
+    # parent[j] <= j invariant: minimum.at only ever writes values below
+    # the index, so pointer chains strictly descend — no cycles
+    parent = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        pu, pv = parent[ui], parent[vi]
+        if bool((pu == pv).all()):
+            break
+        mn = np.minimum(pu, pv)
+        np.minimum.at(parent, pu, mn)   # hook both ROOTS (tree merge)
+        np.minimum.at(parent, pv, mn)
+        np.minimum.at(parent, ui, mn)   # and relabel the endpoints
+        np.minimum.at(parent, vi, mn)
+        while True:  # full path compression
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+    import pandas as pd
+
+    out = pd.DataFrame({"doc_id": nodes, "component": nodes[parent]})
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(edges: DataFrame, *, src: str = "doc_a",
-                         dst: str = "doc_b",
-                         max_iter: int = 25) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 25,
+                         small_graph_edges: int | None = None) -> DataFrame:
     """Connected components over an undirected edge list — the clustering
     step that turns pairwise near-dup hits into dedup groups with one
     canonical survivor per group.
@@ -673,6 +724,14 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
     scale would never finish. Convergence is detected by an edge-set
     signature (count + bounded hash sum), so the driver loop runs only
     until fixpoint.
+
+    Hybrid finish: when the canonical edge set has at most
+    ``small_graph_edges`` rows (default :data:`SMALL_GRAPH_EDGES`; pass
+    0 to force the distributed loop), the solve happens driver-side in
+    one vectorized pass — the star loop's per-round job latency dwarfs
+    the actual work on graphs that fit one machine, and near-dup edge
+    sets are tiny relative to the corpus that produced them. Both paths
+    return identical labels (property-tested against each other).
 
     Returns ``(doc_id, component)`` for every node appearing in the edge
     list, ``component`` = min reachable id. Isolated docs never reach the
@@ -692,6 +751,12 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
                  F.least("u", "v").alias("v"))
          .distinct()
          .localCheckpoint(eager=True))
+    limit = (SMALL_GRAPH_EDGES if small_graph_edges is None
+             else small_graph_edges)
+    # count() on the checkpointed leaf is one cheap metadata-ish job;
+    # the decision it buys (skipping the whole star loop) is worth it
+    if limit and e.count() <= limit:
+        return _connected_components_local(e)
     nodes = (e.select(F.col("u").alias("n"))
              .union(e.select(F.col("v").alias("n"))).distinct())
 

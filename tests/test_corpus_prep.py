@@ -328,3 +328,64 @@ class TestQuantizeEmbeddings:
             F.lit(0), lambda a, x: F.greatest(a, x)).alias("m")) \
             .agg(F.max("m")).head()[0]
         assert mx <= 127
+
+
+class TestConnectedComponentsHybrid:
+    """The hybrid CC (driver-side numpy solve under SMALL_GRAPH_EDGES,
+    distributed star loop above) must be label-identical on both paths
+    and agree with a reference union-find."""
+
+    def _uf_reference(self, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                hi, lo = max(ra, rb), min(ra, rb)
+                parent[hi] = lo
+        return {n: find(n) for n in parent}
+
+    def test_local_and_distributed_paths_agree(self, spark):
+        import random
+        from dig_etl_engine_spark.operators.dedup import (
+            connected_components)
+        rng = random.Random(7)
+        for _ in range(3):
+            n = 60
+            edges = [(rng.randrange(n) + 1, rng.randrange(n) + 1)
+                     for _ in range(80)]
+            df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+            local = {(r["doc_id"], r["component"])
+                     for r in connected_components(df).collect()}
+            dist = {(r["doc_id"], r["component"])
+                    for r in connected_components(
+                        df, small_graph_edges=0).collect()}
+            ref = self._uf_reference(
+                [(a, b) for a, b in edges if a != b])
+            assert local == dist == set(ref.items())
+
+    def test_long_chain_propagates_min(self, spark):
+        """A 300-node path graph: the pathological diameter case the
+        star loop exists for — the local path must also reach the global
+        min across the whole chain, not just hop-local minima."""
+        from dig_etl_engine_spark.operators.dedup import (
+            connected_components)
+        edges = [(i, i + 1) for i in range(1, 300)]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["component"]
+               for r in connected_components(df).collect()}
+        assert set(got) == set(range(1, 301))
+        assert set(got.values()) == {1}
+
+    def test_empty_edges(self, spark):
+        from dig_etl_engine_spark.operators.dedup import (
+            connected_components)
+        df = spark.createDataFrame([], "doc_a long, doc_b long")
+        assert connected_components(df).count() == 0

@@ -366,3 +366,33 @@ class TestRound4bPlans:
         plan = plan_of(registry.queries()["ts_downsample_ohlc"](spark, SF))
         assert plan.count("Exchange") == 1
         assert "partial_" in plan  # map-side combine present
+
+
+class TestRound5Plans:
+    def test_webdataset_read_prunes_tar_content(self, spark, tmp_path):
+        """read_webdataset lists shards via binaryFile but must NEVER
+        load the `content` column — file bytes stream through tarfile
+        inside the task instead (no ~2 GiB cap, bounded memory). The
+        scan's ReadSchema is the pinned evidence."""
+        from dig_etl_engine_spark.sinks.webdataset import (
+            read_webdataset, write_webdataset)
+        p = str(tmp_path / "wd")
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(8)], "doc_id LONG, text STRING")
+        write_webdataset(docs, p, n_shards=2)
+        plan = formatted(read_webdataset(spark, p))
+        read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "path" in read and "content" not in read, read
+
+    def test_pinned_quality_scoring_is_narrow_jvm_math(self, spark):
+        """The deployed classifier scoring path (pinned coefficients) is
+        a pure projection: no shuffle, no Python — the property that
+        lets it gate a 100 TB corpus at scan speed."""
+        from dig_etl_engine_spark.catalog import load_tables
+        from dig_etl_engine_spark.operators.quality_model import (
+            quality_logit)
+        docs = load_tables(spark, SF)["documents"].select("doc_id", "text")
+        plan = plan_of(quality_logit(docs))
+        assert "Exchange" not in plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
