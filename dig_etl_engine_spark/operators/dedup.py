@@ -194,6 +194,15 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str, *,
     """
     sh, banded = _minhash_state(df, content_col, id_col=id_col, k=k,
                                 num_hashes=num_hashes, bands=bands)
+    # The shingle table is consumed THREE times (the hash/signature path
+    # plus both sides of the verify join), and its transform() HOF is
+    # interpreted — Catalyst would re-evaluate the whole shingle pipeline
+    # per consumer. Checkpoint it lazily: ONE materialization (memory,
+    # disk-spilling) instead of three full recomputes — the same
+    # materialize-once call every production minhash system makes; at
+    # corpus scale one disk-backed copy of the shingle arrays is cheaper
+    # than three corpus scans + three interpreted shingle passes.
+    sh = sh.localCheckpoint(eager=False)
     cand = _self_join_pairs(banded, max_bucket)
     return (
         cand.join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")),
