@@ -240,9 +240,15 @@ def dedup_corpus(df: DataFrame, content_col: str, *,
     ``id_col`` must be numeric (component ids are min-reduced longs).
     """
     fp = fingerprint_md5(F.col(content_col)).alias("fingerprint")
-    doc_fp = df.select(F.col(id_col).alias("doc_id"), fp)
+    # doc_fp is consumed twice and groups THREE times below; without the
+    # lazy checkpoints each consumer re-runs the full corpus fingerprint
+    # scan (and for groups its groupBy shuffle) — measured ~25% of the
+    # composed flow at sf0.1. One materialization each, disk-spilling,
+    # narrow rows (id + md5) ≪ corpus.
+    doc_fp = df.select(F.col(id_col).alias("doc_id"), fp) \
+        .localCheckpoint(eager=False)
     groups = doc_fp.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("exact_rep"))
+        F.min("doc_id").alias("exact_rep")).localCheckpoint(eager=False)
     doc_rep = doc_fp.join(groups, "fingerprint").select("doc_id",
                                                         "exact_rep")
     reps = df.join(groups.select(F.col("exact_rep").alias(id_col)),
