@@ -64,10 +64,17 @@ def extract_features(df: DataFrame, *, id_col: str = "doc_id",
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_decode_features(b) for b in pdf[payload_col]]
+            # NULL payloads yield NULL features instead of killing the
+            # job (the reference's per-doc error isolation, C5
+            # etk_worker.py:98-139) — a corrupt/absent asset is a row to
+            # quarantine downstream, not a stage failure
+            feats = [fake_decode_features(b) if b is not None
+                     else (None, None, None)
+                     for b in pdf[payload_col]]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
-                "n_bytes": [f[0] for f in feats],
+                "n_bytes": pd.array([f[0] for f in feats],
+                                    dtype="Int64"),
                 "header_hex": [f[1] for f in feats],
                 "feature_md5": [f[2] for f in feats],
             })

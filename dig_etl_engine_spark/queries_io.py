@@ -17,7 +17,12 @@ from pyspark.sql import types as T
 from dig_etl_engine_spark.catalog import load_tables
 from dig_etl_engine_spark.queries import register
 
-_SCRATCH = "/tmp/spark_graft_io"
+# pid-scoped: these fixture dirs are wiped and rebuilt PER CALL, so two
+# concurrent processes (a pytest run next to a driver sweep) sharing one
+# path would race rmtree against the other's active read. Unlike the
+# content-keyed build-once cache (`queries_corpus._scratch_path`), nothing
+# here is meant to be shared across processes.
+_SCRATCH = f"/tmp/spark_graft_io-{os.getpid()}"
 
 
 def _scratch(name: str) -> str:
@@ -698,13 +703,23 @@ def sink_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta["lang"].alias("lang"), meta["source"].alias("source"))
 
 
+def _recover_state(target: str) -> None:
+    """Heal the one non-atomic window in :func:`_swap_state`: a crash
+    between its two renames leaves ``<target>.old`` holding the only
+    copy of the state. Restore it before anything reads ``target``."""
+    old = target + ".old"
+    if not os.path.isdir(target) and os.path.isdir(old):
+        os.rename(old, target)
+
+
 def _batch_already_applied(target: str, bid: int) -> bool:
     """foreachBatch is at-least-once: after a failure Spark replays the
     last micro-batch, so a non-idempotent fold double-counts it. The
     last-applied batch id is persisted INSIDE the state directory (an
     underscore-prefixed file, invisible to the parquet reader, swapped
-    atomically with the state itself), so replay detection survives
+    together with the state itself), so replay detection survives
     crashes — the standard foreachBatch idempotence pattern."""
+    _recover_state(target)
     try:
         with open(os.path.join(target, "_LAST_BATCH_ID")) as fh:
             return bid <= int(fh.read().strip())
@@ -714,15 +729,24 @@ def _batch_already_applied(target: str, bid: int) -> bool:
 
 def _swap_state(folded: DataFrame, target: str, bid: int) -> None:
     """Write the folded state to ``<target>.next`` (with the applied
-    batch id), then atomically swap it in."""
+    batch id), then swap via rename-aside: the previous state moves to
+    ``<target>.old`` BEFORE the new one moves in, so no crash point
+    ever leaves zero copies on disk (an rmtree-then-rename swap has a
+    window where the only state is gone — the failure class flagged in
+    the round-4 tar-sink review). :func:`_recover_state` heals the
+    between-renames window on the next call."""
     import shutil
 
     nxt = target + ".next"
     folded.write.mode("overwrite").parquet(nxt)
     with open(os.path.join(nxt, "_LAST_BATCH_ID"), "w") as fh:
         fh.write(str(bid))
-    shutil.rmtree(target, ignore_errors=True)
+    old = target + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(target):
+        os.rename(target, old)
     os.rename(nxt, target)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 @register(

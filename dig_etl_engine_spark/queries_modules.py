@@ -37,7 +37,9 @@ def module_pipeline_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dig_etl_engine_spark.pipeline import discover_modules
 
-    workdir = "/tmp/spark_graft_io/ems"
+    # pid-scoped like queries_io._scratch: rebuilt per call, so a shared
+    # path would race concurrent processes (rmtree vs the other's read)
+    workdir = f"/tmp/spark_graft_io-{os.getpid()}/ems"
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir, exist_ok=True)
     with open(os.path.join(workdir, "em_short_doc.py"), "w") as fh:

@@ -847,3 +847,52 @@ class TestForeachBatchIdempotence:
         _swap_state(df, target, 7)
         assert open(os.path.join(target, "_LAST_BATCH_ID")).read() == "7"
         assert spark.read.parquet(target).count() == 1
+
+
+class TestMultimodalNullPayloads:
+    def test_null_payload_yields_null_features(self, spark):
+        """Per-doc error isolation (C5): a corrupt/absent asset becomes a
+        NULL-feature row to quarantine downstream, never a stage failure."""
+        from dig_etl_engine_spark.operators.multimodal import (
+            extract_features)
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNGdata")), (2, None)],
+            "doc_id LONG, payload BINARY")
+        rows = {r["doc_id"]: r for r in extract_features(df).collect()}
+        assert rows[1]["n_bytes"] == 8
+        assert rows[1]["header_hex"] == "89504e47"
+        assert rows[2]["n_bytes"] is None
+        assert rows[2]["header_hex"] is None
+        assert rows[2]["feature_md5"] is None
+
+
+class TestSwapStateCrashWindows:
+    def test_recover_from_between_renames_crash(self, spark, tmp_path):
+        """Simulate a crash between _swap_state's two renames: target
+        gone, .old holds the only state — the next call must restore it
+        and still fold the replayed batch from the OLD state."""
+        from dig_etl_engine_spark.queries_io import (
+            _batch_already_applied, _swap_state)
+        target = str(tmp_path / "state")
+        _swap_state(spark.createDataFrame([(1, 10)], "k LONG, n LONG"),
+                    target, 0)
+        # crash simulation: state renamed aside, new state never moved in
+        os.rename(target, target + ".old")
+        assert not os.path.isdir(target)
+        assert not _batch_already_applied(target, 1)   # heals + allows
+        assert os.path.isdir(target)                   # restored
+        rows = spark.read.parquet(target).collect()
+        assert [(r["k"], r["n"]) for r in rows] == [(1, 10)]
+        # batch 0 is still recorded as applied in the restored state
+        assert _batch_already_applied(target, 0)
+
+    def test_leftover_old_dir_is_swept(self, spark, tmp_path):
+        from dig_etl_engine_spark.queries_io import _swap_state
+        target = str(tmp_path / "state")
+        _swap_state(spark.createDataFrame([(1, 1)], "k LONG, n LONG"),
+                    target, 0)
+        _swap_state(spark.createDataFrame([(1, 2)], "k LONG, n LONG"),
+                    target, 1)
+        assert not os.path.isdir(target + ".old")
+        assert not os.path.isdir(target + ".next")
+        assert spark.read.parquet(target).head()["n"] == 2
