@@ -682,22 +682,17 @@ def simhash_bucket_pairs(df: DataFrame, content_col: str, *,
 SMALL_GRAPH_EDGES = 2_000_000
 
 
-def _connected_components_local(e: DataFrame) -> DataFrame:
-    """Driver-side CC over a (u, v) long-pair frame that fits in memory:
-    vectorized min-label hooking + full pointer jumping (numpy — no
-    per-edge Python). Labels only decrease and parent pointers always
-    point to lower indices, so the loop terminates in O(log n) passes.
-    Returns (doc_id, component=min reachable id), matching the
-    distributed path exactly."""
+def _cc_labels_numpy(u, v):
+    """Pure numpy CC kernel: min-label hooking + full pointer jumping
+    over int64 edge arrays. Labels only decrease and parent pointers
+    always point to lower indices, so the loop terminates in O(log n)
+    passes. Returns ``(nodes, labels)`` with ``labels[i]`` = min node id
+    reachable from ``nodes[i]`` — property-tested against a union-find
+    reference without any Spark in the loop."""
     import numpy as np
 
-    spark = e.sparkSession
-    pdf = e.toPandas()
-    schema = "doc_id long, component long"
-    if len(pdf) == 0:
-        return spark.createDataFrame([], schema)
-    u = pdf["u"].to_numpy(np.int64)
-    v = pdf["v"].to_numpy(np.int64)
+    u = np.asarray(u, dtype=np.int64)
+    v = np.asarray(v, dtype=np.int64)
     nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
     ui, vi = inv[:u.size], inv[u.size:]
     # parent[j] <= j invariant: minimum.at only ever writes values below
@@ -717,9 +712,24 @@ def _connected_components_local(e: DataFrame) -> DataFrame:
             if np.array_equal(pp, parent):
                 break
             parent = pp
+    return nodes, nodes[parent]
+
+
+def _connected_components_local(e: DataFrame) -> DataFrame:
+    """Driver-side CC over a (u, v) long-pair frame that fits in memory
+    (:func:`_cc_labels_numpy` — no per-edge Python). Returns
+    (doc_id, component=min reachable id), matching the distributed path
+    exactly."""
     import pandas as pd
 
-    out = pd.DataFrame({"doc_id": nodes, "component": nodes[parent]})
+    spark = e.sparkSession
+    pdf = e.toPandas()
+    schema = "doc_id long, component long"
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    nodes, labels = _cc_labels_numpy(pdf["u"].to_numpy(),
+                                     pdf["v"].to_numpy())
+    out = pd.DataFrame({"doc_id": nodes, "component": labels})
     return spark.createDataFrame(out, schema)
 
 

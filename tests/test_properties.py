@@ -491,3 +491,37 @@ def test_asof_tolerance_native_precision(spark):
             for r in asof_join(leftn, rightn, on="t", by="k",
                                value_cols=["v"], tolerance_s=2).collect()}
     assert gotn == {0: None, 1: 9.0}
+
+
+# --- hybrid connected-components kernel ---------------------------------------
+
+_cc_edge = st.tuples(st.integers(0, 40), st.integers(0, 40))
+
+
+@given(st.lists(_cc_edge, min_size=1, max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_cc_numpy_kernel_matches_union_find(edges):
+    """The driver-side CC kernel (dedup._cc_labels_numpy) must label every
+    node with the min reachable id — checked against a plain union-find
+    on arbitrary multigraphs (self-loops, duplicates, disconnected)."""
+    from dig_etl_engine_spark.operators.dedup import _cc_labels_numpy
+
+    u = [a for a, b in edges]
+    v = [b for a, b in edges]
+    nodes, labels = _cc_labels_numpy(u, v)
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert dict(zip(nodes.tolist(), labels.tolist())) == want
