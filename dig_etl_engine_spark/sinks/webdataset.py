@@ -209,6 +209,33 @@ def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
     return spark.createDataFrame(final_rows, _MANIFEST_SCHEMA)
 
 
+def iter_samples(tar: tarfile.TarFile) -> Iterator[tuple[str, dict[str, bytes]]]:
+    """Walk a shard tar sequentially and yield ``(stem, {ext: bytes})``
+    per sample — one yield per CONTIGUOUS run of same-stem members (the
+    webdataset convention; a tar that interleaves stems yields one
+    sample per run). Non-regular members (directories, links) and
+    members whose basename has no extension (READMEs) are skipped, so
+    foreign tars parse cleanly. Memory is bounded by one sample's
+    members, never the shard. Pure function of the tar stream —
+    hypothesis-fuzzed in ``test_io.py`` against a reference grouping."""
+    stem_cur: str | None = None
+    parts: dict[str, bytes] = {}
+    for m in tar:
+        if not m.isfile() or "." not in os.path.basename(m.name):
+            continue
+        stem, ext = m.name.rsplit(".", 1)
+        if stem != stem_cur:
+            if stem_cur is not None:
+                yield stem_cur, parts
+            stem_cur, parts = stem, {}
+        fh = tar.extractfile(m)
+        if fh is None:
+            continue
+        parts[ext] = fh.read()
+    if stem_cur is not None:
+        yield stem_cur, parts
+
+
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     """Stream shard tars back into rows ``(shard, key, text, meta,
     bins)``. Shard paths are listed via `binaryFile` with ONLY the
@@ -247,27 +274,12 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                 local = fpath[5:] if fpath.startswith("file:") else fpath
                 shard = int(os.path.basename(local).split("-")[1]
                             .split(".")[0])
-                stem_cur: str | None = None
-                parts: dict[str, bytes] = {}
                 with tarfile.open(local) as tar:
-                    for m in tar:
-                        if not m.isfile() or "." not in \
-                                os.path.basename(m.name):
-                            continue  # dirs, links, extensionless
-                        stem, ext = m.name.rsplit(".", 1)
-                        if stem != stem_cur:
-                            if stem_cur is not None:
-                                out.append(row(shard, stem_cur, parts))
-                            stem_cur, parts = stem, {}
-                        fh = tar.extractfile(m)
-                        if fh is None:
-                            continue
-                        parts[ext] = fh.read()
+                    for stem, parts in iter_samples(tar):
+                        out.append(row(shard, stem, parts))
                         if len(out) >= CHUNK:
                             yield pd.DataFrame(out, columns=cols)
                             out = []
-                    if stem_cur is not None:
-                        out.append(row(shard, stem_cur, parts))
         if out:
             yield pd.DataFrame(out, columns=cols)
 

@@ -896,3 +896,78 @@ class TestSwapStateCrashWindows:
         assert not os.path.isdir(target + ".old")
         assert not os.path.isdir(target + ".next")
         assert spark.read.parquet(target).head()["n"] == 2
+
+
+class TestIterSamplesProperty:
+    """Hypothesis fuzz of the pure tar member-grouping kernel
+    (`sinks/webdataset.iter_samples`) against a straightforward
+    reference: filter regular members with an extension in basename,
+    then group contiguous same-stem runs keeping the last payload per
+    extension within a run."""
+
+    @staticmethod
+    def _build_tar(members):
+        import io as _io
+        import tarfile as _tarfile
+        buf = _io.BytesIO()
+        with _tarfile.open(fileobj=buf, mode="w") as tar:
+            for name, kind, payload in members:
+                info = _tarfile.TarInfo(name)
+                if kind == "dir":
+                    info.type = _tarfile.DIRTYPE
+                    tar.addfile(info)
+                elif kind == "sym":
+                    info.type = _tarfile.SYMTYPE
+                    info.linkname = "x"
+                    tar.addfile(info)
+                else:
+                    info.size = len(payload)
+                    tar.addfile(info, _io.BytesIO(payload))
+        buf.seek(0)
+        return buf
+
+    @staticmethod
+    def _reference(members):
+        import os as _os
+        runs, cur_stem, cur = [], None, None
+        for name, kind, payload in members:
+            if kind != "file" or "." not in _os.path.basename(name):
+                continue
+            stem, ext = name.rsplit(".", 1)
+            if stem != cur_stem:
+                if cur_stem is not None:
+                    runs.append((cur_stem, cur))
+                cur_stem, cur = stem, {}
+            cur[ext] = payload
+        if cur_stem is not None:
+            runs.append((cur_stem, cur))
+        return runs
+
+    def test_matches_reference(self):
+        import tarfile as _tarfile
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dig_etl_engine_spark.sinks.webdataset import iter_samples
+
+        name = st.one_of(
+            st.sampled_from(["README", "data", "./a.txt", "a.txt",
+                             "a.json", "a.bin", "b.txt", "b.json",
+                             "dir/c.txt", "some.dir/d", "x..", ".hidden",
+                             "x.y.z"]),
+            st.text(alphabet="ab./_", min_size=1, max_size=8)
+            .filter(lambda s: not s.endswith("/") and s not in (".", "..")
+                    and "//" not in s and not s.startswith("/")),
+        )
+        member = st.tuples(name, st.sampled_from(["file", "dir", "sym"]),
+                           st.binary(max_size=16))
+
+        @given(st.lists(member, max_size=24))
+        @settings(max_examples=200, deadline=None)
+        def check(members):
+            buf = self._build_tar(members)
+            with _tarfile.open(fileobj=buf) as tar:
+                got = [(s, dict(p)) for s, p in iter_samples(tar)]
+            assert got == self._reference(members)
+
+        check()
