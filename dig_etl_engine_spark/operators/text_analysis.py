@@ -755,8 +755,20 @@ def repeated_window_flags(df, *, id_col: str = "doc_id",
     wins = df.select(F.col(id_col).alias("id"), win_expr)
     if hash_windows:
         wins = wins.select("id", F.md5(F.col("win")).alias("win"))
+    # `local` feeds BOTH the global count and the join-back, and neither
+    # static nor AQE exchange reuse fires on this shape (verified on the
+    # executed plan: 2× Scan + 2× Generate without the pin), so unpinned
+    # the corpus is scanned, exploded and SHUFFLED twice. Locally the pin
+    # measures as a wash (±3% at sf0.1 — the codegen explode is cheap and
+    # the materialized window table is ~5× the text it came from); it
+    # stays because on a cluster the avoided cost is a second full-corpus
+    # NETWORK shuffle while the added cost is local-disk traffic. Kept as
+    # groupBy + equi-join rather than a sum-over-window partitionBy(win):
+    # the window form would put every copy of a boilerplate-storm window
+    # in ONE task, and AQE can split a skewed join but not a skewed
+    # window.
     local = wins.groupBy("id", "win").agg(
-        F.count(F.lit(1)).alias("c_local"))
+        F.count(F.lit(1)).alias("c_local")).localCheckpoint(eager=False)
     glob = local.groupBy("win").agg(F.sum("c_local").alias("n_global"))
     return (local.join(glob, "win")
             .groupBy(F.col("id").alias(id_col))
