@@ -331,8 +331,9 @@ def materialize_minhash_index(df: DataFrame, content_col: str, path: str, *,
     # narrow band range, so per-batch lookups benefit from row-group
     # min/max skipping + Spark's runtime bloom filter, and the sorted
     # column compresses far better. (Appends from incremental batches are
-    # each internally small; re-cluster with compact-style maintenance
-    # when append count grows.) Both tables carry an _ab append-partition
+    # each internally small; `compact_minhash_index` folds them back into
+    # one clustered partition when append count grows.) Both tables carry
+    # an _ab append-partition
     # column (-1 = the base build) so incremental batch appends can land
     # in their own _ab=<batch_id> partitions for retry idempotence.
     (banded.repartition(F.col("band")).sortWithinPartitions("band")
@@ -367,6 +368,78 @@ def _load_minhash_meta(spark, index_path: str,
         # meta table exists to close.
         pass
     return k, num_hashes, bands
+
+
+def compact_minhash_index(spark, index_path: str) -> dict:
+    """Fold the per-batch ``_ab=<id>`` append partitions of an
+    incremental minhash index back into ONE partition per table — the
+    small-file maintenance `materialize_minhash_index` promises: a
+    year of micro-batches leaves thousands of partition directories of
+    tiny files, and index scan cost starts tracking file count instead
+    of data size (the same decay `sinks/kg_table.compact_partitioned`
+    exists for). Re-clusters ``bands`` by band value on the way, so
+    row-group min/max skipping works again after months of appends.
+
+    Protocol — crash-safe with NO rename windows, because duplicate
+    index rows are correctness-neutral to every consumer (candidate
+    pairs are dropDuplicates'd and verification aggregates per
+    ``(doc_a, doc_b, origin)``; the only cost is wasted work and a
+    conservative hot-bucket size estimate until a re-run heals):
+
+      1. new epoch ``e`` = min(existing ``_ab``) − 1 — strictly
+         decreasing negatives (base build = −1, first compaction = −2);
+         streaming batch ids are ≥ 0, so a micro-batch retry's dynamic
+         partition overwrite can never collide with a compacted epoch;
+      2. read ALL rows, dedupe on natural keys — ``(id, band)`` /
+         ``(id)`` — which also heals duplicates left by an earlier
+         crash, then APPEND as ``_ab=e``: parquet task files commit via
+         tmp-file + rename, so a crash mid-write leaves only complete
+         files (= duplicates), never torn ones;
+      3. delete every other ``_ab`` directory; a crash mid-delete
+         leaves old partitions (= duplicates) for the next run.
+
+    Single-writer maintenance op: NOT safe concurrently with an active
+    stream — a retried micro-batch excludes only its own ``_ab``
+    partition, and compacted copies of its first attempt would
+    masquerade as corpus rows. Run it between streams, like
+    ``compact_partitioned``. Local-FS delete semantics; on object
+    stores swap step 3 for the store's batched delete.
+
+    Returns ``{"partitions_before": n, "epoch": e}`` (per-table counts
+    are symmetric by construction).
+    """
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    out = {"partitions_before": 0, "epoch": None}
+    for sub, keys in (("bands", ["id", "band"]), ("shingles", ["id"])):
+        tpath = f"{index_path}/{sub}"
+        try:
+            df = spark.read.parquet(tpath)
+        except AnalysisException:
+            continue
+        if "_ab" not in df.columns:
+            continue
+        # bounded collect: one row per append partition — the thing
+        # being compacted away
+        abs_ = sorted(r["_ab"] for r in df.select("_ab").distinct().collect())
+        out["partitions_before"] = max(out["partitions_before"], len(abs_))
+        if len(abs_) <= 1:
+            continue
+        epoch = min(abs_[0], 0) - 1
+        out["epoch"] = epoch
+        merged = df.drop("_ab").dropDuplicates(keys)
+        if sub == "bands":
+            merged = (merged.repartition(F.col("band"))
+                      .sortWithinPartitions("band"))
+        (merged.withColumn("_ab", F.lit(epoch))
+         .write.mode("append").partitionBy("_ab").parquet(tpath))
+        for ab in abs_:
+            shutil.rmtree(os.path.join(tpath, f"_ab={ab}"),
+                          ignore_errors=True)
+    return out
 
 
 def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
@@ -406,7 +479,11 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
     them and computes the IDENTICAL result (its first attempt's rows
     can't masquerade as corpus matches). Same idempotence pattern as the
     ingest quarantine (``streaming/ingest.py:write_quarantine``). A plain
-    append (no ``batch_id``) is NOT retry-safe."""
+    append (no ``batch_id``) is NOT retry-safe.
+
+    Long-running streams accumulate one ``_ab`` partition per
+    micro-batch; fold them back into one clustered partition with
+    :func:`compact_minhash_index` between streams."""
     spark = batch.sparkSession
     # the index's persisted build parameters win over the arguments — a
     # mismatch would silently produce zero corpus matches

@@ -371,3 +371,98 @@ class TestIncrementalMinhash:
         for r in rows:
             if r.origin == "corpus":
                 assert r.doc_b not in batch_ids
+
+
+class TestCompactMinhashIndex:
+    """`compact_minhash_index`: fold per-batch _ab partitions into one
+    fresh epoch without changing any dedup result — and heal (not
+    corrupt) when a previous run crashed mid-protocol."""
+
+    def _build(self, spark, corpus_and_batch, tmp_path, name):
+        corpus, batch = corpus_and_batch
+        idx = str(tmp_path / name)
+        materialize_minhash_index(corpus, "text", idx)
+        # three appended micro-batches → _ab = {-1, 0, 1, 2}
+        for bid in range(3):
+            b = batch.withColumn(
+                "doc_id", F.concat(F.lit(f"b{bid}_"), F.col("doc_id")))
+            incremental_minhash_dedup(b, idx, content_col="text",
+                                      threshold=0.5, append=True,
+                                      batch_id=bid)
+        return idx
+
+    @staticmethod
+    def _probe(spark, idx):
+        probe = spark.createDataFrame(
+            [("p1", "the quick brown fox jumps over the lazy dog while "
+              "the rain in spain falls mainly on the plain every day")],
+            "doc_id string, text string")
+        inc = incremental_minhash_dedup(probe, idx, content_col="text",
+                                        threshold=0.5, append=False)
+        return {(r.doc_a, r.doc_b): (r.jaccard, r.origin)
+                for r in inc.collect()}
+
+    def test_results_invariant_and_layout_folded(self, spark,
+                                                 corpus_and_batch,
+                                                 tmp_path):
+        import os
+
+        from dig_etl_engine_spark.operators.dedup import \
+            compact_minhash_index
+
+        idx = self._build(spark, corpus_and_batch, tmp_path, "c1")
+        before = self._probe(spark, idx)
+        assert before  # the probe is a planted near-dup — non-vacuous
+
+        stats = compact_minhash_index(spark, idx)
+        assert stats["partitions_before"] == 4          # base + 3 batches
+        assert stats["epoch"] == -2
+        for sub in ("bands", "shingles"):
+            parts = [d for d in os.listdir(os.path.join(idx, sub))
+                     if d.startswith("_ab=")]
+            assert parts == ["_ab=-2"]
+        assert self._probe(spark, idx) == before
+
+        # idempotent: a second run is a no-op (single partition left)
+        stats2 = compact_minhash_index(spark, idx)
+        assert stats2["partitions_before"] == 1 and stats2["epoch"] is None
+        assert self._probe(spark, idx) == before
+
+    def test_crashed_delete_leaves_duplicates_then_heals(
+            self, spark, corpus_and_batch, tmp_path):
+        """Simulate a crash between the epoch write and the old-partition
+        deletes: duplicate rows must not change dedup pairs, and the
+        next compaction run must heal the layout (natural-key dedupe)."""
+        import os
+        import shutil
+
+        from dig_etl_engine_spark.operators.dedup import \
+            compact_minhash_index
+
+        idx = self._build(spark, corpus_and_batch, tmp_path, "c2")
+        before = self._probe(spark, idx)
+
+        # crash-sim: copy every pre-compaction partition aside, compact,
+        # then restore the copies — the index now holds epoch -2 PLUS all
+        # original partitions, exactly the mid-delete crash state
+        saved = str(tmp_path / "saved")
+        for sub in ("bands", "shingles"):
+            shutil.copytree(os.path.join(idx, sub),
+                            os.path.join(saved, sub))
+        compact_minhash_index(spark, idx)
+        for sub in ("bands", "shingles"):
+            for d in os.listdir(os.path.join(saved, sub)):
+                if d.startswith("_ab=") :
+                    dst = os.path.join(idx, sub, d)
+                    if not os.path.exists(dst):
+                        shutil.copytree(os.path.join(saved, sub, d), dst)
+
+        assert self._probe(spark, idx) == before       # duplicates harmless
+
+        stats = compact_minhash_index(spark, idx)      # the healing run
+        assert stats["epoch"] == -3
+        for sub in ("bands", "shingles"):
+            parts = [d for d in os.listdir(os.path.join(idx, sub))
+                     if d.startswith("_ab=")]
+            assert parts == ["_ab=-3"]
+        assert self._probe(spark, idx) == before
