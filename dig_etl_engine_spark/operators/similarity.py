@@ -544,11 +544,64 @@ def knn_ivf_indexed(queries: DataFrame, index_path: str, *, k: int = 5,
         .select("query_id", "neighbor_id",
                 F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
                  .alias("cosine"))
+        # candidate-scale guard: a neighbor listed twice in the index (a
+        # crashed compaction or a multi-probe overlap) must occupy ONE
+        # top-k slot, not two — row_number would rank both copies
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"),
                                           F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def compact_ivf_index(spark, index_path: str) -> dict:
+    """Fold the per-batch ``(cluster, _ab)`` append partitions of an
+    incremental IVF index back into one ``_ab`` epoch per cell — the
+    embedding-index sibling of ``dedup.compact_minhash_index``, with the
+    same crash-safe protocol (fresh strictly-decreasing negative epoch;
+    append commits via parquet tmp-file+rename so a crash leaves only
+    complete duplicate rows; old-partition deletes can crash midway and
+    the next run heals via natural-key dedupe on ``(id, cluster)``).
+
+    Duplicate cell rows during the crash window are harmless to BOTH
+    consumers: ``incremental_embedding_dedup`` deduplicates its pair
+    output, and ``knn_ivf_indexed`` deduplicates candidates before
+    ranking (the guard exists precisely so a torn compaction can never
+    double-fill a top-k). Single-writer maintenance op, like its
+    sibling: not concurrent with an active appending stream.
+
+    Returns ``{"partitions_before": n, "epoch": e}`` where ``n`` counts
+    distinct ``_ab`` values (one per append batch + the base build).
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    out = {"partitions_before": 0, "epoch": None}
+    tpath = f"{index_path}/cells"
+    try:
+        df = spark.read.parquet(tpath)
+    except AnalysisException:
+        return out
+    if "_ab" not in df.columns:
+        return out
+    # bounded collect: one row per append batch
+    abs_ = sorted(r["_ab"] for r in df.select("_ab").distinct().collect())
+    out["partitions_before"] = len(abs_)
+    if len(abs_) <= 1:
+        return out
+    epoch = min(abs_[0], 0) - 1
+    out["epoch"] = epoch
+    merged = df.drop("_ab").dropDuplicates(["id", "cluster"])
+    (merged.withColumn("_ab", F.lit(epoch))
+     .write.mode("append").partitionBy("cluster", "_ab").parquet(tpath))
+    for ab in abs_:
+        for d in _glob.glob(os.path.join(tpath, "cluster=*", f"_ab={ab}")):
+            shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,

@@ -170,3 +170,97 @@ class TestIvfIndex:
         import re
         m = re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*\]", plan)
         assert m, f"no partition filter on cluster in plan:\n{plan[:2000]}"
+
+
+class TestCompactIvfIndex:
+    """`compact_ivf_index`: fold (cluster, _ab) append partitions into
+    one epoch per cell with KNN and dedup results invariant — including
+    under the simulated mid-delete crash state (duplicate cell rows),
+    which the knn candidate-dedupe guard must absorb."""
+
+    def _build_with_appends(self, spark, built, tmp_path):
+        import shutil as _sh
+
+        from dig_etl_engine_spark.operators.similarity import (
+            incremental_embedding_dedup)
+
+        src, clustered, _ = built
+        idx = str(tmp_path / "ivf_c")
+        _sh.copytree(src, idx)
+        for bid in range(2):
+            batch = clustered.filter(F.col("vec_id") % 20 == bid + 7) \
+                .select((F.col("vec_id") + 100000 * (bid + 1))
+                        .alias("vec_id"), "embedding")
+            incremental_embedding_dedup(batch, idx, threshold=0.98,
+                                        append=True, batch_id=bid)
+        return idx
+
+    def test_layout_folded_and_results_invariant(self, spark, built,
+                                                 tmp_path):
+        import glob as _glob
+        import os
+
+        from dig_etl_engine_spark.operators.similarity import (
+            compact_ivf_index)
+
+        _, clustered, queries = built
+        idx = self._build_with_appends(spark, built, tmp_path)
+        knn_before = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+                      for r in knn_ivf_indexed(queries, idx, k=5,
+                                               nprobe=2).collect()}
+        assert knn_before
+
+        stats = compact_ivf_index(spark, idx)
+        assert stats["partitions_before"] == 3        # base + 2 batches
+        assert stats["epoch"] == -2
+        abs_left = {os.path.basename(d) for d in _glob.glob(
+            os.path.join(idx, "cells", "cluster=*", "_ab=*"))}
+        assert abs_left == {"_ab=-2"}
+        knn_after = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+                     for r in knn_ivf_indexed(queries, idx, k=5,
+                                              nprobe=2).collect()}
+        assert knn_after == knn_before
+        # idempotent no-op on the folded layout
+        stats2 = compact_ivf_index(spark, idx)
+        assert stats2["partitions_before"] == 1 and stats2["epoch"] is None
+
+    def test_crash_duplicates_absorbed_then_healed(self, spark, built,
+                                                   tmp_path):
+        """Mid-delete crash state = epoch partition + original partitions
+        coexisting. KNN must return the same top-k (duplicate neighbors
+        collapse to one slot), and the next run must heal the layout."""
+        import glob as _glob
+        import os
+        import shutil as _sh
+
+        from dig_etl_engine_spark.operators.similarity import (
+            compact_ivf_index)
+
+        _, clustered, queries = built
+        idx = self._build_with_appends(spark, built, tmp_path)
+        knn_before = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+                      for r in knn_ivf_indexed(queries, idx, k=5,
+                                               nprobe=2).collect()}
+        saved = str(tmp_path / "saved_cells")
+        _sh.copytree(os.path.join(idx, "cells"), saved)
+        compact_ivf_index(spark, idx)
+        for d in _glob.glob(os.path.join(saved, "cluster=*", "_ab=*")):
+            rel = os.path.relpath(d, saved)
+            dst = os.path.join(idx, "cells", rel)
+            if not os.path.exists(dst):
+                _sh.copytree(d, dst)
+
+        knn_dup = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+                   for r in knn_ivf_indexed(queries, idx, k=5,
+                                            nprobe=2).collect()}
+        assert knn_dup == knn_before                  # guard absorbs dups
+
+        stats = compact_ivf_index(spark, idx)         # healing run
+        assert stats["epoch"] == -3
+        abs_left = {os.path.basename(d) for d in _glob.glob(
+            os.path.join(idx, "cells", "cluster=*", "_ab=*"))}
+        assert abs_left == {"_ab=-3"}
+        knn_healed = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+                      for r in knn_ivf_indexed(queries, idx, k=5,
+                                               nprobe=2).collect()}
+        assert knn_healed == knn_before
