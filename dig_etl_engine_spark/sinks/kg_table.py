@@ -21,6 +21,7 @@ MUST be made explicit or batch-internal ordering is nondeterministic
 
 from __future__ import annotations
 
+import glob as glob_mod
 import logging
 import os
 import shutil
@@ -83,6 +84,41 @@ def upsert(spark: SparkSession, target_path: str, batch: DataFrame, *,
     os.rename(tmp, target_path)
 
 
+_BUCKETS_META = "_kg_buckets"
+
+
+def _load_bucket_meta(target_path: str, buckets: int) -> int:
+    """The table's persisted bucket count wins over the argument — the
+    same doctrine as the minhash index's ``_load_minhash_meta``: a
+    caller passing a different ``buckets`` against an existing table
+    would silently break last-write-wins, because the merge reads the
+    batch's "touched" buckets under the NEW count while earlier copies
+    of the same keys sit in directories keyed by the OLD count — stale
+    rows survive and ``read_partitioned`` returns duplicate keys. The
+    count is fixed at table birth; change it with
+    :func:`rebucket_partitioned`. Legacy tables (pre-meta ``_kb``
+    layouts) adopt the caller's value, which the next upsert persists."""
+    try:
+        with open(os.path.join(target_path, _BUCKETS_META)) as fh:
+            persisted = int(fh.read().strip())
+    except (OSError, ValueError):
+        return buckets
+    if persisted != buckets:
+        logger.warning(
+            "upsert_partitioned: table %s is bucketed %d-way; ignoring "
+            "buckets=%d argument (rebucket_partitioned changes the count)",
+            target_path, persisted, buckets)
+    return persisted
+
+
+def _persist_bucket_meta(target_path: str, buckets: int) -> None:
+    os.makedirs(target_path, exist_ok=True)
+    tmp = os.path.join(target_path, f".{_BUCKETS_META}.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        fh.write(str(buckets))
+    os.replace(tmp, os.path.join(target_path, _BUCKETS_META))
+
+
 def upsert_partitioned(spark: SparkSession, target_path: str,
                        batch: DataFrame, *, key_col: str = "doc_id",
                        order_col: str = "kafka_offset",
@@ -104,7 +140,15 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
          replaces exactly the touched directories.
 
     Cost per batch is O(touched data), not O(table). Delta's MERGE is the
-    production drop-in (same semantics, real commit log)."""
+    production drop-in (same semantics, real commit log).
+
+    The bucket count is a TABLE property, not a call property: the first
+    partitioned write persists it (``_kg_buckets``, underscore-prefixed
+    so parquet never sees it) and later calls use the persisted value
+    regardless of the argument — see :func:`_load_bucket_meta` for the
+    silent-duplicate-keys failure this closes. Grow an outscaled table
+    with :func:`rebucket_partitioned`."""
+    buckets = _load_bucket_meta(target_path, buckets)
     kb = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)).cast("int")
     b = dedupe_last_write_wins(batch.withColumn("_kb", kb),
                                key_col, order_col)
@@ -147,6 +191,9 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
         b.write.mode("overwrite").partitionBy("_kb").parquet(target_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # (re-)pin the table's bucket count: idempotent, heals a manually
+    # deleted meta, and upgrades legacy tables on their next upsert
+    _persist_bucket_meta(target_path, buckets)
     for f in flat_files:
         try:
             os.remove(os.path.join(target_path, f))
@@ -246,6 +293,58 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
         os.rename(tmp, d)
         shutil.rmtree(old)
     return len(todo)
+
+
+def rebucket_partitioned(spark: SparkSession, target_path: str,
+                         new_buckets: int, *,
+                         key_col: str = "doc_id") -> int:
+    """Change a partitioned KG table's bucket count — the maintenance op
+    for a table that outgrew its birth layout. Bucket SIZE, not bucket
+    count, is what should stay constant as a table grows: a 64-bucket
+    table that was right at 1 TB has 100× oversized buckets at 100 TB
+    (each micro-batch rewrite touches 1/64th of the table), so growth is
+    periodic rebucketing, exactly like re-sharding a key-value store.
+
+    Protocol (single-writer maintenance op, like
+    :func:`compact_partitioned`): read the whole table, rewrite under
+    the new count into a sibling staging dir (complete with its
+    ``_kg_buckets`` meta), then swap with two renames — target aside to
+    ``.rebucket_old``, staging in — and drop the old copy. Crash
+    recovery on entry: a staging dir bearing Spark's ``_SUCCESS`` marker
+    with the table missing finishes the swap; a missing table with only
+    the old copy restores it; stale staging dirs are swept. Returns the
+    row count of the rebucketed table.
+    """
+    tmp = target_path + f".rebucket_tmp.{os.getpid()}"
+    old = target_path + ".rebucket_old"
+
+    # recovery before new work (states keyed by what survived a crash)
+    for stale in glob_mod.glob(target_path + ".rebucket_tmp.*"):
+        if not os.path.isdir(target_path) and \
+                os.path.exists(os.path.join(stale, "_SUCCESS")) and \
+                os.path.exists(os.path.join(stale, _BUCKETS_META)):
+            logger.warning("rebucket_partitioned: finishing interrupted "
+                           "swap from %s", stale)
+            os.rename(stale, target_path)
+        else:
+            shutil.rmtree(stale, ignore_errors=True)
+    if not os.path.isdir(target_path) and os.path.isdir(old):
+        logger.warning("rebucket_partitioned: restoring %s from %s",
+                       target_path, old)
+        os.rename(old, target_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+    df = read_partitioned(spark, target_path)
+    kb = F.pmod(F.xxhash64(F.col(key_col)), F.lit(new_buckets)).cast("int")
+    (df.withColumn("_kb", kb)
+     .write.mode("overwrite").partitionBy("_kb").parquet(tmp))
+    _persist_bucket_meta(tmp, new_buckets)
+    n = spark.read.option("basePath", tmp) \
+        .parquet(os.path.join(tmp, "_kb=*")).count()
+    os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
 
 
 def read_partitioned(spark: SparkSession, target_path: str) -> DataFrame:

@@ -971,3 +971,92 @@ class TestIterSamplesProperty:
             assert got == self._reference(members)
 
         check()
+
+
+class TestBucketMetaAndRebucket:
+    """The bucket count is a table property (`_kg_buckets` meta, persisted
+    at birth, wins over the argument) and `rebucket_partitioned` is the
+    sanctioned way to change it — a mismatched argument used to silently
+    leave stale key copies in old-count buckets (duplicate keys on
+    read)."""
+
+    SCHEMA = TestUpsert.SCHEMA
+
+    def _table(self, spark, tmp_path, buckets=8, n=40):
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(f"k{i}", 1, "base") for i in range(n)], self.SCHEMA)
+        kg_table.upsert_partitioned(spark, p, base, buckets=buckets)
+        return p
+
+    def test_mismatched_buckets_argument_is_ignored(self, spark, tmp_path):
+        p = self._table(spark, tmp_path, buckets=8)
+        # upsert the same keys claiming a DIFFERENT bucket count: with the
+        # meta guard the table keeps 8-way layout and last-write-wins holds
+        upd = spark.createDataFrame(
+            [(f"k{i}", 10, "new") for i in range(40)], self.SCHEMA)
+        kg_table.upsert_partitioned(spark, p, upd, buckets=16)
+        rows = kg_table.read_partitioned(spark, p).collect()
+        assert len(rows) == 40                     # no duplicate keys
+        assert all(r.v == "new" for r in rows)
+        import glob
+        kbs = {int(d.rsplit("=", 1)[1])
+               for d in glob.glob(f"{p}/_kb=*")}
+        assert kbs <= set(range(8))                # still 8-way
+
+    def test_rebucket_grows_table_layout(self, spark, tmp_path):
+        import glob
+        p = self._table(spark, tmp_path, buckets=2)
+        before = {r.doc_id: (r.kafka_offset, r.v)
+                  for r in kg_table.read_partitioned(spark, p).collect()}
+        n = kg_table.rebucket_partitioned(spark, p, 8)
+        assert n == len(before)
+        kbs = {int(d.rsplit("=", 1)[1]) for d in glob.glob(f"{p}/_kb=*")}
+        assert len(kbs) > 2 and kbs <= set(range(8))
+        after = {r.doc_id: (r.kafka_offset, r.v)
+                 for r in kg_table.read_partitioned(spark, p).collect()}
+        assert after == before
+        # subsequent upserts adopt the new count from the meta even with
+        # a stale default argument, and merge correctly
+        upd = spark.createDataFrame([("k0", 99, "post")], self.SCHEMA)
+        kg_table.upsert_partitioned(spark, p, upd, buckets=2)
+        got = {r.doc_id: r.v
+               for r in kg_table.read_partitioned(spark, p).collect()}
+        assert got["k0"] == "post" and len(got) == len(before)
+
+    def test_rebucket_crash_recovery_states(self, spark, tmp_path):
+        import shutil as _sh
+        p = self._table(spark, tmp_path, buckets=2)
+        before = {r.doc_id: (r.kafka_offset, r.v)
+                  for r in kg_table.read_partitioned(spark, p).collect()}
+
+        # state A: crash between the two swap renames — table dir gone,
+        # complete staging dir present → next run finishes the swap
+        tmp = p + ".rebucket_tmp.999"
+        kg_table.rebucket_partitioned(spark, p, 4)
+        _sh.copytree(p, tmp)                       # complete staged copy
+        _sh.rmtree(p)
+        kg_table.rebucket_partitioned(spark, p, 8)
+        assert {r.doc_id: (r.kafka_offset, r.v)
+                for r in kg_table.read_partitioned(spark, p).collect()} \
+            == before
+
+        # state B: crash mid-staging-write — incomplete staging (no meta),
+        # table intact → stale staging swept, rebucket proceeds
+        bad = p + ".rebucket_tmp.998"
+        os.makedirs(bad)
+        open(os.path.join(bad, "_SUCCESS"), "w").close()  # no meta file
+        kg_table.rebucket_partitioned(spark, p, 4)
+        assert not os.path.isdir(bad)
+        assert {r.doc_id: (r.kafka_offset, r.v)
+                for r in kg_table.read_partitioned(spark, p).collect()} \
+            == before
+
+        # state C: table gone, only .rebucket_old survives → restored
+        old = p + ".rebucket_old"
+        _sh.copytree(p, old)
+        _sh.rmtree(p)
+        kg_table.rebucket_partitioned(spark, p, 4)
+        assert {r.doc_id: (r.kafka_offset, r.v)
+                for r in kg_table.read_partitioned(spark, p).collect()} \
+            == before
