@@ -718,7 +718,8 @@ def ngram_lm_scores(corpus, reference=None, *, id_col: str = "doc_id",
 def repeated_window_flags(df, *, id_col: str = "doc_id",
                           text_col: str = "text", w: int = 20,
                           flag_fraction: float = 0.3,
-                          hash_windows: bool = True):
+                          hash_windows: bool = True,
+                          pin: bool = True):
     """Approximate ExactSubstr dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): find corpus-wide
     REPEATED ``w``-token windows and score each doc by the fraction of
@@ -766,9 +767,13 @@ def repeated_window_flags(df, *, id_col: str = "doc_id",
     # groupBy + equi-join rather than a sum-over-window partitionBy(win):
     # the window form would put every copy of a boilerplate-storm window
     # in ONE task, and AQE can split a skewed join but not a skewed
-    # window.
+    # window. ``pin=False`` exposes the full lineage — the checkpoint
+    # replaces it with a LogicalRDD leaf, which plan-shape tests
+    # (hash-before-shuffle) cannot see through.
     local = wins.groupBy("id", "win").agg(
-        F.count(F.lit(1)).alias("c_local")).localCheckpoint(eager=False)
+        F.count(F.lit(1)).alias("c_local"))
+    if pin:
+        local = local.localCheckpoint(eager=False)
     glob = local.groupBy("win").agg(F.sum("c_local").alias("n_global"))
     return (local.join(glob, "win")
             .groupBy(F.col("id").alias(id_col))

@@ -209,14 +209,22 @@ class TestRepeatedWindowHashing:
 
     def test_shuffle_carries_hashes_not_windows(self, spark):
         """The count shuffle's key is the 32-char digest: no raw window
-        string survives past the project before the first exchange."""
+        string survives past the project before the first exchange.
+        Inspected with pin=False — the production default pins the
+        count table behind a LogicalRDD leaf (the md5 subtree still
+        executes inside it), which plan text cannot see through."""
         from dig_etl_engine_spark.operators.text_analysis import (
             repeated_window_flags)
         df = spark.createDataFrame([(0, "a b c d e")],
                                    "doc_id long, text string")
-        plan = repeated_window_flags(df, w=2)._jdf.queryExecution() \
-            .executedPlan().toString()
+        plan = repeated_window_flags(df, w=2, pin=False) \
+            ._jdf.queryExecution().executedPlan().toString()
         assert "md5" in plan
+        # and the default path IS pinned: the count table appears as a
+        # checkpointed leaf, not a re-derived explode subtree
+        pinned = repeated_window_flags(df, w=2)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        assert "LogicalRDD" in pinned or "ExistingRDD" in pinned
 
 
 class TestContrastivePairs:
