@@ -100,8 +100,19 @@ def _minhash_state(df: DataFrame, content_col: str, *, id_col: str,
     :func:`minhash_lsh_pairs`; persisted as-is by
     :func:`materialize_minhash_index` for incremental dedup."""
     rows = num_hashes // bands
+    # Both returned tables are pinned HERE, not by callers, because the
+    # waste compounds through the lineage: `banded` derives from `sh`,
+    # `sh` feeds both verify-join sides, and the band self-join consumes
+    # `banded` twice — and neither static nor AQE exchange reuse fires on
+    # any of it (measured: 4× corpus scan + 4× shingle Generate in the
+    # executed minhash plan when only the caller pinned `sh` after
+    # `banded` was already built on the unpinned lineage). With the pins
+    # at the source the corpus is scanned and shingled ONCE and the
+    # signature shuffle runs ONCE per call, for every consumer: the pair
+    # generator, the incremental index probe, and the index build.
     sh = df.select(F.col(id_col).alias("id"),
-                   shingles(F.col(content_col), k).alias("sh"))
+                   shingles(F.col(content_col), k).alias("sh")) \
+        .localCheckpoint(eager=False)
     hashed = (sh.select("id", F.explode("sh").alias("shingle"))
               .select("id", _shingle_hash28(F.col("shingle")).alias("h")))
     sig = hashed.groupBy("id").agg(*[
@@ -112,7 +123,8 @@ def _minhash_state(df: DataFrame, content_col: str, *, id_col: str,
                           *[F.col(f"m{b * rows + r}") for r in range(rows)]))
         for b in range(bands)
     ]
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band"))
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band")) \
+        .localCheckpoint(eager=False)
     return sh, banded
 
 
@@ -194,15 +206,8 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str, *,
     """
     sh, banded = _minhash_state(df, content_col, id_col=id_col, k=k,
                                 num_hashes=num_hashes, bands=bands)
-    # The shingle table is consumed THREE times (the hash/signature path
-    # plus both sides of the verify join), and its transform() HOF is
-    # interpreted — Catalyst would re-evaluate the whole shingle pipeline
-    # per consumer. Checkpoint it lazily: ONE materialization (memory,
-    # disk-spilling) instead of three full recomputes — the same
-    # materialize-once call every production minhash system makes; at
-    # corpus scale one disk-backed copy of the shingle arrays is cheaper
-    # than three corpus scans + three interpreted shingle passes.
-    sh = sh.localCheckpoint(eager=False)
+    # sh and banded arrive pinned from _minhash_state (one corpus scan,
+    # one shingle pass, one signature shuffle — see the rationale there)
     cand = _self_join_pairs(banded, max_bucket)
     return (
         cand.join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")),
@@ -489,13 +494,12 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
     # mismatch would silently produce zero corpus matches
     k, num_hashes, bands = _load_minhash_meta(spark, index_path,
                                               k, num_hashes, bands)
+    # both the dedup join and the append consume the state — it arrives
+    # pinned from _minhash_state, so the shingle explode + 16-min
+    # aggregation run once regardless of consumer count
     sh_new, banded_new = _minhash_state(batch, content_col, id_col=id_col,
                                         k=k, num_hashes=num_hashes,
                                         bands=bands)
-    # both the dedup join and the append consume the state; checkpoint so
-    # the shingle explode + 16-min aggregation run once, not three times
-    sh_new = sh_new.localCheckpoint(eager=False)
-    banded_new = banded_new.localCheckpoint(eager=False)
 
     # narrow the reads (the _ab partition column must not leak into the
     # joins/unions), excluding this batch's own prior rows on a retry.

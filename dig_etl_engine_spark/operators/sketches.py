@@ -80,9 +80,15 @@ def kmv_source_overlap(df: DataFrame, *, source_col: str = "source",
     ``source_a < source_b``. Everything after the sketch build is
     sketch-sized: S sources → S·k rows → S²/2 pairs of ≤ 2k rows.
     """
+    # the sketch is S·k rows but its BUILD is the corpus-sized cost (full
+    # distinct + per-source top-k), and it feeds four consumers below
+    # (srcs twice via the self-join, ea, eb) with no exchange reuse
+    # (measured: 6× corpus scan in the executed plan unpinned) — pin the
+    # few-thousand-row result so the corpus is scanned once
     sk = kmv_sketches(df, source_col=source_col, text_col=text_col,
                       k=k, hash_mode=hash_mode,
-                      prefilter_salts=prefilter_salts)
+                      prefilter_salts=prefilter_salts) \
+        .localCheckpoint(eager=False)
     srcs = sk.select("source").distinct()
     pairs = (srcs.alias("x").join(
         srcs.withColumnRenamed("source", "source_b").alias("y"),

@@ -414,10 +414,14 @@ def global_line_dedup(df, *, id_col: str = "doc_id",
     """
     import re
 
+    # the exploded line table feeds THREE consumers (the blank branch,
+    # the stats groupBy, and the join-back) and exchange reuse does not
+    # fire across them (measured: 4× corpus scan in the executed plan
+    # unpinned) — pin it so the corpus is scanned and split once
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), re.escape(sep)))
-         .alias("pos", "line"))
+         .alias("pos", "line")).localCheckpoint(eager=False)
     blank_pred = F.col("line").rlike(r"^\s*$")
     blank = lines.filter(blank_pred)
     content = lines.filter(~blank_pred)
@@ -696,13 +700,25 @@ def ngram_lm_scores(corpus, reference=None, *, id_col: str = "doc_id",
                 .select("id", "t.ctx", "t.w"))
 
     ref = reference if reference is not None else corpus
-    c3 = trigrams(ref).groupBy("ctx", "w").agg(
-        F.count(F.lit(1)).alias("c3"))
+    # self-scoring (reference=None) uses ONE pinned corpus trigram table
+    # for both LM counting and scoring instead of exploding the corpus
+    # twice; and c3 feeds both the c2 derivation and the scoring join, so
+    # without its pin the reference trigram aggregation runs twice
+    # (exchange reuse does not fire: measured 4× scan + 4× Generate in
+    # the executed self-scoring plan unpinned)
+    tg_corpus = trigrams(corpus)
+    if reference is None:
+        tg_corpus = tg_corpus.localCheckpoint(eager=False)
+        tg_ref = tg_corpus
+    else:
+        tg_ref = trigrams(ref)
+    c3 = tg_ref.groupBy("ctx", "w").agg(
+        F.count(F.lit(1)).alias("c3")).localCheckpoint(eager=False)
     c2 = c3.groupBy("ctx").agg(F.sum("c3").alias("c2"))
     vocab = ref.select(F.explode(F.split(
         F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")) \
         .agg(F.count_distinct("tok").alias("v"))
-    scored = (trigrams(corpus)
+    scored = (tg_corpus
               .join(c3, ["ctx", "w"], "left")
               .join(c2, "ctx", "left")
               .join(F.broadcast(vocab))
