@@ -396,3 +396,45 @@ class TestRound5Plans:
         assert "Exchange" not in plan
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
+
+
+class TestSinglePassLineage:
+    """Regression pins for the round-5 duplicate-subtree findings:
+    multi-consumer corpus lineages must stay pinned at the source, so
+    the FINAL plan carries no parquet re-scan of the input — the
+    checkpointed subtree (where the single scan lives) appears as an
+    RDD leaf. A future edit that rebuilds a consumer on the unpinned
+    lineage reintroduces N× corpus scans and fails these counts."""
+
+    import re as _re
+
+    @classmethod
+    def _scans(cls, df):
+        plan = plan_of(df)
+        return (len(cls._re.findall(r"Scan parquet", plan)),
+                plan.count("Generate"))
+
+    def test_minhash_pairs_single_corpus_pass(self, spark):
+        from dig_etl_engine_spark.catalog import load_tables
+        from dig_etl_engine_spark.operators.dedup import minhash_lsh_pairs
+        docs = load_tables(spark, SF)["documents"]
+        scans, gens = self._scans(minhash_lsh_pairs(docs, "text"))
+        assert (scans, gens) == (0, 0), (scans, gens)
+
+    def test_line_dedup_single_corpus_pass(self, spark):
+        from dig_etl_engine_spark.catalog import load_tables
+        from dig_etl_engine_spark.operators.text_analysis import (
+            global_line_dedup)
+        docs = load_tables(spark, SF)["documents"]
+        # one scan: the passthrough-column reattach; the exploded line
+        # table (3 consumers) lives behind the pin
+        scans, gens = self._scans(global_line_dedup(docs))
+        assert scans <= 1 and gens == 0, (scans, gens)
+
+    def test_kmv_overlap_single_corpus_pass(self, spark):
+        from dig_etl_engine_spark.catalog import load_tables
+        from dig_etl_engine_spark.operators.sketches import (
+            kmv_source_overlap)
+        docs = load_tables(spark, SF)["documents"]
+        scans, gens = self._scans(kmv_source_overlap(docs, k=16))
+        assert (scans, gens) == (0, 0), (scans, gens)
