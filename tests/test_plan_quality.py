@@ -339,15 +339,21 @@ class TestRound4bPlans:
         cutoff pair). Dropping any of those filters is the 100 TB
         regression this operator exists to avoid, and it would leave
         the row count unchanged — so pin the plan, then the pair count
-        derived from the actual source cardinality."""
+        derived from the actual source cardinality. The sketch-build
+        plan is inspected via kmv_sketches directly (same arguments as
+        the registered query): the overlap operator pins the built
+        sketch behind an RDD leaf (TestSinglePassLineage), which plan
+        text cannot see through."""
         from dig_etl_engine_spark import queries as registry
         from dig_etl_engine_spark.catalog import load_tables
-        df = registry.queries()["kmv_source_overlap"](spark, SF)
-        plan = plan_of(df)
+        from dig_etl_engine_spark.operators.sketches import kmv_sketches
+        docs = load_tables(spark, SF)["documents"]
+        plan = plan_of(kmv_sketches(docs, k=128, hash_mode="md5",
+                                    prefilter_salts=8))
         assert plan.count("row_number") >= 2      # salt-local + global rank
         assert plan.count("<= 128") >= 2          # both rank cutoffs applied
-        s = load_tables(spark, SF)["documents"] \
-            .select("source").distinct().count()
+        df = registry.queries()["kmv_source_overlap"](spark, SF)
+        s = docs.select("source").distinct().count()
         assert df.count() == s * (s - 1) // 2
 
     def test_interval_overlap_avoids_nested_loop(self, spark):
