@@ -2066,8 +2066,14 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly between two order statistics can never equal the
     interpolated cutoff, so the boundary compare is engine-stable."""
     docs = load_tables(spark, sf_dir)["documents"]
+    # scores is ONE narrow row per doc but its lineage is the full
+    # trigram-LM pipeline, and it feeds both the percentile aggregate
+    # and the bucketing join — the profitable side of the pin rule
+    # (SCALING.md round-5): materialized ≪ recompute. Unpinned the LM
+    # ran twice (8× corpus scan in the executed plan).
     scores = TA.ngram_lm_scores(
-        docs, docs.filter(F.col("doc_id") % 2 == 0), k_smooth=0.1)
+        docs, docs.filter(F.col("doc_id") % 2 == 0), k_smooth=0.1) \
+        .localCheckpoint(eager=False)
     cuts = scores.agg(
         F.percentile("avg_neg_logp", F.lit(_PPL_Q1)).alias("q1"),
         F.percentile("avg_neg_logp", F.lit(_PPL_Q2)).alias("q2"))
