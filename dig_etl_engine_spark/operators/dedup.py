@@ -23,6 +23,8 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dig_etl_engine_spark.operators.pin import pin
+
 logger = logging.getLogger(__name__)
 
 from dig_etl_engine_spark.operators.text_analysis import fingerprint_md5
@@ -112,7 +114,7 @@ def _minhash_state(df: DataFrame, content_col: str, *, id_col: str,
     # generator, the incremental index probe, and the index build.
     sh = df.select(F.col(id_col).alias("id"),
                    shingles(F.col(content_col), k).alias("sh")) \
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     hashed = (sh.select("id", F.explode("sh").alias("shingle"))
               .select("id", _shingle_hash28(F.col("shingle")).alias("h")))
     sig = hashed.groupBy("id").agg(*[
@@ -124,7 +126,7 @@ def _minhash_state(df: DataFrame, content_col: str, *, id_col: str,
         for b in range(bands)
     ]
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band")) \
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     return sh, banded
 
 
@@ -251,9 +253,9 @@ def dedup_corpus(df: DataFrame, content_col: str, *,
     # composed flow at sf0.1. One materialization each, disk-spilling,
     # narrow rows (id + md5) ≪ corpus.
     doc_fp = df.select(F.col(id_col).alias("doc_id"), fp) \
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     groups = doc_fp.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("exact_rep")).localCheckpoint(eager=False)
+        F.min("doc_id").alias("exact_rep")).transform(pin, eager=False)
     doc_rep = doc_fp.join(groups, "fingerprint").select("doc_id",
                                                         "exact_rep")
     reps = df.join(groups.select(F.col("exact_rep").alias(id_col)),
@@ -590,7 +592,7 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
         # directory at execution, and post-append it would contain the
         # batch's own rows (spurious self-matches). The pair set is small
         # (verified dups only), so eager materialization is bounded.
-        result = result.localCheckpoint(eager=True)
+        result = result.transform(pin, eager=True)
         ab = (batch_id if batch_id is not None
               else int(uuid.uuid4().hex[:8], 16))
         bands_out = banded_new.withColumn("_ab", F.lit(ab))
@@ -856,7 +858,7 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
          .select(F.greatest("u", "v").alias("u"),
                  F.least("u", "v").alias("v"))
          .distinct()
-         .localCheckpoint(eager=True))
+         .transform(pin, eager=True))
     limit = (SMALL_GRAPH_EDGES if small_graph_edges is None
              else small_graph_edges)
     # count() on the checkpointed leaf is one cheap metadata-ish job;
@@ -892,7 +894,7 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
              .select(F.col("v").alias("u"), F.col("m").alias("v"))
              .union(mins2.select(F.col("u"), F.col("m").alias("v")))
              .distinct()
-             .localCheckpoint(eager=False))
+             .transform(pin, eager=False))
         # bounded per-edge hash keeps the sum far from 64-bit overflow
         # (ANSI mode would throw on sum overflow)
         sig_row = e.agg(

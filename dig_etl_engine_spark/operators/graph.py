@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dig_etl_engine_spark.operators.pin import pin
+
 
 def pagerank(edges: DataFrame, *, iters: int = 5, damping: float = 0.85,
              src: str = "src", dst: str = "dst",
@@ -44,10 +46,10 @@ def pagerank(edges: DataFrame, *, iters: int = 5, damping: float = 0.85,
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
     verts = (e.select(F.col("u").alias("v"))
              .union(e.select(F.col("w").alias("v")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct().transform(pin, eager=True))
     n = verts.count()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(deg, "u").localCheckpoint(eager=True)
+    ed = e.join(deg, "u").transform(pin, eager=True)
 
     ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
     base = (1.0 - damping) / n
@@ -60,7 +62,7 @@ def pagerank(edges: DataFrame, *, iters: int = 5, damping: float = 0.85,
                  .select("v", (F.lit(base) + damping
                                * F.coalesce(F.col("s"), F.lit(0.0)))
                          .alias("r"))
-                 .localCheckpoint(eager=False))
+                 .transform(pin, eager=False))
     return ranks.select("v", F.round("r", round_digits).alias("rank"))
 
 
@@ -92,7 +94,7 @@ def label_propagation(edges: DataFrame, *, iters: int = 4,
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
     bidir = (e.union(e.select(F.col("w").alias("u"),
                               F.col("u").alias("w")))
-             .localCheckpoint(eager=True))
+             .transform(pin, eager=True))
     labels = (bidir.select(F.col("u").alias("v")).distinct()
               .select("v", F.col("v").alias("lbl")))
     rn = F.row_number().over(
@@ -102,5 +104,5 @@ def label_propagation(edges: DataFrame, *, iters: int = 4,
                .select(F.col("w").alias("v"), "lbl"))
         counts = nbr.groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("n"))
         labels = (counts.withColumn("rn", rn).filter(F.col("rn") == 1)
-                  .select("v", "lbl").localCheckpoint(eager=False))
+                  .select("v", "lbl").transform(pin, eager=False))
     return labels.select("v", F.col("lbl").alias("community"))

@@ -1,0 +1,73 @@
+"""Lineage pinning with a cluster-profile knob.
+
+Several operators pin intermediate tables so one physical result feeds
+many consumers (minhash shingle/band tables, KMV sketches, iterative
+round states): without a pin, Catalyst re-derives the whole lineage per
+consumer — a measured 4× corpus re-scan in the minhash plan — and
+iterative loops pay a compounding re-optimization cost per round.
+
+The DEFAULT pin is ``localCheckpoint``: it truncates lineage to
+executor-held blocks with zero external storage. The caveat (flagged in
+external review): those blocks have NO lineage to recompute from, so on
+a real cluster the loss of one executor mid-query fails every consumer
+of the pin. That is the right trade on a single-node/local deployment
+(this container, notebooks, small jobs) and the wrong one for long
+multi-hour cluster runs. Rather than hard-coding one choice per call
+site, every pin in the package routes through :func:`pin`, and the
+session conf picks the strategy ONCE per deployment:
+
+``spark.digetl.pin.strategy`` (read per call, so it can be changed
+between queries on a live session):
+
+* ``local`` (default) — ``localCheckpoint``; fastest, executor-loss
+  fragile.
+* ``reliable`` — ``DataFrame.checkpoint`` to the reliable checkpoint
+  dir (``spark.digetl.pin.checkpointDir`` conf, or a dir already set
+  via ``SparkContext.setCheckpointDir``); survives executor loss, costs
+  a write to shared storage. The production setting for multi-hour
+  jobs on preemptible fleets.
+* ``persist`` — ``persist(MEMORY_AND_DISK)``; keeps full lineage, so
+  executor loss triggers recomputation instead of failure, but does
+  NOT truncate the logical plan (iterative loops still pay Catalyst
+  re-optimization growth — prefer ``reliable`` for those).
+
+``eager=True`` materializes the pin immediately (used by iterative
+loops so each round's work is bounded); under ``persist`` this runs a
+``count()`` to populate the cache, matching localCheckpoint(eager)
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+STRATEGY_CONF = "spark.digetl.pin.strategy"
+CHECKPOINT_DIR_CONF = "spark.digetl.pin.checkpointDir"
+
+
+def pin(df: DataFrame, *, eager: bool = False) -> DataFrame:
+    """Pin ``df``'s result for multi-consumer / iterative reuse under
+    the session-selected strategy (module docstring)."""
+    spark = df.sparkSession
+    strategy = spark.conf.get(STRATEGY_CONF, "local")
+    if strategy == "reliable":
+        sc = spark.sparkContext
+        conf_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+        if conf_dir and not sc.getCheckpointDir():
+            sc.setCheckpointDir(conf_dir)
+        if not sc.getCheckpointDir():
+            raise ValueError(
+                f"{STRATEGY_CONF}=reliable needs a checkpoint dir: set "
+                f"{CHECKPOINT_DIR_CONF} or SparkContext.setCheckpointDir")
+        return df.checkpoint(eager=eager)
+    if strategy == "persist":
+        from pyspark import StorageLevel
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+        return out
+    if strategy != "local":
+        raise ValueError(
+            f"unknown {STRATEGY_CONF}={strategy!r} "
+            "(expected local | reliable | persist)")
+    return df.localCheckpoint(eager=eager)

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dig_etl_engine_spark.operators.pin import pin
+
 
 def _h64_hex(col, hash_mode: str):
     """Fixed-width hex hash string; lexicographic order == numeric order."""
@@ -88,7 +90,7 @@ def kmv_source_overlap(df: DataFrame, *, source_col: str = "source",
     sk = kmv_sketches(df, source_col=source_col, text_col=text_col,
                       k=k, hash_mode=hash_mode,
                       prefilter_salts=prefilter_salts) \
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     srcs = sk.select("source").distinct()
     pairs = (srcs.alias("x").join(
         srcs.withColumnRenamed("source", "source_b").alias("y"),

@@ -97,11 +97,41 @@ def _load_bucket_meta(target_path: str, buckets: int) -> int:
     rows survive and ``read_partitioned`` returns duplicate keys. The
     count is fixed at table birth; change it with
     :func:`rebucket_partitioned`. Legacy tables (pre-meta ``_kb``
-    layouts) adopt the caller's value, which the next upsert persists."""
+    layouts) adopt the caller's value — but only after a layout sanity
+    check: a legacy table built N-way has ``_kb`` directory values in
+    [0, N), so any on-disk ``_kb >= buckets`` proves the argument is
+    smaller than the build count and would hit the very
+    silent-duplicate-keys hole this meta file closes (and worse,
+    persist the wrong count permanently). Such calls are rejected with
+    the repair path named. (A too-LARGE argument over a sparse legacy
+    layout is undetectable from directories alone — the dirs only
+    bound the count from below — but it is also the harmless
+    direction only when equal; equal counts pass the check, and the
+    first post-adoption upsert persists the value so later drift is
+    caught exactly.)"""
     try:
         with open(os.path.join(target_path, _BUCKETS_META)) as fh:
             persisted = int(fh.read().strip())
     except (OSError, ValueError):
+        max_kb = -1
+        try:
+            for name in os.listdir(target_path):
+                if name.startswith("_kb="):
+                    try:
+                        max_kb = max(max_kb, int(name[4:]))
+                    except ValueError:
+                        continue
+        except OSError:
+            pass
+        if max_kb >= buckets:
+            raise ValueError(
+                f"upsert_partitioned: legacy table {target_path} has no "
+                f"{_BUCKETS_META} meta but its layout holds _kb={max_kb} "
+                f">= buckets={buckets} — it was built with a larger "
+                "bucket count. Pass the original count (or run "
+                "rebucket_partitioned) instead of adopting a mismatched "
+                "one; merging under the wrong count leaves stale "
+                "duplicate keys in unread directories.")
         return buckets
     if persisted != buckets:
         logger.warning(

@@ -17,12 +17,21 @@ bit-reproducible for identical input.
 
 Write safety: the export is EAGER and staged — shards are written
 under a hidden ``.staging-*`` directory inside the target path, and
-only after the whole job succeeds are the previous export's
-``shard-*.tar`` files removed and the new ones moved in (per-file
-atomic renames). A crashed or abandoned export therefore never
-destroys the prior one; stale staging dirs and ``*.tmp.*`` leftovers
-from crashed runs are swept on the next export. Single-writer
-contract: do not run two exports against one path concurrently.
+only after the whole job succeeds does the swap run, rename-aside
+style (the ``queries_io._swap_state`` pattern): the previous export's
+``shard-*.tar`` files are RETIRED into a hidden ``.old`` directory, a
+``_RETIRED`` commit marker is written, the staged set moves in via
+per-file atomic renames, and only then is ``.old`` dropped. No crash
+point leaves zero complete exports on disk: a crash before the marker
+is rolled back by :func:`_heal_export` (the retired shards move back),
+a crash after it is rolled FORWARD (the staged set — complete by
+construction at swap time — finishes moving in). The heal runs at the
+start of every export and local read, so a torn directory never
+reaches a reader. Stale staging dirs and ``*.tmp.*`` leftovers from
+pre-swap crashes are swept on the next export (heal first — a
+committed swap's staging remnants are recovery material, not
+leftovers). Single-writer contract: do not run two exports against
+one path concurrently.
 
 Local-path writes here (single-node container); on a cluster the same
 code points at a fuse/NFS mount or writes to a staging dir + uploads —
@@ -126,6 +135,30 @@ class _ShardWriter:
         return self.manifest
 
 
+def _heal_export(path: str, pattern: str = "shard-*.tar") -> None:
+    """Repair a swap torn by a crash (see module docstring). The
+    ``.old`` directory only exists inside a swap window; its
+    ``_RETIRED`` marker separates the two crash classes. Before the
+    marker: nothing new has moved in — roll BACK by restoring the
+    retired shards. After it: the staged set was complete when the
+    swap began — roll FORWARD by finishing the staged moves, then drop
+    the retired copy. Idempotent; no-op on a healthy directory.
+    ``pattern`` parameterizes the payload-file glob so other staged
+    directory exports (``sources/avro.py``) share the protocol."""
+    oldd = os.path.join(path, ".old")
+    if not os.path.isdir(oldd):
+        return
+    if os.path.exists(os.path.join(oldd, "_RETIRED")):
+        for staging in glob.glob(os.path.join(path, ".staging-*")):
+            for s in glob.glob(os.path.join(staging, pattern)):
+                os.replace(s, os.path.join(path, os.path.basename(s)))
+            shutil.rmtree(staging, ignore_errors=True)
+    else:
+        for s in glob.glob(os.path.join(oldd, pattern)):
+            os.replace(s, os.path.join(path, os.path.basename(s)))
+    shutil.rmtree(oldd, ignore_errors=True)
+
+
 def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
                      text_col: str = "text",
                      meta_cols: list[str] | None = None,
@@ -149,6 +182,7 @@ def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
     ship_package(df.sparkSession)
     meta_cols = meta_cols or []
     os.makedirs(path, exist_ok=True)
+    _heal_export(path)  # finish/roll back any crashed swap FIRST
     # sweep leftovers of crashed runs (never the live shards)
     for stale in glob.glob(os.path.join(path, "shard-*.tar.tmp.*")):
         os.remove(stale)
@@ -193,11 +227,18 @@ def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    # success → swap: drop the previous export's shards, move the new
-    # ones in (per-file atomic renames; the reader glob never matches
-    # the hidden staging dir, so it sees old-or-new, never torn files)
+    # success → swap, rename-aside: retire live shards into .old, mark
+    # the commit point, move the staged set in, drop .old. Every step
+    # is a per-file atomic rename and _heal_export can finish or roll
+    # back from any crash point — never a window with zero complete
+    # exports (the delete-then-move swap this replaces had one).
+    oldd = os.path.join(path, ".old")
+    shutil.rmtree(oldd, ignore_errors=True)
+    os.makedirs(oldd)
     for old in glob.glob(os.path.join(path, "shard-*.tar")):
-        os.remove(old)
+        os.replace(old, os.path.join(oldd, os.path.basename(old)))
+    with open(os.path.join(oldd, "_RETIRED"), "w") as fh:
+        fh.write("1")
     final_rows = []
     for shard, spath, n_docs, n_bytes in \
             ((r["shard"], r["path"], r["n_docs"], r["n_bytes"])
@@ -205,6 +246,7 @@ def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
         final = os.path.join(path, os.path.basename(spath))
         os.replace(spath, final)
         final_rows.append((shard, final, n_docs, n_bytes))
+    shutil.rmtree(oldd, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     return spark.createDataFrame(final_rows, _MANIFEST_SCHEMA)
 
@@ -238,23 +280,38 @@ def iter_samples(tar: tarfile.TarFile) -> Iterator[tuple[str, dict[str, bytes]]]
 
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     """Stream shard tars back into rows ``(shard, key, text, meta,
-    bins)``. Shard paths are listed via `binaryFile` with ONLY the
-    `path` column projected (content is pruned at the scan — bytes
-    never load), then each task opens its tars with
-    ``tarfile.open(name=...)`` and walks members sequentially:
-    bounded memory regardless of shard size, no ~2 GiB binaryFile cap.
+    bins)``. For ``file:`` / scheme-less paths, shard paths are listed
+    via `binaryFile` with ONLY the `path` column projected (content is
+    pruned at the scan — bytes never load), then each task opens its
+    tars with ``tarfile.open(name=...)`` and walks members
+    sequentially: bounded memory regardless of shard size, no ~2 GiB
+    binaryFile cap. binaryFile paths are URIs — they are parsed with
+    ``urlparse`` and percent-decoded (a literal-prefix strip breaks on
+    spaces and %-escapes). For non-local schemes (``hdfs:``, ``s3a:``
+    …, where a local ``open()`` cannot reach the bytes) the reader
+    falls back to the content-carrying binaryFile scan and streams the
+    tar from the in-memory buffer — correct on any Hadoop filesystem,
+    at the cost of binaryFile's ~2 GiB per-file cap; keep remote
+    shards under that (the writer's ``n_shards`` controls size).
     ``text`` is NULL when the ``.txt`` member is absent; every other
     extension lands in the ``bins`` map (ext → bytes). Non-regular or
     extensionless members (directory entries, READMEs) are skipped.
     Samples are contiguous same-stem runs (the webdataset streaming
     convention); rows are yielded in chunks so a huge shard never
     materializes whole."""
+    from urllib.parse import urlparse, unquote
+
     from dig_etl_engine_spark.session import ship_package
 
     ship_package(spark)
+    local_fs = urlparse(path).scheme in ("", "file")
+    if local_fs:
+        local_root = unquote(urlparse(path).path) or path
+        if os.path.isdir(local_root):
+            _heal_export(local_root)  # never read a torn swap
     files = (spark.read.format("binaryFile")
              .load(os.path.join(path, "shard-*.tar"))
-             .select("path"))
+             .select(*(["path"] if local_fs else ["path", "content"])))
     CHUNK = 1024
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -270,11 +327,17 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                     parts.get("json", b"{}").decode("utf-8"), bins)
 
         for b in batches:
-            for fpath in b["path"]:
-                local = fpath[5:] if fpath.startswith("file:") else fpath
-                shard = int(os.path.basename(local).split("-")[1]
-                            .split(".")[0])
-                with tarfile.open(local) as tar:
+            has_content = "content" in b.columns
+            for i, fpath in enumerate(b["path"]):
+                uri = urlparse(fpath)
+                fname = os.path.basename(unquote(uri.path) or fpath)
+                shard = int(fname.split("-")[1].split(".")[0])
+                if has_content:
+                    tar = tarfile.open(
+                        fileobj=io.BytesIO(b["content"].iloc[i]))
+                else:
+                    tar = tarfile.open(unquote(uri.path))
+                with tar:
                     for stem, parts in iter_samples(tar):
                         out.append(row(shard, stem, parts))
                         if len(out) >= CHUNK:

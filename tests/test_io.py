@@ -786,6 +786,68 @@ class TestWebdataset:
         back = read_webdataset(spark, p).collect()
         assert {int(r["key"]) for r in back} == set(range(10))
 
+    def test_torn_swap_rolls_back_before_commit_marker(self, spark,
+                                                       tmp_path):
+        """Crash mid-retire (before _RETIRED): the prior export is the
+        only complete one — heal must restore it, on both the next
+        export's entry and the next local read."""
+        import glob as _glob
+        import shutil as _shutil
+        from dig_etl_engine_spark.sinks.webdataset import (
+            read_webdataset, write_webdataset)
+        p = str(tmp_path / "wd")
+        write_webdataset(self._docs(spark, 10), p, meta_cols=["lang"],
+                         n_shards=2).collect()
+        # simulate: some live shards already moved aside, marker not yet
+        oldd = os.path.join(p, ".old")
+        os.makedirs(oldd)
+        shards = sorted(_glob.glob(os.path.join(p, "shard-*.tar")))
+        os.replace(shards[0],
+                   os.path.join(oldd, os.path.basename(shards[0])))
+        back = read_webdataset(spark, p).collect()  # read heals
+        assert {int(r["key"]) for r in back} == set(range(10))
+        assert not os.path.isdir(oldd)
+        _shutil.rmtree(p)
+
+    def test_torn_swap_rolls_forward_after_commit_marker(self, spark,
+                                                         tmp_path):
+        """Crash mid-move-in (after _RETIRED): the staged set was
+        complete when the swap began — heal must finish installing it
+        and drop the retired copy."""
+        import glob as _glob
+        from dig_etl_engine_spark.sinks.webdataset import (
+            read_webdataset, write_webdataset)
+        p = str(tmp_path / "wd")
+        write_webdataset(self._docs(spark, 10), p, meta_cols=["lang"],
+                         n_shards=2).collect()
+        # simulate a committed-but-torn swap to a NEW 20-doc export:
+        # retire the live shards, mark, leave the new set in staging
+        oldd = os.path.join(p, ".old")
+        os.makedirs(oldd)
+        for s in _glob.glob(os.path.join(p, "shard-*.tar")):
+            os.replace(s, os.path.join(oldd, os.path.basename(s)))
+        with open(os.path.join(oldd, "_RETIRED"), "w") as fh:
+            fh.write("1")
+        staging = os.path.join(p, ".staging-999999")
+        write_webdataset(self._docs(spark, 20), staging,
+                         meta_cols=["lang"], n_shards=2).collect()
+        back = read_webdataset(spark, p).collect()  # read heals forward
+        assert {int(r["key"]) for r in back} == set(range(20))
+        assert not os.path.isdir(oldd)
+        assert not _glob.glob(os.path.join(p, ".staging-*"))
+
+    def test_read_path_with_space_and_uri_decoding(self, spark,
+                                                   tmp_path):
+        """binaryFile returns percent-encoded file: URIs; a path with a
+        space must survive the decode (the fpath[5:] strip did not)."""
+        from dig_etl_engine_spark.sinks.webdataset import (
+            read_webdataset, write_webdataset)
+        p = str(tmp_path / "wd dir")
+        write_webdataset(self._docs(spark, 10), p, meta_cols=["lang"],
+                         n_shards=2).collect()
+        back = read_webdataset(spark, p).collect()
+        assert {int(r["key"]) for r in back} == set(range(10))
+
     def test_foreign_tar_members_skipped(self, spark, tmp_path):
         """Foreign tars carry directory entries, extensionless READMEs
         and the odd symlink; the reader must skip them instead of
@@ -1003,6 +1065,26 @@ class TestBucketMetaAndRebucket:
         kbs = {int(d.rsplit("=", 1)[1])
                for d in glob.glob(f"{p}/_kb=*")}
         assert kbs <= set(range(8))                # still 8-way
+
+    def test_legacy_table_rejects_too_small_bucket_argument(
+            self, spark, tmp_path):
+        """Pre-meta legacy tables can't adopt a bucket count the _kb=
+        layout disproves: dirs hold values in [0, build_count), so any
+        _kb >= argument means the argument is smaller than the build
+        count — adopting (and persisting!) it would make the silent-
+        duplicate-keys hole permanent. Equal counts still adopt."""
+        import pytest as _pytest
+        p = self._table(spark, tmp_path, buckets=8, n=200)  # fills _kb=0..7
+        os.remove(os.path.join(p, "_kg_buckets"))           # make it legacy
+        upd = spark.createDataFrame([("k0", 9, "new")], self.SCHEMA)
+        with _pytest.raises(ValueError, match="larger bucket count"):
+            kg_table.upsert_partitioned(spark, p, upd, buckets=4)
+        assert not os.path.exists(os.path.join(p, "_kg_buckets"))
+        # the true count adopts cleanly and re-persists the meta
+        kg_table.upsert_partitioned(spark, p, upd, buckets=8)
+        rows = {r.doc_id: r.v
+                for r in kg_table.read_partitioned(spark, p).collect()}
+        assert rows["k0"] == "new" and len(rows) == 200
 
     def test_rebucket_grows_table_layout(self, spark, tmp_path):
         import glob
