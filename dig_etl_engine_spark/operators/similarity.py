@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from dig_etl_engine_spark.operators.pin import pin
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -669,7 +671,7 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
     new_rows = (batch.select(F.col(id_col).alias("id"),
                              as_double(F.col(vec_col)).alias("v"))
                 .mapInPandas(assign, assign_schema)
-                .localCheckpoint(eager=False))
+                .transform(pin, eager=False))
 
     occupied = sorted({r["cluster"] for r in
                        new_rows.select("cluster").distinct().collect()})
@@ -724,7 +726,7 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
         import uuid
 
         # pin before append — see incremental_minhash_dedup
-        result = result.localCheckpoint(eager=True)
+        result = result.transform(pin, eager=True)
         ab = (batch_id if batch_id is not None
               else int(uuid.uuid4().hex[:8], 16))
         out = (new_rows.filter("is_primary")
@@ -901,14 +903,37 @@ def embedding_profile(df: DataFrame, *, vec_col: str = "embedding",
     narrow and the aggregation map-side combines to d rows per
     partition, so the shuffle carries partitions×d rows regardless of
     corpus size — the same partial-agg contract as the LM counting ops.
-    Values cast to double BEFORE aggregating (float32 inputs, double
-    accumulators in both engines); rounding bounds the cross-engine
-    sum-order wobble."""
+
+    Hash determinism (wobble lint): float AVG/STDDEV accumulate in an
+    engine-chosen order; here values are quantized to exact 1e-6-unit
+    int64 (error 5e-7 ≪ the 4-digit display rounding — an explicit,
+    documented quantization applied identically in the oracle), the
+    aggregates are exact integer SUM/SUMSQ/COUNT, and mean/std derive
+    per-row: the mean by pure integer half-away rounding, the std from
+    the exact variance numerator ``n·SS − S²`` (decimal(38,0) in Spark
+    / HUGEINT in DuckDB — exactly 0 for a collapsed dim, no
+    cancellation epsilon) through an engine-identical sqrt expression.
+    int64 headroom: SS ≤ n·(|v|·1e6)² — fine to ~1e5 unit-normalized
+    rows per dim per 10× |v| margin; shard the profile beyond that."""
+    from dig_etl_engine_spark.functions.exact import round_fixed
+
     v = df.select(F.posexplode(F.col(vec_col)).alias("dim", "v")) \
         .select("dim", F.col("v").cast("double").alias("v"))
-    return (v.groupBy("dim")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg("v"), round_digits).alias("mean"),
-                 F.round(F.stddev_samp("v"), round_digits).alias("std"),
-                 F.round(F.min("v"), round_digits).alias("min_v"),
-                 F.round(F.max("v"), round_digits).alias("max_v")))
+    micro = F.round(F.col("v") * F.lit(1000000)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = (v.groupBy("dim")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(micro).alias("s"),
+                F.sum(dec(micro * micro)).alias("ss"),
+                F.round(F.min("v"), round_digits).alias("min_v"),
+                F.round(F.max("v"), round_digits).alias("max_v")))
+    nd = F.col("n").cast("double")
+    var_num = dec(F.col("n")) * F.col("ss") - dec(F.col("s")) * dec(F.col("s"))
+    std = F.when(F.col("n") >= 2,
+                 F.sqrt(var_num.cast("double")
+                        / (nd * (nd - F.lit(1.0)))) / F.lit(1000000.0))
+    return agg.select(
+        "dim", "n",
+        round_fixed(F.col("s"), 6, round_digits, F.col("n")).alias("mean"),
+        F.round(std, round_digits).alias("std"),
+        "min_v", "max_v")

@@ -11,6 +11,9 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from dig_etl_engine_spark.operators.pin import pin as _pin
+from dig_etl_engine_spark.functions import exact as _ex
+
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
 # (A production pack would ship per-language frequency tables; the operator
 # contract — argmax of stopword-hit ratio with a floor — is what's pinned.)
@@ -421,7 +424,7 @@ def global_line_dedup(df, *, id_col: str = "doc_id",
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), re.escape(sep)))
-         .alias("pos", "line")).localCheckpoint(eager=False)
+         .alias("pos", "line")).transform(_pin, eager=False)
     blank_pred = F.col("line").rlike(r"^\s*$")
     blank = lines.filter(blank_pred)
     content = lines.filter(~blank_pred)
@@ -724,9 +727,19 @@ def ngram_lm_scores(corpus, reference=None, *, id_col: str = "doc_id",
                   (F.coalesce(F.col("c3"), F.lit(0)) + k_smooth)
                   / (F.coalesce(F.col("c2"), F.lit(0))
                      + k_smooth * F.col("v")))).alias("nlp")))
+    # Wobble lint: quantize nlp to exact 1e-9-unit int64 PER TRIGRAM
+    # (identically in the oracle — nanonat precision, ≪ the 6-digit
+    # display rounding), sum exactly, round by integer division: the
+    # doc average of repeated rational-probability logs is the
+    # round-boundary class the r5 driver caught on ts_rolling_anomaly.
+    from dig_etl_engine_spark.functions.exact import fixed, round_fixed
     return (scored.groupBy(F.col("id").alias(id_col))
             .agg(F.count(F.lit(1)).alias("n_trigrams"),
-                 F.round(F.avg("nlp"), 6).alias("avg_neg_logp")))
+                 F.sum(fixed(F.col("nlp"), 9)).alias("_s"))
+            .withColumn("avg_neg_logp",
+                        round_fixed(F.col("_s"), 9, 6,
+                                    F.col("n_trigrams")))
+            .drop("_s"))
 
 
 def repeated_window_flags(df, *, id_col: str = "doc_id",
@@ -787,7 +800,7 @@ def repeated_window_flags(df, *, id_col: str = "doc_id",
     local = wins.groupBy("id", "win").agg(
         F.count(F.lit(1)).alias("c_local"))
     if pin:
-        local = local.localCheckpoint(eager=False)
+        local = local.transform(_pin, eager=False)
     glob = local.groupBy("win").agg(F.sum("c_local").alias("n_global"))
     return (local.join(glob, "win")
             .groupBy(F.col("id").alias(id_col))
@@ -952,7 +965,7 @@ def dsir_importance_weights(corpus, target, *, id_col: str = "doc_id",
     # raw LM from them instead of exploding the corpus twice (measured
     # ~35% off the whole operator at sf0.1, identical output).
     cf = (grams(corpus).select("id", bucket(F.col("g")).alias("b"))
-          .localCheckpoint(eager=False))
+          .transform(_pin, eager=False))
     p_t, t_total = logp_from_counts(
         grams(target).select(bucket(F.col("g")).alias("b"))
         .groupBy("b").agg(F.count(F.lit(1)).alias("c")), "lp_t")
@@ -971,7 +984,14 @@ def dsir_importance_weights(corpus, target, *, id_col: str = "doc_id",
                     .alias("lr"))
             .groupBy(F.col("id").alias(id_col))
             .agg(F.count(F.lit(1)).alias("n_feats"),
-                 F.round(F.avg("lr"), 6).alias("avg_log_ratio")))
+                 # wobble lint: exact 1e-9-quantized sum + integer
+                 # rounding (see ngram_lm_scores; lr may be negative —
+                 # round_fixed is sign-correct)
+                 F.sum(_ex.fixed(F.col("lr"), 9)).alias("_s"))
+            .withColumn("avg_log_ratio",
+                        _ex.round_fixed(F.col("_s"), 9, 6,
+                                        F.col("n_feats")))
+            .drop("_s"))
 
 
 def bpe_pair_stats(df, *, text_col: str = "text", k: int = 20):

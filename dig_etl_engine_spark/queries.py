@@ -7,7 +7,13 @@ an order-insensitive value hash. Conventions that make the hashes stable:
 
   * every computed column is aliased identically in Spark and SQL;
   * double-typed aggregates are rounded explicitly on BOTH sides (float
-    summation order differs between engines at the 1e-12 level);
+    summation order differs between engines at the 1e-12 level) — and
+    rounding is NOT sufficient over AVG/STDDEV/VAR of fixed-point
+    inputs, whose group means sit exactly on round-half boundaries
+    where the 1-ulp wobble flips the digit: those aggregate exact
+    int64 SUM/SUMSQ/COUNT instead and derive the statistic per-row
+    with mirrored expression trees (``functions/exact.py``; enforced
+    registry-wide by ``test_registry_contract.py``'s wobble lint);
   * timestamps are projected as formatted strings (Spark session tz is UTC,
     DuckDB is UTC-naive — strings remove the ambiguity);
   * integer SUMs that reach the output are CAST to BIGINT in the oracle:

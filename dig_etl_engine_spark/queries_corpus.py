@@ -27,7 +27,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dig_etl_engine_spark.operators.pin import pin
+
 from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.functions.exact import (
+    fixed, round_fixed, sql_fixed, sql_round_fixed)
 from dig_etl_engine_spark.operators import dedup as D
 from dig_etl_engine_spark.operators import similarity as S
 from dig_etl_engine_spark.operators import text_analysis as TA
@@ -943,12 +947,13 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "numeric_profile_events",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            COUNT(*)::BIGINT AS n,
            ROUND(MIN(value), 6) AS min_v,
            ROUND(MAX(value), 6) AS max_v,
-           ROUND(AVG(value), 6) AS mean_v,
+           {sql_round_fixed(f"SUM({sql_fixed('value', 2)})", 2, 6,
+                            "COUNT(*)")} AS mean_v,
            ROUND(quantile_cont(value, 0.5), 6) AS p50,
            ROUND(quantile_cont(value, 0.95), 6) AS p95
     FROM events GROUP BY event_type
@@ -961,19 +966,27 @@ def numeric_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     storms before training consumes the data. Spark's exact
     `percentile` and DuckDB's `quantile_cont` share the linear-
     interpolation definition, so the driver hash-checks the quantiles
-    bit-for-bit (after the registry's round-6 convention). At 100 TB
-    swap `percentile` for `percentile_approx` — same plan shape, one
-    pass, bounded sketch memory."""
+    bit-for-bit (after the registry's round-6 convention; interpolated
+    values over 2-decimal inputs carry ≤4 decimals — never a round-6
+    boundary). The mean aggregates exact cents + integer rounding
+    (wobble lint — a float AVG's group means are rationals ON round
+    boundaries). At 100 TB swap `percentile` for `percentile_approx` —
+    same plan shape, one pass, bounded sketch memory."""
     events = load_tables(spark, sf_dir)["events"]
     return (events.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("value"), 6).alias("min_v"),
                  F.round(F.max("value"), 6).alias("max_v"),
-                 F.round(F.avg("value"), 6).alias("mean_v"),
+                 F.sum(fixed(F.col("value"), 2)).alias("_s"),
                  F.round(F.percentile("value", F.lit(0.5)), 6)
                   .alias("p50"),
                  F.round(F.percentile("value", F.lit(0.95)), 6)
-                  .alias("p95")))
+                  .alias("p95"))
+            .withColumn("mean_v", round_fixed(F.col("_s"), 2, 6,
+                                              F.col("n")))
+            .drop("_s")
+            .select("event_type", "n", "min_v", "max_v", "mean_v",
+                    "p50", "p95"))
 
 
 # --- corpus snapshot diff -----------------------------------------------------
@@ -1066,7 +1079,7 @@ _LM_DOC_SCORES_CTES = """
     ),
     doc_scores AS (
       SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
-             ROUND(AVG(nlp), 6) AS avg_neg_logp
+             (CAST((CASE WHEN (SUM(CAST(round((nlp) * 1000000000) AS BIGINT))) < 0 THEN -((2 * abs((SUM(CAST(round((nlp) * 1000000000) AS BIGINT)))) + (1000 * (COUNT(*)))) // (2 * (1000 * (COUNT(*))))) ELSE ((2 * abs((SUM(CAST(round((nlp) * 1000000000) AS BIGINT)))) + (1000 * (COUNT(*)))) // (2 * (1000 * (COUNT(*))))) END) AS DOUBLE) / 1000000.0) AS avg_neg_logp
       FROM lm_scored GROUP BY doc_id
     )"""
 
@@ -1454,13 +1467,13 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale this is the materialize-between-stages pattern
     kept = gated.join(
         labels.filter(F.col("reason") == "kept").select("doc_id"),
-        "doc_id").localCheckpoint(eager=False)
+        "doc_id").transform(pin, eager=False)
     evals = (docs.filter(F.col("doc_id") % 17 == 0)
              .select("doc_id",
                      F.concat_ws(" ", F.slice(F.split(F.col("text"), " "),
                                               1, 20)).alias("text")))
     clean = kept.join(TA.decontaminate(kept, evals, n=13),
-                      "doc_id", "left_anti").localCheckpoint(eager=False)
+                      "doc_id", "left_anti").transform(pin, eager=False)
     sources = {s: clean.filter(F.col("source") == s).drop("source")
                for s in _CUR_SOURCES}
     mixed, _plan = TA.mix_sources(
@@ -1986,7 +1999,7 @@ def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN nt CROSS JOIN nr
     )
     SELECT doc_id, COUNT(*)::BIGINT AS n_feats,
-           ROUND(AVG(lr), 6) AS avg_log_ratio
+           (CAST((CASE WHEN (SUM(CAST(round((lr) * 1000000000) AS BIGINT))) < 0 THEN -((2 * abs((SUM(CAST(round((lr) * 1000000000) AS BIGINT)))) + (1000 * (COUNT(*)))) // (2 * (1000 * (COUNT(*))))) ELSE ((2 * abs((SUM(CAST(round((lr) * 1000000000) AS BIGINT)))) + (1000 * (COUNT(*)))) // (2 * (1000 * (COUNT(*))))) END) AS DOUBLE) / 1000000.0) AS avg_log_ratio
     FROM scored GROUP BY doc_id
     """,
 )
@@ -2073,7 +2086,7 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ran twice (8× corpus scan in the executed plan).
     scores = TA.ngram_lm_scores(
         docs, docs.filter(F.col("doc_id") % 2 == 0), k_smooth=0.1) \
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     cuts = scores.agg(
         F.percentile("avg_neg_logp", F.lit(_PPL_Q1)).alias("q1"),
         F.percentile("avg_neg_logp", F.lit(_PPL_Q2)).alias("q2"))
@@ -2474,15 +2487,25 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_profile",
-    oracle="""
-    SELECT CAST(i - 1 AS INT) AS dim,
-           COUNT(*)::BIGINT AS n,
-           round(AVG(embedding[i]::DOUBLE), 4) AS mean,
-           round(STDDEV_SAMP(embedding[i]::DOUBLE), 4) AS std,
-           round(MIN(embedding[i]::DOUBLE), 4) AS min_v,
-           round(MAX(embedding[i]::DOUBLE), 4) AS max_v
-    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
-    GROUP BY i
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(i - 1 AS INT) AS dim, embedding[i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    c AS (SELECT dim, v, {sql_fixed('v', 6)} AS m FROM x),
+    s AS (
+      SELECT dim, COUNT(*)::BIGINT AS n, SUM(m) AS s, SUM(m * m) AS ss,
+             round(MIN(v), 4) AS min_v, round(MAX(v), 4) AS max_v
+      FROM c GROUP BY dim
+    )
+    SELECT dim, n,
+           {sql_round_fixed('s', 6, 4, 'n')} AS mean,
+           round(CASE WHEN n >= 2 THEN
+             sqrt(CAST(n * ss - s * s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             / 1000000.0 END, 4) AS std,
+           min_v, max_v
+    FROM s
     """,
 )
 def embedding_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,26 +17,46 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.functions.exact import (
+    fixed, round_fixed, sql_fixed, sql_round_fixed)
 from dig_etl_engine_spark.queries import register
 
 
 # --- A: aggregations ---------------------------------------------------------
 
+_Q1_CENTS = {c: sql_fixed(c, 2) for c in
+             ("l_quantity", "l_extendedprice", "l_discount", "l_tax")}
+
 @register(
     "agg_pricing_summary",
-    oracle="""
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             {_Q1_CENTS['l_quantity']} AS q100,
+             {_Q1_CENTS['l_extendedprice']} AS p100,
+             {_Q1_CENTS['l_discount']} AS d100,
+             {_Q1_CENTS['l_tax']} AS t100
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    ),
+    s AS (
+      SELECT l_returnflag, l_linestatus,
+             SUM(q100) AS sq, SUM(p100) AS sp, SUM(d100) AS sd,
+             SUM(p100 * (100 - d100)) AS sdisc,
+             SUM(p100 * (100 - d100) * (100 + t100)) AS schg,
+             COUNT(*) AS n
+      FROM c GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
-           COUNT(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+           {sql_round_fixed('sq', 2, 2)}           AS sum_qty,
+           {sql_round_fixed('sp', 2, 2)}           AS sum_base_price,
+           {sql_round_fixed('sdisc', 4, 2)}        AS sum_disc_price,
+           {sql_round_fixed('schg', 6, 2)}         AS sum_charge,
+           {sql_round_fixed('sq', 2, 4, 'n')}      AS avg_qty,
+           {sql_round_fixed('sp', 2, 4, 'n')}      AS avg_price,
+           {sql_round_fixed('sd', 2, 6, 'n')}      AS avg_disc,
+           n                                       AS count_order
+    FROM s
     """,
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,21 +64,41 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     family generalized to multi-measure group-by. Reference only has ES
     terms aggs (`sandpaper/sandbox/config/etk/config.json:56-60`); this is
     the Spark-native superset. Partial aggregation (map-side combine) makes
-    this a single shuffle of |groups| rows per partition at any scale."""
+    this a single shuffle of |groups| rows per partition at any scale.
+
+    Hash determinism (wobble lint): all measures are 2-decimal
+    fixed-point, so every sum/avg aggregates exact int64 cents —
+    disc_price in 1e-4 units, charge in 1e-6 units — and the rounded
+    outputs derive by pure integer half-away division
+    (`functions/exact.py`). A float SUM/AVG instead accumulates in
+    engine order and the group means are small-denominator rationals
+    sitting exactly on round boundaries. int64 headroom: the charge
+    sum holds ~1.7e16 per 150k-row group at sf0.1 — good to ~sf100
+    per group; beyond that lift the two product sums to decimal(38,0)."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    q100 = fixed(F.col("l_quantity"), 2)
+    p100 = fixed(F.col("l_extendedprice"), 2)
+    d100 = fixed(F.col("l_discount"), 2)
+    t100 = fixed(F.col("l_tax"), 2)
+    n = F.col("n")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+        .agg(F.sum(q100).alias("sq"), F.sum(p100).alias("sp"),
+             F.sum(d100).alias("sd"),
+             F.sum(p100 * (100 - d100)).alias("sdisc"),
+             F.sum(p100 * (100 - d100) * (100 + t100)).alias("schg"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag", "l_linestatus",
+            round_fixed(F.col("sq"), 2, 2).alias("sum_qty"),
+            round_fixed(F.col("sp"), 2, 2).alias("sum_base_price"),
+            round_fixed(F.col("sdisc"), 4, 2).alias("sum_disc_price"),
+            round_fixed(F.col("schg"), 6, 2).alias("sum_charge"),
+            round_fixed(F.col("sq"), 2, 4, n).alias("avg_qty"),
+            round_fixed(F.col("sp"), 2, 4, n).alias("avg_price"),
+            round_fixed(F.col("sd"), 2, 6, n).alias("avg_disc"),
+            F.col("n").alias("count_order"),
         )
     )
 
@@ -1064,29 +1104,92 @@ def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "correlation_matrix",
-    oracle="""
-    SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price,
-           round(corr(l_quantity, l_discount), 4) AS qty_disc,
-           round(corr(l_extendedprice, l_discount), 4) AS price_disc,
-           round(corr(l_extendedprice, l_tax), 4) AS price_tax
-    FROM lineitem
+    oracle=f"""
+    WITH c AS (
+      SELECT {sql_fixed('l_quantity', 2)} AS q,
+             {sql_fixed('l_extendedprice', 2)} AS p,
+             {sql_fixed('l_discount', 2)} AS d,
+             {sql_fixed('l_tax', 2)} AS t
+      FROM lineitem
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd, SUM(t) AS st,
+             SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(d*d) AS sdd,
+             SUM(t*t) AS stt, SUM(q*p) AS sqp, SUM(q*d) AS sqd,
+             SUM(p*d) AS spd, SUM(p*t) AS spt
+      FROM c
+    ),
+    dd AS (
+      SELECT CAST(n AS DOUBLE) AS nd,
+             CAST(sq AS DOUBLE) AS sq, CAST(sp AS DOUBLE) AS sp,
+             CAST(sd AS DOUBLE) AS sd, CAST(st AS DOUBLE) AS st,
+             CAST(sqq AS DOUBLE) AS sqq, CAST(spp AS DOUBLE) AS spp,
+             CAST(sdd AS DOUBLE) AS sdd, CAST(stt AS DOUBLE) AS stt,
+             CAST(sqp AS DOUBLE) AS sqp, CAST(sqd AS DOUBLE) AS sqd,
+             CAST(spd AS DOUBLE) AS spd, CAST(spt AS DOUBLE) AS spt
+      FROM s
+    )
+    SELECT
+      round((nd * sqp - sq * sp)
+            / (sqrt(nd * sqq - sq * sq) * sqrt(nd * spp - sp * sp)), 4)
+        AS qty_price,
+      round((nd * sqd - sq * sd)
+            / (sqrt(nd * sqq - sq * sq) * sqrt(nd * sdd - sd * sd)), 4)
+        AS qty_disc,
+      round((nd * spd - sp * sd)
+            / (sqrt(nd * spp - sp * sp) * sqrt(nd * sdd - sd * sd)), 4)
+        AS price_disc,
+      round((nd * spt - sp * st)
+            / (sqrt(nd * spp - sp * sp) * sqrt(nd * stt - st * st)), 4)
+        AS price_tax
+    FROM dd
     """,
 )
 def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations across the fact measures in ONE
-    aggregation pass — the EDA matrix behind feature selection. Every
-    `corr` is a native partial-aggregable accumulator (sums of products
-    — map-side combined, one shuffle of a handful of scalars for the
-    whole matrix, never a per-pair rescan). Rounded to 4dp: the
-    accumulation-order wobble between engines sits at ~1e-12 relative,
-    far inside the rounding."""
+    aggregation pass — the EDA matrix behind feature selection. Sums of
+    products are map-side combined: one shuffle of a handful of scalars
+    for the whole matrix, never a per-pair rescan.
+
+    Hash determinism (wobble lint): the native `corr` accumulates
+    doubles in engine order; here every accumulator is an EXACT integer
+    sum over 2-decimal fixed-point cents (squares/products ride
+    decimal(38,0) in Spark / HUGEINT in DuckDB — p² sums pass int64 at
+    ~6e19 already at sf0.1), and the Pearson closed form
+    ``(n·Sxy − Sx·Sy)/(√(n·Sxx−Sx²)·√(n·Syy−Sy²))`` evaluates per-row
+    in doubles with the identical expression tree in the oracle. corr
+    is scale-invariant, so cents-corr ≡ unit-corr exactly; the output
+    is irrational (sqrt), so plain round is boundary-safe."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    r = lambda a, b: F.round(F.corr(a, b), 4)  # noqa: E731
-    return li.agg(
-        r("l_quantity", "l_extendedprice").alias("qty_price"),
-        r("l_quantity", "l_discount").alias("qty_disc"),
-        r("l_extendedprice", "l_discount").alias("price_disc"),
-        r("l_extendedprice", "l_tax").alias("price_tax"))
+    q = fixed(F.col("l_quantity"), 2)
+    p = fixed(F.col("l_extendedprice"), 2)
+    d = fixed(F.col("l_discount"), 2)
+    t = fixed(F.col("l_tax"), 2)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"), F.sum(p).alias("sp"),
+        F.sum(d).alias("sd"), F.sum(t).alias("st"),
+        F.sum(dec(q * q)).alias("sqq"), F.sum(dec(p * p)).alias("spp"),
+        F.sum(dec(d * d)).alias("sdd"), F.sum(dec(t * t)).alias("stt"),
+        F.sum(dec(q * p)).alias("sqp"), F.sum(dec(q * d)).alias("sqd"),
+        F.sum(dec(p * d)).alias("spd"), F.sum(dec(p * t)).alias("spt"))
+    D = {c: F.col(c).cast("double") for c in
+         ("n", "sq", "sp", "sd", "st", "sqq", "spp", "sdd", "stt",
+          "sqp", "sqd", "spd", "spt")}
+
+    def corr4(sxy, sx, sy, sxx, syy):
+        num = D["n"] * D[sxy] - D[sx] * D[sy]
+        den = (F.sqrt(D["n"] * D[sxx] - D[sx] * D[sx])
+               * F.sqrt(D["n"] * D[syy] - D[sy] * D[sy]))
+        return F.round(num / den, 4)
+
+    return s.select(
+        corr4("sqp", "sq", "sp", "sqq", "spp").alias("qty_price"),
+        corr4("sqd", "sq", "sd", "sqq", "sdd").alias("qty_disc"),
+        corr4("spd", "sp", "sd", "spp", "sdd").alias("price_disc"),
+        corr4("spt", "sp", "st", "spp", "stt").alias("price_tax"))
 
 
 @register(

@@ -17,8 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.functions.exact import sql_fixed, sql_round_fixed
 from dig_etl_engine_spark.queries import register
 from dig_etl_engine_spark.timeseries import convert as C
+
+# Engine-identical rounded bucket mean (wobble lint): exact cents SUM +
+# integer half-away rounding, mirroring timeseries/convert.downsample_ohlc.
+_MEAN_V_SQL = sql_round_fixed(f"SUM({sql_fixed('value', 2)})", 2, 4,
+                              "COUNT(*)")
 
 # Shared daily-series derivation. 'n/a' ≙ a non-numeric cell in a
 # spreadsheet; NULL ≙ an empty cell — the two missing shapes
@@ -302,9 +308,9 @@ def ts_spreadsheet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(MIN(value), 4) AS low,
            round(arg_max(value, ts), 4) AS close,
            COUNT(*) AS n,
-           round(AVG(value), 4) AS mean_v
+           {mean_v} AS mean_v
     FROM events GROUP BY 1, 2
-    """,
+    """.format(mean_v=_MEAN_V_SQL),
 )
 def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucket OHLC downsampling (`timeseries/convert.py:
@@ -320,28 +326,39 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_rolling_anomaly",
     oracle="""
-    WITH w AS (
+    WITH c AS (
       SELECT user_id, ts, value,
-             COUNT(*) OVER fr AS roll_n,
-             AVG(value) OVER fr AS roll_mean,
-             SUM(value) OVER fr AS roll_sum,
-             STDDEV_SAMP(value) OVER fr AS roll_std
+             CAST(round(value * 100) AS BIGINT) AS cents
       FROM events
+    ),
+    w AS (
+      SELECT user_id, ts, value, cents,
+             COUNT(*) OVER fr AS roll_n,
+             CAST(SUM(cents) OVER fr AS BIGINT) AS s,
+             CAST(SUM(cents * cents) OVER fr AS BIGINT) AS ss
+      FROM c
       WINDOW fr AS (PARTITION BY user_id ORDER BY ts
                     RANGE BETWEEN INTERVAL 7 DAY PRECEDING
                                 AND INTERVAL 1 MICROSECOND PRECEDING)
+    ),
+    d AS (
+      SELECT user_id, ts, value, roll_n, s,
+             roll_n * ss - s * s AS var_num,
+             CASE WHEN roll_n * ss - s * s > 0 THEN
+               (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(roll_n AS DOUBLE))
+               / sqrt(CAST(roll_n * ss - s * s AS DOUBLE)
+                      / (CAST(roll_n AS DOUBLE) * (CAST(roll_n AS DOUBLE) - 1.0)))
+             END AS z_raw
+      FROM w
     )
     SELECT user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
            round(value, 4) AS value,
            roll_n,
-           round(roll_sum, 2) AS roll_sum,
-           round(CASE WHEN roll_std > 0
-                      THEN (value - roll_mean) / roll_std END, 4) AS z,
-           COALESCE(ABS(CASE WHEN roll_std > 0
-                             THEN (value - roll_mean) / roll_std END) > 3.0,
-                    FALSE) AS is_anomaly
-    FROM w
+           round(CAST(s AS DOUBLE) / 100.0, 2) AS roll_sum,
+           round(z_raw, 4) AS z,
+           COALESCE(ABS(z_raw) > 3.0, FALSE) AS is_anomaly
+    FROM d
     """,
 )
 def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,10 +368,15 @@ def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline caps z below 3σ) at microsecond precision, matching the
     operator's strict-prior frame exactly even on sub-second-dense
     streams; incremental sliding aggregate, one exchange; cold-start
-    empty baselines never alert. Both engines
-    slide the frame in ascending event order, so the double
-    accumulation sequence — and therefore the rounded stats — are
-    identical."""
+    empty baselines never alert. Hash determinism: the windowed
+    aggregates are EXACT integers only (SUM/SUMSQ/COUNT over the
+    fixed-point cents input — order-independent, bit-identical in any
+    engine or build), and mean/var/z derive per-row through this
+    closed-form expression tree mirrored token-for-token in the
+    operator; a windowed STDDEV_SAMP would instead accumulate doubles
+    in an engine-chosen order whose 1-ulp wobble flips round(z,4) on
+    half-boundaries in some libm builds (the r5 driver flip). The
+    var>0 guard is an integer comparison — no float boundary."""
     ev = load_tables(spark, sf_dir)["events"]
     return C.rolling_anomaly(ev)
 

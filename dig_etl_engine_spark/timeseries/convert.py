@@ -181,18 +181,29 @@ def downsample_ohlc(df, *, key_col: str = "user_id", ts_col: str = "ts",
     form is identical whenever (key, ts) is unique, which the events
     table guarantees). Bucket emitted as a formatted string (the
     registry's timestamp-projection convention)."""
+    from dig_etl_engine_spark.functions.exact import fixed, round_fixed
+
     b = F.date_format(F.date_trunc(bucket, F.col(ts_col)),
                       "yyyy-MM-dd" if bucket == "day" else
                       "yyyy-MM-dd HH:mm:ss")
     order = F.struct(F.col(ts_col), F.col(id_col))
     r = lambda c: F.round(c, round_digits)  # noqa: E731
+    # mean via exact cents SUM + integer half-away rounding (wobble
+    # lint): a bucket mean is a small-denominator rational that can sit
+    # EXACTLY on a round-half boundary, where a float AVG's cross-engine
+    # 1-ulp accumulation wobble flips the digit. open/high/low/close are
+    # per-row values — identical bits in any engine — so plain round.
     return (df.groupBy(F.col(key_col), b.alias("bucket"))
             .agg(r(F.min_by(F.col(val_col), order)).alias("open"),
                  r(F.max(val_col)).alias("high"),
                  r(F.min(val_col)).alias("low"),
                  r(F.max_by(F.col(val_col), order)).alias("close"),
                  F.count(F.lit(1)).alias("n"),
-                 r(F.avg(val_col)).alias("mean_v")))
+                 F.sum(fixed(F.col(val_col), 2)).alias("_s"))
+            .withColumn("mean_v",
+                        round_fixed(F.col("_s"), 2, round_digits,
+                                    F.col("n")))
+            .drop("_s"))
 
 
 def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
@@ -212,16 +223,33 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
     silently reaching back weeks.
 
     One window exchange on the key; the range frame slides
-    incrementally (no per-row rescan). std over an empty or 1-point
-    baseline is NULL → z NULL → flagged false (coalesce), so
-    cold-start points never alert. Returns (key, ts, value, roll_n, roll_sum, z,
-    is_anomaly). The window SUM is reported instead of the mean:
-    inputs are fixed-point decimals, so the true sum is a multiple of
-    0.01 — far from every rounding boundary — while a mean with
-    denominator n lands EXACTLY on round-half boundaries and 1-ulp
-    cross-engine accumulation wobble flips the rounded digit (observed:
-    31/10 000 rows). The mean is sum/n for any consumer; z is kept
-    (continuous-valued — boundary hits have measure ~0)."""
+    incrementally (no per-row rescan). Empty / 1-point / constant
+    baselines yield z NULL → flagged false (coalesce), so cold-start
+    points never alert. Returns (key, ts, value, roll_n, roll_sum, z,
+    is_anomaly).
+
+    Hash-determinism design (the ``gap_fill_linear`` "engine-identical
+    expression tree" pattern): the window aggregates are EXACT integer
+    quantities only — the input is fixed-point 2-decimal, so
+    ``cents = round(value·100)`` is an exact BIGINT in every engine,
+    and windowed SUM(cents), SUM(cents²), COUNT are order-independent
+    integer sums that agree to the last bit regardless of how an
+    engine's sliding-window accumulator sequences additions. A naive
+    ``STDDEV_SAMP OVER`` instead accumulates doubles in an
+    engine-chosen order (Welford vs shifted-sum, add vs retract), and
+    the 1-ulp wobble flips ``round(z, 4)`` on half-boundaries in SOME
+    builds but not others (observed: bitwise-identical locally, one
+    flipped digit under the driver's DuckDB build). From the three
+    exact integers, mean/var/z derive PER-ROW through one closed-form
+    IEEE-754 expression tree written identically in the oracle SQL:
+    correctly-rounded ops on bitwise-identical inputs cannot diverge.
+    Two bonus exactness wins: the variance numerator ``n·SS − S²``
+    stays in integer arithmetic, so constant windows give var = 0.0
+    exactly (no catastrophic-cancellation epsilon → phantom huge z),
+    and the positivity guard is an INTEGER comparison with no float
+    boundary at all. Overflow headroom: n·SS ≤ n²·max_cents² must fit
+    int64 — fine to ~30k points/window at values ≤ 10⁵ cents; wider
+    windows should pre-aggregate to coarser buckets first."""
     from pyspark.sql import Window as W
 
     # NTZ-safe: unix_micros needs TIMESTAMP; the cast only shifts the
@@ -229,16 +257,25 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = (W.partitionBy(key_col).orderBy(us)
          .rangeBetween(-window_days * 86400 * 1_000_000, -1))
-    mean = F.avg(val_col).over(w)
-    std = F.stddev_samp(val_col).over(w)
-    z = F.when(std > 0, (F.col(val_col) - mean) / std)
+    cents = F.round(F.col(val_col) * 100).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(cents).over(w)
+    ss = F.sum(cents * cents).over(w)
+    # Per-row closed form on exact integers; mirrored token-for-token
+    # in the oracle (queries_timeseries.ts_rolling_anomaly).
+    var_num = n * ss - s * s            # exact int64; 0 ⇔ constant window
+    n_d = n.cast("double")
+    var_c = var_num.cast("double") / (n_d * (n_d - F.lit(1.0)))
+    mean_c = s.cast("double") / n_d
+    z = F.when(var_num > 0,
+               (cents.cast("double") - mean_c) / F.sqrt(var_c))
     r = lambda c: F.round(c, round_digits)  # noqa: E731
     return df.select(
         F.col(key_col),
         F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("ts"),
         r(F.col(val_col)).alias("value"),
-        F.count(F.lit(1)).over(w).alias("roll_n"),
-        F.round(F.sum(val_col).over(w), 2).alias("roll_sum"),
+        n.alias("roll_n"),
+        F.round(s.cast("double") / F.lit(100.0), 2).alias("roll_sum"),
         r(z).alias("z"),
         F.coalesce(F.abs(z) > z_cut, F.lit(False)).alias("is_anomaly"))
 

@@ -37,12 +37,127 @@ def _names():
     return list(registry.queries())
 
 
+_DF_CACHE: dict[str, object] = {}
+
+
+def _df_for(spark, name):
+    """Build (and cache) a query's DataFrame once per session — some
+    queries materialize state during construction (trainers, streams),
+    so the atomic-schema and wobble lints share one build."""
+    if name not in _DF_CACHE:
+        _DF_CACHE[name] = registry.queries()[name](spark, SF_SMALL)
+    return _DF_CACHE[name]
+
+
 @pytest.mark.parametrize("name", _names(), ids=_names())
 def test_output_schema_is_atomic(spark, name):
-    fn = registry.queries()[name]
-    df = fn(spark, SF_SMALL)
+    df = _df_for(spark, name)
     errs = assert_atomic_schema(name, df)
     assert not errs, "\n".join(errs)
+
+
+# ---------------------------------------------------------------------------
+# Wobble lint: round() over an order-sensitive float aggregate.
+#
+# The r5 driver caught the class instance (`ts_rolling_anomaly`): a windowed
+# STDDEV_SAMP accumulates doubles in an ENGINE-CHOSEN order, a different
+# DuckDB/libm build lands 1 ulp away, and `round(z, 4)` flips on a
+# half-boundary — locally green, red in the driver. The registry-wide lint:
+# no output may be `round()` over a value whose lineage contains a
+# floating-point AVG / STDDEV / VARIANCE aggregate (grouped or windowed).
+# SUM and COUNT are exempt — over this repo's fixed-point inputs their true
+# values sit far from every rounding boundary (see
+# `timeseries/convert.py:rolling_anomaly` for the full argument) — and so
+# are aggregates over integer/decimal inputs, whose sums are exact. The safe
+# pattern is the one `ts_rolling_anomaly` uses: aggregate exact quantities
+# (SUM, SUMSQ, COUNT), derive the statistic per-row with an expression tree
+# mirrored token-for-token in the oracle.
+#
+# The check walks the ANALYZED JVM plan and resolves attribute references
+# through their defining Alias nodes — a textual scan cannot see that
+# `round(_we2, 4)` hides a stddev behind a window-expression attribute,
+# which is exactly how the offender was written.
+# ---------------------------------------------------------------------------
+
+_WOBBLY_AGGS = {"Average", "StddevSamp", "StddevPop", "VarianceSamp",
+                "VariancePop", "Corr", "CovSample", "CovPopulation",
+                "Skewness", "Kurtosis"}
+_FLOATY = {"double", "float"}
+
+# name → why round-over-float-aggregate is provably safe THERE. Empty by
+# design: every former member was rewritten onto the exact-aggregate
+# pattern instead of being argued around.
+WOBBLE_ALLOWLIST: dict[str, str] = {}
+
+
+def _jseq(jseq):
+    return [jseq.apply(i) for i in range(jseq.size())]
+
+
+def _walk_plan(p):
+    yield p
+    for c in _jseq(p.children()):
+        yield from _walk_plan(c)
+
+
+def _walk_expr(e):
+    yield e
+    for c in _jseq(e.children()):
+        yield from _walk_expr(c)
+
+
+def _wobbly_rounds(df) -> list[str]:
+    """Names of Round expressions in ``df``'s analyzed plan whose
+    (alias-resolved) lineage contains an order-sensitive float
+    aggregate."""
+    plan = df._jdf.queryExecution().analyzed()
+    aliases: dict[int, object] = {}
+    rounds = []
+    for node in _walk_plan(plan):
+        for top in _jseq(node.expressions()):
+            for e in _walk_expr(top):
+                cls = e.getClass().getSimpleName()
+                if cls == "Alias":
+                    aliases[e.exprId().id()] = e.child()
+                elif cls in ("Round", "BRound"):
+                    rounds.append(e)
+
+    def lineage_has_wobbly_agg(e, seen: set[int]) -> str | None:
+        for sub in _walk_expr(e):
+            cls = sub.getClass().getSimpleName()
+            if cls in _WOBBLY_AGGS:
+                kids = _jseq(sub.children())
+                if kids and kids[0].dataType().simpleString() in _FLOATY:
+                    return cls
+            elif cls == "AttributeReference":
+                aid = sub.exprId().id()
+                target = aliases.get(aid)
+                if target is not None and aid not in seen:
+                    hit = lineage_has_wobbly_agg(target, seen | {aid})
+                    if hit:
+                        return hit
+        return None
+
+    out = []
+    for r in rounds:
+        hit = lineage_has_wobbly_agg(r, set())
+        if hit:
+            out.append(f"{hit} under {r.toString()[:120]}")
+    return out
+
+
+@pytest.mark.parametrize("name", _names(), ids=_names())
+def test_no_round_over_float_aggregate(spark, name):
+    if name in WOBBLE_ALLOWLIST:
+        pytest.skip(f"allowlisted: {WOBBLE_ALLOWLIST[name]}")
+    hits = _wobbly_rounds(_df_for(spark, name))
+    assert not hits, (
+        f"{name}: round() applied over an order-sensitive float aggregate "
+        f"— cross-engine 1-ulp accumulation wobble can flip the rounded "
+        f"digit (the ts_rolling_anomaly r5 driver failure class). Derive "
+        f"the statistic per-row from exact windowed SUM/SUMSQ/COUNT "
+        f"instead (see timeseries/convert.py:rolling_anomaly):\n  "
+        + "\n  ".join(hits))
 
 
 def test_no_oracle_escapes_are_enumerated():

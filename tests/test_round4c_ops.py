@@ -137,6 +137,38 @@ class TestRollingAnomaly:
         assert out2["2024-01-04 00:00:00"]["roll_n"] == 1
         assert out2["2024-01-04 00:00:00"]["roll_sum"] == 5.0
 
+    def test_constant_baseline_var_exactly_zero(self, spark):
+        """Integer variance numerator n·SS−S² is EXACTLY 0 for a
+        constant window — no catastrophic-cancellation epsilon, so no
+        phantom huge z (the failure mode of float SS−S²/n)."""
+        from dig_etl_engine_spark.timeseries.convert import rolling_anomaly
+        t = datetime.datetime
+        rows = [(1, t(2024, 1, d), 41.37, d) for d in range(1, 9)]
+        df = spark.createDataFrame(
+            rows, "user_id LONG, ts TIMESTAMP, value DOUBLE, event_id LONG")
+        out = {r["ts"]: r for r in rolling_anomaly(df).collect()}
+        for d in range(2, 9):  # constant baseline → z undefined, never flagged
+            row = out[f"2024-01-0{d} 00:00:00"]
+            assert row["z"] is None and row["is_anomaly"] is False
+            assert row["roll_n"] == min(d - 1, 7)
+
+    def test_z_matches_python_sample_std(self, spark):
+        """z agrees with a pure-Python leave-one-out sample-std reference
+        (the exact-integer formulation is algebra, not an approximation)."""
+        import statistics
+        from dig_etl_engine_spark.timeseries.convert import rolling_anomaly
+        t = datetime.datetime
+        vals = [10.07, 9.51, 11.23, 10.88, 9.99, 10.45, 17.76]
+        rows = [(1, t(2024, 1, d + 1), v, d) for d, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "user_id LONG, ts TIMESTAMP, value DOUBLE, event_id LONG")
+        out = {r["ts"]: r for r in rolling_anomaly(df).collect()}
+        base = vals[:-1]
+        want = (vals[-1] - statistics.mean(base)) / statistics.stdev(base)
+        got = out["2024-01-07 00:00:00"]["z"]  # rounded to 4 digits
+        assert abs(got - want) < 5e-5
+        assert out["2024-01-07 00:00:00"]["is_anomaly"] is (abs(want) > 3.0)
+
 
 class TestSeededSweeps:
     def test_interval_join_bruteforce_sweep(self, spark):
