@@ -15,7 +15,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.functions.exact import (
+    fixed, round_fixed, sql_fixed, sql_round_fixed)
 from dig_etl_engine_spark.queries import register
+
+# Engine-identical rounded bucket mean (wobble lint): exact cents SUM +
+# integer half-away rounding — mirrors timeseries/convert.downsample_ohlc.
+_MEAN_V_SQL = sql_round_fixed(f"SUM({sql_fixed('value', 2)})", 2, 4,
+                              "COUNT(*)")
 
 # pid-scoped: these fixture dirs are wiped and rebuilt PER CALL, so two
 # concurrent processes (a pytest run next to a driver sweep) sharing one
@@ -56,6 +63,35 @@ def src_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     return read_jsonlines(spark, path, schema) \
         .select("doc_id", "source", "lang", "n_chars")
+
+
+@register(
+    "src_avro_roundtrip",
+    oracle="""
+    SELECT doc_id, text, source, lang, n_chars,
+           CAST(doc_id % 7 = 0 AS BOOLEAN) AS flagged
+    FROM documents
+    """,
+)
+def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object-container round trip (`sources/avro.py` — the
+    spec-compliant pure-Python codec standing in for the absent
+    ``spark-avro`` module, the same stdlib-reader doctrine as the two
+    Excel sources): documents + a computed boolean → deflate-codec
+    container export (staged rename-aside swap shared with the
+    WebDataset sink) → distributed header-parse + block-decode read.
+    The oracle recomputes relationally: ids, nullable text, strings,
+    longs and booleans all survive the binary-encoding hop."""
+    from dig_etl_engine_spark.sources.avro import read_avro, write_avro
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", "source", "lang", "n_chars",
+        (F.col("doc_id") % 7 == 0).alias("flagged"))
+    path = _scratch("avro_docs")
+    man = write_avro(docs.repartition(4), path, codec="deflate")
+    assert sum(r["n_rows"] for r in man.collect()) == docs.count()
+    return read_avro(spark, path) \
+        .select("doc_id", "text", "source", "lang", "n_chars", "flagged")
 
 
 @register(
@@ -591,6 +627,141 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str
     return spark.read.parquet(target).select("doc_id")
 
 
+@register(
+    "stream_e2e_curation",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, text, doc_id AS kafka_offset FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, doc_id + 100000 FROM documents
+      WHERE doc_id % 3 = 0
+    ),
+    fp AS (
+      SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS f
+      FROM src
+    ),
+    first_seen AS (
+      SELECT f, arg_min(doc_id, kafka_offset) AS doc_id,
+             arg_min(text, kafka_offset) AS text,
+             MIN(kafka_offset) AS kafka_offset
+      FROM fp GROUP BY f
+    ),
+    evt AS (
+      SELECT string_split(trim(lower(array_to_string(
+               string_split(text, ' ')[1:20], ' '))), ' ') AS toks
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    evg AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, greatest(len(toks) - 12, 1) + 1),
+                 i -> array_to_string(toks[i:least(i + 12, len(toks))], ' ')))
+               AS g
+      FROM evt
+    ),
+    cg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 12, 1) + 1),
+                 i -> array_to_string(toks[i:least(i + 12, len(toks))], ' ')))
+               AS g
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+            FROM first_seen)
+    ),
+    contaminated AS (SELECT DISTINCT cg.doc_id
+                     FROM cg JOIN evg ON cg.g = evg.g),
+    curated AS (
+      SELECT fs.doc_id, fs.text FROM first_seen fs
+      LEFT JOIN contaminated c ON c.doc_id = fs.doc_id
+      WHERE c.doc_id IS NULL
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(2 * len(list_filter(string_split(trim(lower(text)), ' '),
+                                      t -> t = 'spark'))
+                + len(list_filter(string_split(trim(lower(text)), ' '),
+                                  t -> t = 'join')) AS BIGINT) AS score
+      FROM curated
+    )
+    SELECT doc_id, score FROM scored
+    WHERE score > 0
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def stream_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed streaming pipeline as ONE identity query — the
+    end-to-end shape a real deployment runs (the round-5 review's
+    requested composition): kafka-shaped file drop → custom STATEFUL
+    first-seen exact dedup (``applyInPandasWithState`` — planted exact
+    copies at ``doc_id+100000`` must lose to their min-offset
+    originals) → per-micro-batch decontamination gate (13-gram eval
+    overlap, the `stream_decontaminate_ingest` transform) → last-write-
+    wins KG MERGE → weighted coarse search rank over the curated table
+    (term-weight sum, the search compiler's relevance semantics, full
+    deterministic tie order). Every stage is individually driver-
+    verified elsewhere; this row proves they COMPOSE — the stateful
+    operator's output stream feeds foreachBatch directly, no
+    intermediate landing. Single availableNow drain so first-seen ==
+    global min-offset (batch-order nondeterminism excluded); the
+    oracle replays all four stages relationally."""
+    from dig_etl_engine_spark.operators.text_analysis import decontaminate
+    from dig_etl_engine_spark.sinks.kg_table import (
+        create_table_if_not_exists, upsert)
+    from dig_etl_engine_spark.streaming.ingest import file_stream_source
+    from dig_etl_engine_spark.streaming.stateful import (
+        first_seen_dedup_stream)
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    src = (docs.unionByName(copies)
+           .select("doc_id", "text",
+                   F.col("doc_id").alias("kafka_offset"),
+                   F.md5(F.trim(F.regexp_replace(F.lower("text"),
+                                                 r"\s+", " ")))
+                   .alias("fingerprint")))
+    evals = (docs.filter(F.col("doc_id") % 17 == 0)
+             .select("doc_id",
+                     F.concat_ws(" ", F.slice(F.split(F.col("text"), " "),
+                                              1, 20)).alias("text")))
+
+    root = _scratch("e2estream")
+    in_dir, target = os.path.join(root, "in"), os.path.join(root, "kg")
+    ckpt = os.path.join(root, "ck")
+    src.coalesce(1).write.mode("overwrite").json(in_dir)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("kafka_offset", T.LongType()),
+        T.StructField("fingerprint", T.StringType()),
+    ])
+    create_table_if_not_exists(spark, target, T.StructType(schema[:3]))
+
+    def curate(batch: DataFrame, batch_id: int) -> None:
+        survivors = batch.select("doc_id", "text", "kafka_offset")
+        clean = survivors.join(decontaminate(survivors, evals, n=13),
+                               "doc_id", "left_anti")
+        upsert(batch.sparkSession, target, clean)
+
+    deduped = first_seen_dedup_stream(
+        file_stream_source(spark, in_dir, schema),
+        fingerprint_col="fingerprint", order_col="kafka_offset",
+        output_schema=("doc_id long, text string, kafka_offset long, "
+                       "fingerprint string"))
+    q = (deduped.writeStream.outputMode("append").foreachBatch(curate)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), " ")
+    nmatch = lambda w: F.size(F.filter(toks, lambda t: t == F.lit(w)))  # noqa: E731
+    return (spark.read.parquet(target)
+            .select("doc_id",
+                    (2 * nmatch("spark") + nmatch("join"))
+                    .cast("long").alias("score"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(20))
+
+
 @register("stream_dedup_ingest_oracle",
           oracle=_stream_dedup_oracle_sql())
 def stream_dedup_ingest_oracle(spark: SparkSession, sf_dir: str
@@ -759,9 +930,9 @@ def _swap_state(folded: DataFrame, target: str, bid: int) -> None:
            round(MIN(value), 4) AS low,
            round(arg_max(value, ts), 4) AS close,
            COUNT(*) AS n,
-           round(AVG(value), 4) AS mean_v
+           {mean_v} AS mean_v
     FROM events GROUP BY 1, 2
-    """,
+    """.format(mean_v=_MEAN_V_SQL),
 )
 def stream_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained OHLC rollup under Structured Streaming:
@@ -808,7 +979,8 @@ def stream_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(*keys)
             .agg(F.min(o).alias("omin"), F.max(o).alias("omax"),
                  F.min("value").alias("low"), F.max("value").alias("high"),
-                 F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")))
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(fixed(F.col("value"), 2)).alias("s")))
         if os.path.exists(os.path.join(target, "_SUCCESS")):
             part = batch.sparkSession.read.parquet(target) \
                 .unionByName(part)
@@ -834,7 +1006,7 @@ def stream_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rd(F.col("omin")["value"]).alias("open"),
         rd("high").alias("high"), rd("low").alias("low"),
         rd(F.col("omax")["value"]).alias("close"),
-        "n", rd(F.col("s") / F.col("n")).alias("mean_v"))
+        "n", round_fixed(F.col("s"), 2, 4, F.col("n")).alias("mean_v"))
 
 
 @register(

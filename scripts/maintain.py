@@ -1,0 +1,85 @@
+"""Nightly maintenance pass over a spark-dig warehouse — the one-command
+recipe a production deployment schedules after its daily ingest.
+
+Every incrementally-written layout in this engine decays in a known way,
+and every decay has a sanctioned repair (README §"Persisted state has a
+maintenance story"):
+
+* bucketed KG tables accumulate small files per micro-batch upsert
+  → ``kg_table.compact_partitioned`` (and, when buckets outgrow their
+  birth size, ``kg_table.rebucket_partitioned``);
+* incremental minhash dedup indexes accumulate ``_ab=`` append
+  partitions → ``dedup.compact_minhash_index``;
+* incremental IVF ANN indexes accumulate ``(cluster, _ab)`` appends
+  → ``similarity.compact_ivf_index``.
+
+Usage (paths are the warehouse layouts this repo's sinks/indexes write):
+
+    python scripts/maintain.py --kg-table  /warehouse/kg \\
+                               --minhash   /warehouse/minhash_idx \\
+                               --ivf       /warehouse/ivf_idx \\
+                               [--rebucket-kg-to N]
+
+Any subset of flags may be given; each repair is independent, idempotent
+and single-writer (do not run concurrently with an active ingest into
+the SAME layout — schedule in the ingest's quiet window, exactly like
+VACUUM/OPTIMIZE in a lakehouse). All three repairs are crash-safe: the
+KG compaction swaps via rename-aside, the index compactions write
+fresh epochs whose duplicate rows are provably harmless to every
+consumer, so a killed maintenance run never corrupts a query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--kg-table", help="bucketed KG table root (_kb= layout)")
+    ap.add_argument("--rebucket-kg-to", type=int, metavar="N",
+                    help="also rebucket the KG table to N buckets "
+                         "(growth maintenance; runs before compaction)")
+    ap.add_argument("--minhash", help="incremental minhash index root")
+    ap.add_argument("--ivf", help="incremental IVF index root")
+    ap.add_argument("--target-file-bytes", type=int, default=128 << 20,
+                    help="KG compaction target file size (default 128 MiB)")
+    args = ap.parse_args()
+    if not (args.kg_table or args.minhash or args.ivf):
+        ap.error("nothing to do: pass at least one of "
+                 "--kg-table / --minhash / --ivf")
+
+    from dig_etl_engine_spark.session import get_spark
+    spark = get_spark("maintain")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.kg_table:
+        from dig_etl_engine_spark.sinks import kg_table
+        if args.rebucket_kg_to:
+            n = kg_table.rebucket_partitioned(spark, args.kg_table,
+                                              args.rebucket_kg_to)
+            print(f"kg_table: rebucketed {n} rows "
+                  f"to {args.rebucket_kg_to} buckets")
+        n = kg_table.compact_partitioned(
+            spark, args.kg_table, target_file_bytes=args.target_file_bytes)
+        print(f"kg_table: compacted {n} buckets")
+
+    if args.minhash:
+        from dig_etl_engine_spark.operators.dedup import compact_minhash_index
+        stats = compact_minhash_index(spark, args.minhash)
+        print(f"minhash index: {stats}")
+
+    if args.ivf:
+        from dig_etl_engine_spark.operators.similarity import compact_ivf_index
+        stats = compact_ivf_index(spark, args.ivf)
+        print(f"ivf index: {stats}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
