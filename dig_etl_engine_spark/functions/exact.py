@@ -45,8 +45,17 @@ from pyspark.sql import functions as F
 
 
 def fixed(col: Column, k: int) -> Column:
-    """Lift a k-decimal fixed-point double to exact int64 units."""
-    return F.round(col * F.lit(10 ** k)).cast("long")
+    """Lift a k-decimal fixed-point double to exact int64 units.
+
+    ``floor(x·10^k + 0.5)`` instead of ``round``: Spark's Round on
+    doubles allocates a BigDecimal per value (a measured ~25% tax on a
+    4-measure scan), while floor is one codegen-inlined double op. The
+    two differ only on exact .5 ties, which cannot occur here — a
+    k-decimal value lands within 1 ulp of an integer after scaling,
+    nowhere near .5 — and for continuous inputs being QUANTIZED (the
+    1e-9 log lifts) the tie rule is irrelevant as long as both engines
+    apply the same expression, which :func:`sql_fixed` mirrors."""
+    return F.floor(col * F.lit(10 ** k) + F.lit(0.5)).cast("long")
 
 
 def round_fixed(p: Column, k: int, digits: int,
@@ -71,7 +80,7 @@ def round_fixed(p: Column, k: int, digits: int,
 
 def sql_fixed(expr: str, k: int) -> str:
     """DuckDB mirror of :func:`fixed` (emit into oracle SQL)."""
-    return f"CAST(round(({expr}) * {10 ** k}) AS BIGINT)"
+    return f"CAST(floor(({expr}) * {10 ** k} + 0.5) AS BIGINT)"
 
 
 def sql_round_fixed(p: str, k: int, digits: int, n: str = "1") -> str:

@@ -915,11 +915,11 @@ def embedding_profile(df: DataFrame, *, vec_col: str = "embedding",
     cancellation epsilon) through an engine-identical sqrt expression.
     int64 headroom: SS ≤ n·(|v|·1e6)² — fine to ~1e5 unit-normalized
     rows per dim per 10× |v| margin; shard the profile beyond that."""
-    from dig_etl_engine_spark.functions.exact import round_fixed
+    from dig_etl_engine_spark.functions.exact import fixed, round_fixed
 
     v = df.select(F.posexplode(F.col(vec_col)).alias("dim", "v")) \
         .select("dim", F.col("v").cast("double").alias("v"))
-    micro = F.round(F.col("v") * F.lit(1000000)).cast("long")
+    micro = fixed(F.col("v"), 6)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = (v.groupBy("dim")
            .agg(F.count(F.lit(1)).alias("n"),

@@ -1079,7 +1079,7 @@ _LM_DOC_SCORES_CTES = """
     ),
     doc_scores AS (
       SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
-             (CAST((CASE WHEN (SUM(CAST(round((nlp) * 1000000000) AS BIGINT))) < 0 THEN -((2 * abs((SUM(CAST(round((nlp) * 1000000000) AS BIGINT)))) + (1000 * (COUNT(*)))) // (2 * (1000 * (COUNT(*))))) ELSE ((2 * abs((SUM(CAST(round((nlp) * 1000000000) AS BIGINT)))) + (1000 * (COUNT(*)))) // (2 * (1000 * (COUNT(*))))) END) AS DOUBLE) / 1000000.0) AS avg_neg_logp
+             (CAST((CASE WHEN (SUM(CAST(floor((nlp) * 1000000000 + 0.5) AS BIGINT))) < 0 THEN -((2 * abs((SUM(CAST(floor((nlp) * 1000000000 + 0.5) AS BIGINT)))) + (1000 * (COUNT(*)))) // (2 * (1000 * (COUNT(*))))) ELSE ((2 * abs((SUM(CAST(floor((nlp) * 1000000000 + 0.5) AS BIGINT)))) + (1000 * (COUNT(*)))) // (2 * (1000 * (COUNT(*))))) END) AS DOUBLE) / 1000000.0) AS avg_neg_logp
       FROM lm_scored GROUP BY doc_id
     )"""
 
@@ -1999,7 +1999,7 @@ def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN nt CROSS JOIN nr
     )
     SELECT doc_id, COUNT(*)::BIGINT AS n_feats,
-           (CAST((CASE WHEN (SUM(CAST(round((lr) * 1000000000) AS BIGINT))) < 0 THEN -((2 * abs((SUM(CAST(round((lr) * 1000000000) AS BIGINT)))) + (1000 * (COUNT(*)))) // (2 * (1000 * (COUNT(*))))) ELSE ((2 * abs((SUM(CAST(round((lr) * 1000000000) AS BIGINT)))) + (1000 * (COUNT(*)))) // (2 * (1000 * (COUNT(*))))) END) AS DOUBLE) / 1000000.0) AS avg_log_ratio
+           (CAST((CASE WHEN (SUM(CAST(floor((lr) * 1000000000 + 0.5) AS BIGINT))) < 0 THEN -((2 * abs((SUM(CAST(floor((lr) * 1000000000 + 0.5) AS BIGINT)))) + (1000 * (COUNT(*)))) // (2 * (1000 * (COUNT(*))))) ELSE ((2 * abs((SUM(CAST(floor((lr) * 1000000000 + 0.5) AS BIGINT)))) + (1000 * (COUNT(*)))) // (2 * (1000 * (COUNT(*))))) END) AS DOUBLE) / 1000000.0) AS avg_log_ratio
     FROM scored GROUP BY doc_id
     """,
 )

@@ -328,7 +328,7 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT user_id, ts, value,
-             CAST(round(value * 100) AS BIGINT) AS cents
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events
     ),
     w AS (

@@ -254,10 +254,12 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
 
     # NTZ-safe: unix_micros needs TIMESTAMP; the cast only shifts the
     # epoch by a constant (session TZ), which a relative frame ignores
+    from dig_etl_engine_spark.functions.exact import fixed
+
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = (W.partitionBy(key_col).orderBy(us)
          .rangeBetween(-window_days * 86400 * 1_000_000, -1))
-    cents = F.round(F.col(val_col) * 100).cast("long")
+    cents = fixed(F.col(val_col), 2)
     n = F.count(F.lit(1)).over(w)
     s = F.sum(cents).over(w)
     ss = F.sum(cents * cents).over(w)
