@@ -214,7 +214,7 @@ def facet_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
            c.c_mktsegment,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           (CAST((CASE WHEN (SUM(CAST(floor((l.l_extendedprice) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor((l.l_discount) * 100 + 0.5) AS BIGINT)))) < 0 THEN -((2 * abs((SUM(CAST(floor((l.l_extendedprice) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor((l.l_discount) * 100 + 0.5) AS BIGINT))))) + (100 * (1))) // (2 * (100 * (1)))) ELSE ((2 * abs((SUM(CAST(floor((l.l_extendedprice) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor((l.l_discount) * 100 + 0.5) AS BIGINT))))) + (100 * (1))) // (2 * (100 * (1)))) END) AS DOUBLE) / 100.0) AS revenue
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
@@ -235,8 +235,10 @@ def join_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey",
                  F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
                  "c_mktsegment")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.sum(fixed(F.col("l_extendedprice"), 2)
+                   * (100 - fixed(F.col("l_discount"), 2))).alias("_rev4"))
+        .withColumn("revenue", round_fixed(F.col("_rev4"), 4, 2))
+        .drop("_rev4")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -246,7 +248,7 @@ def join_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_region_revenue",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           (CAST((CASE WHEN (SUM(CAST(floor((l.l_extendedprice) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor((l.l_discount) * 100 + 0.5) AS BIGINT)))) < 0 THEN -((2 * abs((SUM(CAST(floor((l.l_extendedprice) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor((l.l_discount) * 100 + 0.5) AS BIGINT))))) + (100 * (1))) // (2 * (100 * (1)))) ELSE ((2 * abs((SUM(CAST(floor((l.l_extendedprice) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor((l.l_discount) * 100 + 0.5) AS BIGINT))))) + (100 * (1))) // (2 * (100 * (1)))) END) AS DOUBLE) / 100.0) AS revenue,
            COUNT(DISTINCT o.o_orderkey) AS n_orders
     FROM region r
       JOIN nation n    ON n.n_regionkey = r.r_regionkey
@@ -268,10 +270,12 @@ def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("revenue"),
+            F.sum(fixed(F.col("l_extendedprice"), 2)
+                  * (100 - fixed(F.col("l_discount"), 2))).alias("_rev4"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
+        .withColumn("revenue", round_fixed(F.col("_rev4"), 4, 2))
+        .select("region", "nation", "revenue", "n_orders")
     )
 
 
@@ -279,7 +283,7 @@ def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_bucketed_colocated",
     oracle="""
     SELECT o.o_orderstatus AS status,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           (CAST((CASE WHEN (SUM(CAST(floor((l.l_extendedprice) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor((l.l_discount) * 100 + 0.5) AS BIGINT)))) < 0 THEN -((2 * abs((SUM(CAST(floor((l.l_extendedprice) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor((l.l_discount) * 100 + 0.5) AS BIGINT))))) + (100 * (1))) // (2 * (100 * (1)))) ELSE ((2 * abs((SUM(CAST(floor((l.l_extendedprice) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor((l.l_discount) * 100 + 0.5) AS BIGINT))))) + (100 * (1))) // (2 * (100 * (1)))) END) AS DOUBLE) / 100.0) AS revenue,
            COUNT(*) AS n_items
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
@@ -308,10 +312,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("revenue"),
+            F.sum(fixed(F.col("l_extendedprice"), 2)
+                  * (100 - fixed(F.col("l_discount"), 2))).alias("_rev4"),
             F.count(F.lit(1)).alias("n_items"),
         )
+        .withColumn("revenue", round_fixed(F.col("_rev4"), 4, 2))
+        .select("status", "revenue", "n_items")
     )
 
 

@@ -187,20 +187,50 @@ def ts_measurement_emission(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_trend_linear_fit",
     oracle=f"""
-    WITH {_DAILY_SQL}
+    WITH {_DAILY_SQL},
+    pts AS (
+      SELECT event_type, CAST(d - DATE '2024-01-01' AS BIGINT) AS x,
+             CAST(floor(v * 100 + 0.5) AS BIGINT) AS yc
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(yc) AS sy,
+             SUM(x * x) AS sxx, SUM(x * yc) AS sxy, SUM(yc * yc) AS syy
+      FROM pts GROUP BY event_type
+    ),
+    d2 AS (
+      SELECT event_type, n,
+             n * sxy - sx * sy AS p,
+             n * sxx - sx * sx AS q,
+             sy * sxx - sx * sxy AS p2,
+             n * syy - sy * sy AS r
+      FROM s
+    )
     SELECT event_type,
-           ROUND(regr_slope(v, x), 6) AS slope,
-           ROUND(regr_intercept(v, x), 6) AS intercept,
-           ROUND(regr_r2(v, x), 6) AS r2,
-           count(*) AS n_points, 'Trend' AS type
-    FROM (SELECT event_type, (d - DATE '2024-01-01') AS x, v FROM daily) t
-    GROUP BY event_type
+           CASE WHEN q > 0 THEN
+             CAST(CASE WHEN p * 10000 < 0
+                       THEN -((2 * abs(p * 10000) + q) // (2 * q))
+                       ELSE ((2 * abs(p * 10000) + q) // (2 * q)) END
+                  AS DOUBLE) / 1000000.0 END AS slope,
+           CASE WHEN q > 0 THEN
+             CAST(CASE WHEN p2 * 10000 < 0
+                       THEN -((2 * abs(p2 * 10000) + q) // (2 * q))
+                       ELSE ((2 * abs(p2 * 10000) + q) // (2 * q)) END
+                  AS DOUBLE) / 1000000.0 END AS intercept,
+           CASE WHEN q > 0 AND r > 0 THEN
+             CAST((2 * (p * p * 1000000) + q * r) // (2 * (q * r))
+                  AS DOUBLE) / 1000000.0 END AS r2,
+           n AS n_points, 'Trend' AS type
+    FROM d2
     """,
 )
 def ts_trend_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 Trend docs (`ts_converter.py:186-196`): the reference carries
-    precomputed 'linear fits'; we compute them natively — regr_* aggregates
-    with map-side combine, one shuffle on the series key."""
+    precomputed 'linear fits'; we compute them from exact integer sums
+    with 128-bit closed forms (see `timeseries/convert.py:emit_trends` —
+    the regr_* covariance aggregates are the wobble-lint class: float
+    accumulation order + rational outputs exactly on round boundaries).
+    One map-side-combined shuffle on the series key, as before."""
     d = _daily(spark, sf_dir)
     fitted = d.select(
         "event_type",

@@ -143,17 +143,59 @@ def emit_trends(df: DataFrame, *, series_col: str = "series_id",
                 x_col: str = "x", y_col: str = "y") -> DataFrame:
     """T5 Trend docs: per-series least-squares linear fit. The reference
     carries precomputed 'linear fits' from its annotation tooling
-    (`ts_converter.py:186-196`); Spark computes them natively with
-    regr_slope/regr_intercept/regr_r2 — one aggregation, map-side combine."""
-    return (
-        df.groupBy(series_col).agg(
-            F.round(F.regr_slope(F.col(y_col), F.col(x_col)), 6).alias("slope"),
-            F.round(F.regr_intercept(F.col(y_col), F.col(x_col)), 6)
-            .alias("intercept"),
-            F.round(F.regr_r2(F.col(y_col), F.col(x_col)), 6).alias("r2"),
-            F.count(F.lit(1)).alias("n_points"))
-        .withColumn("type", F.lit("Trend"))
-    )
+    (`ts_converter.py:186-196`); Spark computes them as one map-side-
+    combined aggregation of EXACT integer sums, then the closed forms
+    per-row — the regr_slope/intercept/r2 aggregates this replaces are
+    the covariance family the wobble lint flags: they accumulate
+    doubles in engine order, and over integer x / fixed-point y their
+    true values are RATIONALS (slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²)) that
+    can sit exactly on round-6 half-boundaries. Here x is int64, y
+    lifts to exact cents, the five sums are order-independent integers
+    (Σy² via decimal(38,0) / HUGEINT — it passes int64 at ~4e18), the
+    numerators/denominators stay in 128-bit integer arithmetic, and
+    rounding is integer half-away division — no float op before the
+    final division by 10⁶. Degenerate series (constant x → Q=0;
+    constant y → R=0) yield NULL slope/intercept/r2 rather than an
+    engine-specific NaN. Headroom: |P|·10⁴ and 2·P²·10⁶ must fit
+    decimal(38)/int128 — good to ~10⁵-point series at 10⁸-cent values."""
+    from dig_etl_engine_spark.functions.exact import fixed
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    yc = fixed(F.col(y_col), 2)
+    x = F.col(x_col).cast("long")
+    agg = df.groupBy(series_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(yc).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(x * yc).alias("sxy"),
+        F.sum(dec(yc) * dec(yc)).alias("syy"))
+    n, sx, sy, sxx, sxy, syy = (F.col(c) for c in
+                                ("n", "sx", "sy", "sxx", "sxy", "syy"))
+    P = dec(n) * dec(sxy) - dec(sx) * dec(sy)
+    Q = dec(n) * dec(sxx) - dec(sx) * dec(sx)
+    P2 = dec(sy) * dec(sxx) - dec(sx) * dec(sxy)
+    R = dec(n) * syy - dec(sy) * dec(sy)
+    TEN4 = F.lit(10 ** 4).cast("decimal(38,0)")
+    TEN6 = F.lit(10 ** 6).cast("decimal(38,0)")
+
+    def r6_cents_ratio(p, q):
+        # round-half-away(p / (100·q), 6) in pure integer arithmetic
+        pp = p * TEN4
+        mag = F.call_function("div", 2 * F.abs(pp) + q, 2 * q)
+        return F.when(q > 0,
+                      F.when(pp < 0, -mag).otherwise(mag)
+                      .cast("double") / F.lit(1e6))
+
+    r2num = P * P * TEN6
+    r2den = Q * R
+    r2mag = F.call_function("div", 2 * r2num + r2den, 2 * r2den)
+    return agg.select(
+        series_col,
+        r6_cents_ratio(P, Q).alias("slope"),
+        r6_cents_ratio(P2, Q).alias("intercept"),
+        F.when((Q > 0) & (R > 0),
+               r2mag.cast("double") / F.lit(1e6)).alias("r2"),
+        n.alias("n_points"),
+        F.lit("Trend").alias("type"))
 
 
 def label_template(parts: list[Column | str]) -> Column:

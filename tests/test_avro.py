@@ -37,6 +37,61 @@ class TestBinaryEncodingSpecVectors:
             assert got == n
 
 
+class TestCodecProperty:
+    def test_random_rows_roundtrip_through_encoders(self):
+        """Hypothesis fuzz of the value codec layer (no Spark in the
+        loop): random primitive rows encode with _encoder and decode
+        back bitwise with _decoder, including nullable-union framing."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pyspark.sql import types as T
+
+        from dig_etl_engine_spark.sources.avro import (
+            _decoder, _encoder, _rlong, _wlong)
+
+        specs = [
+            (T.LongType(), st.integers(-2**63, 2**63 - 1)),
+            (T.IntegerType(), st.integers(-2**31, 2**31 - 1)),
+            (T.DoubleType(), st.floats(allow_nan=False, width=64)),
+            (T.FloatType(), st.floats(allow_nan=False, width=32)),
+            (T.BooleanType(), st.booleans()),
+            (T.StringType(), st.text(max_size=40)),
+            (T.BinaryType(), st.binary(max_size=40)),
+        ]
+        row_st = st.lists(
+            st.sampled_from(range(len(specs))).flatmap(
+                lambda i: st.tuples(
+                    st.just(i),
+                    st.one_of(st.none(), specs[i][1]))),
+            min_size=1, max_size=8)
+
+        @given(st.lists(row_st, min_size=1, max_size=5))
+        @settings(max_examples=150, deadline=None)
+        def check(rows):
+            buf = bytearray()
+            for row in rows:
+                for i, v in row:
+                    _wlong(buf, 0 if v is None else 1)
+                    if v is not None:
+                        _encoder(specs[i][0])(buf, v)
+            mv, pos = memoryview(bytes(buf)), 0
+            for row in rows:
+                for i, want in row:
+                    branch, pos = _rlong(mv, pos)
+                    if branch == 0:
+                        assert want is None
+                        continue
+                    got, pos = _decoder(specs[i][0])(mv, pos)
+                    if isinstance(specs[i][0], T.FloatType):
+                        import struct as _s
+                        want = _s.unpack("<f", _s.pack("<f", want))[0]
+                    assert got == want
+            assert pos == len(mv)
+
+        check()
+
+
 class TestRoundTrip:
     def _docs(self, spark, n=50):
         rows = [(i, f"text {i}" if i % 7 else None, float(i) / 4,

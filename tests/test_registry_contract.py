@@ -73,6 +73,18 @@ def test_output_schema_is_atomic(spark, name):
 # (SUM, SUMSQ, COUNT), derive the statistic per-row with an expression tree
 # mirrored token-for-token in the oracle.
 #
+# The SUM exemption carries a GRANULARITY condition, audited registry-wide
+# (r6): round(SUM(x), d) is boundary-safe only while x's fixed-point
+# granularity is ≥ 10^-d — a sum of 2-decimal values rounded to 2 digits can
+# never sit on a half-boundary, but a sum of 4-decimal PRODUCTS
+# (price·(1−discount)) rounded to 2 digits hits one in ~100 groups. The
+# audit (round-over-float-SUM lineage scan over all registered queries)
+# found and fixed the finer-grained sites: the three revenue joins moved to
+# exact 1e-4-unit integer sums, and ts_trend_linear_fit's regr_* covariance
+# aggregates (same wobble class, now in _WOBBLY_AGGS) moved to 128-bit
+# closed forms. Remaining round-over-SUM sites are granularity-safe
+# (2-dec sums rounded to 2) or weighted-score sums in 0.5 steps.
+#
 # The check walks the ANALYZED JVM plan and resolves attribute references
 # through their defining Alias nodes — a textual scan cannot see that
 # `round(_we2, 4)` hides a stddev behind a window-expression attribute,
@@ -81,7 +93,9 @@ def test_output_schema_is_atomic(spark, name):
 
 _WOBBLY_AGGS = {"Average", "StddevSamp", "StddevPop", "VarianceSamp",
                 "VariancePop", "Corr", "CovSample", "CovPopulation",
-                "Skewness", "Kurtosis"}
+                "Skewness", "Kurtosis", "RegrSlope", "RegrIntercept",
+                "RegrR2", "RegrSXX", "RegrSXY", "RegrSYY", "RegrAvgX",
+                "RegrAvgY"}
 _FLOATY = {"double", "float"}
 
 # name → why round-over-float-aggregate is provably safe THERE. Empty by
