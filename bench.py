@@ -61,6 +61,10 @@ HEADLINE = [
     "dedup_exact_normalized",     # CCNet normalize chain + md5 groupBy
     "join_interval_overlap",      # double-sided bucket fan-out equi-join
     "ts_downsample_ohlc",         # one-exchange OHLC time-bucket rollup
+    # round-6 additions: the new capability surface
+    "src_avro_roundtrip",         # pure-Python Avro container write+read
+    "stream_e2e_curation",        # stateful-dedup -> decontaminate -> merge
+                                  # -> rank composed streaming pipeline
 ]
 
 

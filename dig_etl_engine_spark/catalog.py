@@ -25,26 +25,44 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_CATALOG_CACHE: dict[tuple[int, str], tuple[SparkSession,
+                                            dict[str, DataFrame]]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
                 register_views: bool = True) -> dict[str, DataFrame]:
     """Load every canonical table that exists under ``sf_dir``.
 
     Scans stay lazy — Catalyst prunes columns and pushes filters into the
     parquet reader, so loading "all tables" costs nothing until an action.
-    """
+
+    The analyzed DataFrames are memoized per (session, sf_dir): the
+    expensive part of this call is ten ``spark.read.parquet`` file
+    listings + footer schema reads (~1 s of driver round-trips), paid
+    by EVERY registry query at construction time — against canonical
+    test tables that never change within a session. Temp views are
+    (re-)registered on every call regardless: they are a session-global
+    namespace, and a later ``load_tables`` against a DIFFERENT sf_dir
+    must repoint them (the memo only skips the re-analysis, never the
+    routing)."""
     # Runtime SQL conf (not a static conf): must be on even when the caller
     # built its own SparkSession (the driver does) — events.parquet stores
     # TIMESTAMP(NANOS) which Spark otherwise refuses to read.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    out: dict[str, DataFrame] = {}
-    for name in TABLES:
-        p = table_path(sf_dir, name)
-        if os.path.exists(p):
-            df = spark.read.parquet(p)
-            df = _normalize(name, df)
-            if register_views:
-                df.createOrReplaceTempView(name)
-            out[name] = df
+    key = (id(spark), os.path.abspath(sf_dir))
+    cached = _CATALOG_CACHE.get(key)
+    if cached is not None and cached[0] is spark:
+        out = cached[1]
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        out = {}
+        for name in TABLES:
+            p = table_path(sf_dir, name)
+            if os.path.exists(p):
+                out[name] = _normalize(name, spark.read.parquet(p))
+        _CATALOG_CACHE[key] = (spark, out)
+    if register_views:
+        for name, df in out.items():
+            df.createOrReplaceTempView(name)
     return out
 
 

@@ -1,0 +1,54 @@
+"""Catalog memoization contract (`catalog.load_tables`).
+
+`load_tables` is called by every registry query at construction time; the
+parquet file-listing + footer schema reads it performs are pure driver
+round-trips against canonical tables that never change within a session.
+The memo must (a) return the SAME analyzed DataFrames on repeat calls,
+(b) keep distinct sf_dirs distinct, and (c) still repoint the session's
+temp views on every call so a later call against a different sf_dir wins
+the view namespace.
+"""
+
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.catalog import load_tables
+
+SF_A = "/root/testdata/sf0.001"
+SF_B = "/root/testdata/sf0.01"
+
+
+def test_repeat_call_returns_memoized_frames(spark):
+    first = load_tables(spark, SF_A)
+    second = load_tables(spark, SF_A)
+    assert set(first) == set(second)
+    for name in first:
+        assert first[name] is second[name], name
+
+
+def test_distinct_sf_dirs_not_conflated(spark):
+    a = load_tables(spark, SF_A)
+    b = load_tables(spark, SF_B)
+    assert a["lineitem"] is not b["lineitem"]
+    assert a["lineitem"].count() != b["lineitem"].count()
+
+
+def test_views_repointed_on_every_call(spark):
+    load_tables(spark, SF_A)
+    n_a = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+    load_tables(spark, SF_B)
+    n_b = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+    load_tables(spark, SF_A)
+    n_a2 = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+    assert n_a != n_b
+    assert n_a == n_a2
+
+
+def test_memoized_frames_stay_lazy_and_pruned(spark):
+    # The memo caches *analyzed* frames; projections over them must still
+    # push column pruning into the parquet scan.
+    docs = load_tables(spark, SF_A)["documents"]
+    plan = (docs.select("doc_id")
+                .filter(F.col("doc_id").isNotNull())
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "ReadSchema" in plan
+    assert "text" not in plan.split("ReadSchema")[1][:300]
