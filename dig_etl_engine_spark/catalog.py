@@ -44,10 +44,17 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
     (re-)registered on every call regardless: they are a session-global
     namespace, and a later ``load_tables`` against a DIFFERENT sf_dir
     must repoint them (the memo only skips the re-analysis, never the
-    routing)."""
+    routing). Callers get a COPY of the cached dict (mutating the
+    return value must not poison later callers), and entries whose
+    session has been stopped are evicted on every call, so a long-lived
+    process that cycles SparkSessions (pytest, notebooks) does not pin
+    dead sessions and their plan objects forever."""
     # Runtime SQL conf (not a static conf): must be on even when the caller
     # built its own SparkSession (the driver does) — events.parquet stores
     # TIMESTAMP(NANOS) which Spark otherwise refuses to read.
+    for k in [k for k, (s, _) in _CATALOG_CACHE.items()
+              if s is not spark and _is_stopped(s)]:
+        del _CATALOG_CACHE[k]
     key = (id(spark), os.path.abspath(sf_dir))
     cached = _CATALOG_CACHE.get(key)
     if cached is not None and cached[0] is spark:
@@ -63,7 +70,17 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
     if register_views:
         for name, df in out.items():
             df.createOrReplaceTempView(name)
-    return out
+    return dict(out)
+
+
+def _is_stopped(spark: SparkSession) -> bool:
+    """True when a cached session has been stopped (its JVM handle is
+    gone) — safe under any PySpark internals drift: treat errors while
+    probing as 'stopped' so eviction never raises."""
+    try:
+        return spark._sc is None or spark._sc._jsc is None
+    except Exception:
+        return True
 
 
 def materialize_bucketed(spark: SparkSession, df: DataFrame, name: str,

@@ -592,7 +592,10 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
         # directory at execution, and post-append it would contain the
         # batch's own rows (spurious self-matches). The pair set is small
         # (verified dups only), so eager materialization is bounded.
-        result = result.transform(pin, eager=True)
+        # snapshot=True: this pin is a point-in-time snapshot, so the
+        # 'persist' strategy (which keeps lineage and could re-execute
+        # against the post-append directory) is upgraded — see pin().
+        result = result.transform(pin, snapshot=True)
         ab = (batch_id if batch_id is not None
               else int(uuid.uuid4().hex[:8], 16))
         bands_out = banded_new.withColumn("_ab", F.lit(ab))

@@ -35,6 +35,20 @@ between queries on a live session):
 loops so each round's work is bounded); under ``persist`` this runs a
 ``count()`` to populate the cache, matching localCheckpoint(eager)
 semantics.
+
+``snapshot=True`` marks pins whose job is a point-in-time SNAPSHOT, not
+a performance hint: the incremental dedup operators pin their result
+BEFORE appending the batch's own rows to the index directory the plan
+reads. For those, ``persist`` is semantically wrong — it keeps full
+lineage, so a lost cache block (executor loss, memory pressure
+eviction) re-executes the plan against the post-append directory and
+the batch silently matches itself. Snapshot pins therefore upgrade
+``persist`` to a true materialization: the reliable checkpoint when a
+checkpoint dir is configured (honouring the durability intent), else
+``localCheckpoint``. ``local``/``reliable`` already materialize
+irreversibly and are unchanged. Snapshot pins are always eager — a
+lazy snapshot is a contradiction (the directory mutates before the
+first action otherwise).
 """
 
 from __future__ import annotations
@@ -45,11 +59,16 @@ STRATEGY_CONF = "spark.digetl.pin.strategy"
 CHECKPOINT_DIR_CONF = "spark.digetl.pin.checkpointDir"
 
 
-def pin(df: DataFrame, *, eager: bool = False) -> DataFrame:
+def pin(df: DataFrame, *, eager: bool = False,
+        snapshot: bool = False) -> DataFrame:
     """Pin ``df``'s result for multi-consumer / iterative reuse under
-    the session-selected strategy (module docstring)."""
+    the session-selected strategy (module docstring). ``snapshot=True``
+    demands an irreversible point-in-time materialization — the plan
+    must never be able to re-execute (see module docstring)."""
     spark = df.sparkSession
     strategy = spark.conf.get(STRATEGY_CONF, "local")
+    if snapshot:
+        eager = True
     if strategy == "reliable":
         sc = spark.sparkContext
         conf_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
@@ -61,6 +80,18 @@ def pin(df: DataFrame, *, eager: bool = False) -> DataFrame:
                 f"{CHECKPOINT_DIR_CONF} or SparkContext.setCheckpointDir")
         return df.checkpoint(eager=eager)
     if strategy == "persist":
+        if snapshot:
+            # persist keeps lineage: a lost cache block re-EXECUTES the
+            # plan, and for a snapshot pin the source has mutated by then
+            # (wrong results, not slow results). Upgrade to a real
+            # materialization; keep it durable if a dir is configured.
+            sc = spark.sparkContext
+            conf_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+            if conf_dir and not sc.getCheckpointDir():
+                sc.setCheckpointDir(conf_dir)
+            if sc.getCheckpointDir():
+                return df.checkpoint(eager=True)
+            return df.localCheckpoint(eager=True)
         from pyspark import StorageLevel
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         if eager:

@@ -725,8 +725,9 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
     if append:
         import uuid
 
-        # pin before append — see incremental_minhash_dedup
-        result = result.transform(pin, eager=True)
+        # pin before append — see incremental_minhash_dedup; snapshot=True
+        # because the plan reads the index dir this append mutates
+        result = result.transform(pin, snapshot=True)
         ab = (batch_id if batch_id is not None
               else int(uuid.uuid4().hex[:8], 16))
         out = (new_rows.filter("is_primary")

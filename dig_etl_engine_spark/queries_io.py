@@ -15,14 +15,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dig_etl_engine_spark.catalog import load_tables
-from dig_etl_engine_spark.functions.exact import (
-    fixed, round_fixed, sql_fixed, sql_round_fixed)
+from dig_etl_engine_spark.functions.exact import fixed, round_fixed
 from dig_etl_engine_spark.queries import register
 
-# Engine-identical rounded bucket mean (wobble lint): exact cents SUM +
-# integer half-away rounding — mirrors timeseries/convert.downsample_ohlc.
-_MEAN_V_SQL = sql_round_fixed(f"SUM({sql_fixed('value', 2)})", 2, 4,
-                              "COUNT(*)")
+# Engine-identical rounded bucket mean (wobble lint): one canonical
+# definition, next to the Spark expression it mirrors.
+from dig_etl_engine_spark.timeseries.convert import ohlc_mean_v_sql
+
+_MEAN_V_SQL = ohlc_mean_v_sql()
 
 # pid-scoped: these fixture dirs are wiped and rebuilt PER CALL, so two
 # concurrent processes (a pytest run next to a driver sweep) sharing one

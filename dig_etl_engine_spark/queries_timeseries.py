@@ -17,14 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.catalog import load_tables
-from dig_etl_engine_spark.functions.exact import sql_fixed, sql_round_fixed
 from dig_etl_engine_spark.queries import register
 from dig_etl_engine_spark.timeseries import convert as C
 
-# Engine-identical rounded bucket mean (wobble lint): exact cents SUM +
-# integer half-away rounding, mirroring timeseries/convert.downsample_ohlc.
-_MEAN_V_SQL = sql_round_fixed(f"SUM({sql_fixed('value', 2)})", 2, 4,
-                              "COUNT(*)")
+# Engine-identical rounded bucket mean (wobble lint): one canonical
+# definition, next to the Spark expression it mirrors (convert.py).
+_MEAN_V_SQL = C.ohlc_mean_v_sql()
 
 # Shared daily-series derivation. 'n/a' ≙ a non-numeric cell in a
 # spreadsheet; NULL ≙ an empty cell — the two missing shapes

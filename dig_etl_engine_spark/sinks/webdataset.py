@@ -25,13 +25,20 @@ per-file atomic renames, and only then is ``.old`` dropped. No crash
 point leaves zero complete exports on disk: a crash before the marker
 is rolled back by :func:`_heal_export` (the retired shards move back),
 a crash after it is rolled FORWARD (the staged set — complete by
-construction at swap time — finishes moving in). The heal runs at the
-start of every export and local read, so a torn directory never
-reaches a reader. Stale staging dirs and ``*.tmp.*`` leftovers from
-pre-swap crashes are swept on the next export (heal first — a
-committed swap's staging remnants are recovery material, not
-leftovers). Single-writer contract: do not run two exports against
-one path concurrently.
+construction at swap time — finishes moving in). The MUTATING heal
+runs only at the start of every export (single-writer contract, so a
+writer never races another writer's swap); readers instead resolve a
+READ-ONLY effective view of a possibly-torn directory
+(:func:`_effective_files`) — a reader must never move files, because
+every successful export transiently passes through the torn states and
+a concurrent reader "healing" a live writer's swap window would crash
+the writer or interleave two exports. Stale staging dirs and
+``*.tmp.*`` leftovers from pre-swap crashes are swept on the next
+export (heal first — a committed swap's staging remnants are recovery
+material, not leftovers). Single-writer contract: do not run two
+exports against one path concurrently. Readers concurrent with a
+writer see the pre-swap or post-swap export; a read that races the
+brief swap window itself may observe a moving file and fail — retry.
 
 Local-path writes here (single-node container); on a cluster the same
 code points at a fuse/NFS mount or writes to a staging dir + uploads —
@@ -159,6 +166,63 @@ def _heal_export(path: str, pattern: str = "shard-*.tar") -> None:
     shutil.rmtree(oldd, ignore_errors=True)
 
 
+def _effective_files(path: str, pattern: str = "shard-*.tar") -> list[str]:
+    """READ-ONLY view of a possibly-torn export directory — the reader
+    counterpart of :func:`_heal_export`, which only writers may call
+    (module docstring). The swap invariants make the reconstruction
+    exact on any crashed state:
+
+    * no ``.old`` dir → healthy; the live files are the export.
+    * ``.old`` without ``_RETIRED`` → the crash hit mid-retirement and
+      nothing staged has moved in: the OLD export is authoritative and
+      is exactly ``path/pattern ∪ .old/pattern`` (each file is in one
+      place; renames are atomic).
+    * ``.old`` with ``_RETIRED`` → retirement completed, so every live
+      ``path/pattern`` file is NEW; the staged set was complete at swap
+      time, so the NEW export is ``path/pattern ∪ .staging-*/pattern``
+      (preferring the already-moved-in copy on a basename collision).
+    """
+    live = {os.path.basename(p): p
+            for p in glob.glob(os.path.join(path, pattern))}
+    oldd = os.path.join(path, ".old")
+    if not os.path.isdir(oldd):
+        return sorted(live.values())
+    if os.path.exists(os.path.join(oldd, "_RETIRED")):
+        for staging in glob.glob(os.path.join(path, ".staging-*")):
+            for s in glob.glob(os.path.join(staging, pattern)):
+                live.setdefault(os.path.basename(s), s)
+    else:
+        for s in glob.glob(os.path.join(oldd, pattern)):
+            live.setdefault(os.path.basename(s), s)
+    return sorted(live.values())
+
+
+def _swap_export(path: str, pattern: str,
+                 staged_paths: list[str]) -> list[str]:
+    """The forward half of the staged-export protocol, shared by every
+    rename-aside sink (WebDataset tars, Avro containers): retire the
+    live ``pattern`` files into ``.old``, write the ``_RETIRED`` commit
+    marker, move the staged files in via per-file atomic renames, then
+    drop ``.old``. Returns the final path of each ``staged_paths``
+    entry, in order. Every crash point is recoverable by
+    :func:`_heal_export` (writers) or readable through
+    :func:`_effective_files` (readers)."""
+    oldd = os.path.join(path, ".old")
+    shutil.rmtree(oldd, ignore_errors=True)
+    os.makedirs(oldd)
+    for old in glob.glob(os.path.join(path, pattern)):
+        os.replace(old, os.path.join(oldd, os.path.basename(old)))
+    with open(os.path.join(oldd, "_RETIRED"), "w") as fh:
+        fh.write("1")
+    finals = []
+    for spath in staged_paths:
+        final = os.path.join(path, os.path.basename(spath))
+        os.replace(spath, final)
+        finals.append(final)
+    shutil.rmtree(oldd, ignore_errors=True)
+    return finals
+
+
 def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
                      text_col: str = "text",
                      meta_cols: list[str] | None = None,
@@ -227,26 +291,13 @@ def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    # success → swap, rename-aside: retire live shards into .old, mark
-    # the commit point, move the staged set in, drop .old. Every step
-    # is a per-file atomic rename and _heal_export can finish or roll
-    # back from any crash point — never a window with zero complete
-    # exports (the delete-then-move swap this replaces had one).
-    oldd = os.path.join(path, ".old")
-    shutil.rmtree(oldd, ignore_errors=True)
-    os.makedirs(oldd)
-    for old in glob.glob(os.path.join(path, "shard-*.tar")):
-        os.replace(old, os.path.join(oldd, os.path.basename(old)))
-    with open(os.path.join(oldd, "_RETIRED"), "w") as fh:
-        fh.write("1")
-    final_rows = []
-    for shard, spath, n_docs, n_bytes in \
-            ((r["shard"], r["path"], r["n_docs"], r["n_bytes"])
-             for r in rows):
-        final = os.path.join(path, os.path.basename(spath))
-        os.replace(spath, final)
-        final_rows.append((shard, final, n_docs, n_bytes))
-    shutil.rmtree(oldd, ignore_errors=True)
+    # success → swap, rename-aside (shared protocol: _swap_export).
+    # Every step is a per-file atomic rename and _heal_export can finish
+    # or roll back from any crash point — never a window with zero
+    # complete exports (the delete-then-move swap this replaces had one).
+    finals = _swap_export(path, "shard-*.tar", [r["path"] for r in rows])
+    final_rows = [(r["shard"], f, r["n_docs"], r["n_bytes"])
+                  for r, f in zip(rows, finals)]
     shutil.rmtree(staging, ignore_errors=True)
     return spark.createDataFrame(final_rows, _MANIFEST_SCHEMA)
 
@@ -306,12 +357,20 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     ship_package(spark)
     local_fs = urlparse(path).scheme in ("", "file")
     if local_fs:
+        # resolve a torn dir READ-ONLY (never heal from a reader — a
+        # live writer's swap transiently looks torn, and a concurrent
+        # mutating heal would corrupt it; see module docstring)
         local_root = unquote(urlparse(path).path) or path
-        if os.path.isdir(local_root):
-            _heal_export(local_root)  # never read a torn swap
-    files = (spark.read.format("binaryFile")
-             .load(os.path.join(path, "shard-*.tar"))
-             .select(*(["path"] if local_fs else ["path", "content"])))
+        shard_list = _effective_files(local_root) \
+            if os.path.isdir(local_root) else []
+        if not shard_list:
+            shard_list = [os.path.join(path, "shard-*.tar")]
+        files = (spark.read.format("binaryFile")
+                 .load(shard_list).select("path"))
+    else:
+        files = (spark.read.format("binaryFile")
+                 .load(os.path.join(path, "shard-*.tar"))
+                 .select("path", "content"))
     CHUNK = 1024
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -148,7 +148,7 @@ def _spark_field(ftype) -> tuple[T.DataType, bool]:
 
 # --- value encode/decode -----------------------------------------------------
 
-def _encoder(dt: T.DataType):
+def _encoder(dt: T.DataType, session_tz: str = "UTC"):
     if isinstance(dt, T.BooleanType):
         return lambda out, v: out.append(1 if v else 0)
     if isinstance(dt, (T.IntegerType, T.LongType)):
@@ -162,14 +162,24 @@ def _encoder(dt: T.DataType):
     if isinstance(dt, T.BinaryType):
         return lambda out, v: _wbytes(out, bytes(v))
     if isinstance(dt, T.TimestampType):
-        return lambda out, v: _wlong(out, int(v.value // 1000))  # pd ns→µs
-    if isinstance(dt, T.DateType):
+        # Arrow hands mapInPandas timestamps as SESSION-TZ-local naive
+        # values; timestamp-micros is micros-since-epoch of the UTC
+        # INSTANT, so a non-UTC session must localize before taking
+        # .value (self-round-trips would hide the offset; spec-compliant
+        # consumers would read wall clock as UTC). DST-ambiguous wall
+        # times raise — export such data from a UTC session.
+        if session_tz in ("UTC", "Etc/UTC", "GMT", "Z"):
+            return lambda out, v: _wlong(out, v.value // 1000)  # ns→µs
         return lambda out, v: _wlong(
-            out, (v - __import__("datetime").date(1970, 1, 1)).days)
+            out, v.tz_localize(session_tz).value // 1000)
+    if isinstance(dt, T.DateType):
+        import datetime
+        epoch = datetime.date(1970, 1, 1)
+        return lambda out, v: _wlong(out, (v - epoch).days)
     raise AssertionError(dt)
 
 
-def _decoder(dt: T.DataType):
+def _decoder(dt: T.DataType, session_tz: str = "UTC"):
     import datetime
 
     if isinstance(dt, T.BooleanType):
@@ -191,10 +201,24 @@ def _decoder(dt: T.DataType):
             raw = bytes(buf[pos:pos + n])
             return (raw.decode("utf-8") if as_str else raw), pos + n
     elif isinstance(dt, T.TimestampType):
+        # the stored micros are a UTC instant; Spark reads a naive
+        # datetime coming out of mapInPandas as SESSION-TZ wall time,
+        # so render the instant in the session tz (mirror of _encoder)
+        if session_tz in ("UTC", "Etc/UTC", "GMT", "Z"):
+            tzinfo = None
+        else:
+            from zoneinfo import ZoneInfo
+            tzinfo = ZoneInfo(session_tz)
+        utc_epoch = datetime.datetime(1970, 1, 1,
+                                      tzinfo=datetime.timezone.utc)
+
         def dec(buf, pos):
             us, pos = _rlong(buf, pos)
-            return (datetime.datetime(1970, 1, 1)
-                    + datetime.timedelta(microseconds=us)), pos
+            if tzinfo is None:
+                return (datetime.datetime(1970, 1, 1)
+                        + datetime.timedelta(microseconds=us)), pos
+            inst = utc_epoch + datetime.timedelta(microseconds=us)
+            return inst.astimezone(tzinfo).replace(tzinfo=None), pos
     elif isinstance(dt, T.DateType):
         def dec(buf, pos):
             d, pos = _rlong(buf, pos)
@@ -226,9 +250,18 @@ def write_avro(df: DataFrame, path: str, *, codec: str = "deflate",
     swap shared with the WebDataset sink. Returns the materialized
     manifest ``(part, path, n_rows, n_bytes)``. ``codec``: ``null`` or
     ``deflate`` (spec codecs; deflate = raw zlib). Local-FS path
-    contract as the WebDataset sink (executors share the mount)."""
+    contract as the WebDataset sink (executors share the mount).
+
+    Pandas-boundary fidelity notes (inherent to mapInPandas, not this
+    codec): Arrow→pandas folds NULL into NaN for float columns, so in a
+    NULLABLE float/double column NaN values export as NULL; in a
+    non-nullable one NaN is encoded as the IEEE value. A nullable
+    int/long column containing NULLs crosses as float64, so integer
+    values above 2^53 in such a column would lose precision — export
+    those as non-nullable or strings."""
     from dig_etl_engine_spark.session import ship_package
-    from dig_etl_engine_spark.sinks.webdataset import _heal_export
+    from dig_etl_engine_spark.sinks.webdataset import (_heal_export,
+                                                       _swap_export)
 
     if codec not in ("null", "deflate"):
         raise ValueError(f"write_avro: unsupported codec {codec!r}")
@@ -236,7 +269,13 @@ def write_avro(df: DataFrame, path: str, *, codec: str = "deflate",
     schema = df.schema
     schema_json = json.dumps(_avro_schema(schema, record_name),
                              separators=(",", ":"), sort_keys=True)
-    encs = [( f.name, f.nullable, _encoder(f.dataType)) for f in schema.fields]
+    # timestamps cross the Arrow boundary as session-tz naive values —
+    # the encoder needs the tz to recover the UTC instant (see _encoder)
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone",
+                                          "UTC") or "UTC"
+    encs = [(f.name, f.nullable, _encoder(f.dataType, session_tz),
+             isinstance(f.dataType, (T.FloatType, T.DoubleType)))
+            for f in schema.fields]
 
     os.makedirs(path, exist_ok=True)
     _heal_export(path, "part-*.avro")
@@ -250,11 +289,16 @@ def write_avro(df: DataFrame, path: str, *, codec: str = "deflate",
     def write_partition(batches: Iterator[pd.DataFrame]
                         ) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
-        part = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        part = ctx.partitionId()
         header, sync = _header(schema_json, codec, part)
         fpath = os.path.join(staging, f"part-{part:05d}.avro")
+        # write under a per-ATTEMPT tmp name, then os.replace: a task
+        # retry or speculative duplicate never interleaves bytes into
+        # the staged file (same contract as the WebDataset shard writer)
+        tmp = f"{fpath}.tmp.{ctx.taskAttemptId()}"
         n_rows = 0
-        with open(fpath, "wb") as fh:
+        with open(tmp, "wb") as fh:
             fh.write(header)
             block = bytearray()
             pending = 0
@@ -273,12 +317,31 @@ def write_avro(df: DataFrame, path: str, *, codec: str = "deflate",
                 n_rows += pending
                 block, pending = bytearray(), 0
 
+            import numpy as np
             for b in batches:
-                cols = [b[name] for name, _, _ in encs]
+                cols = [b[name] for name, _, _, _ in encs]
                 for row in zip(*cols):
-                    for (name, nullable, enc), v in zip(encs, row):
-                        isnull = v is None or (isinstance(v, float)
-                                               and v != v) or v is pd.NaT
+                    for (name, nullable, enc, is_float), v in zip(encs,
+                                                                  row):
+                        # pandas-boundary null test. Float columns are
+                        # the documented lossy case: Arrow→pandas folds
+                        # NULL into NaN (float32 NULLs arrive as
+                        # np.float32 NaN — not a Python float), so in a
+                        # NULLABLE float column NaN encodes as the null
+                        # branch; in a non-nullable one NaN is a legal
+                        # IEEE VALUE and encodes as such (never an
+                        # error). Non-float NaN-likes (None/NaT/float64
+                        # NaN standing in for a null int) stay nulls.
+                        if is_float:
+                            isnull = nullable and (
+                                v is None
+                                or (isinstance(v, (float, np.floating))
+                                    and v != v))
+                        else:
+                            isnull = (v is None or v is pd.NaT
+                                      or (isinstance(
+                                          v, (float, np.floating))
+                                          and v != v))
                         if nullable:
                             _wlong(block, 1 if not isnull else 0)
                             if isnull:
@@ -292,6 +355,7 @@ def write_avro(df: DataFrame, path: str, *, codec: str = "deflate",
                     if pending >= rows_per_block:
                         flush()
             flush()
+        os.replace(tmp, fpath)  # atomic: last attempt wins whole
         yield pd.DataFrame(
             [(part, fpath, n_rows, os.path.getsize(fpath))],
             columns=["part", "path", "n_rows", "n_bytes"])
@@ -307,19 +371,9 @@ def write_avro(df: DataFrame, path: str, *, codec: str = "deflate",
     except Exception:
         _shutil.rmtree(staging, ignore_errors=True)
         raise
-    oldd = os.path.join(path, ".old")
-    _shutil.rmtree(oldd, ignore_errors=True)
-    os.makedirs(oldd)
-    for old in _glob.glob(os.path.join(path, "part-*.avro")):
-        os.replace(old, os.path.join(oldd, os.path.basename(old)))
-    with open(os.path.join(oldd, "_RETIRED"), "w") as fh:
-        fh.write("1")
-    final_rows = []
-    for r in rows:
-        final = os.path.join(path, os.path.basename(r["path"]))
-        os.replace(r["path"], final)
-        final_rows.append((r["part"], final, r["n_rows"], r["n_bytes"]))
-    _shutil.rmtree(oldd, ignore_errors=True)
+    finals = _swap_export(path, "part-*.avro", [r["path"] for r in rows])
+    final_rows = [(r["part"], f, r["n_rows"], r["n_bytes"])
+                  for r, f in zip(rows, finals)]
     _shutil.rmtree(staging, ignore_errors=True)
     return df.sparkSession.createDataFrame(final_rows, man_schema)
 
@@ -352,6 +406,28 @@ def _parse_header(buf: memoryview) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos
 
 
+def _peek_schema(fpath: str) -> dict:
+    """Driver-side header peek: read a growing prefix until the header
+    parses whole — a fixed 64 KiB read dies with a bare IndexError on a
+    file whose metadata (thousands of fields, foreign fat metadata
+    entries) overflows it."""
+    size = os.path.getsize(fpath)
+    chunk = 1 << 16
+    with open(fpath, "rb") as fh:
+        while True:
+            fh.seek(0)
+            buf = memoryview(fh.read(min(chunk, size)))
+            try:
+                schema_j, _, _, _ = _parse_header(buf)
+                return schema_j
+            except IndexError:
+                if chunk >= size:
+                    raise ValueError(
+                        f"read_avro: truncated container header in "
+                        f"{fpath!r}")
+                chunk *= 4
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Read ``*.avro`` container files under ``path`` into a DataFrame.
     The schema comes from the first file's header (driver-side peek);
@@ -362,20 +438,25 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     import glob as _glob
 
     from dig_etl_engine_spark.session import ship_package
-    from dig_etl_engine_spark.sinks.webdataset import _heal_export
+    from dig_etl_engine_spark.sinks.webdataset import _effective_files
 
     ship_package(spark)
     if os.path.isdir(path):
-        _heal_export(path, "part-*.avro")
-    first = sorted(_glob.glob(os.path.join(path, "*.avro")))
-    if not first:
+        # resolve a torn export READ-ONLY — never heal from a reader
+        # (a live writer's swap transiently looks torn; see
+        # sinks/webdataset module docstring)
+        files_list = _effective_files(path, "*.avro")
+    else:
+        files_list = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    if not files_list:
         raise FileNotFoundError(f"read_avro: no *.avro under {path}")
-    with open(first[0], "rb") as fh:
-        schema_j, _, _, _ = _parse_header(memoryview(fh.read(1 << 16)))
+    schema_j = _peek_schema(files_list[0])
     fields = [(f["name"], *_spark_field(f["type"]))
               for f in schema_j["fields"]]
     out_schema = T.StructType(
         [T.StructField(n, dt, True) for n, dt, _ in fields])
+    session_tz = spark.conf.get("spark.sql.session.timeZone",
+                                "UTC") or "UTC"
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = [n for n, _, _ in fields]
@@ -383,7 +464,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             for content in b["content"]:
                 buf = memoryview(content)
                 schema_j2, codec, sync, pos = _parse_header(buf)
-                decs = [(n, nullable, _decoder(dt))
+                decs = [(n, nullable, _decoder(dt, session_tz))
                         for n, dt, nullable in
                         ((f["name"], *_spark_field(f["type"]))
                          for f in schema_j2["fields"])]
@@ -417,6 +498,6 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=names)
 
     files = (spark.read.format("binaryFile")
-             .load(os.path.join(path, "*.avro"))
+             .load(files_list)
              .select("content"))
     return files.mapInPandas(parse, out_schema)

@@ -207,6 +207,20 @@ def label_template(parts: list[Column | str]) -> Column:
     return F.concat(*cols)
 
 
+def ohlc_mean_v_sql(round_digits: int = 4) -> str:
+    """The DuckDB oracle expression for :func:`downsample_ohlc`'s
+    ``mean_v`` column — exact cents SUM + integer half-away rounding,
+    token-for-token the engine-identical twin of the Spark expression
+    inside ``downsample_ohlc``. Defined HERE, next to the Spark side it
+    must track, and imported by every oracle that replays the rollup
+    (``ts_downsample_ohlc``, ``stream_ohlc_rollup``) so the two cannot
+    drift apart silently."""
+    from dig_etl_engine_spark.functions.exact import (sql_fixed,
+                                                      sql_round_fixed)
+    return sql_round_fixed(f"SUM({sql_fixed('value', 2)})", 2,
+                           round_digits, "COUNT(*)")
+
+
 def downsample_ohlc(df, *, key_col: str = "user_id", ts_col: str = "ts",
                     val_col: str = "value", id_col: str = "event_id",
                     bucket: str = "day", round_digits: int = 4):

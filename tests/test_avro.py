@@ -161,8 +161,17 @@ class TestRoundTrip:
             fh.write("1")
         staging = os.path.join(p, ".staging-424242")
         write_avro(self._docs(spark, 7).repartition(1), staging).collect()
-        assert read_avro(spark, p).count() == 7  # healed forward
+        # readers resolve the torn state READ-ONLY (roll-forward view:
+        # marker present → staged set is the new export) and must NOT
+        # mutate — a live writer's swap transiently looks exactly like
+        # this, and a reader healing it would corrupt the writer
+        assert read_avro(spark, p).count() == 7
+        assert os.path.isdir(oldd)  # untouched by the read
+        assert read_avro(spark, p).count() == 7  # idempotent view
+        # the next WRITER heals forward before exporting
+        write_avro(self._docs(spark, 3).repartition(1), p).collect()
         assert not os.path.isdir(oldd)
+        assert read_avro(spark, p).count() == 3
 
     def test_nested_types_rejected(self, spark, tmp_path):
         df = spark.createDataFrame([(1, [1, 2])], "id LONG, xs ARRAY<INT>")
@@ -184,3 +193,140 @@ class TestRoundTrip:
         with pytest.raises(Exception):
             write_avro(hard, str(tmp_path / "av")).collect()
         assert not glob.glob(str(tmp_path / "av" / "part-*.avro"))
+
+
+class TestBoundaryFidelity:
+    """Round-6 hardening: session-tz instants, float NULL/NaN policy at
+    the Arrow boundary, oversized container headers."""
+
+    def test_non_utc_session_writes_true_utc_instants(self, spark,
+                                                      tmp_path):
+        """timestamp-micros stores the UTC INSTANT. A non-UTC session
+        hands the encoder wall-clock naive values; the written micros
+        must still be the instant (checked against the raw bytes, not a
+        self-round-trip — a symmetric tz bug cancels in a round trip)."""
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone",
+                           "America/New_York")
+            # an unambiguous INSTANT (tz-aware input): 17:00Z, which is
+            # noon in New York (EST, UTC-5) — the Arrow boundary hands
+            # the encoder the NY wall clock, and the written micros
+            # must still be 17:00Z
+            inst = datetime.datetime(2024, 1, 15, 17, 0, 0,
+                                     tzinfo=datetime.timezone.utc)
+            df = spark.createDataFrame([(1, inst)],
+                                       "id LONG, ts TIMESTAMP")
+            p = str(tmp_path / "av")
+            write_avro(df.coalesce(1), p, codec="null").collect()
+            raw = open(glob.glob(os.path.join(p, "part-*.avro"))[0],
+                       "rb").read()
+            mv = memoryview(raw)
+            _, _, _, pos = _parse_header(mv)
+            _, pos = _rlong(mv, pos)        # block row count
+            _, pos = _rlong(mv, pos)        # block byte size
+            branch, pos = _rlong(mv, pos)   # id union branch
+            assert branch == 1
+            _, pos = _rlong(mv, pos)        # id value
+            branch, pos = _rlong(mv, pos)   # ts union branch
+            assert branch == 1
+            micros, _ = _rlong(mv, pos)
+            assert micros == int(inst.timestamp()) * 1_000_000
+            # the read side restores the same instant (compare through
+            # the SQL layer, which is instant-faithful regardless of
+            # how the Python collect path renders wall clocks)
+            back = read_avro(spark, p)
+            got = back.select(F.unix_timestamp("ts").alias("u")) \
+                .collect()[0]["u"]
+            assert got == int(inst.timestamp())
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+        # re-read under UTC: still the same instant
+        got = read_avro(spark, p) \
+            .select(F.unix_timestamp("ts").alias("u")).collect()[0]["u"]
+        assert got == int(inst.timestamp())
+
+    def test_float_null_and_nan_policy(self, spark, tmp_path):
+        """Arrow→pandas folds NULL into NaN for float columns: in a
+        NULLABLE float/double column both export as NULL (documented
+        lossy case, incl. np.float32 NaN which is not a Python float);
+        in a NON-nullable column NaN is a legal IEEE value and must
+        survive, never raise."""
+        import math
+
+        from pyspark.sql import types as T
+        df = spark.createDataFrame(
+            [(1, 1.5, 2.5), (2, None, float("nan")), (3, None, None)],
+            "id LONG, f FLOAT, d DOUBLE")
+        p = str(tmp_path / "avf")
+        write_avro(df, p).collect()
+        got = {r["id"]: (r["f"], r["d"]) for r in
+               read_avro(spark, p).collect()}
+        assert got[1] == (1.5, 2.5)
+        assert got[2] == (None, None)  # NaN folded to NULL (nullable)
+        assert got[3] == (None, None)
+        hard = spark.createDataFrame(
+            [(1, float("nan")), (2, 2.5)],
+            T.StructType([T.StructField("id", T.LongType(), False),
+                          T.StructField("d", T.DoubleType(), False)]))
+        p2 = str(tmp_path / "avn")
+        write_avro(hard, p2, codec="null").collect()
+        # the FILE must carry the IEEE NaN value (spec consumers see
+        # NaN, not null): decode the raw bytes of the id=1 row
+        import struct as _s
+        found_nan = False
+        for f in glob.glob(os.path.join(p2, "part-*.avro")):
+            raw = open(f, "rb").read()
+            mv = memoryview(raw)
+            _, _, _, pos = _parse_header(mv)
+            while pos < len(mv):
+                cnt, pos = _rlong(mv, pos)
+                size, pos = _rlong(mv, pos)
+                end = pos + size
+                for _ in range(cnt):
+                    rid, pos = _rlong(mv, pos)
+                    d = _s.unpack_from("<d", mv, pos)[0]
+                    pos += 8
+                    if rid == 1:
+                        assert math.isnan(d)
+                        found_nan = True
+                    else:
+                        assert d == 2.5
+                assert pos == end
+                pos += 16  # sync
+        assert found_nan
+        # this repo's READER renders that NaN as NULL (the same pandas
+        # boundary folding, in reverse) — the spec-correct bytes are
+        # the contract; the rendering is the documented lossy case
+        got2 = {r["id"]: r["d"] for r in read_avro(spark, p2).collect()}
+        assert got2[1] is None or math.isnan(got2[1])
+        assert got2[2] == 2.5
+
+    def test_header_larger_than_64k_parses(self, spark, tmp_path):
+        """The driver-side schema peek must grow its read window until
+        the header parses — a fixed 64 KiB read dies on fat metadata."""
+        import json as _json
+
+        from dig_etl_engine_spark.sources.avro import _wbytes
+        schema = {"type": "record", "name": "row",
+                  "fields": [{"name": "id", "type": "long"}]}
+        out = bytearray(_MAGIC)
+        _wlong(out, 3)
+        for k, v in (("avro.codec", b"null"),
+                     ("avro.schema", _json.dumps(schema).encode()),
+                     ("user.padding", b"x" * 200_000)):
+            _wbytes(out, k.encode())
+            _wbytes(out, v)
+        _wlong(out, 0)
+        sync = bytes(range(16))
+        out += sync
+        body = bytearray()
+        _wlong(body, 7)  # one row: id=7 (non-null long, no union)
+        _wlong(out, 1)
+        _wlong(out, len(body))
+        out += bytes(body) + sync
+        d = tmp_path / "fat"
+        d.mkdir()
+        (d / "part-00000.avro").write_bytes(bytes(out))
+        rows = read_avro(spark, str(d)).collect()
+        assert [r["id"] for r in rows] == [7]

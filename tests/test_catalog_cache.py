@@ -52,3 +52,16 @@ def test_memoized_frames_stay_lazy_and_pruned(spark):
                 ._jdf.queryExecution().executedPlan().toString())
     assert "ReadSchema" in plan
     assert "text" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_returned_dict_is_a_copy(spark):
+    """Mutating the returned mapping must not poison the cache for
+    later callers (the cache hands out copies)."""
+    from dig_etl_engine_spark.catalog import load_tables
+    sf = "/root/testdata/sf0.001"
+    t1 = load_tables(spark, sf, register_views=False)
+    t1["documents"] = None
+    t1.pop("region", None)
+    t2 = load_tables(spark, sf, register_views=False)
+    assert t2["documents"] is not None
+    assert "region" in t2

@@ -789,8 +789,9 @@ class TestWebdataset:
     def test_torn_swap_rolls_back_before_commit_marker(self, spark,
                                                        tmp_path):
         """Crash mid-retire (before _RETIRED): the prior export is the
-        only complete one — heal must restore it, on both the next
-        export's entry and the next local read."""
+        only complete one. A read resolves it READ-ONLY (path ∪ .old);
+        the next export's entry heals it for real. Readers must not
+        mutate — a live writer's swap transiently looks torn."""
         import glob as _glob
         import shutil as _shutil
         from dig_etl_engine_spark.sinks.webdataset import (
@@ -804,16 +805,22 @@ class TestWebdataset:
         shards = sorted(_glob.glob(os.path.join(p, "shard-*.tar")))
         os.replace(shards[0],
                    os.path.join(oldd, os.path.basename(shards[0])))
-        back = read_webdataset(spark, p).collect()  # read heals
+        back = read_webdataset(spark, p).collect()  # read-only view
         assert {int(r["key"]) for r in back} == set(range(10))
+        assert os.path.isdir(oldd)  # the read did NOT mutate
+        # the next WRITER rolls the torn swap back before exporting
+        write_webdataset(self._docs(spark, 5), p, meta_cols=["lang"],
+                         n_shards=2).collect()
         assert not os.path.isdir(oldd)
+        back = read_webdataset(spark, p).collect()
+        assert {int(r["key"]) for r in back} == set(range(5))
         _shutil.rmtree(p)
 
     def test_torn_swap_rolls_forward_after_commit_marker(self, spark,
                                                          tmp_path):
         """Crash mid-move-in (after _RETIRED): the staged set was
-        complete when the swap began — heal must finish installing it
-        and drop the retired copy."""
+        complete when the swap began — a read resolves the NEW export
+        read-only (path ∪ staging); the next writer heals forward."""
         import glob as _glob
         from dig_etl_engine_spark.sinks.webdataset import (
             read_webdataset, write_webdataset)
@@ -831,10 +838,16 @@ class TestWebdataset:
         staging = os.path.join(p, ".staging-999999")
         write_webdataset(self._docs(spark, 20), staging,
                          meta_cols=["lang"], n_shards=2).collect()
-        back = read_webdataset(spark, p).collect()  # read heals forward
+        back = read_webdataset(spark, p).collect()  # read-only view
         assert {int(r["key"]) for r in back} == set(range(20))
+        assert os.path.isdir(oldd)  # the read did NOT mutate
+        # the next WRITER heals forward on entry, then swaps its export
+        write_webdataset(self._docs(spark, 3), p, meta_cols=["lang"],
+                         n_shards=2).collect()
         assert not os.path.isdir(oldd)
         assert not _glob.glob(os.path.join(p, ".staging-*"))
+        back = read_webdataset(spark, p).collect()
+        assert {int(r["key"]) for r in back} == set(range(3))
 
     def test_read_path_with_space_and_uri_decoding(self, spark,
                                                    tmp_path):
@@ -1142,3 +1155,64 @@ class TestBucketMetaAndRebucket:
         assert {r.doc_id: (r.kafka_offset, r.v)
                 for r in kg_table.read_partitioned(spark, p).collect()} \
             == before
+
+
+class TestEffectiveFilesView:
+    """_effective_files: the READ-ONLY torn-directory resolver readers
+    use instead of the writer-only mutating heal (pure function of the
+    directory state — no Spark)."""
+
+    def _mk(self, d, names):
+        for n in names:
+            os.makedirs(os.path.dirname(os.path.join(d, n)),
+                        exist_ok=True)
+            with open(os.path.join(d, n), "w") as fh:
+                fh.write("x")
+
+    def test_healthy_dir(self, tmp_path):
+        from dig_etl_engine_spark.sinks.webdataset import _effective_files
+        p = str(tmp_path)
+        self._mk(p, ["shard-00000.tar", "shard-00001.tar", "notes.txt"])
+        got = _effective_files(p)
+        assert [os.path.basename(f) for f in got] == [
+            "shard-00000.tar", "shard-00001.tar"]
+
+    def test_pre_marker_union_is_old_export(self, tmp_path):
+        from dig_etl_engine_spark.sinks.webdataset import _effective_files
+        p = str(tmp_path)
+        # crash mid-retire: shard 0 already in .old, shard 1 still live
+        self._mk(p, ["shard-00001.tar", ".old/shard-00000.tar"])
+        got = _effective_files(p)
+        assert sorted(os.path.basename(f) for f in got) == [
+            "shard-00000.tar", "shard-00001.tar"]
+        assert any("/.old/" in f for f in got)
+        # and nothing moved — the resolver is read-only
+        assert os.path.exists(os.path.join(p, ".old/shard-00000.tar"))
+
+    def test_post_marker_union_is_new_export(self, tmp_path):
+        from dig_etl_engine_spark.sinks.webdataset import _effective_files
+        p = str(tmp_path)
+        # crash mid-move-in: shard 0 moved in, shard 1 still staged;
+        # the retired old copies must NOT appear
+        self._mk(p, ["shard-00000.tar", ".old/_RETIRED",
+                     ".old/shard-00000.tar", ".old/shard-00001.tar",
+                     ".staging-42/shard-00001.tar"])
+        got = _effective_files(p)
+        assert sorted(os.path.basename(f) for f in got) == [
+            "shard-00000.tar", "shard-00001.tar"]
+        assert not any("/.old/" in f for f in got)
+        # moved-in copy preferred on basename collision
+        self._mk(p, [".staging-42/shard-00000.tar"])
+        got = _effective_files(p)
+        by_name = {os.path.basename(f): f for f in got}
+        assert "/.staging-42/" not in by_name["shard-00000.tar"]
+        assert "/.staging-42/" in by_name["shard-00001.tar"]
+
+    def test_pattern_parameterized(self, tmp_path):
+        from dig_etl_engine_spark.sinks.webdataset import _effective_files
+        p = str(tmp_path)
+        self._mk(p, ["part-00000.avro", ".old/part-00001.avro",
+                     "shard-00000.tar"])
+        got = _effective_files(p, "part-*.avro")
+        assert sorted(os.path.basename(f) for f in got) == [
+            "part-00000.avro", "part-00001.avro"]

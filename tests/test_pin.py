@@ -51,6 +51,48 @@ def test_persist_keeps_result_and_counts_eagerly(spark):
     out.unpersist()
 
 
+def test_snapshot_upgrades_persist_to_materialization(spark, tmp_path):
+    """snapshot=True pins guard read-before-append flows: under the
+    'persist' strategy they must NOT keep lineage (a lost cache block
+    would re-execute against the mutated source), so pin() upgrades
+    them to localCheckpoint (or the reliable checkpoint when a dir is
+    configured)."""
+    spark.conf.set(STRATEGY_CONF, "persist")
+    out = pin(_df(spark), snapshot=True)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan  # materialized, lineage gone
+    assert out.count() == 100
+    # with a checkpoint dir configured, durability intent is honoured
+    spark.conf.set(CHECKPOINT_DIR_CONF, str(tmp_path / "snapck"))
+    out2 = pin(_df(spark), snapshot=True)
+    assert out2.count() == 100
+    plan2 = out2._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan2
+
+
+def test_snapshot_semantics_incremental_dedup_under_persist(spark, tmp_path):
+    """End-to-end: incremental minhash dedup appends its batch to the
+    index it reads — under strategy=persist the snapshot pin must keep
+    the batch from matching itself on plan re-execution. unpersist()
+    forces the worst case (every block dropped) after the append."""
+    from dig_etl_engine_spark.operators.dedup import incremental_minhash_dedup
+    spark.conf.set(STRATEGY_CONF, "persist")
+    idx = str(tmp_path / "mh_idx")
+    base = spark.createDataFrame(
+        [(i, f"base shingle corpus text number {i} " * 4)
+         for i in range(20)], "doc_id LONG, text STRING")
+    incremental_minhash_dedup(base, idx, content_col="text", append=True)
+    batch = spark.createDataFrame(
+        [(100, "completely novel text that matches nothing at all xyzzy "
+          * 4)], "doc_id LONG, text STRING")
+    result = incremental_minhash_dedup(
+        batch, idx, content_col="text", append=True)
+    result.unpersist()  # no-op on a materialized snapshot; fatal on a cache
+    rows = result.collect()  # re-executes IF lineage survived
+    assert all(r["doc_a"] != r["doc_b"] for r in rows)
+    assert rows == []  # novel doc: no matches, and no self-match
+
+
 def test_unknown_strategy_rejected(spark):
     spark.conf.set(STRATEGY_CONF, "banana")
     with pytest.raises(ValueError, match="banana"):
