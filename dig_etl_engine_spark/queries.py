@@ -61,6 +61,25 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+# Queries whose PRODUCT CODE changed after their latest green verdict,
+# listed explicitly so the driver's time-boxed sweep re-checks them next
+# round even though they are not the stalest (external review, round 5,
+# item 5: these five passed at r5 in the same round the ADVICE fixes to
+# webdataset/kg_table/queries_io landed, and round 6 edited those paths
+# again — staged-swap sharing, read-only torn-dir views, snapshot pins —
+# plus ts_downsample_ohlc whose oracle expression moved to its canonical
+# home). They sort immediately after never-verified queries and before
+# the staleness cohort. Remove a name once it has a fresh green verdict;
+# keep this set small — every entry displaces one staleness-window slot.
+_PRIORITY_RECHECK: frozenset[str] = frozenset({
+    "sink_webdataset_roundtrip",
+    "stream_ohlc_rollup",
+    "stream_kmv_cardinality",
+    "incremental_minhash_dedup",
+    "knn_ivf_indexed",
+    "ts_downsample_ohlc",
+})
+
 
 def _last_verified_round() -> dict[str, int]:
     """Scan CORRECTNESS_r*.json at the repo root for each query's most recent
@@ -114,7 +133,16 @@ def _ensure_loaded() -> None:
     )
     last = _last_verified_round()
     position = {name: i for i, name in enumerate(_REGISTRY)}
-    ordered = sorted(_REGISTRY, key=lambda n: (last.get(n, -1), position[n]))
-    for name in ordered:
+
+    def key(n: str):
+        if last.get(n, -1) < 0:
+            tier = 0          # never driver-verified: always first
+        elif n in _PRIORITY_RECHECK:
+            tier = 1          # code changed since last verdict
+        else:
+            tier = 2          # stalest-verdict-first cohort
+        return (tier, last.get(n, -1), position[n])
+
+    for name in sorted(_REGISTRY, key=key):
         _REGISTRY[name] = _REGISTRY.pop(name)
     _LOADED = True

@@ -331,8 +331,11 @@ def iter_samples(tar: tarfile.TarFile) -> Iterator[tuple[str, dict[str, bytes]]]
 
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     """Stream shard tars back into rows ``(shard, key, text, meta,
-    bins)``. For ``file:`` / scheme-less paths, shard paths are listed
-    via `binaryFile` with ONLY the `path` column projected (content is
+    bins)``. For ``file:`` / scheme-less paths, the shard list is
+    resolved driver-side through the READ-ONLY torn-directory view
+    (:func:`_effective_files` — a crashed swap is readable without
+    mutating anything a live writer might be touching), handed to a
+    `binaryFile` scan with ONLY the `path` column projected (content is
     pruned at the scan — bytes never load), then each task opens its
     tars with ``tarfile.open(name=...)`` and walks members
     sequentially: bounded memory regardless of shard size, no ~2 GiB

@@ -187,9 +187,13 @@ def test_no_oracle_escapes_are_enumerated():
 
 def test_registry_orders_least_recently_verified_first():
     """The driver walks `queries()` in iteration order and time/count-boxes
-    the sweep, so the registry must present un-verified and stalest
-    verdicts first. Recompute the expected key from the CORRECTNESS_r*.json
-    files and assert the registry's actual order is sorted by it."""
+    the sweep, so the registry must present (1) never-verified queries,
+    (2) the explicit code-changed-since-verdict recheck set, then (3) the
+    stalest verdicts, in that order. Recompute the expected key from the
+    CORRECTNESS_r*.json files and assert the registry's actual order is
+    sorted by it."""
+    from dig_etl_engine_spark.queries import _PRIORITY_RECHECK
+
     root = Path(__file__).resolve().parent.parent
     last: dict[str, int] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -203,9 +207,16 @@ def test_registry_orders_least_recently_verified_first():
                     and v.get("schema_match") and v.get("hash_match"):
                 last[n] = max(last.get(n, -1), rnd)
     names = _names()
-    keys = [last.get(n, -1) for n in names]
+    # the recheck set must name real queries and stay small (each entry
+    # displaces one staleness-window slot in the driver's sweep)
+    assert _PRIORITY_RECHECK <= set(names), (
+        sorted(_PRIORITY_RECHECK - set(names)))
+    assert len(_PRIORITY_RECHECK) <= 8, "keep the recheck set small"
+    keys = [(0 if last.get(n, -1) < 0 else
+             1 if n in _PRIORITY_RECHECK else 2, last.get(n, -1))
+            for n in names]
     assert keys == sorted(keys), (
-        "registry iteration order is not least-recently-verified first; "
-        f"first inversion near: "
+        "registry iteration order violates the never/recheck/stalest "
+        f"policy; first entries: "
         f"{[(n, k) for n, k in zip(names, keys)][:60]}"
     )
