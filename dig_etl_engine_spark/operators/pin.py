@@ -59,6 +59,16 @@ STRATEGY_CONF = "spark.digetl.pin.strategy"
 CHECKPOINT_DIR_CONF = "spark.digetl.pin.checkpointDir"
 
 
+def _checkpoint_dir(spark) -> str | None:
+    """Resolve (and lazily install) the reliable checkpoint dir from
+    the session conf; returns the active dir or None."""
+    sc = spark.sparkContext
+    conf_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+    if conf_dir and not sc.getCheckpointDir():
+        sc.setCheckpointDir(conf_dir)
+    return sc.getCheckpointDir()
+
+
 def pin(df: DataFrame, *, eager: bool = False,
         snapshot: bool = False) -> DataFrame:
     """Pin ``df``'s result for multi-consumer / iterative reuse under
@@ -70,11 +80,7 @@ def pin(df: DataFrame, *, eager: bool = False,
     if snapshot:
         eager = True
     if strategy == "reliable":
-        sc = spark.sparkContext
-        conf_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
-        if conf_dir and not sc.getCheckpointDir():
-            sc.setCheckpointDir(conf_dir)
-        if not sc.getCheckpointDir():
+        if not _checkpoint_dir(spark):
             raise ValueError(
                 f"{STRATEGY_CONF}=reliable needs a checkpoint dir: set "
                 f"{CHECKPOINT_DIR_CONF} or SparkContext.setCheckpointDir")
@@ -85,11 +91,7 @@ def pin(df: DataFrame, *, eager: bool = False,
             # plan, and for a snapshot pin the source has mutated by then
             # (wrong results, not slow results). Upgrade to a real
             # materialization; keep it durable if a dir is configured.
-            sc = spark.sparkContext
-            conf_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
-            if conf_dir and not sc.getCheckpointDir():
-                sc.setCheckpointDir(conf_dir)
-            if sc.getCheckpointDir():
+            if _checkpoint_dir(spark):
                 return df.checkpoint(eager=True)
             return df.localCheckpoint(eager=True)
         from pyspark import StorageLevel

@@ -62,23 +62,26 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Queries whose PRODUCT CODE changed after their latest green verdict,
-# listed explicitly so the driver's time-boxed sweep re-checks them next
-# round even though they are not the stalest (external review, round 5,
-# item 5: these five passed at r5 in the same round the ADVICE fixes to
-# webdataset/kg_table/queries_io landed, and round 6 edited those paths
-# again — staged-swap sharing, read-only torn-dir views, snapshot pins —
-# plus ts_downsample_ohlc whose oracle expression moved to its canonical
-# home). They sort immediately after never-verified queries and before
-# the staleness cohort. Remove a name once it has a fresh green verdict;
-# keep this set small — every entry displaces one staleness-window slot.
-_PRIORITY_RECHECK: frozenset[str] = frozenset({
-    "sink_webdataset_roundtrip",
-    "stream_ohlc_rollup",
-    "stream_kmv_cardinality",
-    "incremental_minhash_dedup",
-    "knn_ivf_indexed",
-    "ts_downsample_ohlc",
-})
+# mapped to the round the change landed, so the driver's time-boxed
+# sweep re-checks them next round even though they are not the stalest
+# (external review, round 5, item 5: these five passed at r5 in the
+# same round the ADVICE fixes to webdataset/kg_table/queries_io landed,
+# and round 6 edited those paths again — staged-swap sharing, read-only
+# torn-dir views, snapshot pins — plus ts_downsample_ohlc whose oracle
+# expression moved to its canonical home). An entry sorts into the
+# priority tier only while its latest verdict PRE-dates the recorded
+# change round — once the driver re-verifies it, the entry expires by
+# itself (no human edit needed) and the slot returns to the staleness
+# window. Keep the set small: every LIVE entry displaces one
+# staleness-window slot.
+_PRIORITY_RECHECK: dict[str, int] = {
+    "sink_webdataset_roundtrip": 6,
+    "stream_ohlc_rollup": 6,
+    "stream_kmv_cardinality": 6,
+    "incremental_minhash_dedup": 6,
+    "knn_ivf_indexed": 6,
+    "ts_downsample_ohlc": 6,
+}
 
 
 def _last_verified_round() -> dict[str, int]:
@@ -137,7 +140,7 @@ def _ensure_loaded() -> None:
     def key(n: str):
         if last.get(n, -1) < 0:
             tier = 0          # never driver-verified: always first
-        elif n in _PRIORITY_RECHECK:
+        elif last[n] < _PRIORITY_RECHECK.get(n, -1):
             tier = 1          # code changed since last verdict
         else:
             tier = 2          # stalest-verdict-first cohort

@@ -163,7 +163,7 @@ def _heal_export(path: str, pattern: str = "shard-*.tar") -> None:
     else:
         for s in glob.glob(os.path.join(oldd, pattern)):
             os.replace(s, os.path.join(path, os.path.basename(s)))
-    shutil.rmtree(oldd, ignore_errors=True)
+    _drop_old(oldd, pattern)  # payload first, marker last (see _drop_old)
 
 
 def _effective_files(path: str, pattern: str = "shard-*.tar") -> list[str]:
@@ -181,20 +181,61 @@ def _effective_files(path: str, pattern: str = "shard-*.tar") -> list[str]:
       ``path/pattern`` file is NEW; the staged set was complete at swap
       time, so the NEW export is ``path/pattern ∪ .staging-*/pattern``
       (preferring the already-moved-in copy on a basename collision).
-    """
-    live = {os.path.basename(p): p
-            for p in glob.glob(os.path.join(path, pattern))}
+
+    Concurrent-writer note: within each state, the globs run in
+    rename-SOURCE-then-DESTINATION order (retirement moves live→.old;
+    move-in moves staging→live), so a file renamed between the two
+    globs is caught in at least one — never silently dropped. A phase
+    TRANSITION during the resolution is detected by re-reading the
+    marker state afterwards and retrying; a persistently unstable
+    directory raises instead of returning a possibly mixed view."""
     oldd = os.path.join(path, ".old")
-    if not os.path.isdir(oldd):
-        return sorted(live.values())
-    if os.path.exists(os.path.join(oldd, "_RETIRED")):
-        for staging in glob.glob(os.path.join(path, ".staging-*")):
-            for s in glob.glob(os.path.join(staging, pattern)):
-                live.setdefault(os.path.basename(s), s)
-    else:
-        for s in glob.glob(os.path.join(oldd, pattern)):
-            live.setdefault(os.path.basename(s), s)
-    return sorted(live.values())
+    marker = os.path.join(oldd, "_RETIRED")
+    for _ in range(3):
+        state = (os.path.isdir(oldd), os.path.exists(marker))
+        if not state[0]:
+            files = {os.path.basename(p): p
+                     for p in glob.glob(os.path.join(path, pattern))}
+        elif state[1]:
+            # move-in phase: staging is the rename source — glob it
+            # FIRST, then let the already-moved-in live copy win
+            files = {}
+            for staging in glob.glob(os.path.join(path, ".staging-*")):
+                for s in glob.glob(os.path.join(staging, pattern)):
+                    files[os.path.basename(s)] = s
+            for p in glob.glob(os.path.join(path, pattern)):
+                files[os.path.basename(p)] = p
+            # retired OLD payload is never part of this view
+        else:
+            # retirement phase: live is the rename source — glob it
+            # FIRST, then fill gaps from .old
+            files = {os.path.basename(p): p
+                     for p in glob.glob(os.path.join(path, pattern))}
+            for s in glob.glob(os.path.join(oldd, pattern)):
+                files.setdefault(os.path.basename(s), s)
+        if (os.path.isdir(oldd), os.path.exists(marker)) == state:
+            return sorted(files.values())
+    raise RuntimeError(
+        f"{path}: an export swap is in progress (state kept changing "
+        "across three resolutions) — retry the read")
+
+
+def _drop_old(oldd: str, pattern: str) -> None:
+    """Delete a retired-export dir in crash-safe order: payload files
+    FIRST, the ``_RETIRED`` marker LAST, then the dir. A plain rmtree
+    may unlink the marker before the payload (scandir order is
+    arbitrary); a crash in that window leaves marker-less ``.old``
+    payload, which the pre-marker classifier would roll BACK over the
+    committed new export (os.replace overwrites — the new export would
+    be destroyed). With this order every crash point still classifies
+    correctly: payload+marker → forward (no-op), marker-only → forward
+    (no-op), empty dir without marker → rollback of nothing."""
+    marker = os.path.join(oldd, "_RETIRED")
+    for f in glob.glob(os.path.join(oldd, pattern)):
+        os.remove(f)
+    if os.path.exists(marker):
+        os.remove(marker)
+    shutil.rmtree(oldd, ignore_errors=True)
 
 
 def _swap_export(path: str, pattern: str,
@@ -203,12 +244,13 @@ def _swap_export(path: str, pattern: str,
     rename-aside sink (WebDataset tars, Avro containers): retire the
     live ``pattern`` files into ``.old``, write the ``_RETIRED`` commit
     marker, move the staged files in via per-file atomic renames, then
-    drop ``.old``. Returns the final path of each ``staged_paths``
-    entry, in order. Every crash point is recoverable by
-    :func:`_heal_export` (writers) or readable through
-    :func:`_effective_files` (readers)."""
+    drop ``.old`` (payload-first ordered delete — :func:`_drop_old`).
+    Returns the final path of each ``staged_paths`` entry, in order.
+    Every crash point is recoverable by :func:`_heal_export` (writers)
+    or readable through :func:`_effective_files` (readers)."""
     oldd = os.path.join(path, ".old")
-    shutil.rmtree(oldd, ignore_errors=True)
+    if os.path.isdir(oldd):
+        _drop_old(oldd, pattern)
     os.makedirs(oldd)
     for old in glob.glob(os.path.join(path, pattern)):
         os.replace(old, os.path.join(oldd, os.path.basename(old)))
@@ -219,7 +261,7 @@ def _swap_export(path: str, pattern: str,
         final = os.path.join(path, os.path.basename(spath))
         os.replace(spath, final)
         finals.append(final)
-    shutil.rmtree(oldd, ignore_errors=True)
+    _drop_old(oldd, pattern)
     return finals
 
 

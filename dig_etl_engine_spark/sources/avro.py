@@ -148,6 +148,35 @@ def _spark_field(ftype) -> tuple[T.DataType, bool]:
 
 # --- value encode/decode -----------------------------------------------------
 
+def _session_tzinfo(tz: str):
+    """tzinfo for a Spark ``spark.sql.session.timeZone`` id. Spark
+    accepts region ids (``America/New_York``), bare fixed offsets
+    (``+08:00``, ``-0530``) and GMT/UTC-prefixed offsets (``GMT+8``,
+    ``UTC+08:00``); ``zoneinfo`` only resolves the region form and
+    pandas rejects some offset spellings, so offset forms are parsed to
+    a fixed ``datetime.timezone`` here. Returns
+    ``datetime.timezone.utc`` exactly for UTC-equivalent ids (callers
+    use identity as the fast-path test)."""
+    import datetime
+    import re
+    s = tz.strip()
+    if s.upper() in ("UTC", "GMT", "Z", "ETC/UTC", "ETC/GMT"):
+        return datetime.timezone.utc
+    m = re.fullmatch(
+        r"(?:GMT|UTC)?\s*([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?",
+        s, re.IGNORECASE)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        delta = datetime.timedelta(hours=int(m.group(2)),
+                                   minutes=int(m.group(3) or 0),
+                                   seconds=int(m.group(4) or 0))
+        if not delta:
+            return datetime.timezone.utc
+        return datetime.timezone(sign * delta)
+    from zoneinfo import ZoneInfo
+    return ZoneInfo(s)
+
+
 def _encoder(dt: T.DataType, session_tz: str = "UTC"):
     if isinstance(dt, T.BooleanType):
         return lambda out, v: out.append(1 if v else 0)
@@ -168,10 +197,12 @@ def _encoder(dt: T.DataType, session_tz: str = "UTC"):
         # .value (self-round-trips would hide the offset; spec-compliant
         # consumers would read wall clock as UTC). DST-ambiguous wall
         # times raise — export such data from a UTC session.
-        if session_tz in ("UTC", "Etc/UTC", "GMT", "Z"):
+        import datetime
+        tzinfo = _session_tzinfo(session_tz)
+        if tzinfo is datetime.timezone.utc:
             return lambda out, v: _wlong(out, v.value // 1000)  # ns→µs
         return lambda out, v: _wlong(
-            out, v.tz_localize(session_tz).value // 1000)
+            out, v.tz_localize(tzinfo).value // 1000)
     if isinstance(dt, T.DateType):
         import datetime
         epoch = datetime.date(1970, 1, 1)
@@ -203,12 +234,15 @@ def _decoder(dt: T.DataType, session_tz: str = "UTC"):
     elif isinstance(dt, T.TimestampType):
         # the stored micros are a UTC instant; Spark reads a naive
         # datetime coming out of mapInPandas as SESSION-TZ wall time,
-        # so render the instant in the session tz (mirror of _encoder)
-        if session_tz in ("UTC", "Etc/UTC", "GMT", "Z"):
+        # so render the instant in the session tz (mirror of _encoder).
+        # Caveat (inherent to naive wall-time transport): an instant
+        # landing in the session zone's DST fall-back hour renders to
+        # an ambiguous wall time that Spark re-resolves with its own
+        # offset choice — decode such data under a UTC or fixed-offset
+        # session for exactness (the repo's sessions pin UTC).
+        tzinfo = _session_tzinfo(session_tz)
+        if tzinfo is datetime.timezone.utc:
             tzinfo = None
-        else:
-            from zoneinfo import ZoneInfo
-            tzinfo = ZoneInfo(session_tz)
         utc_epoch = datetime.datetime(1970, 1, 1,
                                       tzinfo=datetime.timezone.utc)
 

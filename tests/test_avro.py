@@ -330,3 +330,45 @@ class TestBoundaryFidelity:
         (d / "part-00000.avro").write_bytes(bytes(out))
         rows = read_avro(spark, str(d)).collect()
         assert [r["id"] for r in rows] == [7]
+
+
+class TestSessionTimezoneForms:
+    def test_session_tzinfo_accepts_spark_zone_ids(self):
+        import datetime as dt
+
+        from dig_etl_engine_spark.sources.avro import _session_tzinfo
+        assert _session_tzinfo("UTC") is dt.timezone.utc
+        assert _session_tzinfo("Etc/UTC") is dt.timezone.utc
+        assert _session_tzinfo("GMT+0") is dt.timezone.utc
+        assert _session_tzinfo("+08:00").utcoffset(None) == \
+            dt.timedelta(hours=8)
+        assert _session_tzinfo("GMT+8").utcoffset(None) == \
+            dt.timedelta(hours=8)
+        assert _session_tzinfo("UTC+08:00").utcoffset(None) == \
+            dt.timedelta(hours=8)
+        assert _session_tzinfo("-0530").utcoffset(None) == \
+            -dt.timedelta(hours=5, minutes=30)
+        ny = _session_tzinfo("America/New_York")
+        assert ny.utcoffset(dt.datetime(2024, 1, 15)) == \
+            -dt.timedelta(hours=5)
+
+    def test_fixed_offset_session_roundtrips_instants(self, spark,
+                                                      tmp_path):
+        """'+08:00' is a legal spark.sql.session.timeZone; both codec
+        directions must work (zoneinfo alone rejects it) and preserve
+        the instant."""
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "+08:00")
+            inst = datetime.datetime(2024, 6, 1, 3, 30, 0,
+                                     tzinfo=datetime.timezone.utc)
+            df = spark.createDataFrame([(1, inst)],
+                                       "id LONG, ts TIMESTAMP")
+            p = str(tmp_path / "av8")
+            write_avro(df.coalesce(1), p, codec="null").collect()
+            got = read_avro(spark, p) \
+                .select(F.unix_timestamp("ts").alias("u")) \
+                .collect()[0]["u"]
+            assert got == int(inst.timestamp())
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)

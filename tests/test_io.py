@@ -1216,3 +1216,51 @@ class TestEffectiveFilesView:
         got = _effective_files(p, "part-*.avro")
         assert sorted(os.path.basename(f) for f in got) == [
             "part-00000.avro", "part-00001.avro"]
+
+
+class TestOrderedOldDrop:
+    """_drop_old deletes retired payload BEFORE the _RETIRED marker, so
+    the two states a crash inside the final cleanup can leave are both
+    classified safely (a plain rmtree could drop the marker first and a
+    marker-less .old payload would be rolled back OVER the committed
+    new export)."""
+
+    def _populate(self, d, names):
+        for n in names:
+            os.makedirs(os.path.dirname(os.path.join(d, n)),
+                        exist_ok=True)
+            with open(os.path.join(d, n), "w") as fh:
+                fh.write("x")
+
+    def test_marker_only_old_is_forward_noop(self, tmp_path):
+        from dig_etl_engine_spark.sinks.webdataset import (
+            _effective_files, _heal_export)
+        p = str(tmp_path)
+        # payload already deleted, marker survives → forward: new
+        # export (live files) untouched by both reader and healer
+        self._populate(p, ["shard-00000.tar", ".old/_RETIRED"])
+        assert [os.path.basename(f) for f in _effective_files(p)] == \
+            ["shard-00000.tar"]
+        _heal_export(p)
+        assert not os.path.isdir(os.path.join(p, ".old"))
+        assert os.path.exists(os.path.join(p, "shard-00000.tar"))
+
+    def test_empty_markerless_old_rolls_back_nothing(self, tmp_path):
+        from dig_etl_engine_spark.sinks.webdataset import (
+            _effective_files, _heal_export)
+        p = str(tmp_path)
+        self._populate(p, ["shard-00000.tar"])
+        os.makedirs(os.path.join(p, ".old"))
+        assert [os.path.basename(f) for f in _effective_files(p)] == \
+            ["shard-00000.tar"]
+        _heal_export(p)
+        assert not os.path.isdir(os.path.join(p, ".old"))
+        assert os.path.exists(os.path.join(p, "shard-00000.tar"))
+
+    def test_drop_old_removes_payload_then_marker(self, tmp_path):
+        from dig_etl_engine_spark.sinks.webdataset import _drop_old
+        oldd = str(tmp_path / ".old")
+        self._populate(str(tmp_path), [".old/shard-00000.tar",
+                                       ".old/_RETIRED"])
+        _drop_old(oldd, "shard-*.tar")
+        assert not os.path.isdir(oldd)

@@ -207,13 +207,18 @@ def test_registry_orders_least_recently_verified_first():
                     and v.get("schema_match") and v.get("hash_match"):
                 last[n] = max(last.get(n, -1), rnd)
     names = _names()
-    # the recheck set must name real queries and stay small (each entry
-    # displaces one staleness-window slot in the driver's sweep)
-    assert _PRIORITY_RECHECK <= set(names), (
-        sorted(_PRIORITY_RECHECK - set(names)))
-    assert len(_PRIORITY_RECHECK) <= 8, "keep the recheck set small"
+    # the recheck set must name real queries and stay small (each LIVE
+    # entry displaces one staleness-window slot in the driver's sweep);
+    # entries expire by themselves once re-verified at/after their
+    # recorded change round
+    assert set(_PRIORITY_RECHECK) <= set(names), (
+        sorted(set(_PRIORITY_RECHECK) - set(names)))
+    live = {n for n, rnd in _PRIORITY_RECHECK.items()
+            if last.get(n, -1) < rnd}
+    assert len(live) <= 8, "keep the live recheck set small"
     keys = [(0 if last.get(n, -1) < 0 else
-             1 if n in _PRIORITY_RECHECK else 2, last.get(n, -1))
+             1 if last[n] < _PRIORITY_RECHECK.get(n, -1) else 2,
+             last.get(n, -1))
             for n in names]
     assert keys == sorted(keys), (
         "registry iteration order violates the never/recheck/stalest "
