@@ -1264,3 +1264,143 @@ class TestOrderedOldDrop:
                                        ".old/_RETIRED"])
         _drop_old(oldd, "shard-*.tar")
         assert not os.path.isdir(oldd)
+
+
+class TestSwapCrashExhaustive:
+    """Fault-injection sweep of the staged-export swap: crash at EVERY
+    filesystem operation inside _swap_export, then assert (a) the
+    read-only view (_effective_files) still resolves to exactly the old
+    or exactly the new export — never a mix, never empty — and (b) a
+    writer-side _heal_export lands the directory on a complete export
+    with consistent content. Then re-inject faults into the heal itself
+    and assert a second, clean heal still converges (heal is idempotent
+    under its own crashes). Pure filesystem test — no Spark."""
+
+    OLD = ["shard-00000.tar", "shard-00001.tar", "shard-00002.tar"]
+    NEW = ["shard-00000.tar", "shard-00001.tar"]
+
+    def _build(self, root):
+        import shutil as _sh
+        p = os.path.join(root, "exp")
+        _sh.rmtree(p, ignore_errors=True)
+        staging = os.path.join(p, ".staging-1")
+        os.makedirs(staging)
+        for n in self.OLD:
+            with open(os.path.join(p, n), "w") as fh:
+                fh.write(f"old-{n}")
+        staged = []
+        for n in self.NEW:
+            sp = os.path.join(staging, n)
+            with open(sp, "w") as fh:
+                fh.write(f"new-{n}")
+            staged.append(sp)
+        return p, staged
+
+    class _Crash(Exception):
+        pass
+
+    def _fault_at(self, monkeypatch, module, k):
+        """Raise _Crash on the k-th mutating fs op issued by module."""
+        count = {"n": 0}
+        real_replace, real_remove = os.replace, os.remove
+        real_makedirs = os.makedirs
+
+        def trip():
+            count["n"] += 1
+            if count["n"] == k:
+                raise self._Crash()
+
+        def fake_replace(a, b):
+            trip()
+            return real_replace(a, b)
+
+        def fake_remove(a):
+            trip()
+            return real_remove(a)
+
+        def fake_makedirs(a, **kw):
+            trip()
+            return real_makedirs(a, **kw)
+
+        monkeypatch.setattr(module + ".os.replace", fake_replace,
+                            raising=False)
+        monkeypatch.setattr(module + ".os.remove", fake_remove,
+                            raising=False)
+        monkeypatch.setattr(module + ".os.makedirs", fake_makedirs,
+                            raising=False)
+        return count
+
+    def _contents(self, p, files):
+        return {os.path.basename(f): open(f).read() for f in files}
+
+    def _assert_complete(self, got):
+        """got: {basename: content} — must be exactly the old export or
+        exactly the new export, with matching content epoch."""
+        old = {n: f"old-{n}" for n in self.OLD}
+        new = {n: f"new-{n}" for n in self.NEW}
+        assert got == old or got == new, got
+
+    def test_crash_at_every_swap_op_recovers(self, tmp_path,
+                                             monkeypatch):
+        import importlib
+        wd = importlib.import_module(
+            "dig_etl_engine_spark.sinks.webdataset")
+        k = 1
+        completed_clean = False
+        while not completed_clean and k < 60:
+            p, staged = self._build(str(tmp_path))
+            with monkeypatch.context() as mp:
+                counter = self._fault_at(
+                    mp, "dig_etl_engine_spark.sinks.webdataset", k)
+                try:
+                    wd._swap_export(p, "shard-*.tar", staged)
+                    completed_clean = counter["n"] < k
+                except self._Crash:
+                    pass
+            # (a) the read-only view resolves a complete export
+            view = self._contents(p, wd._effective_files(p))
+            self._assert_complete(view)
+            # (b) writer-side heal converges to a complete directory
+            wd._heal_export(p)
+            assert not os.path.isdir(os.path.join(p, ".old"))
+            live = self._contents(
+                p, [os.path.join(p, f) for f in sorted(os.listdir(p))
+                    if f.startswith("shard-")])
+            self._assert_complete(live)
+            k += 1
+        assert completed_clean, "fault budget exhausted before clean run"
+
+    def test_crash_inside_heal_then_heal_again(self, tmp_path,
+                                               monkeypatch):
+        import importlib
+        wd = importlib.import_module(
+            "dig_etl_engine_spark.sinks.webdataset")
+        # for every swap crash point, also crash the FIRST heal at every
+        # point; the second (clean) heal must still converge
+        for swap_k in range(1, 30):
+            p, staged = self._build(str(tmp_path))
+            with monkeypatch.context() as mp:
+                self._fault_at(
+                    mp, "dig_etl_engine_spark.sinks.webdataset", swap_k)
+                try:
+                    wd._swap_export(p, "shard-*.tar", staged)
+                except self._Crash:
+                    pass
+            for heal_k in range(1, 12):
+                with monkeypatch.context() as mp:
+                    self._fault_at(
+                        mp, "dig_etl_engine_spark.sinks.webdataset",
+                        heal_k)
+                    try:
+                        wd._heal_export(p)
+                    except self._Crash:
+                        pass
+                # torn-or-healed: the read-only view must stay complete
+                self._assert_complete(
+                    self._contents(p, wd._effective_files(p)))
+            wd._heal_export(p)  # clean pass
+            assert not os.path.isdir(os.path.join(p, ".old"))
+            live = self._contents(
+                p, [os.path.join(p, f) for f in sorted(os.listdir(p))
+                    if f.startswith("shard-")])
+            self._assert_complete(live)
