@@ -141,6 +141,10 @@ def _ensure_loaded() -> None:
         if last.get(n, -1) < 0:
             tier = 0          # never driver-verified: always first
         elif last[n] < _PRIORITY_RECHECK.get(n, -1):
+            # strict '<' is correct because a round-N verdict is
+            # recorded AFTER round N's code freeze (the driver sweeps
+            # at round end) — a verdict from the change round already
+            # covers the change
             tier = 1          # code changed since last verdict
         else:
             tier = 2          # stalest-verdict-first cohort

@@ -191,7 +191,12 @@ def _effective_files(path: str, pattern: str = "shard-*.tar") -> list[str]:
     directory raises instead of returning a possibly mixed view."""
     oldd = os.path.join(path, ".old")
     marker = os.path.join(oldd, "_RETIRED")
-    for _ in range(3):
+    # retry bound: ONE concurrent swap moves the observed (isdir,
+    # marker) state through four transitions (mkdir, marker write,
+    # marker delete, dir delete), so the loop must tolerate at least
+    # that many unstable resolutions before declaring the directory
+    # persistently unstable
+    for _ in range(6):
         state = (os.path.isdir(oldd), os.path.exists(marker))
         if not state[0]:
             files = {os.path.basename(p): p
@@ -217,7 +222,7 @@ def _effective_files(path: str, pattern: str = "shard-*.tar") -> list[str]:
             return sorted(files.values())
     raise RuntimeError(
         f"{path}: an export swap is in progress (state kept changing "
-        "across three resolutions) — retry the read")
+        "across six resolutions) — retry the read")
 
 
 def _drop_old(oldd: str, pattern: str) -> None:

@@ -160,10 +160,13 @@ def _session_tzinfo(tz: str):
     import datetime
     import re
     s = tz.strip()
-    if s.upper() in ("UTC", "GMT", "Z", "ETC/UTC", "ETC/GMT"):
+    if s.upper() in ("UTC", "GMT", "UT", "Z", "ETC/UTC", "ETC/GMT"):
         return datetime.timezone.utc
+    # Java ZoneId (which validates the Spark conf) accepts THREE offset
+    # prefixes: GMT, UTC, and UT — order UTC before UT so the regex
+    # alternation matches the longer spelling first
     m = re.fullmatch(
-        r"(?:GMT|UTC)?\s*([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?",
+        r"(?:GMT|UTC|UT)?\s*([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?",
         s, re.IGNORECASE)
     if m:
         sign = 1 if m.group(1) == "+" else -1

@@ -372,3 +372,14 @@ class TestSessionTimezoneForms:
             assert got == int(inst.timestamp())
         finally:
             spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_session_tzinfo_ut_prefix():
+    """Java ZoneId's third offset prefix: bare 'UT' and 'UT+8'."""
+    import datetime as dt
+
+    from dig_etl_engine_spark.sources.avro import _session_tzinfo
+    assert _session_tzinfo("UT") is dt.timezone.utc
+    assert _session_tzinfo("UT+8").utcoffset(None) == dt.timedelta(hours=8)
+    assert _session_tzinfo("ut-03:30").utcoffset(None) == \
+        -dt.timedelta(hours=3, minutes=30)

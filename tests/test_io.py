@@ -1300,10 +1300,16 @@ class TestSwapCrashExhaustive:
         pass
 
     def _fault_at(self, monkeypatch, module, k):
-        """Raise _Crash on the k-th mutating fs op issued by module."""
+        """Raise _Crash on the k-th mutating fs op issued by module —
+        including the _RETIRED marker open() (which trips AFTER
+        creating the file, modeling a torn/empty marker: the commit
+        point exists but its write never finished) and shutil.rmtree
+        (crash just before the teardown)."""
+        import shutil as _sh
         count = {"n": 0}
         real_replace, real_remove = os.replace, os.remove
-        real_makedirs = os.makedirs
+        real_makedirs, real_open = os.makedirs, open
+        real_rmtree = _sh.rmtree
 
         def trip():
             count["n"] += 1
@@ -1322,11 +1328,26 @@ class TestSwapCrashExhaustive:
             trip()
             return real_makedirs(a, **kw)
 
+        def fake_open(f, mode="r", *a, **kw):
+            if "w" in str(mode):
+                # create-the-file-then-crash: an empty marker must
+                # still classify as committed (existence is the test)
+                real_open(f, mode, *a, **kw).close()
+                trip()
+            return real_open(f, mode, *a, **kw)
+
+        def fake_rmtree(p, **kw):
+            trip()
+            return real_rmtree(p, **kw)
+
         monkeypatch.setattr(module + ".os.replace", fake_replace,
                             raising=False)
         monkeypatch.setattr(module + ".os.remove", fake_remove,
                             raising=False)
         monkeypatch.setattr(module + ".os.makedirs", fake_makedirs,
+                            raising=False)
+        monkeypatch.setattr(module + ".open", fake_open, raising=False)
+        monkeypatch.setattr(module + ".shutil.rmtree", fake_rmtree,
                             raising=False)
         return count
 
