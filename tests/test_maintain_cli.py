@@ -1,0 +1,69 @@
+"""scripts/maintain.py — the one-command nightly maintenance pass
+(README §"Persisted state has a maintenance story"). Builds a small
+warehouse the way the sinks/indexes write it (multi-batch KG upserts,
+incremental minhash + IVF appends), runs the CLI as a subprocess, and
+asserts every layout still answers identically afterwards."""
+
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from dig_etl_engine_spark.catalog import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_maintain_cli_end_to_end(spark, tmp_path):
+    from dig_etl_engine_spark.operators.dedup import (
+        incremental_minhash_dedup, materialize_minhash_index)
+    from dig_etl_engine_spark.operators.similarity import (
+        incremental_embedding_dedup, materialize_ivf_index)
+    from dig_etl_engine_spark.sinks.kg_table import (
+        create_table_if_not_exists, upsert)
+
+    kg, mh, ivf = (str(tmp_path / d) for d in ("kg", "mh", "ivf"))
+    t = load_tables(spark, SF)
+    docs = t["documents"].select(
+        "doc_id", "text", F.col("doc_id").alias("kafka_offset"))
+    emb = t["embeddings"]
+
+    create_table_if_not_exists(spark, kg, docs.schema)
+    for i in range(3):  # three micro-batch upserts → small files
+        upsert(spark, kg, docs.filter(F.col("doc_id") % 3 == i))
+    before_kg = spark.read.parquet(kg).count()
+
+    materialize_minhash_index(docs.filter("doc_id % 2 = 0"), "text", mh)
+    incremental_minhash_dedup(docs.filter("doc_id % 2 = 1"), mh,
+                              content_col="text", append=True).count()
+    materialize_ivf_index(emb.filter("vec_id % 2 = 0"), ivf, k=4)
+    incremental_embedding_dedup(emb.filter("vec_id % 2 = 1"), ivf,
+                                append=True).count()
+    # the incremental appends answered before maintenance — capture a
+    # reference query result to compare after compaction
+    probe = docs.filter("doc_id % 7 = 3")
+    pairs_before = sorted(
+        tuple(r) for r in incremental_minhash_dedup(
+            probe, mh, content_col="text", append=False)
+        .select("doc_a", "doc_b").collect())
+
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "scripts",
+                      "maintain.py"),
+         "--kg-table", kg, "--minhash", mh, "--ivf", ivf],
+        capture_output=True, text=True, timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "minhash index" in r.stdout and "ivf index" in r.stdout
+
+    # every layout still answers, byte-identically where it matters
+    assert spark.read.parquet(kg).count() == before_kg
+    pairs_after = sorted(
+        tuple(r) for r in incremental_minhash_dedup(
+            probe, mh, content_col="text", append=False)
+        .select("doc_a", "doc_b").collect())
+    assert pairs_after == pairs_before and len(pairs_after) > 0
+    # ivf index still probes without error post-compaction
+    incremental_embedding_dedup(emb.filter("vec_id % 7 = 3"), ivf,
+                                append=False).count()
