@@ -602,19 +602,15 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
         sh_out = sh_new.withColumn("_ab", F.lit(ab))
         if batch_id is not None:
             # dynamic overwrite of this batch's own _ab partition: a
-            # micro-batch retry replaces its rows, never duplicates them
-            prev = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           "dynamic")
-            try:
-                bands_out.write.mode("overwrite").partitionBy("_ab") \
-                    .parquet(f"{index_path}/bands")
-                sh_out.write.mode("overwrite").partitionBy("_ab") \
-                    .parquet(f"{index_path}/shingles")
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev)
+            # micro-batch retry replaces its rows, never duplicates
+            # them. Per-writer option, not a session conf set/restore —
+            # concurrent streams in one session race the restore.
+            bands_out.write.mode("overwrite") \
+                .option("partitionOverwriteMode", "dynamic") \
+                .partitionBy("_ab").parquet(f"{index_path}/bands")
+            sh_out.write.mode("overwrite") \
+                .option("partitionOverwriteMode", "dynamic") \
+                .partitionBy("_ab").parquet(f"{index_path}/shingles")
         else:
             bands_out.write.mode("append").partitionBy("_ab") \
                 .parquet(f"{index_path}/bands")

@@ -734,17 +734,12 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
                .select("id", "v", "cluster")
                .withColumn("_ab", F.lit(ab)))
         if batch_id is not None:
-            prev = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           "dynamic")
-            try:
-                out.write.mode("overwrite") \
-                    .partitionBy("cluster", "_ab") \
-                    .parquet(f"{index_path}/cells")
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev)
+            # per-writer option, not a session conf set/restore —
+            # concurrent streams in one session race the restore
+            out.write.mode("overwrite") \
+                .option("partitionOverwriteMode", "dynamic") \
+                .partitionBy("cluster", "_ab") \
+                .parquet(f"{index_path}/cells")
         else:
             out.write.mode("append").partitionBy("cluster", "_ab") \
                 .parquet(f"{index_path}/cells")

@@ -58,6 +58,22 @@ def dedupe_last_write_wins(df: DataFrame, key_col: str = "doc_id",
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def _recover_upsert(target_path: str) -> None:
+    """Heal the plain :func:`upsert`'s swap window and sweep its
+    leftovers. A crash between the two renames leaves ``.__old__``
+    holding the only complete table — restore it (the batch that was
+    being merged replays via foreachBatch / the caller's retry).
+    Orphaned ``.__tmp__*`` write dirs are recomputable and dropped."""
+    old = target_path + ".__old__"
+    if not os.path.isdir(target_path) and os.path.isdir(old):
+        logger.warning("upsert: restoring %s from interrupted swap",
+                       target_path)
+        os.rename(old, target_path)
+    for stale in glob_mod.glob(glob_mod.escape(target_path)
+                               + ".__tmp__*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def upsert(spark: SparkSession, target_path: str, batch: DataFrame, *,
            key_col: str = "doc_id", order_col: str = "kafka_offset") -> None:
     """K2: MERGE the batch into the parquet KG table by key.
@@ -66,9 +82,22 @@ def upsert(spark: SparkSession, target_path: str, batch: DataFrame, *,
     batch under the same last-write-wins rule — so the outcome is a pure
     function of (key, order), independent of how a stream chopped the
     records into micro-batches, and batch replays are idempotent. The
-    rewrite goes to a temp dir then renames — the crash-safety poor-man's
-    transaction that Delta's commit log replaces in production.
+    rewrite goes to a temp dir and swaps in rename-aside style (previous
+    table moves to ``.__old__`` BEFORE the new one moves in): no crash
+    point leaves zero complete copies on disk — a delete-then-rename
+    swap has a window where the only table is gone and a replaying
+    stream would silently rebuild from one batch.
+    :func:`_recover_upsert` heals the between-renames window on entry.
     """
+    if os.path.isdir(target_path) and any(
+            f.startswith("_kb=") or f == _BUCKETS_META
+            for f in os.listdir(target_path)):
+        raise ValueError(
+            f"upsert: {target_path} is a bucket-partitioned table "
+            "(_kb=/_kg_buckets layout) — use upsert_partitioned, which "
+            "preserves the layout and its O(touched) merge; the plain "
+            "upsert would silently flatten it")
+    _recover_upsert(target_path)
     batch = dedupe_last_write_wins(batch, key_col, order_col)
     if os.path.isdir(target_path):
         existing = spark.read.parquet(target_path)
@@ -79,9 +108,12 @@ def upsert(spark: SparkSession, target_path: str, batch: DataFrame, *,
         merged = batch
     tmp = f"{target_path}.__tmp__{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
+    old = target_path + ".__old__"
     if os.path.isdir(target_path):
-        shutil.rmtree(target_path)
+        shutil.rmtree(old, ignore_errors=True)  # stale committed copy
+        os.rename(target_path, old)
     os.rename(tmp, target_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 _BUCKETS_META = "_kg_buckets"
@@ -149,6 +181,36 @@ def _persist_bucket_meta(target_path: str, buckets: int) -> None:
     os.replace(tmp, os.path.join(target_path, _BUCKETS_META))
 
 
+def _recover_partitioned_swap(target_path: str) -> None:
+    """Heal an interrupted :func:`upsert_partitioned` bucket swap before
+    new work. States, keyed by what survived (mirrors
+    :func:`compact_partitioned`'s recovery):
+
+    * ``.upsert_old_<kb>_*`` with ``_kb=<kb>`` present → the swap of
+      that bucket committed; drop the aside copy.
+    * ``.upsert_old_<kb>_*`` with the bucket dir ABSENT → crash between
+      the two renames; roll BACK (restore the original — the batch that
+      was being merged replays idempotently).
+    * ``.upsert_tmp_*`` staging dirs → recomputable; drop them (after
+      the old-dir pass, so a staged copy is never adopted over a
+      restorable original).
+    """
+    if not os.path.isdir(target_path):
+        return
+    esc = glob_mod.escape(target_path)
+    for old in glob_mod.glob(os.path.join(esc, ".upsert_old_*")):
+        kbv = os.path.basename(old).split("_")[2]
+        d = os.path.join(target_path, f"_kb={kbv}")
+        if not os.path.isdir(d):
+            logger.warning("upsert_partitioned: restoring %s from "
+                           "interrupted swap copy %s", d, old)
+            os.rename(old, d)
+        else:
+            shutil.rmtree(old, ignore_errors=True)
+    for stale in glob_mod.glob(os.path.join(esc, ".upsert_tmp_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def upsert_partitioned(spark: SparkSession, target_path: str,
                        batch: DataFrame, *, key_col: str = "doc_id",
                        order_col: str = "kafka_offset",
@@ -166,8 +228,21 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
       2. reads back only those partitions (partition pruning: the
          ``isin`` filter never opens untouched directories);
       3. last-write-wins merges batch ∪ touched-existing;
-      4. writes with dynamic partition overwrite, which atomically
-         replaces exactly the touched directories.
+      4. writes the merged buckets to a dot-prefixed staging dir inside
+         the table, then swaps each touched ``_kb=`` directory in with
+         two renames (original aside to ``.upsert_old_*``, staged dir
+         in, drop the copy) — the :func:`compact_partitioned` protocol.
+
+    Step 4 deliberately avoids Spark's dynamic partition overwrite: its
+    job commit deletes each touched partition directory before moving
+    the staged one in, so a driver crash mid-commit loses the
+    pre-existing rows of that bucket with no recovery artifact — a
+    replaying micro-batch then re-merges against an EMPTY bucket and
+    the old keys are silently gone. With rename-aside, every crash
+    point leaves either the original or the merged copy on disk, and
+    the entry-time recovery sweep (mirroring compact's) finishes or
+    rolls back an interrupted swap; a rolled-back batch replays
+    idempotently (merge is a pure function of (key, order)).
 
     Cost per batch is O(touched data), not O(table). Delta's MERGE is the
     production drop-in (same semantics, real commit log).
@@ -179,6 +254,7 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
     silent-duplicate-keys failure this closes. Grow an outscaled table
     with :func:`rebucket_partitioned`."""
     buckets = _load_bucket_meta(target_path, buckets)
+    _recover_partitioned_swap(target_path)
     kb = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)).cast("int")
     b = dedupe_last_write_wins(batch.withColumn("_kb", kb),
                                key_col, order_col)
@@ -215,12 +291,19 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
         b = dedupe_last_write_wins(
             existing.unionByName(b, allowMissingColumns=True),
             key_col, order_col)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        b.write.mode("overwrite").partitionBy("_kb").parquet(target_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    token = uuid.uuid4().hex[:8]
+    staging = os.path.join(target_path, f".upsert_tmp_{token}")
+    b.write.partitionBy("_kb").parquet(staging)
+    for staged in sorted(glob_mod.glob(
+            os.path.join(glob_mod.escape(staging), "_kb=*"))):
+        kbv = os.path.basename(staged).split("=", 1)[1]
+        d = os.path.join(target_path, f"_kb={kbv}")
+        old = os.path.join(target_path, f".upsert_old_{kbv}_{token}")
+        if os.path.isdir(d):
+            os.rename(d, old)
+        os.rename(staged, d)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS marker etc.
     # (re-)pin the table's bucket count: idempotent, heals a manually
     # deleted meta, and upgrades legacy tables on their next upsert
     _persist_bucket_meta(target_path, buckets)
@@ -287,7 +370,10 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
         kb = os.path.basename(marker).split("_")[2]
         return os.path.join(target_path, f"_kb={kb}")
 
-    for tmp_ in glob.glob(os.path.join(target_path, ".compact_tmp_*")):
+    # glob.escape: a table path containing glob metacharacters ([, ?, *)
+    # must not silently disable recovery or turn compaction into a no-op
+    esc = glob.escape(target_path)
+    for tmp_ in glob.glob(os.path.join(esc, ".compact_tmp_*")):
         d_ = _bucket_dir(tmp_)
         if not os.path.isdir(d_):
             logger.warning("compact_partitioned: completing interrupted "
@@ -295,7 +381,7 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
             os.rename(tmp_, d_)
         else:
             shutil.rmtree(tmp_, ignore_errors=True)
-    for old_ in glob.glob(os.path.join(target_path, ".compact_old_*")):
+    for old_ in glob.glob(os.path.join(esc, ".compact_old_*")):
         d_ = _bucket_dir(old_)
         if not os.path.isdir(d_):
             logger.warning("compact_partitioned: restoring %s from "
@@ -305,12 +391,17 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
             shutil.rmtree(old_, ignore_errors=True)
 
     todo: list[tuple[int, int]] = []
-    for d in sorted(glob.glob(os.path.join(target_path, "_kb=*"))):
-        files = glob.glob(os.path.join(d, "*.parquet"))
+    for d in sorted(glob.glob(os.path.join(esc, "_kb=*"))):
+        files = glob.glob(os.path.join(glob.escape(d), "*.parquet"))
         if len(files) >= min_files:
             nbytes = sum(os.path.getsize(f) for f in files)
-            todo.append((int(d.rsplit("=", 1)[1]),
-                         max(1, math.ceil(nbytes / target_file_bytes))))
+            nfiles = max(1, math.ceil(nbytes / target_file_bytes))
+            # skip buckets already AT the target layout: rewriting 3
+            # ~target-sized files into 3 files pays a full-bucket
+            # rewrite (and the swap crash window) for zero gain, on
+            # every nightly run, forever
+            if nfiles < len(files):
+                todo.append((int(d.rsplit("=", 1)[1]), nfiles))
     for kb, nfiles in todo:
         d = os.path.join(target_path, f"_kb={kb}")
         token = uuid.uuid4().hex[:8]
@@ -349,7 +440,8 @@ def rebucket_partitioned(spark: SparkSession, target_path: str,
     old = target_path + ".rebucket_old"
 
     # recovery before new work (states keyed by what survived a crash)
-    for stale in glob_mod.glob(target_path + ".rebucket_tmp.*"):
+    for stale in glob_mod.glob(glob_mod.escape(target_path)
+                               + ".rebucket_tmp.*"):
         if not os.path.isdir(target_path) and \
                 os.path.exists(os.path.join(stale, "_SUCCESS")) and \
                 os.path.exists(os.path.join(stale, _BUCKETS_META)):

@@ -89,6 +89,15 @@ _READ_SCHEMA = T.StructType([
 ])
 
 
+
+def _glob_in(d: str, pattern: str) -> list[str]:
+    """glob for ``pattern`` inside directory ``d`` with ``d`` escaped —
+    a table path containing glob metacharacters ('/data/kg[prod]') must
+    not silently turn recovery sweeps and torn-view resolution into
+    no-ops (the brackets would parse as a character class)."""
+    return glob.glob(os.path.join(glob.escape(d), pattern))
+
+
 def _add_member(tar: tarfile.TarFile, name: str, payload: bytes) -> None:
     info = tarfile.TarInfo(name=name)
     info.size = len(payload)
@@ -156,12 +165,12 @@ def _heal_export(path: str, pattern: str = "shard-*.tar") -> None:
     if not os.path.isdir(oldd):
         return
     if os.path.exists(os.path.join(oldd, "_RETIRED")):
-        for staging in glob.glob(os.path.join(path, ".staging-*")):
-            for s in glob.glob(os.path.join(staging, pattern)):
+        for staging in _glob_in(path, ".staging-*"):
+            for s in _glob_in(staging, pattern):
                 os.replace(s, os.path.join(path, os.path.basename(s)))
             shutil.rmtree(staging, ignore_errors=True)
     else:
-        for s in glob.glob(os.path.join(oldd, pattern)):
+        for s in _glob_in(oldd, pattern):
             os.replace(s, os.path.join(path, os.path.basename(s)))
     _drop_old(oldd, pattern)  # payload first, marker last (see _drop_old)
 
@@ -200,23 +209,23 @@ def _effective_files(path: str, pattern: str = "shard-*.tar") -> list[str]:
         state = (os.path.isdir(oldd), os.path.exists(marker))
         if not state[0]:
             files = {os.path.basename(p): p
-                     for p in glob.glob(os.path.join(path, pattern))}
+                     for p in _glob_in(path, pattern)}
         elif state[1]:
             # move-in phase: staging is the rename source — glob it
             # FIRST, then let the already-moved-in live copy win
             files = {}
-            for staging in glob.glob(os.path.join(path, ".staging-*")):
-                for s in glob.glob(os.path.join(staging, pattern)):
+            for staging in _glob_in(path, ".staging-*"):
+                for s in _glob_in(staging, pattern):
                     files[os.path.basename(s)] = s
-            for p in glob.glob(os.path.join(path, pattern)):
+            for p in _glob_in(path, pattern):
                 files[os.path.basename(p)] = p
             # retired OLD payload is never part of this view
         else:
             # retirement phase: live is the rename source — glob it
             # FIRST, then fill gaps from .old
             files = {os.path.basename(p): p
-                     for p in glob.glob(os.path.join(path, pattern))}
-            for s in glob.glob(os.path.join(oldd, pattern)):
+                     for p in _glob_in(path, pattern)}
+            for s in _glob_in(oldd, pattern):
                 files.setdefault(os.path.basename(s), s)
         if (os.path.isdir(oldd), os.path.exists(marker)) == state:
             return sorted(files.values())
@@ -236,7 +245,7 @@ def _drop_old(oldd: str, pattern: str) -> None:
     correctly: payload+marker → forward (no-op), marker-only → forward
     (no-op), empty dir without marker → rollback of nothing."""
     marker = os.path.join(oldd, "_RETIRED")
-    for f in glob.glob(os.path.join(oldd, pattern)):
+    for f in _glob_in(oldd, pattern):
         os.remove(f)
     if os.path.exists(marker):
         os.remove(marker)
@@ -257,7 +266,7 @@ def _swap_export(path: str, pattern: str,
     if os.path.isdir(oldd):
         _drop_old(oldd, pattern)
     os.makedirs(oldd)
-    for old in glob.glob(os.path.join(path, pattern)):
+    for old in _glob_in(path, pattern):
         os.replace(old, os.path.join(oldd, os.path.basename(old)))
     with open(os.path.join(oldd, "_RETIRED"), "w") as fh:
         fh.write("1")
@@ -295,9 +304,9 @@ def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
     os.makedirs(path, exist_ok=True)
     _heal_export(path)  # finish/roll back any crashed swap FIRST
     # sweep leftovers of crashed runs (never the live shards)
-    for stale in glob.glob(os.path.join(path, "shard-*.tar.tmp.*")):
+    for stale in _glob_in(path, "shard-*.tar.tmp.*"):
         os.remove(stale)
-    for stale in glob.glob(os.path.join(path, ".staging-*")):
+    for stale in _glob_in(path, ".staging-*"):
         shutil.rmtree(stale, ignore_errors=True)
     staging = os.path.join(path, f".staging-{os.getpid()}")
     os.makedirs(staging, exist_ok=True)

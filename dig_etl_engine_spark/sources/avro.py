@@ -318,7 +318,8 @@ def write_avro(df: DataFrame, path: str, *, codec: str = "deflate",
     _heal_export(path, "part-*.avro")
     import glob as _glob
     import shutil as _shutil
-    for stale in _glob.glob(os.path.join(path, ".staging-*")):
+    for stale in _glob.glob(os.path.join(_glob.escape(path),
+                                     ".staging-*")):
         _shutil.rmtree(stale, ignore_errors=True)
     staging = os.path.join(path, f".staging-{os.getpid()}")
     os.makedirs(staging)
@@ -484,7 +485,8 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         # sinks/webdataset module docstring)
         files_list = _effective_files(path, "*.avro")
     else:
-        files_list = sorted(_glob.glob(os.path.join(path, "*.avro")))
+        files_list = sorted(_glob.glob(
+            os.path.join(_glob.escape(path), "*.avro")))
     if not files_list:
         raise FileNotFoundError(f"read_avro: no *.avro under {path}")
     schema_j = _peek_schema(files_list[0])

@@ -71,17 +71,16 @@ def write_quarantine(invalid: DataFrame, batch_id: int,
     """Idempotent quarantine write: rows land in a ``_batch_id=<id>``
     partition via dynamic partition overwrite, so a micro-batch retry
     replaces its own partition instead of appending duplicates."""
-    spark = invalid.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (invalid.withColumn("_quarantine_reason", F.lit(reason))
-         .withColumn("_batch_id", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("_batch_id")
-         .parquet(quarantine_path))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-writer option, NOT a session conf set/restore: two streams in
+    # one SparkSession run foreachBatch concurrently, and a get/set/
+    # restore races — one thread can restore the other's value and leave
+    # the session stuck in the wrong overwrite mode for unrelated writes
+    (invalid.withColumn("_quarantine_reason", F.lit(reason))
+     .withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id")
+     .parquet(quarantine_path))
 
 
 def run_ingest(source: DataFrame, *, target_path: str,

@@ -46,13 +46,32 @@ def first_seen_dedup_stream(source: DataFrame, *, fingerprint_col: str,
     """
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # stream the Arrow chunks — NEVER pd.concat the whole group: a
+        # hot fingerprint (empty-document hash, boilerplate page) can
+        # carry millions of copies in one micro-batch, and the suppress
+        # path needs only the row count while the emit path needs only
+        # a running per-chunk min(order_col) row. Memory stays bounded
+        # by one Arrow chunk regardless of per-key skew.
         if state.exists:
             (n_seen,) = state.get
-            state.update((n_seen + len(pdf),))
+            state.update((n_seen + sum(len(p) for p in pdfs),))
             return
-        state.update((len(pdf),))
-        yield pdf.sort_values(order_col, kind="mergesort").head(1)
+        n = 0
+        best: pd.DataFrame | None = None
+        for p in pdfs:
+            n += len(p)
+            if not len(p):
+                continue
+            # stable sort → first occurrence wins order_col ties within
+            # the chunk; across chunks the earlier chunk wins ties
+            # (strict < below), preserving delivered-order tie-breaks
+            cand = p.sort_values(order_col, kind="mergesort").head(1)
+            if best is None or \
+                    cand[order_col].iloc[0] < best[order_col].iloc[0]:
+                best = cand
+        state.update((n,))
+        if best is not None:
+            yield best
 
     from dig_etl_engine_spark.session import ship_package
     ship_package(source.sparkSession)

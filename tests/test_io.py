@@ -1425,3 +1425,135 @@ class TestSwapCrashExhaustive:
                 p, [os.path.join(p, f) for f in sorted(os.listdir(p))
                     if f.startswith("shard-")])
             self._assert_complete(live)
+
+
+class TestKgTableCrashSafety:
+    """Round-6 hardening of the KG upsert sinks: rename-aside swap for
+    the plain upsert, per-bucket rename-aside for the partitioned merge
+    (no dynamic-overwrite delete window), recovery sweeps, the
+    bucketed-table guard, the already-compact skip, and glob-metachar
+    paths."""
+
+    def _batch(self, spark, ids, off=0):
+        return spark.createDataFrame(
+            [(i, f"text {i}", i + off) for i in ids],
+            "doc_id LONG, text STRING, kafka_offset LONG")
+
+    def test_plain_upsert_recovers_from_torn_swap(self, spark, tmp_path):
+        from dig_etl_engine_spark.sinks.kg_table import upsert
+        t = str(tmp_path / "kg")
+        upsert(spark, t, self._batch(spark, range(10)))
+        # simulate the between-renames crash: table aside, no new copy
+        os.rename(t, t + ".__old__")
+        # plus an orphaned tmp dir from the dead write
+        os.makedirs(t + ".__tmp__dead")
+        upsert(spark, t, self._batch(spark, [100]))
+        got = {r["doc_id"] for r in
+               spark.read.parquet(t).collect()}
+        assert got == set(range(10)) | {100}  # old rows NOT lost
+        assert not os.path.isdir(t + ".__old__")
+        assert not os.path.isdir(t + ".__tmp__dead")
+
+    def test_plain_upsert_rejects_bucketed_table(self, spark, tmp_path):
+        import pytest as _pytest
+        from dig_etl_engine_spark.sinks.kg_table import (
+            upsert, upsert_partitioned)
+        t = str(tmp_path / "kgb")
+        upsert_partitioned(spark, t, self._batch(spark, range(5)),
+                           buckets=4)
+        with _pytest.raises(ValueError, match="upsert_partitioned"):
+            upsert(spark, t, self._batch(spark, [9]))
+
+    def test_partitioned_upsert_recovers_torn_bucket_swap(self, spark,
+                                                          tmp_path):
+        import glob as _glob
+        from dig_etl_engine_spark.sinks.kg_table import (
+            read_partitioned, upsert_partitioned)
+        t = str(tmp_path / "kgp")
+        upsert_partitioned(spark, t, self._batch(spark, range(20)),
+                           buckets=4)
+        before = {(r["doc_id"], r["kafka_offset"]) for r in
+                  read_partitioned(spark, t).collect()}
+        # simulate a crash between the two renames of one bucket
+        d = sorted(_glob.glob(os.path.join(t, "_kb=*")))[0]
+        kbv = os.path.basename(d).split("=")[1]
+        os.rename(d, os.path.join(t, f".upsert_old_{kbv}_deadbeef"))
+        # plus a stale staging dir
+        os.makedirs(os.path.join(t, ".upsert_tmp_deadbeef"))
+        upsert_partitioned(spark, t, self._batch(spark, [500]),
+                           buckets=4)
+        after = {(r["doc_id"], r["kafka_offset"]) for r in
+                 read_partitioned(spark, t).collect()}
+        assert after == before | {(500, 500)}  # bucket restored, no loss
+        assert not _glob.glob(os.path.join(t, ".upsert_old_*"))
+        assert not _glob.glob(os.path.join(t, ".upsert_tmp_*"))
+
+    def test_partitioned_upsert_leaves_no_aside_dirs(self, spark,
+                                                     tmp_path):
+        import glob as _glob
+        from dig_etl_engine_spark.sinks.kg_table import (
+            read_partitioned, upsert_partitioned)
+        t = str(tmp_path / "kgc")
+        upsert_partitioned(spark, t, self._batch(spark, range(12)),
+                           buckets=4)
+        upsert_partitioned(spark, t, self._batch(spark, range(6), off=50),
+                           buckets=4)
+        rows = {r["doc_id"]: r["kafka_offset"] for r in
+                read_partitioned(spark, t).collect()}
+        assert len(rows) == 12
+        for i in range(6):
+            assert rows[i] == i + 50  # last write won
+        assert not _glob.glob(os.path.join(t, ".upsert_*"))
+
+    def test_compact_skips_already_compact_buckets(self, spark,
+                                                   tmp_path):
+        import glob as _glob
+        import shutil as _sh
+        from dig_etl_engine_spark.sinks.kg_table import (
+            compact_partitioned, upsert_partitioned)
+        t = str(tmp_path / "kgs")
+        upsert_partitioned(spark, t, self._batch(spark, range(30)),
+                           buckets=2)
+        # fragment one bucket manually (an upsert REPLACES its touched
+        # buckets, so fragmentation comes from many write tasks — here
+        # we model it directly)
+        d0 = sorted(_glob.glob(os.path.join(t, "_kb=*")))[0]
+        frag = d0 + "__frag"
+        spark.read.parquet(d0).repartition(3).write.parquet(frag)
+        _sh.rmtree(d0)
+        os.rename(frag, d0)
+        n1 = compact_partitioned(spark, t, min_files=2)
+        assert n1 == 1  # only the fragmented bucket rewrites
+        files_after = sorted(_glob.glob(os.path.join(t, "_kb=*",
+                                                     "*.parquet")))
+        # second run: already at target layout → nothing rewritten
+        n2 = compact_partitioned(spark, t, min_files=2)
+        assert n2 == 0
+        assert sorted(_glob.glob(os.path.join(t, "_kb=*",
+                                              "*.parquet"))) == files_after
+
+    def test_glob_metachar_path_recovery_sweeps(self, tmp_path):
+        """The finding this pins: recovery sweeps built their glob
+        patterns from the table path verbatim, so '/data/kg[prod]'
+        silently disabled crash recovery ([prod] parsed as a character
+        class). Spark's own reads also glob paths, so metachar table
+        paths aren't supported end-to-end — but the pure-Python
+        recovery/sweep layer must not silently no-op."""
+        from dig_etl_engine_spark.sinks.kg_table import (
+            _recover_partitioned_swap, _recover_upsert)
+        # plain upsert: torn swap under a metachar path restores
+        t = str(tmp_path / "kg[prod]")
+        os.makedirs(t + ".__old__")
+        with open(t + ".__old__/x.parquet", "w") as fh:
+            fh.write("x")
+        os.makedirs(t + ".__tmp__dead")
+        _recover_upsert(t)
+        assert os.path.isdir(t)  # restored from .__old__
+        assert not os.path.isdir(t + ".__tmp__dead")
+        # partitioned: torn bucket swap under a metachar path restores
+        t2 = str(tmp_path / "kgp[prod]")
+        os.makedirs(os.path.join(t2, ".upsert_old_3_dead"))
+        os.makedirs(os.path.join(t2, ".upsert_tmp_dead"))
+        _recover_partitioned_swap(t2)
+        assert os.path.isdir(os.path.join(t2, "_kb=3"))
+        assert not os.path.isdir(os.path.join(t2, ".upsert_tmp_dead"))
