@@ -81,6 +81,17 @@ _PRIORITY_RECHECK: dict[str, int] = {
     "incremental_minhash_dedup": 6,
     "knn_ivf_indexed": 6,
     "ts_downsample_ohlc": 6,
+    # late-r6 KG-upsert/streaming hardening (rename-aside swaps,
+    # per-writer overwrite mode, chunk-streamed stateful emit): the
+    # r02-stale queries it also touched (stream_file_upsert,
+    # stream_stateful_dedup) are guaranteed staleness-window slots and
+    # need no entry here
+    "upsert_last_write_wins": 6,
+    "upsert_partitioned_merge": 6,
+    "stream_dedup_ingest": 6,
+    "stream_decontaminate_ingest": 6,
+    "multimodal_webdataset_roundtrip": 6,
+    "incremental_embedding_dedup": 6,
 }
 
 
