@@ -174,6 +174,93 @@ def test_no_round_over_float_aggregate(spark, name):
         + "\n  ".join(hits))
 
 
+# ---------------------------------------------------------------------------
+# Tie-break lint: float-ordered top-k / ranking must be a TOTAL order.
+#
+# The ranking cousin of the wobble class above: `ORDER BY score LIMIT k` (or
+# row_number/rank over a float key) with two rows EXACTLY tied at the k
+# boundary picks a different row per engine — hash mismatch with both
+# engines "correct". The registry convention, enforced here: every sort
+# whose keys include a float/double column must END with a non-float key (in
+# practice a unique id — doc_id, o_orderkey, neighbor_id), making the order
+# total wherever scores collide. Residual risk this lint CANNOT close: two
+# distinct rows landing within 1 ulp of each other across engines without
+# being exactly equal — accepted because the score expressions are mirrored
+# token-for-token in the oracles, so both engines compute bitwise-equal
+# scores per row (only aggregate ACCUMULATION order wobbles, and ranking
+# keys here are per-row expressions or exact-integer-derived sums).
+# ---------------------------------------------------------------------------
+
+_RANK_FUNCS = {"RowNumber", "Rank", "DenseRank", "NTile", "PercentRank"}
+
+
+def _untotal_float_orders(df) -> list[str]:
+    """Order specs in ``df``'s analyzed plan (Sort nodes under a Limit, and
+    rank-function window specs) that include a float key but do not end
+    with a non-float tie-break key."""
+
+    def keys(order_spec):
+        return [(so.child().toString()[:80],
+                 so.child().dataType().simpleString())
+                for so in _jseq(order_spec)]
+
+    plan = df._jdf.queryExecution().analyzed()
+    bad = []
+    for node in _walk_plan(plan):
+        cls = node.getClass().getSimpleName()
+        if cls in ("GlobalLimit", "LocalLimit"):
+            for c in _walk_plan(node):
+                if c.getClass().getSimpleName() == "Sort":
+                    ks = keys(c.order())
+                    if any(t in _FLOATY for _, t in ks) \
+                            and ks[-1][1] in _FLOATY:
+                        bad.append(f"limit+sort {ks}")
+                    break  # nearest Sort governs this Limit
+        elif cls == "Window":
+            for wex in _jseq(node.expressions()):
+                sub_iter = list(_walk_expr(wex))
+                if not any(s.getClass().getSimpleName() in _RANK_FUNCS
+                           for s in sub_iter):
+                    continue
+                for s in sub_iter:
+                    if s.getClass().getSimpleName() == \
+                            "WindowSpecDefinition":
+                        ks = keys(s.orderSpec())
+                        if any(t in _FLOATY for _, t in ks) \
+                                and ks and ks[-1][1] in _FLOATY:
+                            bad.append(f"rank-window {ks}")
+                        break
+    return bad
+
+
+@pytest.mark.parametrize("name", _names(), ids=_names())
+def test_float_topk_orders_are_total(spark, name):
+    hits = _untotal_float_orders(_df_for(spark, name))
+    assert not hits, (
+        f"{name}: float-keyed top-k/rank ordering without a trailing "
+        f"non-float tie-break key — an exact score tie at the k boundary "
+        f"resolves differently per engine. Append a unique id as the last "
+        f"sort key in BOTH the Spark query and the oracle:\n  "
+        + "\n  ".join(hits))
+
+
+def test_float_topk_lint_catches_violations(spark):
+    """The lint's own contract: flags a float-keyed limit+sort and a
+    float-keyed rank window with no tie-break, passes once a unique key
+    trails — otherwise a refactor could silently make it vacuous over
+    all 173 queries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    df = spark.range(10).withColumn("s", F.col("id") * 1.5)
+    assert _untotal_float_orders(df.orderBy(F.desc("s")).limit(3))
+    ranked = df.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("s"))))
+    assert _untotal_float_orders(ranked.filter("r <= 3"))
+    assert not _untotal_float_orders(
+        df.orderBy(F.desc("s"), "id").limit(3))
+    assert not _untotal_float_orders(df.filter("s > 2"))
+
+
 def test_no_oracle_escapes_are_enumerated():
     q = registry.queries()
     o = registry.oracle_sql()
