@@ -108,6 +108,15 @@ def upsert(spark: SparkSession, target_path: str, batch: DataFrame, *,
         merged = batch
     tmp = f"{target_path}.__tmp__{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
+    _swap_upsert(target_path, tmp)
+
+
+def _swap_upsert(target_path: str, tmp: str) -> None:
+    """Pure-filesystem commit of the plain :func:`upsert`: previous
+    table aside to ``.__old__``, merged copy in, aside copy dropped.
+    Module-level (not inline) so the crash-fuzz suite can inject a
+    fault at every single fs op without a Spark write per iteration —
+    the same design as :mod:`webdataset`'s ``_swap_export``."""
     old = target_path + ".__old__"
     if os.path.isdir(target_path):
         shutil.rmtree(old, ignore_errors=True)  # stale committed copy
@@ -211,6 +220,29 @@ def _recover_partitioned_swap(target_path: str) -> None:
         shutil.rmtree(stale, ignore_errors=True)
 
 
+def _swap_upsert_buckets(target_path: str, staging: str,
+                         token: str) -> None:
+    """Pure-filesystem commit of :func:`upsert_partitioned`'s step 4:
+    each staged ``_kb=`` directory swaps in via rename-aside (original
+    to ``.upsert_old_<kb>_<token>``, staged in, aside dropped), then
+    the staging dir's residue (``_SUCCESS`` marker) is swept. A crash
+    anywhere leaves every bucket either wholly pre-merge or wholly
+    post-merge — :func:`_recover_partitioned_swap` rolls back or
+    finishes on the next entry, and a re-merge of the same batch is a
+    no-op either way. Module-level so the crash-fuzz suite can inject
+    faults without a Spark write per iteration."""
+    for staged in sorted(glob_mod.glob(
+            os.path.join(glob_mod.escape(staging), "_kb=*"))):
+        kbv = os.path.basename(staged).split("=", 1)[1]
+        d = os.path.join(target_path, f"_kb={kbv}")
+        old = os.path.join(target_path, f".upsert_old_{kbv}_{token}")
+        if os.path.isdir(d):
+            os.rename(d, old)
+        os.rename(staged, d)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS marker etc.
+
+
 def upsert_partitioned(spark: SparkSession, target_path: str,
                        batch: DataFrame, *, key_col: str = "doc_id",
                        order_col: str = "kafka_offset",
@@ -294,16 +326,7 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
     token = uuid.uuid4().hex[:8]
     staging = os.path.join(target_path, f".upsert_tmp_{token}")
     b.write.partitionBy("_kb").parquet(staging)
-    for staged in sorted(glob_mod.glob(
-            os.path.join(glob_mod.escape(staging), "_kb=*"))):
-        kbv = os.path.basename(staged).split("=", 1)[1]
-        d = os.path.join(target_path, f"_kb={kbv}")
-        old = os.path.join(target_path, f".upsert_old_{kbv}_{token}")
-        if os.path.isdir(d):
-            os.rename(d, old)
-        os.rename(staged, d)
-        shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS marker etc.
+    _swap_upsert_buckets(target_path, staging, token)
     # (re-)pin the table's bucket count: idempotent, heals a manually
     # deleted meta, and upgrades legacy tables on their next upsert
     _persist_bucket_meta(target_path, buckets)

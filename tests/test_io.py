@@ -4,6 +4,7 @@ rules, quarantine routing)."""
 
 from __future__ import annotations
 
+import glob
 import os
 
 import pytest
@@ -1557,3 +1558,206 @@ class TestKgTableCrashSafety:
         _recover_partitioned_swap(t2)
         assert os.path.isdir(os.path.join(t2, "_kb=3"))
         assert not os.path.isdir(os.path.join(t2, ".upsert_tmp_dead"))
+
+
+class TestKgSwapCrashExhaustive:
+    """Fault-injection sweep of the KG upsert swaps, mirroring
+    TestSwapCrashExhaustive for the export sink: crash at EVERY mutating
+    filesystem op inside _swap_upsert / _swap_upsert_buckets, run the
+    entry-time recovery, and assert the table is a complete epoch —
+    plain upsert: exactly the old or exactly the new table; partitioned:
+    every bucket wholly pre-merge or wholly post-merge (per-bucket
+    commit is the design — a rolled-back bucket's batch replays
+    idempotently). Then crash the recovery itself at every op and assert
+    a second, clean recovery still converges. Pure filesystem test — no
+    Spark."""
+
+    class _Crash(Exception):
+        pass
+
+    def _fault_at(self, monkeypatch, k):
+        import shutil as _sh
+        count = {"n": 0}
+        real_rename, real_replace = os.rename, os.replace
+        real_rmtree, real_makedirs = _sh.rmtree, os.makedirs
+        mod = "dig_etl_engine_spark.sinks.kg_table"
+
+        def trip():
+            count["n"] += 1
+            if count["n"] == k:
+                raise self._Crash()
+
+        def fake_rename(a, b):
+            trip()
+            return real_rename(a, b)
+
+        def fake_replace(a, b):
+            trip()
+            return real_replace(a, b)
+
+        def fake_rmtree(p, **kw):
+            trip()
+            return real_rmtree(p, **kw)
+
+        def fake_makedirs(p, **kw):
+            trip()
+            return real_makedirs(p, **kw)
+
+        monkeypatch.setattr(mod + ".os.rename", fake_rename,
+                            raising=False)
+        monkeypatch.setattr(mod + ".os.replace", fake_replace,
+                            raising=False)
+        monkeypatch.setattr(mod + ".shutil.rmtree", fake_rmtree,
+                            raising=False)
+        monkeypatch.setattr(mod + ".os.makedirs", fake_makedirs,
+                            raising=False)
+        return count
+
+    # ---------------- plain upsert ----------------
+
+    def _build_plain(self, root):
+        import shutil as _sh
+        t = os.path.join(root, "kg")
+        for d in (t, t + ".__old__", t + ".__tmp__tok"):
+            _sh.rmtree(d, ignore_errors=True)
+        os.makedirs(t)
+        with open(os.path.join(t, "a.parquet"), "w") as fh:
+            fh.write("old")
+        tmp = t + ".__tmp__tok"
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "a.parquet"), "w") as fh:
+            fh.write("new")
+        return t, tmp
+
+    def _plain_epoch(self, t):
+        assert os.path.isdir(t), "table vanished"
+        with open(os.path.join(t, "a.parquet")) as fh:
+            c = fh.read()
+        assert c in ("old", "new"), c
+        return c
+
+    def test_plain_swap_crash_everywhere(self, tmp_path, monkeypatch):
+        from dig_etl_engine_spark.sinks.kg_table import (
+            _recover_upsert, _swap_upsert)
+        k, completed_clean = 1, False
+        while not completed_clean and k < 20:
+            t, tmp = self._build_plain(str(tmp_path))
+            with monkeypatch.context() as mp:
+                counter = self._fault_at(mp, k)
+                try:
+                    _swap_upsert(t, tmp)
+                    completed_clean = counter["n"] < k
+                except self._Crash:
+                    pass
+            _recover_upsert(t)
+            epoch = self._plain_epoch(t)
+            # a leftover aside copy is legal ONLY once the new table
+            # committed (the next upsert sweeps it); a torn swap must
+            # have rolled back to the old epoch with no aside left
+            if os.path.isdir(t + ".__old__"):
+                assert epoch == "new"
+            assert not glob.glob(t + ".__tmp__*")
+            k += 1
+        assert completed_clean, "fault budget exhausted before clean run"
+
+    def test_plain_recovery_crash_then_recover(self, tmp_path,
+                                               monkeypatch):
+        from dig_etl_engine_spark.sinks.kg_table import (
+            _recover_upsert, _swap_upsert)
+        for swap_k in range(1, 8):
+            t, tmp = self._build_plain(str(tmp_path))
+            with monkeypatch.context() as mp:
+                self._fault_at(mp, swap_k)
+                try:
+                    _swap_upsert(t, tmp)
+                except self._Crash:
+                    pass
+            for heal_k in range(1, 6):
+                with monkeypatch.context() as mp:
+                    self._fault_at(mp, heal_k)
+                    try:
+                        _recover_upsert(t)
+                    except self._Crash:
+                        pass
+            _recover_upsert(t)  # clean pass
+            self._plain_epoch(t)
+            assert not glob.glob(t + ".__tmp__*")
+
+    # ---------------- partitioned upsert ----------------
+
+    BUCKETS = ("0", "1", "2")
+    TOUCHED = ("0", "1")
+
+    def _build_part(self, root):
+        import shutil as _sh
+        t = os.path.join(root, "kgp")
+        _sh.rmtree(t, ignore_errors=True)
+        os.makedirs(t)
+        for kb in self.BUCKETS:
+            d = os.path.join(t, f"_kb={kb}")
+            os.makedirs(d)
+            with open(os.path.join(d, "a.parquet"), "w") as fh:
+                fh.write(f"old-{kb}")
+        staging = os.path.join(t, ".upsert_tmp_tok")
+        os.makedirs(staging)
+        with open(os.path.join(staging, "_SUCCESS"), "w") as fh:
+            fh.write("")
+        for kb in self.TOUCHED:
+            d = os.path.join(staging, f"_kb={kb}")
+            os.makedirs(d)
+            with open(os.path.join(d, "a.parquet"), "w") as fh:
+                fh.write(f"new-{kb}")
+        return t, staging
+
+    def _assert_buckets_whole(self, t):
+        for kb in self.BUCKETS:
+            d = os.path.join(t, f"_kb={kb}")
+            assert os.path.isdir(d), f"bucket {kb} vanished"
+            with open(os.path.join(d, "a.parquet")) as fh:
+                c = fh.read()
+            want = ({f"old-{kb}", f"new-{kb}"} if kb in self.TOUCHED
+                    else {f"old-{kb}"})
+            assert c in want, (kb, c)
+
+    def test_partitioned_swap_crash_everywhere(self, tmp_path,
+                                               monkeypatch):
+        from dig_etl_engine_spark.sinks.kg_table import (
+            _recover_partitioned_swap, _swap_upsert_buckets)
+        k, completed_clean = 1, False
+        while not completed_clean and k < 25:
+            t, staging = self._build_part(str(tmp_path))
+            with monkeypatch.context() as mp:
+                counter = self._fault_at(mp, k)
+                try:
+                    _swap_upsert_buckets(t, staging, "tok")
+                    completed_clean = counter["n"] < k
+                except self._Crash:
+                    pass
+            _recover_partitioned_swap(t)
+            self._assert_buckets_whole(t)
+            assert not glob.glob(os.path.join(t, ".upsert_*"))
+            k += 1
+        assert completed_clean, "fault budget exhausted before clean run"
+
+    def test_partitioned_recovery_crash_then_recover(self, tmp_path,
+                                                     monkeypatch):
+        from dig_etl_engine_spark.sinks.kg_table import (
+            _recover_partitioned_swap, _swap_upsert_buckets)
+        for swap_k in range(1, 12):
+            t, staging = self._build_part(str(tmp_path))
+            with monkeypatch.context() as mp:
+                self._fault_at(mp, swap_k)
+                try:
+                    _swap_upsert_buckets(t, staging, "tok")
+                except self._Crash:
+                    pass
+            for heal_k in range(1, 8):
+                with monkeypatch.context() as mp:
+                    self._fault_at(mp, heal_k)
+                    try:
+                        _recover_partitioned_swap(t)
+                    except self._Crash:
+                        pass
+            _recover_partitioned_swap(t)  # clean pass
+            self._assert_buckets_whole(t)
+            assert not glob.glob(os.path.join(t, ".upsert_*"))
