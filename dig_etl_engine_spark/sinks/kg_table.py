@@ -21,10 +21,13 @@ MUST be made explicit or batch-internal ordering is nondeterministic
 
 from __future__ import annotations
 
+import contextlib
 import glob as glob_mod
 import logging
 import os
 import shutil
+import socket
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -32,6 +35,93 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 logger = logging.getLogger(__name__)
+
+
+class TableLockTimeout(RuntimeError):
+    """Another writer holds the table's advisory lock and did not
+    release it within the timeout."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OverflowError):
+        return True
+    return True
+
+
+@contextlib.contextmanager
+def table_lock(target_path: str, *, timeout: float = 300.0,
+               stale_after: float = 3600.0):
+    """Advisory single-writer lock for a KG table (``<table>.__lock__``
+    directory; ``mkdir`` is the atomic test-and-set). Every mutating
+    entry point takes it, closing the same-host lost-update window:
+    without it, two concurrent upserts each read the table, then each
+    swaps its own merge in — the second swap silently drops the first's
+    batch — and a nightly ``scripts/maintain.py`` compaction overlapping
+    a live ingest can swap a stale bucket copy over fresh rows. With the
+    lock, writer 2 blocks until writer 1's swap completes, then merges
+    against the committed result, preserving the "pure function of
+    (key, order)" contract under concurrency.
+
+    Scope is honest: the owner check (recorded pid+host) can only break
+    a dead owner's lock on the SAME host; a crashed writer on another
+    host holds the lock until ``stale_after`` expires. Multi-driver
+    fleets writing one table need a real transaction log — Delta's
+    MERGE, the documented production drop-in for this whole module."""
+    lockd = target_path + ".__lock__"
+    owner = os.path.join(lockd, "owner")
+    me = f"{os.getpid()} {socket.gethostname()}"
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            os.mkdir(lockd)
+            break
+        except FileExistsError:
+            pass
+        except FileNotFoundError:
+            # first-ever write to a fresh path: create the parent
+            os.makedirs(os.path.dirname(lockd) or ".", exist_ok=True)
+            continue
+        try:
+            age = time.time() - os.stat(lockd).st_mtime
+        except OSError:
+            continue  # released between the mkdir and the stat
+        dead_local = False
+        try:
+            pid_s, host = open(owner).read().split()
+            dead_local = (host == socket.gethostname()
+                          and not _pid_alive(int(pid_s)))
+        except (OSError, ValueError):
+            pass  # owner file not written yet / torn: trust the TTL
+        if (dead_local and age > 2.0) or age > stale_after:
+            # break the stale lock rename-aside so two breakers never
+            # race a half-removed directory
+            aside = f"{lockd}.stale.{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(lockd, aside)
+            except OSError:
+                continue  # someone else broke or released it first
+            logger.warning("table_lock: broke stale lock on %s "
+                           "(age %.0fs, dead_local=%s)", target_path,
+                           age, dead_local)
+            shutil.rmtree(aside, ignore_errors=True)
+            continue
+        if time.monotonic() > deadline:
+            raise TableLockTimeout(
+                f"{target_path}: another writer holds {lockd} "
+                f"(age {age:.0f}s); concurrent mutation would lose "
+                f"updates — retry, or remove the lock if the owner is "
+                f"known dead")
+        time.sleep(0.25)
+    try:
+        with open(owner, "w") as fh:
+            fh.write(me)
+        yield
+    finally:
+        shutil.rmtree(lockd, ignore_errors=True)
 
 
 def create_table_if_not_exists(spark: SparkSession, path: str,
@@ -75,7 +165,8 @@ def _recover_upsert(target_path: str) -> None:
 
 
 def upsert(spark: SparkSession, target_path: str, batch: DataFrame, *,
-           key_col: str = "doc_id", order_col: str = "kafka_offset") -> None:
+           key_col: str = "doc_id", order_col: str = "kafka_offset",
+           lock_timeout: float = 300.0) -> None:
     """K2: MERGE the batch into the parquet KG table by key.
 
     Existing rows keep their stored ``order_col`` and compete with the
@@ -87,8 +178,10 @@ def upsert(spark: SparkSession, target_path: str, batch: DataFrame, *,
     point leaves zero complete copies on disk — a delete-then-rename
     swap has a window where the only table is gone and a replaying
     stream would silently rebuild from one batch.
-    :func:`_recover_upsert` heals the between-renames window on entry.
-    """
+    :func:`_recover_upsert` heals the between-renames window on entry,
+    and the whole read→merge→swap runs under :func:`table_lock` so a
+    second concurrent writer merges against the committed result
+    instead of silently dropping this batch (lost update)."""
     if os.path.isdir(target_path) and any(
             f.startswith("_kb=") or f == _BUCKETS_META
             for f in os.listdir(target_path)):
@@ -97,18 +190,19 @@ def upsert(spark: SparkSession, target_path: str, batch: DataFrame, *,
             "(_kb=/_kg_buckets layout) — use upsert_partitioned, which "
             "preserves the layout and its O(touched) merge; the plain "
             "upsert would silently flatten it")
-    _recover_upsert(target_path)
-    batch = dedupe_last_write_wins(batch, key_col, order_col)
-    if os.path.isdir(target_path):
-        existing = spark.read.parquet(target_path)
-        merged = dedupe_last_write_wins(
-            existing.unionByName(batch, allowMissingColumns=True),
-            key_col, order_col)
-    else:
-        merged = batch
-    tmp = f"{target_path}.__tmp__{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    _swap_upsert(target_path, tmp)
+    with table_lock(target_path, timeout=lock_timeout):
+        _recover_upsert(target_path)
+        batch = dedupe_last_write_wins(batch, key_col, order_col)
+        if os.path.isdir(target_path):
+            existing = spark.read.parquet(target_path)
+            merged = dedupe_last_write_wins(
+                existing.unionByName(batch, allowMissingColumns=True),
+                key_col, order_col)
+        else:
+            merged = batch
+        tmp = f"{target_path}.__tmp__{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        _swap_upsert(target_path, tmp)
 
 
 def _swap_upsert(target_path: str, tmp: str) -> None:
@@ -246,9 +340,14 @@ def _swap_upsert_buckets(target_path: str, staging: str,
 def upsert_partitioned(spark: SparkSession, target_path: str,
                        batch: DataFrame, *, key_col: str = "doc_id",
                        order_col: str = "kafka_offset",
-                       buckets: int = 64) -> None:
+                       buckets: int = 64,
+                       lock_timeout: float = 300.0) -> None:
     """K2 at scale: MERGE into a hash-bucket-partitioned KG table,
-    rewriting ONLY the partitions the batch touches.
+    rewriting ONLY the partitions the batch touches. The whole
+    read→merge→swap runs under :func:`table_lock` (see :func:`upsert`
+    for the lost-update scenario it closes — here the overlap partner
+    is typically a nightly ``compact_partitioned``/
+    ``rebucket_partitioned`` run against a live ingest).
 
     The plain :func:`upsert` rereads + rewrites the whole table per batch —
     fine for tests, quadratic over a day of micro-batches at 100 TB. Here
@@ -285,6 +384,15 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
     regardless of the argument — see :func:`_load_bucket_meta` for the
     silent-duplicate-keys failure this closes. Grow an outscaled table
     with :func:`rebucket_partitioned`."""
+    with table_lock(target_path, timeout=lock_timeout):
+        _upsert_partitioned_locked(spark, target_path, batch,
+                                   key_col=key_col, order_col=order_col,
+                                   buckets=buckets)
+
+
+def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
+                               batch: DataFrame, *, key_col: str,
+                               order_col: str, buckets: int) -> None:
     buckets = _load_bucket_meta(target_path, buckets)
     _recover_partitioned_swap(target_path)
     kb = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)).cast("int")
@@ -344,7 +452,8 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
 
 def compact_partitioned(spark: SparkSession, target_path: str, *,
                         target_file_bytes: int = 128 << 20,
-                        min_files: int = 2) -> int:
+                        min_files: int = 2,
+                        lock_timeout: float = 300.0) -> int:
     """Small-file compaction for the bucketed KG table. Every micro-batch
     upsert rewrites its touched buckets with fresh files; over a day of
     batches a hot bucket accumulates hundreds of small parquet files and
@@ -367,18 +476,25 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
     S3 use a manifest-committing table format (Delta's OPTIMIZE is the
     managed-table equivalent).
 
-    Single-writer maintenance operation: do NOT run concurrently with
-    readers or upserts on the same table. The rename window above is
-    crash-SAFE but not reader-ATOMIC — a concurrent ``read_partitioned``
+    Writer exclusion is ENFORCED via :func:`table_lock` (a concurrent
+    upsert could otherwise rewrite a bucket between this function's
+    read and its swap, losing the upsert — with the lock it simply
+    waits). Reader atomicity is NOT: a concurrent ``read_partitioned``
     (or partition discovery) that lists the table during the instant
     between the two renames sees no ``_kb=<n>`` directory and silently
-    returns results missing that whole bucket; a concurrent upsert can
-    rewrite a bucket between this function's read and its swap, losing
-    the upsert. Schedule compaction in the same maintenance slot that
-    owns the table (e.g. between streaming batches via
-    ``StreamingQuery.stop`` or a quiesced trigger), exactly as Delta's
-    OPTIMIZE takes a table-level lock.
+    returns results missing that whole bucket, so still schedule
+    compaction in a reader-quiet slot, exactly as Delta's OPTIMIZE
+    runs against its commit log rather than live directory listings.
     """
+    with table_lock(target_path, timeout=lock_timeout):
+        return _compact_partitioned_locked(
+            spark, target_path, target_file_bytes=target_file_bytes,
+            min_files=min_files)
+
+
+def _compact_partitioned_locked(spark: SparkSession, target_path: str,
+                                *, target_file_bytes: int,
+                                min_files: int) -> int:
     import glob
     import math
 
@@ -441,7 +557,8 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
 
 def rebucket_partitioned(spark: SparkSession, target_path: str,
                          new_buckets: int, *,
-                         key_col: str = "doc_id") -> int:
+                         key_col: str = "doc_id",
+                         lock_timeout: float = 300.0) -> int:
     """Change a partitioned KG table's bucket count — the maintenance op
     for a table that outgrew its birth layout. Bucket SIZE, not bucket
     count, is what should stay constant as a table grows: a 64-bucket
@@ -457,8 +574,19 @@ def rebucket_partitioned(spark: SparkSession, target_path: str,
     recovery on entry: a staging dir bearing Spark's ``_SUCCESS`` marker
     with the table missing finishes the swap; a missing table with only
     the old copy restores it; stale staging dirs are swept. Returns the
-    row count of the rebucketed table.
+    row count of the rebucketed table. Runs under :func:`table_lock`
+    (writer exclusion against live upserts; see
+    :func:`compact_partitioned` for the reader-atomicity caveat that
+    the lock does NOT cover).
     """
+    with table_lock(target_path, timeout=lock_timeout):
+        return _rebucket_partitioned_locked(spark, target_path,
+                                            new_buckets, key_col=key_col)
+
+
+def _rebucket_partitioned_locked(spark: SparkSession, target_path: str,
+                                 new_buckets: int, *,
+                                 key_col: str) -> int:
     tmp = target_path + f".rebucket_tmp.{os.getpid()}"
     old = target_path + ".rebucket_old"
 

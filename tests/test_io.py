@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import glob
 import os
+import time
 
 import pytest
 
@@ -1761,3 +1762,103 @@ class TestKgSwapCrashExhaustive:
             _recover_partitioned_swap(t)  # clean pass
             self._assert_buckets_whole(t)
             assert not glob.glob(os.path.join(t, ".upsert_*"))
+
+
+class TestTableLock:
+    """Advisory single-writer lock on the KG table: closes the same-host
+    lost-update window (two concurrent upserts each read-then-swap; the
+    second swap silently drops the first's batch) and the
+    maintenance-vs-ingest overlap."""
+
+    def test_contention_times_out(self, tmp_path):
+        from dig_etl_engine_spark.sinks.kg_table import (
+            TableLockTimeout, table_lock)
+        t = str(tmp_path / "kg")
+        with table_lock(t):
+            with pytest.raises(TableLockTimeout):
+                with table_lock(t, timeout=0.6):
+                    pass
+
+    def test_release_allows_reacquire(self, tmp_path):
+        from dig_etl_engine_spark.sinks.kg_table import table_lock
+        t = str(tmp_path / "kg")
+        with table_lock(t):
+            pass
+        with table_lock(t, timeout=0.6):
+            pass
+        assert not os.path.isdir(t + ".__lock__")
+
+    def test_dead_owner_lock_is_broken(self, tmp_path):
+        import subprocess
+        from dig_etl_engine_spark.sinks.kg_table import table_lock
+        t = str(tmp_path / "kg")
+        lockd = t + ".__lock__"
+        os.makedirs(lockd)
+        # a real, definitely-exited pid on this host
+        proc = subprocess.run(["true"])  # noqa: S603,S607
+        dead_pid = subprocess.Popen(["true"])  # noqa: S603,S607
+        dead_pid.wait()
+        import socket as _socket
+        with open(os.path.join(lockd, "owner"), "w") as fh:
+            fh.write(f"{dead_pid.pid} {_socket.gethostname()}")
+        # age the lock past the 2 s dead-owner grace
+        past = time.time() - 10
+        os.utime(lockd, (past, past))
+        with table_lock(t, timeout=5.0):
+            pass  # acquired by breaking the dead owner's lock
+        assert proc.returncode == 0
+
+    def test_ttl_breaks_unknown_owner(self, tmp_path):
+        from dig_etl_engine_spark.sinks.kg_table import table_lock
+        t = str(tmp_path / "kg")
+        lockd = t + ".__lock__"
+        os.makedirs(lockd)  # no owner file: crashed before writing it
+        past = time.time() - 7200
+        os.utime(lockd, (past, past))
+        with table_lock(t, timeout=5.0, stale_after=3600.0):
+            pass
+        assert not os.path.isdir(lockd)
+
+    def test_live_foreign_owner_is_respected(self, tmp_path):
+        from dig_etl_engine_spark.sinks.kg_table import (
+            TableLockTimeout, table_lock)
+        t = str(tmp_path / "kg")
+        lockd = t + ".__lock__"
+        os.makedirs(lockd)
+        with open(os.path.join(lockd, "owner"), "w") as fh:
+            fh.write("12345 some-other-host")  # cannot probe remote pids
+        past = time.time() - 600  # old, but under the 1 h TTL
+        os.utime(lockd, (past, past))
+        with pytest.raises(TableLockTimeout):
+            with table_lock(t, timeout=0.6):
+                pass
+
+    def test_concurrent_upserts_lose_no_batch(self, spark, tmp_path):
+        """The lost-update scenario itself: two threads upsert disjoint
+        batches into the same table concurrently; without the lock the
+        later swap drops the earlier batch, with it both land."""
+        import threading
+        from dig_etl_engine_spark.sinks.kg_table import upsert
+        t = str(tmp_path / "kg")
+        upsert(spark, t, spark.createDataFrame(
+            [(0, "seed", 0)],
+            "doc_id LONG, text STRING, kafka_offset LONG"))
+        errs = []
+
+        def run(lo):
+            try:
+                upsert(spark, t, spark.createDataFrame(
+                    [(i, f"t{i}", i) for i in range(lo, lo + 20)],
+                    "doc_id LONG, text STRING, kafka_offset LONG"))
+            except Exception as ex:  # noqa: BLE001
+                errs.append(ex)
+
+        th = [threading.Thread(target=run, args=(lo,))
+              for lo in (100, 200)]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+        assert not errs, errs
+        got = {r["doc_id"] for r in spark.read.parquet(t).collect()}
+        assert got == {0} | set(range(100, 120)) | set(range(200, 220))
