@@ -405,22 +405,35 @@ def compact_minhash_index(spark, index_path: str) -> dict:
       3. delete every other ``_ab`` directory; a crash mid-delete
          leaves old partitions (= duplicates) for the next run.
 
-    Single-writer maintenance op: NOT safe concurrently with an active
-    stream — a retried micro-batch excludes only its own ``_ab``
-    partition, and compacted copies of its first attempt would
-    masquerade as corpus rows. Run it between streams, like
-    ``compact_partitioned``. Local-FS delete semantics; on object
-    stores swap step 3 for the store's batched delete.
+    Writer exclusion is enforced via the index's advisory
+    ``table_lock`` (shared with the KG table): a live append or a
+    retry's dynamic overwrite can no longer race step 3's partition
+    delete at the layout level. One SEMANTIC caveat the lock cannot
+    close remains: a compaction scheduled BETWEEN a failed micro-batch
+    and its retry folds the first attempt's rows into the new epoch,
+    where the retry's own-partition overwrite no longer replaces them —
+    so still run compaction between streams (checkpointed stream stops,
+    then maintain), like ``compact_partitioned``. Local-FS delete
+    semantics; on object stores swap step 3 for the store's batched
+    delete.
 
     Returns ``{"partitions_before": n, "epoch": e}`` (per-table counts
     are symmetric by construction).
     """
+    from dig_etl_engine_spark.sinks.kg_table import table_lock
+
+    out = {"partitions_before": 0, "epoch": None}
+    with table_lock(index_path):
+        _compact_minhash_locked(spark, index_path, out)
+    return out
+
+
+def _compact_minhash_locked(spark, index_path: str, out: dict) -> None:
     import os
     import shutil
 
     from pyspark.errors import AnalysisException
 
-    out = {"partitions_before": 0, "epoch": None}
     for sub, keys in (("bands", ["id", "band"]), ("shingles", ["id"])):
         tpath = f"{index_path}/{sub}"
         try:
@@ -600,22 +613,31 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
               else int(uuid.uuid4().hex[:8], 16))
         bands_out = banded_new.withColumn("_ab", F.lit(ab))
         sh_out = sh_new.withColumn("_ab", F.lit(ab))
-        if batch_id is not None:
-            # dynamic overwrite of this batch's own _ab partition: a
-            # micro-batch retry replaces its rows, never duplicates
-            # them. Per-writer option, not a session conf set/restore —
-            # concurrent streams in one session race the restore.
-            bands_out.write.mode("overwrite") \
-                .option("partitionOverwriteMode", "dynamic") \
-                .partitionBy("_ab").parquet(f"{index_path}/bands")
-            sh_out.write.mode("overwrite") \
-                .option("partitionOverwriteMode", "dynamic") \
-                .partitionBy("_ab").parquet(f"{index_path}/shingles")
-        else:
-            bands_out.write.mode("append").partitionBy("_ab") \
-                .parquet(f"{index_path}/bands")
-            sh_out.write.mode("append").partitionBy("_ab") \
-                .parquet(f"{index_path}/shingles")
+        # the index write takes the table's advisory writer lock: a
+        # retry's dynamic overwrite racing compact_minhash_index's
+        # partition delete is a layout race (torn/lost _ab dir); with
+        # the lock, writers and the compactor serialize (the SEMANTIC
+        # retry-vs-compact caveat in compact_minhash_index's docstring
+        # — compacted copies of a failed attempt surviving its retry —
+        # is a separate, documented scheduling rule)
+        from dig_etl_engine_spark.sinks.kg_table import table_lock
+        with table_lock(index_path):
+            if batch_id is not None:
+                # dynamic overwrite of this batch's own _ab partition: a
+                # micro-batch retry replaces its rows, never duplicates
+                # them. Per-writer option, not a session conf set/restore
+                # — concurrent streams in one session race the restore.
+                bands_out.write.mode("overwrite") \
+                    .option("partitionOverwriteMode", "dynamic") \
+                    .partitionBy("_ab").parquet(f"{index_path}/bands")
+                sh_out.write.mode("overwrite") \
+                    .option("partitionOverwriteMode", "dynamic") \
+                    .partitionBy("_ab").parquet(f"{index_path}/shingles")
+            else:
+                bands_out.write.mode("append").partitionBy("_ab") \
+                    .parquet(f"{index_path}/bands")
+                sh_out.write.mode("append").partitionBy("_ab") \
+                    .parquet(f"{index_path}/shingles")
     return result
 
 

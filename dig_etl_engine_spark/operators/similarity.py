@@ -570,8 +570,10 @@ def compact_ivf_index(spark, index_path: str) -> dict:
     consumers: ``incremental_embedding_dedup`` deduplicates its pair
     output, and ``knn_ivf_indexed`` deduplicates candidates before
     ranking (the guard exists precisely so a torn compaction can never
-    double-fill a top-k). Single-writer maintenance op, like its
-    sibling: not concurrent with an active appending stream.
+    double-fill a top-k). Writer exclusion is enforced via the index's
+    advisory ``table_lock`` (shared with the KG table); the semantic
+    retry-vs-compact scheduling caveat from
+    ``dedup.compact_minhash_index`` applies identically.
 
     Returns ``{"partitions_before": n, "epoch": e}`` where ``n`` counts
     distinct ``_ab`` values (one per append batch + the base build).
@@ -582,27 +584,33 @@ def compact_ivf_index(spark, index_path: str) -> dict:
 
     from pyspark.errors import AnalysisException
 
+    from dig_etl_engine_spark.sinks.kg_table import table_lock
+
     out = {"partitions_before": 0, "epoch": None}
     tpath = f"{index_path}/cells"
-    try:
-        df = spark.read.parquet(tpath)
-    except AnalysisException:
-        return out
-    if "_ab" not in df.columns:
-        return out
-    # bounded collect: one row per append batch
-    abs_ = sorted(r["_ab"] for r in df.select("_ab").distinct().collect())
-    out["partitions_before"] = len(abs_)
-    if len(abs_) <= 1:
-        return out
-    epoch = min(abs_[0], 0) - 1
-    out["epoch"] = epoch
-    merged = df.drop("_ab").dropDuplicates(["id", "cluster"])
-    (merged.withColumn("_ab", F.lit(epoch))
-     .write.mode("append").partitionBy("cluster", "_ab").parquet(tpath))
-    for ab in abs_:
-        for d in _glob.glob(os.path.join(tpath, "cluster=*", f"_ab={ab}")):
-            shutil.rmtree(d, ignore_errors=True)
+    with table_lock(index_path):
+        try:
+            df = spark.read.parquet(tpath)
+        except AnalysisException:
+            return out
+        if "_ab" not in df.columns:
+            return out
+        # bounded collect: one row per append batch
+        abs_ = sorted(r["_ab"]
+                      for r in df.select("_ab").distinct().collect())
+        out["partitions_before"] = len(abs_)
+        if len(abs_) <= 1:
+            return out
+        epoch = min(abs_[0], 0) - 1
+        out["epoch"] = epoch
+        merged = df.drop("_ab").dropDuplicates(["id", "cluster"])
+        (merged.withColumn("_ab", F.lit(epoch))
+         .write.mode("append").partitionBy("cluster", "_ab")
+         .parquet(tpath))
+        for ab in abs_:
+            for d in _glob.glob(os.path.join(tpath, "cluster=*",
+                                             f"_ab={ab}")):
+                shutil.rmtree(d, ignore_errors=True)
     return out
 
 
@@ -733,16 +741,19 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
         out = (new_rows.filter("is_primary")
                .select("id", "v", "cluster")
                .withColumn("_ab", F.lit(ab)))
-        if batch_id is not None:
-            # per-writer option, not a session conf set/restore —
-            # concurrent streams in one session race the restore
-            out.write.mode("overwrite") \
-                .option("partitionOverwriteMode", "dynamic") \
-                .partitionBy("cluster", "_ab") \
-                .parquet(f"{index_path}/cells")
-        else:
-            out.write.mode("append").partitionBy("cluster", "_ab") \
-                .parquet(f"{index_path}/cells")
+        # advisory writer lock — see incremental_minhash_dedup's append
+        from dig_etl_engine_spark.sinks.kg_table import table_lock
+        with table_lock(index_path):
+            if batch_id is not None:
+                # per-writer option, not a session conf set/restore —
+                # concurrent streams in one session race the restore
+                out.write.mode("overwrite") \
+                    .option("partitionOverwriteMode", "dynamic") \
+                    .partitionBy("cluster", "_ab") \
+                    .parquet(f"{index_path}/cells")
+            else:
+                out.write.mode("append").partitionBy("cluster", "_ab") \
+                    .parquet(f"{index_path}/cells")
     return result
 
 
