@@ -298,10 +298,29 @@ def write_webdataset(df: DataFrame, path: str, *, id_col: str = "doc_id",
     survive a round trip DISTINGUISHABLY). Rows with a NULL id are
     rejected with a clear error."""
     from dig_etl_engine_spark.session import ship_package
+    from dig_etl_engine_spark.sinks.kg_table import table_lock
 
     ship_package(df.sparkSession)
     meta_cols = meta_cols or []
     os.makedirs(path, exist_ok=True)
+    # exclusive export: the entry sweep below deletes EVERY .staging-*
+    # (a crashed run's leftovers are indistinguishable from a live
+    # second writer's work dir), so two concurrent exporters destroy
+    # each other without the advisory lock; with it they serialize and
+    # the later one's export wins — the overwrite semantic an export
+    # directory already promises. Readers stay lock-free (the torn-view
+    # resolution in _effective_files covers them).
+    with table_lock(path):
+        return _write_webdataset_locked(
+            df, path, id_col=id_col, text_col=text_col,
+            meta_cols=meta_cols, bin_col=bin_col, bin_ext=bin_ext,
+            n_shards=n_shards)
+
+
+def _write_webdataset_locked(df: DataFrame, path: str, *, id_col: str,
+                             text_col: str, meta_cols: list[str],
+                             bin_col: str | None, bin_ext: str,
+                             n_shards: int) -> DataFrame:
     _heal_export(path)  # finish/roll back any crashed swap FIRST
     # sweep leftovers of crashed runs (never the live shards)
     for stale in _glob_in(path, "shard-*.tar.tmp.*"):

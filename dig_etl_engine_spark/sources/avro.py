@@ -315,105 +315,111 @@ def write_avro(df: DataFrame, path: str, *, codec: str = "deflate",
             for f in schema.fields]
 
     os.makedirs(path, exist_ok=True)
-    _heal_export(path, "part-*.avro")
-    import glob as _glob
-    import shutil as _shutil
-    for stale in _glob.glob(os.path.join(_glob.escape(path),
-                                     ".staging-*")):
-        _shutil.rmtree(stale, ignore_errors=True)
-    staging = os.path.join(path, f".staging-{os.getpid()}")
-    os.makedirs(staging)
+    # exclusive export under the shared advisory lock: the entry
+    # sweep deletes every .staging-* (crashed leftovers and a live
+    # second writer's dir look identical), so concurrent exporters
+    # destroy each other without it — see write_webdataset
+    from dig_etl_engine_spark.sinks.kg_table import table_lock
+    with table_lock(path):
+        _heal_export(path, "part-*.avro")
+        import glob as _glob
+        import shutil as _shutil
+        for stale in _glob.glob(os.path.join(_glob.escape(path),
+                                         ".staging-*")):
+            _shutil.rmtree(stale, ignore_errors=True)
+        staging = os.path.join(path, f".staging-{os.getpid()}")
+        os.makedirs(staging)
 
-    def write_partition(batches: Iterator[pd.DataFrame]
-                        ) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-        ctx = TaskContext.get()
-        part = ctx.partitionId()
-        header, sync = _header(schema_json, codec, part)
-        fpath = os.path.join(staging, f"part-{part:05d}.avro")
-        # write under a per-ATTEMPT tmp name, then os.replace: a task
-        # retry or speculative duplicate never interleaves bytes into
-        # the staged file (same contract as the WebDataset shard writer)
-        tmp = f"{fpath}.tmp.{ctx.taskAttemptId()}"
-        n_rows = 0
-        with open(tmp, "wb") as fh:
-            fh.write(header)
-            block = bytearray()
-            pending = 0
+        def write_partition(batches: Iterator[pd.DataFrame]
+                            ) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+            ctx = TaskContext.get()
+            part = ctx.partitionId()
+            header, sync = _header(schema_json, codec, part)
+            fpath = os.path.join(staging, f"part-{part:05d}.avro")
+            # write under a per-ATTEMPT tmp name, then os.replace: a task
+            # retry or speculative duplicate never interleaves bytes into
+            # the staged file (same contract as the WebDataset shard writer)
+            tmp = f"{fpath}.tmp.{ctx.taskAttemptId()}"
+            n_rows = 0
+            with open(tmp, "wb") as fh:
+                fh.write(header)
+                block = bytearray()
+                pending = 0
 
-            def flush():
-                nonlocal block, pending, n_rows
-                if not pending:
-                    return
-                payload = bytes(block)
-                if codec == "deflate":
-                    payload = zlib.compress(payload)[2:-4]  # raw deflate
-                head = bytearray()
-                _wlong(head, pending)
-                _wlong(head, len(payload))
-                fh.write(bytes(head) + payload + sync)
-                n_rows += pending
-                block, pending = bytearray(), 0
+                def flush():
+                    nonlocal block, pending, n_rows
+                    if not pending:
+                        return
+                    payload = bytes(block)
+                    if codec == "deflate":
+                        payload = zlib.compress(payload)[2:-4]  # raw deflate
+                    head = bytearray()
+                    _wlong(head, pending)
+                    _wlong(head, len(payload))
+                    fh.write(bytes(head) + payload + sync)
+                    n_rows += pending
+                    block, pending = bytearray(), 0
 
-            import numpy as np
-            for b in batches:
-                cols = [b[name] for name, _, _, _ in encs]
-                for row in zip(*cols):
-                    for (name, nullable, enc, is_float), v in zip(encs,
-                                                                  row):
-                        # pandas-boundary null test. Float columns are
-                        # the documented lossy case: Arrow→pandas folds
-                        # NULL into NaN (float32 NULLs arrive as
-                        # np.float32 NaN — not a Python float), so in a
-                        # NULLABLE float column NaN encodes as the null
-                        # branch; in a non-nullable one NaN is a legal
-                        # IEEE VALUE and encodes as such (never an
-                        # error). Non-float NaN-likes (None/NaT/float64
-                        # NaN standing in for a null int) stay nulls.
-                        if is_float:
-                            isnull = nullable and (
-                                v is None
-                                or (isinstance(v, (float, np.floating))
-                                    and v != v))
-                        else:
-                            isnull = (v is None or v is pd.NaT
-                                      or (isinstance(
-                                          v, (float, np.floating))
-                                          and v != v))
-                        if nullable:
-                            _wlong(block, 1 if not isnull else 0)
-                            if isnull:
-                                continue
-                        elif isnull:
-                            raise ValueError(
-                                f"write_avro: NULL in non-nullable "
-                                f"field {name!r}")
-                        enc(block, v)
-                    pending += 1
-                    if pending >= rows_per_block:
-                        flush()
-            flush()
-        os.replace(tmp, fpath)  # atomic: last attempt wins whole
-        yield pd.DataFrame(
-            [(part, fpath, n_rows, os.path.getsize(fpath))],
-            columns=["part", "path", "n_rows", "n_bytes"])
+                import numpy as np
+                for b in batches:
+                    cols = [b[name] for name, _, _, _ in encs]
+                    for row in zip(*cols):
+                        for (name, nullable, enc, is_float), v in zip(encs,
+                                                                      row):
+                            # pandas-boundary null test. Float columns are
+                            # the documented lossy case: Arrow→pandas folds
+                            # NULL into NaN (float32 NULLs arrive as
+                            # np.float32 NaN — not a Python float), so in a
+                            # NULLABLE float column NaN encodes as the null
+                            # branch; in a non-nullable one NaN is a legal
+                            # IEEE VALUE and encodes as such (never an
+                            # error). Non-float NaN-likes (None/NaT/float64
+                            # NaN standing in for a null int) stay nulls.
+                            if is_float:
+                                isnull = nullable and (
+                                    v is None
+                                    or (isinstance(v, (float, np.floating))
+                                        and v != v))
+                            else:
+                                isnull = (v is None or v is pd.NaT
+                                          or (isinstance(
+                                              v, (float, np.floating))
+                                              and v != v))
+                            if nullable:
+                                _wlong(block, 1 if not isnull else 0)
+                                if isnull:
+                                    continue
+                            elif isnull:
+                                raise ValueError(
+                                    f"write_avro: NULL in non-nullable "
+                                    f"field {name!r}")
+                            enc(block, v)
+                        pending += 1
+                        if pending >= rows_per_block:
+                            flush()
+                flush()
+            os.replace(tmp, fpath)  # atomic: last attempt wins whole
+            yield pd.DataFrame(
+                [(part, fpath, n_rows, os.path.getsize(fpath))],
+                columns=["part", "path", "n_rows", "n_bytes"])
 
-    man_schema = T.StructType([
-        T.StructField("part", T.IntegerType()),
-        T.StructField("path", T.StringType()),
-        T.StructField("n_rows", T.LongType()),
-        T.StructField("n_bytes", T.LongType()),
-    ])
-    try:
-        rows = df.mapInPandas(write_partition, man_schema).collect()
-    except Exception:
+        man_schema = T.StructType([
+            T.StructField("part", T.IntegerType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ])
+        try:
+            rows = df.mapInPandas(write_partition, man_schema).collect()
+        except Exception:
+            _shutil.rmtree(staging, ignore_errors=True)
+            raise
+        finals = _swap_export(path, "part-*.avro", [r["path"] for r in rows])
+        final_rows = [(r["part"], f, r["n_rows"], r["n_bytes"])
+                      for r, f in zip(rows, finals)]
         _shutil.rmtree(staging, ignore_errors=True)
-        raise
-    finals = _swap_export(path, "part-*.avro", [r["path"] for r in rows])
-    final_rows = [(r["part"], f, r["n_rows"], r["n_bytes"])
-                  for r, f in zip(rows, finals)]
-    _shutil.rmtree(staging, ignore_errors=True)
-    return df.sparkSession.createDataFrame(final_rows, man_schema)
+        return df.sparkSession.createDataFrame(final_rows, man_schema)
 
 
 # --- container read ----------------------------------------------------------
