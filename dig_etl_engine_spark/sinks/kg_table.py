@@ -27,6 +27,7 @@ import logging
 import os
 import shutil
 import socket
+import threading
 import time
 import uuid
 
@@ -70,7 +71,16 @@ def table_lock(target_path: str, *, timeout: float = 300.0,
     a dead owner's lock on the SAME host; a crashed writer on another
     host holds the lock until ``stale_after`` expires. Multi-driver
     fleets writing one table need a real transaction log — Delta's
-    MERGE, the documented production drop-in for this whole module."""
+    MERGE, the documented production drop-in for this whole module.
+
+    A live owner HEARTBEATS (a daemon thread refreshes the lock dir's
+    mtime every ``stale_after/4``, capped at 60 s), so the TTL break
+    only ever fires on owners that stopped heartbeating — without it, a
+    legitimately long operation (a multi-hour compaction of a huge
+    table) would have its lock stolen mid-write by any contender that
+    out-waited ``stale_after``, re-opening the exact lost-update window
+    the lock exists to close. The mtime refresh travels through the
+    shared filesystem, so cross-host contenders see it too."""
     lockd = target_path + ".__lock__"
     owner = os.path.join(lockd, "owner")
     me = f"{os.getpid()} {socket.gethostname()}"
@@ -116,11 +126,27 @@ def table_lock(target_path: str, *, timeout: float = 300.0,
                 f"updates — retry, or remove the lock if the owner is "
                 f"known dead")
         time.sleep(0.25)
+    stop = threading.Event()
+
+    def _heartbeat():
+        beat = min(max(stale_after / 4.0, 0.05), 60.0)
+        while not stop.wait(beat):
+            try:
+                os.utime(lockd)
+            except OSError:
+                return  # lock dir gone (released/stolen): stop quietly
+
+    hb = threading.Thread(target=_heartbeat, daemon=True,
+                          name="kg-table-lock-heartbeat")
     try:
         with open(owner, "w") as fh:
             fh.write(me)
+        hb.start()
         yield
     finally:
+        stop.set()
+        if hb.is_alive():
+            hb.join(timeout=5.0)
         shutil.rmtree(lockd, ignore_errors=True)
 
 

@@ -1862,3 +1862,20 @@ class TestTableLock:
         assert not errs, errs
         got = {r["doc_id"] for r in spark.read.parquet(t).collect()}
         assert got == {0} | set(range(100, 120)) | set(range(200, 220))
+
+    def test_heartbeat_prevents_ttl_theft_from_live_owner(self, tmp_path):
+        """A live owner heartbeats the lock mtime, so a contender that
+        out-waits stale_after must still time out rather than steal the
+        lock mid-write (a multi-hour compaction must not lose its lock
+        to a TTL set for crash recovery)."""
+        from dig_etl_engine_spark.sinks.kg_table import (
+            TableLockTimeout, table_lock)
+        t = str(tmp_path / "kg")
+        with table_lock(t, stale_after=0.8):  # heartbeat every 0.2 s
+            time.sleep(1.6)  # mtime is now refreshed, never >0.8 s old
+            with pytest.raises(TableLockTimeout):
+                with table_lock(t, timeout=1.2, stale_after=0.8):
+                    pass
+        # released cleanly afterwards: reacquire works
+        with table_lock(t, timeout=1.0):
+            pass
