@@ -646,14 +646,66 @@ def _rebucket_partitioned_locked(spark: SparkSession, target_path: str,
     return n
 
 
+def _effective_bucket_dirs(target_path: str) -> list[str]:
+    """Read-only resolution of the bucket layout during a concurrent
+    swap (the :mod:`webdataset` ``_effective_files`` doctrine applied to
+    the KG table): a bucket is readable from its live ``_kb=<n>`` dir
+    when present, else from a swap-aside copy (``.upsert_old_<n>_*`` /
+    ``.compact_old_<n>_*``) — during the instant between a swap's two
+    renames the aside copy is the bucket's only complete epoch, and a
+    plain directory listing would silently return results missing those
+    rows. Never mutates anything (healing is the writers' job, under
+    their lock). Re-lists until two consecutive scans agree so a swap
+    progressing mid-scan can't yield a bucket twice or not at all; under
+    constant churn, returns the last consistent-per-bucket view (each
+    bucket still resolves to exactly one complete epoch)."""
+    esc = glob_mod.escape(target_path)
+
+    def scan():
+        live: dict[int, str] = {}
+        for d in glob_mod.glob(os.path.join(esc, "_kb=*")):
+            try:
+                live[int(os.path.basename(d).split("=", 1)[1])] = d
+            except ValueError:
+                continue
+        aside: dict[int, str] = {}
+        for pat in (".upsert_old_*", ".compact_old_*"):
+            for d in glob_mod.glob(os.path.join(esc, pat)):
+                try:
+                    aside.setdefault(
+                        int(os.path.basename(d).split("_")[2]), d)
+                except (ValueError, IndexError):
+                    continue
+        return live, aside
+
+    live, aside = scan()
+    for _ in range(50):
+        live2, aside2 = scan()
+        if (live2, aside2) == (live, aside):
+            break
+        live, aside = live2, aside2
+    return [d for _, d in sorted({**aside, **live}.items())]
+
+
 def read_partitioned(spark: SparkSession, target_path: str) -> DataFrame:
     """Read a partitioned KG table without the internal bucket column.
-    Reads the _kb= dirs explicitly so a crash-window mixed layout (stray
-    flat files awaiting the next upsert's migration) stays readable."""
-    if os.path.isdir(target_path) and any(
-            f.startswith("_kb=") for f in os.listdir(target_path)):
-        return (spark.read.option("basePath", target_path)
-                .parquet(os.path.join(target_path, "_kb=*")).drop("_kb"))
+    Reads the bucket dirs by explicit path so a crash-window mixed
+    layout (stray flat files awaiting the next upsert's migration)
+    stays readable, resolving each bucket through
+    :func:`_effective_bucket_dirs` so a concurrent upsert/compaction
+    swap never makes a bucket transiently invisible; a table mid-
+    rebucket swap (the whole dir briefly aside) reads from its
+    ``.rebucket_old`` copy."""
+    if not os.path.isdir(target_path) \
+            and os.path.isdir(target_path + ".rebucket_old"):
+        target_path = target_path + ".rebucket_old"
+    dirs = _effective_bucket_dirs(target_path) \
+        if os.path.isdir(target_path) else []
+    if dirs:
+        # explicit per-dir roots (no basePath): no _kb partition column
+        # is inferred, and aside dirs — whose names don't parse as
+        # partitions — read identically to live ones
+        return spark.read.parquet(*dirs)
     return spark.read.parquet(target_path)
 
 

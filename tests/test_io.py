@@ -1879,3 +1879,71 @@ class TestTableLock:
         # released cleanly afterwards: reacquire works
         with table_lock(t, timeout=1.0):
             pass
+
+
+class TestReadPartitionedTornView:
+    """read_partitioned during a concurrent swap: every bucket resolves
+    to exactly one complete epoch — live dir when present, the swap's
+    aside copy during the instant between its two renames — and a table
+    mid-rebucket reads from its .rebucket_old copy. Previously a reader
+    in those windows silently returned results missing a whole bucket
+    (or failed outright for rebucket)."""
+
+    def _table(self, spark, tmp_path, name="kgt"):
+        from dig_etl_engine_spark.sinks.kg_table import (
+            read_partitioned, upsert_partitioned)
+        t = str(tmp_path / name)
+        upsert_partitioned(spark, t, spark.createDataFrame(
+            [(i, f"text {i}", i) for i in range(40)],
+            "doc_id LONG, text STRING, kafka_offset LONG"), buckets=4)
+        rows = {(r["doc_id"], r["kafka_offset"]) for r in
+                read_partitioned(spark, t).collect()}
+        assert len(rows) == 40
+        return t, rows
+
+    def _first_bucket(self, t):
+        import glob as _glob
+        return sorted(_glob.glob(os.path.join(t, "_kb=*")))[0]
+
+    def test_upsert_swap_window_reads_aside(self, spark, tmp_path):
+        from dig_etl_engine_spark.sinks.kg_table import read_partitioned
+        t, rows = self._table(spark, tmp_path)
+        d = self._first_bucket(t)
+        kbv = os.path.basename(d).split("=")[1]
+        os.rename(d, os.path.join(t, f".upsert_old_{kbv}_tok"))
+        got = {(r["doc_id"], r["kafka_offset"]) for r in
+               read_partitioned(spark, t).collect()}
+        assert got == rows  # the aside copy fills the gap
+        # live dir present again: it wins over a stale aside
+        os.rename(os.path.join(t, f".upsert_old_{kbv}_tok"), d)
+
+    def test_compact_swap_window_reads_aside(self, spark, tmp_path):
+        from dig_etl_engine_spark.sinks.kg_table import read_partitioned
+        t, rows = self._table(spark, tmp_path, "kgc")
+        d = self._first_bucket(t)
+        kbv = os.path.basename(d).split("=")[1]
+        os.rename(d, os.path.join(t, f".compact_old_{kbv}_tok"))
+        got = {(r["doc_id"], r["kafka_offset"]) for r in
+               read_partitioned(spark, t).collect()}
+        assert got == rows
+
+    def test_live_bucket_wins_over_aside(self, spark, tmp_path):
+        """Post-swap instant (new live dir in, aside not yet dropped):
+        the live epoch must win, not duplicate."""
+        import shutil as _sh
+        from dig_etl_engine_spark.sinks.kg_table import read_partitioned
+        t, rows = self._table(spark, tmp_path, "kgw")
+        d = self._first_bucket(t)
+        kbv = os.path.basename(d).split("=")[1]
+        _sh.copytree(d, os.path.join(t, f".upsert_old_{kbv}_tok"))
+        got = [(r["doc_id"], r["kafka_offset"]) for r in
+               read_partitioned(spark, t).collect()]
+        assert sorted(got) == sorted(rows)  # no duplicated bucket
+
+    def test_mid_rebucket_reads_retired_copy(self, spark, tmp_path):
+        from dig_etl_engine_spark.sinks.kg_table import read_partitioned
+        t, rows = self._table(spark, tmp_path, "kgr")
+        os.rename(t, t + ".rebucket_old")
+        got = {(r["doc_id"], r["kafka_offset"]) for r in
+               read_partitioned(spark, t).collect()}
+        assert got == rows
