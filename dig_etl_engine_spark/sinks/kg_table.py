@@ -505,12 +505,14 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
     Writer exclusion is ENFORCED via :func:`table_lock` (a concurrent
     upsert could otherwise rewrite a bucket between this function's
     read and its swap, losing the upsert — with the lock it simply
-    waits). Reader atomicity is NOT: a concurrent ``read_partitioned``
-    (or partition discovery) that lists the table during the instant
-    between the two renames sees no ``_kb=<n>`` directory and silently
-    returns results missing that whole bucket, so still schedule
-    compaction in a reader-quiet slot, exactly as Delta's OPTIMIZE
-    runs against its commit log rather than live directory listings.
+    waits). Concurrent :func:`read_partitioned` calls resolve the swap
+    window through the torn-view listing (:func:`_effective_bucket_dirs`
+    — the aside copy fills the between-renames gap); only EXTERNAL
+    readers doing their own directory listing (``spark.read.parquet``
+    straight at the table) can still see a bucket-less instant, so
+    point those at ``read_partitioned`` or schedule compaction in their
+    quiet slot, exactly as Delta's OPTIMIZE runs against its commit log
+    rather than live directory listings.
     """
     with table_lock(target_path, timeout=lock_timeout):
         return _compact_partitioned_locked(
