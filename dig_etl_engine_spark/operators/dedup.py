@@ -377,7 +377,8 @@ def _load_minhash_meta(spark, index_path: str,
     return k, num_hashes, bands
 
 
-def compact_minhash_index(spark, index_path: str) -> dict:
+def compact_minhash_index(spark, index_path: str, *,
+                          lock_timeout: float = 300.0) -> dict:
     """Fold the per-batch ``_ab=<id>`` append partitions of an
     incremental minhash index back into ONE partition per table — the
     small-file maintenance `materialize_minhash_index` promises: a
@@ -423,7 +424,7 @@ def compact_minhash_index(spark, index_path: str) -> dict:
     from dig_etl_engine_spark.sinks.kg_table import table_lock
 
     out = {"partitions_before": 0, "epoch": None}
-    with table_lock(index_path):
+    with table_lock(index_path, timeout=lock_timeout):
         _compact_minhash_locked(spark, index_path, out)
     return out
 

@@ -557,7 +557,8 @@ def knn_ivf_indexed(queries: DataFrame, index_path: str, *, k: int = 5,
             .filter(F.col("rank") <= k))
 
 
-def compact_ivf_index(spark, index_path: str) -> dict:
+def compact_ivf_index(spark, index_path: str, *,
+                      lock_timeout: float = 300.0) -> dict:
     """Fold the per-batch ``(cluster, _ab)`` append partitions of an
     incremental IVF index back into one ``_ab`` epoch per cell — the
     embedding-index sibling of ``dedup.compact_minhash_index``, with the
@@ -588,7 +589,7 @@ def compact_ivf_index(spark, index_path: str) -> dict:
 
     out = {"partitions_before": 0, "epoch": None}
     tpath = f"{index_path}/cells"
-    with table_lock(index_path):
+    with table_lock(index_path, timeout=lock_timeout):
         try:
             df = spark.read.parquet(tpath)
         except AnalysisException:

@@ -21,9 +21,12 @@ Usage (paths are the warehouse layouts this repo's sinks/indexes write):
                                [--rebucket-kg-to N]
 
 Any subset of flags may be given; each repair is independent, idempotent
-and single-writer (do not run concurrently with an active ingest into
-the SAME layout — schedule in the ingest's quiet window, exactly like
-VACUUM/OPTIMIZE in a lakehouse). All three repairs are crash-safe: the
+and single-writer — writer exclusion is ENFORCED by the layouts' shared
+advisory ``table_lock``, so a maintenance run that overlaps a live
+ingest waits for the ingest's in-flight batch instead of corrupting it
+(``--lock-timeout`` bounds the wait; the semantic rule of scheduling
+index compaction between checkpointed stream stops still applies, see
+``compact_minhash_index``). All three repairs are crash-safe: the
 KG compaction swaps via rename-aside, the index compactions write
 fresh epochs whose duplicate rows are provably harmless to every
 consumer, so a killed maintenance run never corrupts a query.
@@ -48,6 +51,12 @@ def main() -> int:
     ap.add_argument("--ivf", help="incremental IVF index root")
     ap.add_argument("--target-file-bytes", type=int, default=128 << 20,
                     help="KG compaction target file size (default 128 MiB)")
+    ap.add_argument("--lock-timeout", type=float, default=1800.0,
+                    metavar="SECONDS",
+                    help="how long to wait for a layout's writer lock "
+                         "before failing (default 1800 s — a nightly "
+                         "job out-waits a long in-flight ingest batch "
+                         "rather than dying)")
     args = ap.parse_args()
     if not (args.kg_table or args.minhash or args.ivf):
         ap.error("nothing to do: pass at least one of "
@@ -61,21 +70,25 @@ def main() -> int:
         from dig_etl_engine_spark.sinks import kg_table
         if args.rebucket_kg_to:
             n = kg_table.rebucket_partitioned(spark, args.kg_table,
-                                              args.rebucket_kg_to)
+                                              args.rebucket_kg_to,
+                                              lock_timeout=args.lock_timeout)
             print(f"kg_table: rebucketed {n} rows "
                   f"to {args.rebucket_kg_to} buckets")
         n = kg_table.compact_partitioned(
-            spark, args.kg_table, target_file_bytes=args.target_file_bytes)
+            spark, args.kg_table, target_file_bytes=args.target_file_bytes,
+            lock_timeout=args.lock_timeout)
         print(f"kg_table: compacted {n} buckets")
 
     if args.minhash:
         from dig_etl_engine_spark.operators.dedup import compact_minhash_index
-        stats = compact_minhash_index(spark, args.minhash)
+        stats = compact_minhash_index(spark, args.minhash,
+                                      lock_timeout=args.lock_timeout)
         print(f"minhash index: {stats}")
 
     if args.ivf:
         from dig_etl_engine_spark.operators.similarity import compact_ivf_index
-        stats = compact_ivf_index(spark, args.ivf)
+        stats = compact_ivf_index(spark, args.ivf,
+                                  lock_timeout=args.lock_timeout)
         print(f"ivf index: {stats}")
 
     return 0
