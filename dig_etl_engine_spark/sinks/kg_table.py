@@ -147,7 +147,23 @@ def table_lock(target_path: str, *, timeout: float = 300.0,
         stop.set()
         if hb.is_alive():
             hb.join(timeout=5.0)
-        shutil.rmtree(lockd, ignore_errors=True)
+        # release only what is provably still OURS: if this owner froze
+        # past stale_after and a contender broke the lock, `lockd` now
+        # belongs to the new owner — blindly rmtree'ing it would admit a
+        # THIRD writer alongside the second (cascading theft). If our
+        # own owner-file write failed, the dir leaks instead and heals
+        # through the dead-pid / TTL break like any crashed owner's.
+        try:
+            still_me = open(owner).read() == me
+        except OSError:
+            still_me = False
+        if still_me:
+            shutil.rmtree(lockd, ignore_errors=True)
+        else:
+            logger.warning("table_lock: not releasing %s — owner "
+                           "changed (lock was broken while we held "
+                           "it; our writes may have raced the new "
+                           "owner's)", lockd)
 
 
 def create_table_if_not_exists(spark: SparkSession, path: str,

@@ -1880,6 +1880,50 @@ class TestTableLock:
         with table_lock(t, timeout=1.0):
             pass
 
+    def test_release_spares_a_stolen_lock(self, tmp_path):
+        """If the lock was broken while held (frozen owner out-waited by
+        the TTL), release must NOT delete the new owner's lock — blind
+        removal would admit a third writer alongside the second."""
+        from dig_etl_engine_spark.sinks.kg_table import table_lock
+        t = str(tmp_path / "kg")
+        lockd = t + ".__lock__"
+        with table_lock(t):
+            # simulate a steal: a new owner now records its identity
+            with open(os.path.join(lockd, "owner"), "w") as fh:
+                fh.write("99999 thief-host")
+        assert os.path.isdir(lockd)  # the thief's lock survived release
+        with open(os.path.join(lockd, "owner")) as fh:
+            assert fh.read() == "99999 thief-host"
+
+    def test_cross_process_mutual_exclusion(self, tmp_path):
+        """The lock's actual design target is cross-PROCESS exclusion
+        (separate drivers, one warehouse): N subprocesses hammer a
+        non-atomic read-modify-write on a shared counter file under the
+        lock; any mutual-exclusion failure loses increments."""
+        import subprocess
+        import sys
+        t = str(tmp_path / "kg")
+        counter = str(tmp_path / "counter")
+        with open(counter, "w") as fh:
+            fh.write("0")
+        worker = (
+            "import sys, time\n"
+            "sys.path.insert(0, %r)\n"
+            "from dig_etl_engine_spark.sinks.kg_table import table_lock\n"
+            "for _ in range(10):\n"
+            "    with table_lock(%r, timeout=60.0):\n"
+            "        n = int(open(%r).read())\n"
+            "        time.sleep(0.002)\n"
+            "        open(%r, 'w').write(str(n + 1))\n"
+        ) % (os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), t, counter, counter)
+        procs = [subprocess.Popen([sys.executable, "-c", worker])
+                 for _ in range(3)]
+        for pr in procs:
+            assert pr.wait(timeout=120) == 0
+        assert open(counter).read() == "30"  # no lost increment
+        assert not os.path.isdir(t + ".__lock__")
+
 
 class TestReadPartitionedTornView:
     """read_partitioned during a concurrent swap: every bucket resolves
