@@ -714,9 +714,13 @@ def read_partitioned(spark: SparkSession, target_path: str) -> DataFrame:
     swap never makes a bucket transiently invisible; a table mid-
     rebucket swap (the whole dir briefly aside) reads from its
     ``.rebucket_old`` copy."""
-    if not os.path.isdir(target_path) \
-            and os.path.isdir(target_path + ".rebucket_old"):
-        target_path = target_path + ".rebucket_old"
+    if not os.path.isdir(target_path):
+        # mid-swap fallbacks: the retired copy is the only complete
+        # table during the instant between a swap's two renames
+        for aside in (".rebucket_old", ".__old__"):
+            if os.path.isdir(target_path + aside):
+                target_path = target_path + aside
+                break
     dirs = _effective_bucket_dirs(target_path) \
         if os.path.isdir(target_path) else []
     if dirs:

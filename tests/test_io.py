@@ -1991,3 +1991,15 @@ class TestReadPartitionedTornView:
         got = {(r["doc_id"], r["kafka_offset"]) for r in
                read_partitioned(spark, t).collect()}
         assert got == rows
+
+    def test_mid_plain_upsert_swap_reads_retired_copy(self, spark,
+                                                      tmp_path):
+        from dig_etl_engine_spark.sinks.kg_table import (
+            read_partitioned, upsert)
+        t = str(tmp_path / "kgpl")
+        upsert(spark, t, spark.createDataFrame(
+            [(i, f"t{i}", i) for i in range(10)],
+            "doc_id LONG, text STRING, kafka_offset LONG"))
+        os.rename(t, t + ".__old__")  # between the swap's two renames
+        got = {r["doc_id"] for r in read_partitioned(spark, t).collect()}
+        assert got == set(range(10))
