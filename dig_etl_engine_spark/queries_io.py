@@ -305,7 +305,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _scratch("winstream")
     in_dir, target = os.path.join(root, "in"), os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    events.coalesce(1).write.mode("overwrite").json(in_dir)
+    events.write.mode("overwrite").json(in_dir)
 
     schema = T.StructType([
         T.StructField("ts", T.TimestampType()),
@@ -342,7 +342,7 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-seen dedup via ``applyInPandasWithState``. Every row whose
     fingerprint was already seen anywhere earlier in the stream is dropped;
     the winner is the min-offset row per fingerprint. The input is drained
-    in a single availableNow batch (one file), so the result is exactly the
+    in a single availableNow batch, so the result is exactly the
     relational min-offset row — which the oracle recomputes."""
     from dig_etl_engine_spark.streaming.ingest import file_stream_source
     from dig_etl_engine_spark.streaming.stateful import run_first_seen_dedup
@@ -356,7 +356,7 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _scratch("stateful")
     in_dir, target = os.path.join(root, "in"), os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    src.coalesce(1).write.mode("overwrite").json(in_dir)
+    src.write.mode("overwrite").json(in_dir)
 
     schema = T.StructType([
         T.StructField("fingerprint", T.StringType()),
@@ -426,7 +426,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _scratch("sessstream")
     in_dir, target = os.path.join(root, "in"), os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    events.coalesce(1).write.mode("overwrite").json(in_dir)
+    events.write.mode("overwrite").json(in_dir)
 
     schema = T.StructType([
         T.StructField("ts", T.TimestampType()),
@@ -537,7 +537,7 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     in_dir, target = os.path.join(root, "in"), os.path.join(root, "kg")
     quarantine, ckpt = os.path.join(root, "bad"), os.path.join(root, "ck")
-    batch.coalesce(1).write.mode("overwrite").json(in_dir)
+    batch.write.mode("overwrite").json(in_dir)
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
@@ -613,7 +613,7 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str
     in_dir, target = os.path.join(root, "in"), os.path.join(root, "kg")
     quarantine, ckpt = os.path.join(root, "bad"), os.path.join(root, "ck")
     (docs.select("doc_id", "text", F.col("doc_id").alias("kafka_offset"))
-     .coalesce(1).write.mode("overwrite").json(in_dir))
+     .write.mode("overwrite").json(in_dir))
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
@@ -727,7 +727,7 @@ def stream_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _scratch("e2estream")
     in_dir, target = os.path.join(root, "in"), os.path.join(root, "kg")
     ckpt = os.path.join(root, "ck")
-    src.coalesce(1).write.mode("overwrite").json(in_dir)
+    src.write.mode("overwrite").json(in_dir)
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),

@@ -58,10 +58,19 @@ def kafka_source(spark: SparkSession, *, bootstrap_servers: str,
 
 def file_stream_source(spark: SparkSession, path: str,
                        schema: T.StructType) -> DataFrame:
-    """File-drop source: each landed ``.json``/``.jl`` file is a batch of
+    """File-drop source: landed ``.json``/``.jl`` files become batches of
     docs. Shares everything after the source with the Kafka path, which is
     what makes the pipeline testable without a broker. Rows must carry
-    their own ``kafka_offset``-equivalent ordering column."""
+    their own ``kafka_offset``-equivalent ordering column.
+
+    Contract the registry's stream queries rely on (pinned by
+    ``tests/test_streaming_contract.py``): because this source sets NO
+    ``maxFilesPerTrigger``, a ``Trigger.AvailableNow`` drain processes
+    every file present at start in ONE micro-batch — so the queries'
+    identity oracles are exact regardless of how many files the (fully
+    parallel) input write produced, and stateful first-seen == global
+    min-order. Set ``maxFilesPerTrigger`` only for real incremental
+    ingest, where batch boundaries are the point."""
     return spark.readStream.schema(schema).json(path)
 
 
