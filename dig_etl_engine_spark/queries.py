@@ -92,6 +92,9 @@ _PRIORITY_RECHECK: dict[str, int] = {
     "stream_decontaminate_ingest": 6,
     "multimodal_webdataset_roundtrip": 6,
     "incremental_embedding_dedup": 6,
+    # parallel-input-write change to the stream queries (the other five
+    # affected queries are already above, r02-stale, or never-verified)
+    "stream_session_windows": 6,
 }
 
 

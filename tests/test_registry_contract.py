@@ -302,13 +302,14 @@ def test_registry_orders_least_recently_verified_first():
         sorted(set(_PRIORITY_RECHECK) - set(names)))
     live = {n for n, rnd in _PRIORITY_RECHECK.items()
             if last.get(n, -1) < rnd}
-    # 12 = the r6 high-water mark (a nine-file sink/streaming hardening
-    # batch touched six queries beyond the planned six); with 2
-    # never-verified entries that still leaves 36 of the driver's 50
-    # sweep slots to the staleness cohort — enough to clear the whole
-    # r02 tier in one round. Shrink this back toward 8 as entries
-    # expire; growing it further starves the staleness window.
-    assert len(live) <= 12, "keep the live recheck set small"
+    # 13 = the r6 high-water mark (the sink/streaming hardening batch
+    # touched six queries beyond the planned six, and the parallel
+    # input-write change added a seventh); with 2 never-verified
+    # entries that still leaves 35 of the driver's 50 sweep slots to
+    # the staleness cohort — enough to clear the whole r02 tier in one
+    # round. Shrink this back toward 8 as entries expire; growing it
+    # further starves the staleness window.
+    assert len(live) <= 13, "keep the live recheck set small"
     keys = [(0 if last.get(n, -1) < 0 else
              1 if last[n] < _PRIORITY_RECHECK.get(n, -1) else 2,
              last.get(n, -1))
