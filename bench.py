@@ -65,6 +65,9 @@ HEADLINE = [
     "src_avro_roundtrip",         # pure-Python Avro container write+read
     "stream_e2e_curation",        # stateful-dedup -> decontaminate -> merge
                                   # -> rank composed streaming pipeline
+    # round-7 additions: data-layout + runtime-filter surface
+    "zorder_cluster_write",       # Morton-clustered write + read-back agg
+    "bloom_prejoin_prune",        # bitset-pruned probe side pre-shuffle
 ]
 
 

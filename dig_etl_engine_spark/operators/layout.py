@@ -1,0 +1,165 @@
+"""Data-layout operators: Z-order (Morton) clustering for multi-column
+file skipping.
+
+Capability superset (the reference delegates all physical layout to
+Elasticsearch segments — SURVEY §2.6 has no layout operator): at 100 TB
+the dominant cost of a selective query is the scan, and parquet row-group
+min/max statistics only prune files for predicates on the column(s) the
+data happens to be sorted by. A linear sort on column A gives perfect
+pruning on A and none on B; interleaving the bits of both columns into a
+single Morton (Z-order) key and range-partition-sorting by it gives every
+file a small bounding BOX in (A, B) space, so point/range predicates on
+EITHER column skip most files. This is the standard lakehouse clustering
+technique (Databricks Delta `OPTIMIZE ZORDER BY`, Iceberg's z-ordering
+rewrite); here it is expressed as plain DataFrame ops so Catalyst/AQE
+still own the physical plan.
+
+Scale design:
+
+* The Morton key is a pure codegen expression (shifts/masks over int64) —
+  no UDF, no shuffle of its own. Quantization to the ``bits``-wide grid is
+  integer arithmetic over exact MIN/MAX bounds (a 2-row broadcast), so the
+  cell ids are bit-identical in every engine — the correctness oracle
+  recomputes them in DuckDB.
+* ``write_zorder_clustered`` is one range-repartition (a single shuffle,
+  the unavoidable cost of any global re-clustering) + an in-partition
+  sort; ``repartitionByRange`` samples key quantiles, so file sizes stay
+  balanced even when the key distribution is skewed.
+* ``file_skip_stats`` reads only parquet FOOTERS (pyarrow metadata, no
+  data pages) — the same statistics a cluster-side scan planner consults;
+  at 100 TB this is the manifest scan, proportional to file count, not
+  data size.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_cell(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Map an int64 value in [lo, hi] to a ``bits``-wide grid cell.
+
+    Pure integer arithmetic — ``((v - lo) * 2^bits) div (hi - lo + 1)`` —
+    so every engine computes the same cell for the same row (the div is
+    exact; no float appears). Values outside [lo, hi] are clamped, which
+    makes the expression total (a late-arriving out-of-bounds row degrades
+    clustering quality, never correctness)."""
+    n = 1 << bits
+    span = hi - lo + F.lit(1)
+    cell = F.call_function("div", (col - lo) * F.lit(n), span)
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), cell)).cast("long")
+
+
+def sql_quantize_cell(col: str, lo: str, hi: str, bits: int) -> str:
+    """DuckDB mirror of :func:`quantize_cell` (same integer expression)."""
+    n = 1 << bits
+    cell = f"(({col} - {lo}) * {n}) // ({hi} - {lo} + 1)"
+    return f"LEAST({n - 1}, GREATEST(0, {cell}))"
+
+
+def morton_key(cells: Sequence[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of each cell id into one Z-order
+    key: bit j of dimension i lands at position ``j * ndims + i``.
+
+    Generated as a flat OR-tree of shift/mask terms — all int64 codegen,
+    no UDF. ``ndims * bits`` must stay < 63."""
+    ndims = len(cells)
+    if ndims * bits >= 63:
+        raise ValueError("morton key would overflow int64")
+    terms = []
+    for i, c in enumerate(cells):
+        for j in range(bits):
+            bit = F.shiftright(c, j).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, j * ndims + i))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def sql_morton_key(cells: Sequence[str], bits: int) -> str:
+    """DuckDB mirror of :func:`morton_key` (same bit positions; integer
+    ops, so any correct formulation matches bit-for-bit)."""
+    ndims = len(cells)
+    terms = []
+    for i, c in enumerate(cells):
+        for j in range(bits):
+            terms.append(f"((({c} >> {j}) & 1) << {j * ndims + i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
+               bounds: dict[str, tuple[int, int]] | None = None) -> Column:
+    """Z-order key over integer columns, quantized to exact per-column
+    MIN/MAX bounds.
+
+    ``bounds`` overrides the bounds scan (pass known domain bounds at
+    100 TB to skip it); otherwise one tiny aggregate computes them —
+    integer MIN/MAX, exact in every engine, one row collected."""
+    if bounds is None:
+        row = df.agg(*[f(c).alias(f"{f.__name__}_{c}")
+                       for c in cols for f in (F.min, F.max)]).collect()[0]
+        bounds = {c: (row[f"min_{c}"], row[f"max_{c}"]) for c in cols}
+    cells = [quantize_cell(F.col(c).cast("long"),
+                           F.lit(int(bounds[c][0])), F.lit(int(bounds[c][1])),
+                           bits) for c in cols]
+    return morton_key(cells, bits)
+
+
+def write_zorder_clustered(df: DataFrame, path: str, cols: Sequence[str], *,
+                           bits: int = 8, num_files: int = 8,
+                           bounds: dict[str, tuple[int, int]] | None = None,
+                           ) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``cols``.
+
+    One range-repartition on the Morton key (quantile-sampled, so files
+    balance under skew) + an in-partition sort, then a plain parquet
+    write — each output file covers a compact (A, B) bounding box and its
+    row-group min/max stats prune for predicates on ANY of ``cols``."""
+    z = zorder_key(df, cols, bits=bits, bounds=bounds)
+    (df.withColumn("_z", z)
+       .repartitionByRange(num_files, "_z")
+       .sortWithinPartitions("_z")
+       .drop("_z")
+       .write.mode("overwrite").parquet(path))
+
+
+def file_skip_stats(path: str, column: str) -> list[dict]:
+    """Per-file min/max of ``column`` from parquet footers only.
+
+    Returns ``[{file, min, max}, ...]`` — the statistics a scan planner
+    uses for pruning. Footer-only: cost is O(files), independent of data
+    size."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if column not in idx:
+            raise KeyError(f"{column} not in {name}")
+        cmin, cmax = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[column]).statistics
+            if st is None or not st.has_min_max:
+                continue
+            cmin = st.min if cmin is None else min(cmin, st.min)
+            cmax = st.max if cmax is None else max(cmax, st.max)
+        out.append({"file": name, "min": cmin, "max": cmax})
+    return out
+
+
+def skip_fraction(stats: list[dict], lo, hi) -> float:
+    """Fraction of files a range predicate ``[lo, hi]`` can SKIP given
+    their footer min/max — the layout-quality metric (higher is better)."""
+    if not stats:
+        return 0.0
+    skipped = sum(1 for s in stats
+                  if s["min"] is None or s["max"] < lo or s["min"] > hi)
+    return skipped / len(stats)

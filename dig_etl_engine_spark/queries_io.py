@@ -1094,3 +1094,78 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("n_sk").cast("double"))
                     .otherwise(F.round((K - 1) / F.col("frac"), 4))
                     .alias("est_distinct")))
+
+
+# --- Z-order clustered write -------------------------------------------
+
+_Z_BITS = 4
+
+
+def _zorder_oracle() -> str:
+    from dig_etl_engine_spark.operators.layout import (
+        sql_morton_key, sql_quantize_cell)
+
+    cell_ok = sql_quantize_cell("l_orderkey", "lo1", "hi1", _Z_BITS)
+    cell_pk = sql_quantize_cell("l_partkey", "lo2", "hi2", _Z_BITS)
+    z = sql_morton_key([cell_ok, cell_pk], _Z_BITS)
+    return f"""
+    WITH b AS (
+      SELECT MIN(l_orderkey) AS lo1, MAX(l_orderkey) AS hi1,
+             MIN(l_partkey) AS lo2, MAX(l_partkey) AS hi2
+      FROM lineitem
+    ),
+    c AS (
+      SELECT {z} AS zcell, l_orderkey, l_partkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM lineitem, b
+    )
+    SELECT zcell, COUNT(*) AS n,
+           MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+           MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+           CAST(SUM(price_c) AS BIGINT) AS price_c_total
+    FROM c GROUP BY zcell
+    """
+
+
+@register("zorder_cluster_write", oracle=_zorder_oracle())
+def zorder_cluster_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered parquet write + read-back
+    (`operators/layout.py` — capability superset; the reference delegates
+    physical layout to ES segments, SURVEY §2.6). `lineitem` is
+    re-clustered on the bit-interleave of (l_orderkey, l_partkey) — one
+    quantile-sampled range shuffle + in-partition sort — so every output
+    file covers a compact bounding box in BOTH key dimensions and footer
+    min/max stats prune selective scans on either (the skip-fraction
+    proof lives in tests/test_layout_and_bloom.py; this query verifies
+    the round trip and the engine-identical cell math). The oracle
+    recomputes the Morton cells from the raw table with the same integer
+    expression tree — quantization and interleave are pure int64
+    arithmetic, so the cell ids are bit-identical cross-engine."""
+    from dig_etl_engine_spark.operators.layout import (
+        morton_key, quantize_cell, write_zorder_clustered)
+
+    li = load_tables(spark, sf_dir)["lineitem"] \
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+    row = li.agg(F.min("l_orderkey").alias("lo1"), F.max("l_orderkey").alias("hi1"),
+                 F.min("l_partkey").alias("lo2"), F.max("l_partkey").alias("hi2")
+                 ).collect()[0]
+    bounds = {"l_orderkey": (row["lo1"], row["hi1"]),
+              "l_partkey": (row["lo2"], row["hi2"])}
+    path = os.path.join(_scratch("zorder"), "lineitem_z")
+    write_zorder_clustered(li, path, ["l_orderkey", "l_partkey"],
+                           bits=_Z_BITS, num_files=8, bounds=bounds)
+
+    back = spark.read.parquet(path)
+    cells = [quantize_cell(F.col(c).cast("long"),
+                           F.lit(int(bounds[c][0])), F.lit(int(bounds[c][1])),
+                           _Z_BITS)
+             for c in ("l_orderkey", "l_partkey")]
+    return (back.withColumn("zcell", morton_key(cells, _Z_BITS))
+            .withColumn("price_c", fixed(F.col("l_extendedprice"), 2))
+            .groupBy("zcell")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("l_orderkey").alias("min_ok"),
+                 F.max("l_orderkey").alias("max_ok"),
+                 F.min("l_partkey").alias("min_pk"),
+                 F.max("l_partkey").alias("max_pk"),
+                 F.sum("price_c").alias("price_c_total")))

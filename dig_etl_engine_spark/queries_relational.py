@@ -1256,3 +1256,45 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("lift"))
             .orderBy(F.desc("n_pair"), F.asc("part_a"), F.asc("part_b"))
             .limit(20))
+
+
+@register(
+    "bloom_prejoin_prune",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_c_total
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bloom_prejoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (`operators/runtime_filter.py` —
+    capability superset, SURVEY §2.6; the explicit form of Spark's
+    `runtime.bloomFilter` row-level filtering): `orders` filtered to the
+    high-value tail is the build side; its surviving keys are aggregated
+    into an 8 KiB bitset (bounded collect — at most m/64 words regardless
+    of build rows) and applied as a codegen Filter on `lineitem` BEFORE
+    the fact-side shuffle, so ~80% of the probe rows are never hashed or
+    shipped. False positives are settled by the exact join that follows;
+    the oracle states row-identity with the plain join. Plan pin
+    (Filter-below-Exchange) and no-false-negative property:
+    tests/test_layout_and_bloom.py."""
+    from dig_etl_engine_spark.operators.runtime_filter import (
+        build_bloom, might_contain)
+
+    t = load_tables(spark, sf_dir)
+    build = t["orders"].filter(F.col("o_totalprice") > 400000) \
+        .select("o_orderkey", "o_orderpriority")
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice")
+    words = build_bloom(build, "o_orderkey")
+    pruned = li.filter(might_contain(words, F.col("l_orderkey")))
+    return (pruned.join(build,
+                        pruned["l_orderkey"] == build["o_orderkey"])
+            .withColumn("price_c", fixed(F.col("l_extendedprice"), 2))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("price_c").alias("price_c_total")))

@@ -1,0 +1,255 @@
+"""Round-7 layout + runtime-filter operators: Z-order clustering
+(`operators/layout.py`) and Bloom pre-join pruning
+(`operators/runtime_filter.py`).
+
+Covers (1) bit-level correctness of the Morton math against a pure-Python
+reference and the DuckDB mirror, (2) the LAYOUT QUALITY claim — a
+z-clustered write prunes files on BOTH dimensions where a linear sort
+prunes only one, measured from real parquet footers, (3) Bloom soundness
+(no false negatives, bounded bitset, low FPR) and the plan shape the
+operator exists for: the membership filter sits on the scan side of the
+probe's Exchange."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _py_quantize(v: int, lo: int, hi: int, bits: int) -> int:
+    n = 1 << bits
+    cell = ((v - lo) * n) // (hi - lo + 1)
+    return max(0, min(n - 1, cell))
+
+
+def _py_morton(cells: list[int], bits: int) -> int:
+    z = 0
+    for i, c in enumerate(cells):
+        for j in range(bits):
+            z |= ((c >> j) & 1) << (j * len(cells) + i)
+    return z
+
+
+class TestMorton:
+    def test_matches_python_reference(self, spark):
+        from dig_etl_engine_spark.operators.layout import (
+            morton_key, quantize_cell)
+
+        rng = random.Random(7)
+        rows = [(rng.randrange(0, 1000), rng.randrange(0, 1000))
+                for _ in range(500)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        cells = [quantize_cell(F.col(c), F.lit(0), F.lit(999), 8)
+                 for c in ("a", "b")]
+        got = {(r.a, r.b): r.z for r in
+               df.withColumn("z", morton_key(cells, 8)).collect()}
+        for a, b in rows:
+            want = _py_morton([_py_quantize(a, 0, 999, 8),
+                               _py_quantize(b, 0, 999, 8)], 8)
+            assert got[(a, b)] == want
+
+    def test_quantize_clamps_out_of_bounds(self, spark):
+        from dig_etl_engine_spark.operators.layout import quantize_cell
+
+        df = spark.createDataFrame([(-50,), (0,), (99,), (250,)], "v long")
+        out = [r.c for r in df.select(
+            quantize_cell(F.col("v"), F.lit(0), F.lit(99), 4).alias("c"))
+            .collect()]
+        assert out[0] == 0 and out[3] == 15
+        assert 0 <= min(out) and max(out) <= 15
+
+    def test_duckdb_mirror_parity(self, spark):
+        """The SQL generators produce the same cells/keys bit-for-bit —
+        the property the registry oracle for `zorder_cluster_write`
+        rests on."""
+        from dig_etl_engine_spark.operators.layout import (
+            morton_key, quantize_cell, sql_morton_key, sql_quantize_cell)
+
+        rng = random.Random(11)
+        rows = [(rng.randrange(-20, 400), rng.randrange(3, 777))
+                for _ in range(300)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        cells = [quantize_cell(F.col("a"), F.lit(0), F.lit(299), 6),
+                 quantize_cell(F.col("b"), F.lit(3), F.lit(776), 6)]
+        got = sorted((r.a, r.b, r.z) for r in
+                     df.withColumn("z", morton_key(cells, 6)).collect())
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (a BIGINT, b BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        z = sql_morton_key([sql_quantize_cell("a", "0", "299", 6),
+                            sql_quantize_cell("b", "3", "776", 6)], 6)
+        want = sorted(map(tuple, con.execute(
+            f"SELECT a, b, {z} FROM t").fetchall()))
+        assert got == want
+
+    def test_overflow_guard(self):
+        from dig_etl_engine_spark.operators.layout import morton_key
+
+        with pytest.raises(ValueError):
+            morton_key([F.lit(1)] * 4, 16)
+
+
+class TestZorderLayout:
+    def test_two_dimensional_skipping(self, spark, tmp_path):
+        """The capability claim, measured: after a z-order write, a
+        selective range on EITHER key dimension skips files from footer
+        stats alone; after a linear sort on l_orderkey, the same
+        l_partkey range skips (almost) nothing."""
+        from dig_etl_engine_spark.catalog import load_tables
+        from dig_etl_engine_spark.operators.layout import (
+            file_skip_stats, skip_fraction, write_zorder_clustered)
+
+        li = load_tables(spark, SF)["lineitem"] \
+            .select("l_orderkey", "l_partkey")
+        b = li.agg(F.min("l_orderkey"), F.max("l_orderkey"),
+                   F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+        lo1, hi1, lo2, hi2 = b
+        bounds = {"l_orderkey": (lo1, hi1), "l_partkey": (lo2, hi2)}
+
+        zpath = str(tmp_path / "z")
+        write_zorder_clustered(li, zpath, ["l_orderkey", "l_partkey"],
+                               bits=8, num_files=8, bounds=bounds)
+        lpath = str(tmp_path / "linear")
+        (li.repartitionByRange(8, "l_orderkey")
+           .sortWithinPartitions("l_orderkey")
+           .write.mode("overwrite").parquet(lpath))
+
+        def frac(path, col, lo, hi):
+            span = hi - lo
+            a = lo + int(span * 0.40)
+            bq = lo + int(span * 0.45)
+            return skip_fraction(file_skip_stats(path, col), a, bq)
+
+        z_pk = frac(zpath, "l_partkey", lo2, hi2)
+        z_ok = frac(zpath, "l_orderkey", lo1, hi1)
+        lin_pk = frac(lpath, "l_partkey", lo2, hi2)
+        lin_ok = frac(lpath, "l_orderkey", lo1, hi1)
+
+        # linear: perfect on the sort key, blind on the other
+        assert lin_ok >= 0.75
+        assert lin_pk <= 0.25
+        # z-order: real pruning on BOTH
+        assert z_pk >= 0.5, (z_pk, lin_pk)
+        assert z_ok >= 0.25, z_ok
+        assert z_pk >= lin_pk + 0.25
+
+    def test_footer_stats_are_true_bounds(self, spark, tmp_path):
+        from dig_etl_engine_spark.catalog import load_tables
+        from dig_etl_engine_spark.operators.layout import (
+            file_skip_stats, write_zorder_clustered)
+
+        li = load_tables(spark, SF)["lineitem"].select("l_orderkey",
+                                                       "l_partkey")
+        path = str(tmp_path / "z")
+        write_zorder_clustered(li, path, ["l_orderkey", "l_partkey"],
+                               bits=6, num_files=4)
+        stats = file_skip_stats(path, "l_partkey")
+        table_min, table_max = li.agg(F.min("l_partkey"),
+                                      F.max("l_partkey")).collect()[0]
+        assert min(s["min"] for s in stats) == table_min
+        assert max(s["max"] for s in stats) == table_max
+
+    def test_roundtrip_loses_nothing(self, spark, tmp_path):
+        from dig_etl_engine_spark.catalog import load_tables
+        from dig_etl_engine_spark.operators.layout import (
+            write_zorder_clustered)
+
+        li = load_tables(spark, SF)["lineitem"] \
+            .select("l_orderkey", "l_partkey", "l_extendedprice")
+        path = str(tmp_path / "z")
+        write_zorder_clustered(li, path, ["l_orderkey", "l_partkey"])
+        back = spark.read.parquet(path)
+        assert back.count() == li.count()
+        assert sorted(back.columns) == sorted(li.columns)
+        got = back.agg(F.sum(F.round("l_extendedprice", 2))).collect()[0][0]
+        want = li.agg(F.sum(F.round("l_extendedprice", 2))).collect()[0][0]
+        assert abs(got - want) < 1e-6
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        from dig_etl_engine_spark.operators.runtime_filter import (
+            build_bloom, might_contain)
+
+        rng = random.Random(3)
+        keys = [rng.randrange(-2**62, 2**62) for _ in range(2000)]
+        build = spark.createDataFrame([(k,) for k in keys], "k long")
+        words = build_bloom(build, "k")
+        missed = build.filter(~might_contain(words, F.col("k"))).count()
+        assert missed == 0
+
+    def test_false_positive_rate_is_low(self, spark):
+        from dig_etl_engine_spark.operators.runtime_filter import (
+            build_bloom, might_contain)
+
+        build = spark.range(0, 2000).select(F.col("id").alias("k"))
+        probe = spark.range(10_000_000, 10_020_000) \
+            .select(F.col("id").alias("k"))
+        words = build_bloom(build, "k")
+        fp = probe.filter(might_contain(words, F.col("k"))).count()
+        # m=65536, n=2000, k=3 → theoretical fpr ≈ 0.00006; allow slack
+        assert fp / 20_000 < 0.01, fp
+
+    def test_bitset_is_bounded(self, spark):
+        from dig_etl_engine_spark.operators.runtime_filter import build_bloom
+
+        big = spark.range(0, 200_000).select(F.col("id").alias("k"))
+        words = build_bloom(big, "k", m_bits=1 << 12)
+        assert len(words) == (1 << 12) // 64
+
+    def test_join_row_identity_and_plan_shape(self, spark):
+        """bloom_pruned_join ≡ plain join, and under the no-broadcast
+        regime (its 100 TB use case) the membership filter runs on the
+        scan side of the probe's Exchange — rows are dropped before
+        they are shuffled."""
+        from dig_etl_engine_spark.catalog import load_tables
+        from dig_etl_engine_spark.operators.runtime_filter import (
+            bloom_pruned_join)
+
+        t = load_tables(spark, SF)
+        build = t["orders"].filter(F.col("o_totalprice") > 400000) \
+            .select("o_orderkey", "o_orderpriority")
+        probe = t["lineitem"].select("l_orderkey", "l_extendedprice")
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = bloom_pruned_join(probe, build, probe_key="l_orderkey",
+                                    build_key="o_orderkey")
+            plan = plan_of(out)
+            assert "SortMergeJoin" in plan
+            # the element_at membership probe must sit BELOW the probe-side
+            # Exchange (tree prints parent-first: filter text after the
+            # exchange line that feeds the join)
+            exch = plan.index("Exchange hashpartitioning(l_orderkey")
+            assert "element_at" in plan[exch:], \
+                "bloom filter was not pushed below the probe-side shuffle"
+            got = sorted((r.l_orderkey, r.l_extendedprice)
+                         for r in out.collect())
+            want = sorted(
+                (r.l_orderkey, r.l_extendedprice)
+                for r in probe.join(
+                    build, probe["l_orderkey"] == build["o_orderkey"])
+                .collect())
+            assert got == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_rejects_unsound_join_types(self, spark):
+        from dig_etl_engine_spark.operators.runtime_filter import (
+            bloom_pruned_join)
+
+        df = spark.range(3).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError):
+            bloom_pruned_join(df, df, probe_key="k", build_key="k",
+                              how="left")
