@@ -110,22 +110,83 @@ def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
     return morton_key(cells, bits)
 
 
+_PQ_PATTERN = "part-*.parquet"
+
+
 def write_zorder_clustered(df: DataFrame, path: str, cols: Sequence[str], *,
                            bits: int = 8, num_files: int = 8,
                            bounds: dict[str, tuple[int, int]] | None = None,
-                           ) -> None:
+                           lock_timeout: float = 300.0) -> None:
     """Write ``df`` as parquet clustered by the Z-order of ``cols``.
 
     One range-repartition on the Morton key (quantile-sampled, so files
-    balance under skew) + an in-partition sort, then a plain parquet
-    write — each output file covers a compact (A, B) bounding box and its
-    row-group min/max stats prune for predicates on ANY of ``cols``."""
+    balance under skew) + an in-partition sort — each output file covers
+    a compact (A, B) bounding box and its row-group min/max stats prune
+    for predicates on ANY of ``cols``.
+
+    A re-cluster REPLACES a live layout other jobs read, so the write
+    follows the repo-wide staged-export doctrine (`sinks/webdataset.py`
+    module docstring): Spark writes into a ``.staging-*`` dir inside the
+    target, success swaps the part files in rename-aside under the
+    advisory writer lock, and a crash at any point leaves either the old
+    or the new layout recoverable — never zero complete exports. Readers
+    use :func:`read_zorder_clustered` for a torn-view-safe file list."""
+    import shutil
+
+    from dig_etl_engine_spark.sinks.kg_table import table_lock
+    from dig_etl_engine_spark.sinks.webdataset import (
+        _glob_in, _heal_export, _swap_export)
+
     z = zorder_key(df, cols, bits=bits, bounds=bounds)
-    (df.withColumn("_z", z)
-       .repartitionByRange(num_files, "_z")
-       .sortWithinPartitions("_z")
-       .drop("_z")
-       .write.mode("overwrite").parquet(path))
+    clustered = (df.withColumn("_z", z)
+                 .repartitionByRange(num_files, "_z")
+                 .sortWithinPartitions("_z")
+                 .drop("_z"))
+    os.makedirs(path, exist_ok=True)
+    with table_lock(path, timeout=lock_timeout):
+        _heal_export(path, _PQ_PATTERN)
+        for stale in _glob_in(path, ".staging-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        staging = os.path.join(path, f".staging-{os.getpid()}")
+        try:
+            clustered.write.mode("overwrite").parquet(staging)
+            staged = _glob_in(staging, _PQ_PATTERN)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        _swap_export(path, _PQ_PATTERN, staged)
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def read_zorder_clustered(spark, path: str) -> DataFrame:
+    """Read a :func:`write_zorder_clustered` layout through the shared
+    torn-view resolution (`webdataset._effective_files`): on a healthy
+    directory this is the plain parquet read; mid-crash it reconstructs
+    exactly the committed export from ``path`` ∪ ``.old``/``.staging``
+    per the swap invariants, so readers never see a partial layout."""
+    from dig_etl_engine_spark.sinks.webdataset import _effective_files
+
+    files = _effective_files(path, _PQ_PATTERN)
+    if not files:
+        raise FileNotFoundError(f"no clustered layout at {path}")
+    return spark.read.parquet(*files)
+
+
+def recluster_zorder(spark, path: str, cols: Sequence[str], *,
+                     bits: int = 8, num_files: int = 8,
+                     lock_timeout: float = 300.0) -> int:
+    """Maintenance re-cluster: read the live layout (torn-view-safe) and
+    rewrite it Z-ordered in place — the nightly repair for a clustered
+    table that accumulated appends or drifted key bounds
+    (`scripts/maintain.py --zorder`). The read resolves concrete file
+    paths BEFORE the write starts and the staged swap renames them only
+    after the rewrite's action completes, so reading and replacing the
+    same directory is safe. Returns the row count rewritten."""
+    df = read_zorder_clustered(spark, path)
+    n = df.count()
+    write_zorder_clustered(df, path, cols, bits=bits, num_files=num_files,
+                           lock_timeout=lock_timeout)
+    return n
 
 
 def file_skip_stats(path: str, column: str) -> list[dict]:
@@ -133,7 +194,10 @@ def file_skip_stats(path: str, column: str) -> list[dict]:
 
     Returns ``[{file, min, max}, ...]`` — the statistics a scan planner
     uses for pruning. Footer-only: cost is O(files), independent of data
-    size."""
+    size. Local-filesystem audit tool (``os.listdir``); on an object
+    store, point it at a synced copy or swap the listing for a
+    pyarrow.fs call — the query-side pruning itself is Spark's own and
+    needs no local access."""
     import pyarrow.parquet as pq
 
     out = []

@@ -1142,7 +1142,8 @@ def zorder_cluster_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression tree — quantization and interleave are pure int64
     arithmetic, so the cell ids are bit-identical cross-engine."""
     from dig_etl_engine_spark.operators.layout import (
-        morton_key, quantize_cell, write_zorder_clustered)
+        morton_key, quantize_cell, read_zorder_clustered,
+        write_zorder_clustered)
 
     li = load_tables(spark, sf_dir)["lineitem"] \
         .select("l_orderkey", "l_partkey", "l_extendedprice")
@@ -1155,7 +1156,7 @@ def zorder_cluster_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_zorder_clustered(li, path, ["l_orderkey", "l_partkey"],
                            bits=_Z_BITS, num_files=8, bounds=bounds)
 
-    back = spark.read.parquet(path)
+    back = read_zorder_clustered(spark, path)
     cells = [quantize_cell(F.col(c).cast("long"),
                            F.lit(int(bounds[c][0])), F.lit(int(bounds[c][1])),
                            _Z_BITS)

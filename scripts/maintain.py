@@ -11,14 +11,19 @@ maintenance story"):
 * incremental minhash dedup indexes accumulate ``_ab=`` append
   partitions → ``dedup.compact_minhash_index``;
 * incremental IVF ANN indexes accumulate ``(cluster, _ab)`` appends
-  → ``similarity.compact_ivf_index``.
+  → ``similarity.compact_ivf_index``;
+* Z-order clustered layouts lose their bounding-box tightness as
+  appends land and key bounds drift → ``layout.recluster_zorder``
+  (staged in-place rewrite).
 
 Usage (paths are the warehouse layouts this repo's sinks/indexes write):
 
     python scripts/maintain.py --kg-table  /warehouse/kg \\
                                --minhash   /warehouse/minhash_idx \\
                                --ivf       /warehouse/ivf_idx \\
-                               [--rebucket-kg-to N]
+                               [--rebucket-kg-to N] \\
+                               [--zorder /warehouse/facts_z \\
+                                --zorder-cols k1,k2 [--zorder-files N]]
 
 Any subset of flags may be given; each repair is independent, idempotent
 and single-writer — writer exclusion is ENFORCED by the layouts' shared
@@ -49,6 +54,15 @@ def main() -> int:
                          "(growth maintenance; runs before compaction)")
     ap.add_argument("--minhash", help="incremental minhash index root")
     ap.add_argument("--ivf", help="incremental IVF index root")
+    ap.add_argument("--zorder", metavar="PATH",
+                    help="Z-order clustered parquet layout to re-cluster "
+                         "in place (operators/layout.py staged rewrite)")
+    ap.add_argument("--zorder-cols", metavar="A,B",
+                    help="comma-separated integer key columns for "
+                         "--zorder (required with it)")
+    ap.add_argument("--zorder-files", type=int, default=8, metavar="N",
+                    help="output file count for the --zorder rewrite "
+                         "(default 8)")
     ap.add_argument("--target-file-bytes", type=int, default=128 << 20,
                     help="KG compaction target file size (default 128 MiB)")
     ap.add_argument("--lock-timeout", type=float, default=1800.0,
@@ -58,9 +72,11 @@ def main() -> int:
                          "job out-waits a long in-flight ingest batch "
                          "rather than dying)")
     args = ap.parse_args()
-    if not (args.kg_table or args.minhash or args.ivf):
+    if not (args.kg_table or args.minhash or args.ivf or args.zorder):
         ap.error("nothing to do: pass at least one of "
-                 "--kg-table / --minhash / --ivf")
+                 "--kg-table / --minhash / --ivf / --zorder")
+    if args.zorder and not args.zorder_cols:
+        ap.error("--zorder requires --zorder-cols")
 
     from dig_etl_engine_spark.session import get_spark
     spark = get_spark("maintain")
@@ -90,6 +106,15 @@ def main() -> int:
         stats = compact_ivf_index(spark, args.ivf,
                                   lock_timeout=args.lock_timeout)
         print(f"ivf index: {stats}")
+
+    if args.zorder:
+        from dig_etl_engine_spark.operators.layout import recluster_zorder
+        n = recluster_zorder(spark, args.zorder,
+                             args.zorder_cols.split(","),
+                             num_files=args.zorder_files,
+                             lock_timeout=args.lock_timeout)
+        print(f"zorder layout: re-clustered {n} rows "
+              f"into {args.zorder_files} files")
 
     return 0
 

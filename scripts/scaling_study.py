@@ -64,6 +64,34 @@ def scaled_embeddings(spark, k: int):
     return out
 
 
+def scaled_lineitem(spark, k: int):
+    base = spark.read.parquet(f"{SF}/lineitem.parquet") \
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+    parts = [base]
+    for i in range(1, k):
+        parts.append(base.select(
+            (F.col("l_orderkey") + 10_000_000 * i).alias("l_orderkey"),
+            "l_partkey", "l_extendedprice"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_orders(spark, k: int):
+    base = spark.read.parquet(f"{SF}/orders.parquet") \
+        .select("o_orderkey", "o_totalprice")
+    parts = [base]
+    for i in range(1, k):
+        parts.append(base.select(
+            (F.col("o_orderkey") + 10_000_000 * i).alias("o_orderkey"),
+            "o_totalprice"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def ops(spark, docs_path: str, emb_path: str):
     """(name, thunk) pairs over MATERIALIZED scaled tables — the read
     is part of the timing, like bench.py."""
@@ -100,6 +128,37 @@ def ops(spark, docs_path: str, emb_path: str):
     ]
 
 
+def layout_ops(spark, li_path: str, ord_path: str, scratch: str):
+    """Round-7 kernels over the scaled lineitem/orders replicas: the
+    Z-order clustered write (one range shuffle + sort — should track
+    the shuffle's n·log n) and the Bloom-pruned join (build aggregate +
+    pruned probe — ~linear, with a CONSTANT 8 KiB collect)."""
+    from dig_etl_engine_spark.operators.layout import (
+        read_zorder_clustered, write_zorder_clustered)
+    from dig_etl_engine_spark.operators.runtime_filter import (
+        bloom_pruned_join)
+
+    def li():
+        return spark.read.parquet(li_path)
+
+    def orders():
+        return spark.read.parquet(ord_path)
+
+    def zorder():
+        path = f"{scratch}/li_z"
+        write_zorder_clustered(li(), path, ["l_orderkey", "l_partkey"],
+                               bits=8, num_files=16)
+        return read_zorder_clustered(spark, path).count()
+
+    def bloom():
+        build = orders().filter(F.col("o_totalprice") > 400000)
+        return bloom_pruned_join(li(), build, probe_key="l_orderkey",
+                                 build_key="o_orderkey").count()
+
+    return [("zorder_cluster_write", zorder),
+            ("bloom_prejoin_prune", bloom)]
+
+
 def run_single(k: int) -> None:
     """One scale factor in THIS process — invoked in a fresh
     subprocess per k by main(), which is the methodology SCALING.md
@@ -115,9 +174,12 @@ def run_single(k: int) -> None:
     _D.exact_dedup(wdocs, "text").count()
     droot = f"/tmp/spark_graft_scale/x{k}"
     dp, ep = f"{droot}/documents.parquet", f"{droot}/embeddings.parquet"
+    lp, op = f"{droot}/lineitem.parquet", f"{droot}/orders.parquet"
     scaled_docs(spark, k).write.mode("overwrite").parquet(dp)
     scaled_embeddings(spark, k).write.mode("overwrite").parquet(ep)
-    for name, fn in ops(spark, dp, ep):
+    scaled_lineitem(spark, k).write.mode("overwrite").parquet(lp)
+    scaled_orders(spark, k).write.mode("overwrite").parquet(op)
+    for name, fn in ops(spark, dp, ep) + layout_ops(spark, lp, op, droot):
         t0 = time.time()
         n = fn()
         dt = round(time.time() - t0, 3)

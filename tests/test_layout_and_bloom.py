@@ -159,6 +159,42 @@ class TestZorderLayout:
         assert min(s["min"] for s in stats) == table_min
         assert max(s["max"] for s in stats) == table_max
 
+    def test_recluster_replaces_atomically(self, spark, tmp_path):
+        """A re-cluster REPLACES the live layout through the shared
+        staged-swap protocol: the second write's files fully supersede
+        the first (no stale parts linger), and a FAILED re-cluster job
+        leaves the committed layout intact and readable."""
+        from dig_etl_engine_spark.operators.layout import (
+            read_zorder_clustered, write_zorder_clustered)
+
+        path = str(tmp_path / "z")
+        df1 = spark.range(0, 1000).select(
+            F.col("id").alias("a"), (F.col("id") * 7 % 997).alias("b"))
+        write_zorder_clustered(df1, path, ["a", "b"], num_files=4)
+        assert read_zorder_clustered(spark, path).count() == 1000
+
+        # failed job (raise_error inside the write) → old layout intact
+        bad = df1.withColumn(
+            "a", F.when(F.col("a") >= 0,
+                        F.raise_error("boom")).otherwise(F.col("a")))
+        with pytest.raises(Exception):
+            write_zorder_clustered(bad, path, ["a", "b"], num_files=4)
+        assert read_zorder_clustered(spark, path).count() == 1000
+
+        # successful re-cluster fully supersedes the first layout
+        df2 = spark.range(0, 300).select(
+            F.col("id").alias("a"), (F.col("id") * 3 % 101).alias("b"))
+        write_zorder_clustered(df2, path, ["a", "b"], num_files=2)
+        back = read_zorder_clustered(spark, path)
+        assert back.count() == 300
+
+    def test_read_raises_on_missing_layout(self, spark, tmp_path):
+        from dig_etl_engine_spark.operators.layout import (
+            read_zorder_clustered)
+
+        with pytest.raises(FileNotFoundError):
+            read_zorder_clustered(spark, str(tmp_path / "nope"))
+
     def test_roundtrip_loses_nothing(self, spark, tmp_path):
         from dig_etl_engine_spark.catalog import load_tables
         from dig_etl_engine_spark.operators.layout import (

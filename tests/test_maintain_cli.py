@@ -67,3 +67,31 @@ def test_maintain_cli_end_to_end(spark, tmp_path):
     # ivf index still probes without error post-compaction
     incremental_embedding_dedup(emb.filter("vec_id % 7 = 3"), ivf,
                                 append=False).count()
+
+
+def test_maintain_cli_zorder_recluster(spark, tmp_path):
+    """--zorder rewrites a clustered layout in place through the staged
+    swap: same rows, requested file count, still readable through the
+    torn-view reader."""
+    from dig_etl_engine_spark.operators.layout import (
+        read_zorder_clustered, write_zorder_clustered)
+
+    li = load_tables(spark, SF)["lineitem"] \
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+    path = str(tmp_path / "liz")
+    write_zorder_clustered(li, path, ["l_orderkey", "l_partkey"],
+                           num_files=16)
+    before = read_zorder_clustered(spark, path).count()
+
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "scripts",
+                      "maintain.py"),
+         "--zorder", path, "--zorder-cols", "l_orderkey,l_partkey",
+         "--zorder-files", "4"],
+        capture_output=True, text=True, timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "zorder layout" in r.stdout
+    assert read_zorder_clustered(spark, path).count() == before
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 4, files
