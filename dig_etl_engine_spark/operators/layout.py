@@ -43,22 +43,27 @@ from pyspark.sql import functions as F
 def quantize_cell(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Map an int64 value in [lo, hi] to a ``bits``-wide grid cell.
 
-    Pure integer arithmetic — ``((v - lo) * 2^bits) div (hi - lo + 1)`` —
-    so every engine computes the same cell for the same row (the div is
-    exact; no float appears). Values outside [lo, hi] are clamped, which
-    makes the expression total (a late-arriving out-of-bounds row degrades
-    clustering quality, never correctness)."""
+    Pure integer arithmetic — clamp to the bounds FIRST, then
+    ``((v - lo) * 2^bits) div (hi - lo + 1)`` — so every engine computes
+    the same cell for the same row (the div is exact; no float appears).
+    Clamp-before-multiply also bounds the product: with the span guard
+    in :func:`zorder_key` the multiply can never wrap int64 — Spark
+    wraps silently where DuckDB errors, so an unguarded overflow would
+    be a cross-engine divergence, not just a wrong answer. Out-of-range
+    values land in the edge cells (a late-arriving out-of-bounds row
+    degrades clustering quality, never correctness)."""
     n = 1 << bits
-    span = hi - lo + F.lit(1)
-    cell = F.call_function("div", (col - lo) * F.lit(n), span)
-    return F.least(F.lit(n - 1), F.greatest(F.lit(0), cell)).cast("long")
+    v = F.least(hi, F.greatest(lo, col))
+    cell = F.call_function("div", (v - lo) * F.lit(n), hi - lo + F.lit(1))
+    return F.least(F.lit(n - 1), cell).cast("long")
 
 
 def sql_quantize_cell(col: str, lo: str, hi: str, bits: int) -> str:
     """DuckDB mirror of :func:`quantize_cell` (same integer expression)."""
     n = 1 << bits
-    cell = f"(({col} - {lo}) * {n}) // ({hi} - {lo} + 1)"
-    return f"LEAST({n - 1}, GREATEST(0, {cell}))"
+    v = f"LEAST({hi}, GREATEST({lo}, {col}))"
+    cell = f"(({v} - {lo}) * {n}) // ({hi} - {lo} + 1)"
+    return f"LEAST({n - 1}, {cell})"
 
 
 def morton_key(cells: Sequence[Column], bits: int) -> Column:
@@ -104,6 +109,13 @@ def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
         row = df.agg(*[f(c).alias(f"{f.__name__}_{c}")
                        for c in cols for f in (F.min, F.max)]).collect()[0]
         bounds = {c: (row[f"min_{c}"], row[f"max_{c}"]) for c in cols}
+    for c in cols:
+        lo, hi = int(bounds[c][0]), int(bounds[c][1])
+        if hi - lo + 1 > (1 << (62 - bits)):
+            raise ValueError(
+                f"zorder_key: span of {c!r} ({hi - lo + 1}) × 2^{bits} "
+                "cells would overflow int64 cell math — reduce bits or "
+                "pre-scale the key")
     cells = [quantize_cell(F.col(c).cast("long"),
                            F.lit(int(bounds[c][0])), F.lit(int(bounds[c][1])),
                            bits) for c in cols]
@@ -131,9 +143,24 @@ def write_zorder_clustered(df: DataFrame, path: str, cols: Sequence[str], *,
     advisory writer lock, and a crash at any point leaves either the old
     or the new layout recoverable — never zero complete exports. Readers
     use :func:`read_zorder_clustered` for a torn-view-safe file list."""
+    from dig_etl_engine_spark.sinks.kg_table import table_lock
+
+    os.makedirs(path, exist_ok=True)
+    with table_lock(path, timeout=lock_timeout):
+        _write_clustered_locked(df, path, cols, bits=bits,
+                                num_files=num_files, bounds=bounds)
+
+
+def _write_clustered_locked(df: DataFrame, path: str, cols: Sequence[str],
+                            *, bits: int, num_files: int,
+                            bounds: dict[str, tuple[int, int]] | None
+                            ) -> None:
+    """Staged-swap body of :func:`write_zorder_clustered`; the caller
+    holds the advisory writer lock (split out so
+    :func:`recluster_zorder` can keep ONE lock across its read+rewrite —
+    the table_lock is mkdir-based, not reentrant)."""
     import shutil
 
-    from dig_etl_engine_spark.sinks.kg_table import table_lock
     from dig_etl_engine_spark.sinks.webdataset import (
         _glob_in, _heal_export, _swap_export)
 
@@ -142,20 +169,18 @@ def write_zorder_clustered(df: DataFrame, path: str, cols: Sequence[str], *,
                  .repartitionByRange(num_files, "_z")
                  .sortWithinPartitions("_z")
                  .drop("_z"))
-    os.makedirs(path, exist_ok=True)
-    with table_lock(path, timeout=lock_timeout):
-        _heal_export(path, _PQ_PATTERN)
-        for stale in _glob_in(path, ".staging-*"):
-            shutil.rmtree(stale, ignore_errors=True)
-        staging = os.path.join(path, f".staging-{os.getpid()}")
-        try:
-            clustered.write.mode("overwrite").parquet(staging)
-            staged = _glob_in(staging, _PQ_PATTERN)
-        except Exception:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
-        _swap_export(path, _PQ_PATTERN, staged)
+    _heal_export(path, _PQ_PATTERN)
+    for stale in _glob_in(path, ".staging-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    staging = os.path.join(path, f".staging-{os.getpid()}")
+    try:
+        clustered.write.mode("overwrite").parquet(staging)
+        staged = _glob_in(staging, _PQ_PATTERN)
+    except Exception:
         shutil.rmtree(staging, ignore_errors=True)
+        raise
+    _swap_export(path, _PQ_PATTERN, staged)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def read_zorder_clustered(spark, path: str) -> DataFrame:
@@ -175,17 +200,25 @@ def read_zorder_clustered(spark, path: str) -> DataFrame:
 def recluster_zorder(spark, path: str, cols: Sequence[str], *,
                      bits: int = 8, num_files: int = 8,
                      lock_timeout: float = 300.0) -> int:
-    """Maintenance re-cluster: read the live layout (torn-view-safe) and
-    rewrite it Z-ordered in place — the nightly repair for a clustered
-    table that accumulated appends or drifted key bounds
-    (`scripts/maintain.py --zorder`). The read resolves concrete file
-    paths BEFORE the write starts and the staged swap renames them only
-    after the rewrite's action completes, so reading and replacing the
-    same directory is safe. Returns the row count rewritten."""
-    df = read_zorder_clustered(spark, path)
-    n = df.count()
-    write_zorder_clustered(df, path, cols, bits=bits, num_files=num_files,
-                           lock_timeout=lock_timeout)
+    """Maintenance re-cluster: read the live layout and rewrite it
+    Z-ordered in place — the nightly repair for a clustered table that
+    accumulated appends or drifted key bounds
+    (`scripts/maintain.py --zorder`). ONE writer lock spans heal + read
+    + rewrite, so a concurrent export can never land between the read
+    and the swap and be silently overwritten (the lost-update window
+    the KG upsert closes the same way). Reading and replacing the same
+    directory is safe: the read resolves concrete file paths before the
+    rewrite starts and the staged swap renames them only after the
+    rewrite's action completes. Returns the row count rewritten."""
+    from dig_etl_engine_spark.sinks.kg_table import table_lock
+    from dig_etl_engine_spark.sinks.webdataset import _heal_export
+
+    with table_lock(path, timeout=lock_timeout):
+        _heal_export(path, _PQ_PATTERN)  # settle torn state, then read live
+        df = read_zorder_clustered(spark, path)
+        n = df.count()
+        _write_clustered_locked(df, path, cols, bits=bits,
+                                num_files=num_files, bounds=None)
     return n
 
 

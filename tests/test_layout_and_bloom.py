@@ -143,6 +143,25 @@ class TestZorderLayout:
         assert z_ok >= 0.25, z_ok
         assert z_pk >= lin_pk + 0.25
 
+    def test_write_plan_single_exchange(self, spark):
+        """The clustered-write plan is ONE range Exchange + in-partition
+        sort: the Morton key is codegen column math (no shuffle of its
+        own) and sortWithinPartitions must not add a second Exchange —
+        at 100 TB a re-cluster pass that shuffled twice would double the
+        dominant cost."""
+        from dig_etl_engine_spark.catalog import load_tables
+        from dig_etl_engine_spark.operators.layout import zorder_key
+
+        li = load_tables(spark, SF)["lineitem"] \
+            .select("l_orderkey", "l_partkey")
+        z = zorder_key(li, ["l_orderkey", "l_partkey"], bits=8)
+        clustered = (li.withColumn("_z", z)
+                     .repartitionByRange(8, "_z")
+                     .sortWithinPartitions("_z").drop("_z"))
+        plan = plan_of(clustered)
+        assert plan.count("Exchange") == 1, plan
+        assert "rangepartitioning" in plan, plan
+
     def test_footer_stats_are_true_bounds(self, spark, tmp_path):
         from dig_etl_engine_spark.catalog import load_tables
         from dig_etl_engine_spark.operators.layout import (
