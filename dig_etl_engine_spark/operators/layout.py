@@ -108,6 +108,11 @@ def zorder_key(df: DataFrame, cols: Sequence[str], *, bits: int = 8,
     if bounds is None:
         row = df.agg(*[f(c).alias(f"{f.__name__}_{c}")
                        for c in cols for f in (F.min, F.max)]).collect()[0]
+        if any(row[f"min_{c}"] is None for c in cols):
+            raise ValueError(
+                "zorder_key: no rows (or all-NULL key column) — refusing "
+                "to cluster an empty dataset; an empty re-cluster over a "
+                "live layout is an upstream bug, not an export")
         bounds = {c: (row[f"min_{c}"], row[f"max_{c}"]) for c in cols}
     for c in cols:
         lo, hi = int(bounds[c][0]), int(bounds[c][1])
@@ -142,7 +147,14 @@ def write_zorder_clustered(df: DataFrame, path: str, cols: Sequence[str], *,
     target, success swaps the part files in rename-aside under the
     advisory writer lock, and a crash at any point leaves either the old
     or the new layout recoverable — never zero complete exports. Readers
-    use :func:`read_zorder_clustered` for a torn-view-safe file list."""
+    use :func:`read_zorder_clustered` for a torn-view-safe file list.
+
+    Empty-input semantics: with default bounds an empty ``df`` REFUSES
+    (NULL min/max — an upstream bug, not an export); with explicit
+    ``bounds`` the caller asked for an overwrite and gets a valid empty
+    layout (schema-bearing part file), while a pathological zero-staged
+    write aborts before the swap so the live layout is never retired
+    with nothing to replace it."""
     from dig_etl_engine_spark.sinks.kg_table import table_lock
 
     os.makedirs(path, exist_ok=True)
@@ -176,6 +188,13 @@ def _write_clustered_locked(df: DataFrame, path: str, cols: Sequence[str],
     try:
         clustered.write.mode("overwrite").parquet(staging)
         staged = _glob_in(staging, _PQ_PATTERN)
+        if not staged:
+            # an empty staged set would make _swap_export retire the
+            # whole live layout with nothing moved in — exactly the
+            # zero-complete-exports state the protocol exists to prevent
+            raise ValueError(
+                f"write_zorder_clustered: no part files staged for "
+                f"{path} (empty input?) — live layout left untouched")
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise
@@ -216,9 +235,20 @@ def recluster_zorder(spark, path: str, cols: Sequence[str], *,
     with table_lock(path, timeout=lock_timeout):
         _heal_export(path, _PQ_PATTERN)  # settle torn state, then read live
         df = read_zorder_clustered(spark, path)
-        n = df.count()
+        # ONE stats pass folds the returned row count into the bounds
+        # aggregate the rewrite needs anyway, so the total cost is one
+        # narrow column scan + the (unavoidable) rewrite — not three
+        # passes over a table whose stated target is 100 TB
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     *[f(c).alias(f"{f.__name__}_{c}")
+                       for c in cols for f in (F.min, F.max)]).collect()[0]
+        n = row["n"]
+        if n == 0:
+            raise ValueError(f"recluster_zorder: {path} holds no rows — "
+                             "refusing to rewrite an empty layout")
+        bounds = {c: (row[f"min_{c}"], row[f"max_{c}"]) for c in cols}
         _write_clustered_locked(df, path, cols, bits=bits,
-                                num_files=num_files, bounds=None)
+                                num_files=num_files, bounds=bounds)
     return n
 
 
@@ -242,21 +272,32 @@ def file_skip_stats(path: str, column: str) -> list[dict]:
         if column not in idx:
             raise KeyError(f"{column} not in {name}")
         cmin, cmax = None, None
+        stats_complete = md.num_row_groups > 0
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[column]).statistics
             if st is None or not st.has_min_max:
+                stats_complete = False
                 continue
             cmin = st.min if cmin is None else min(cmin, st.min)
             cmax = st.max if cmax is None else max(cmax, st.max)
-        out.append({"file": name, "min": cmin, "max": cmax})
+        out.append({"file": name, "min": cmin, "max": cmax,
+                    "rows": md.num_rows, "stats_complete": stats_complete})
     return out
 
 
 def skip_fraction(stats: list[dict], lo, hi) -> float:
     """Fraction of files a range predicate ``[lo, hi]`` can SKIP given
-    their footer min/max — the layout-quality metric (higher is better)."""
+    their footer min/max — the layout-quality metric (higher is better).
+
+    A file is skippable only when it is EMPTY or every row group carries
+    min/max statistics that clear the range: a stats-less row group must
+    be read (a planner cannot prove it empty of matches), so files with
+    incomplete statistics count as must-read, never as skipped."""
     if not stats:
         return 0.0
-    skipped = sum(1 for s in stats
-                  if s["min"] is None or s["max"] < lo or s["min"] > hi)
+    skipped = sum(
+        1 for s in stats
+        if s.get("rows", 1) == 0
+        or (s.get("stats_complete", s["min"] is not None)
+            and (s["max"] < lo or s["min"] > hi)))
     return skipped / len(stats)

@@ -75,8 +75,14 @@ def main() -> int:
     if not (args.kg_table or args.minhash or args.ivf or args.zorder):
         ap.error("nothing to do: pass at least one of "
                  "--kg-table / --minhash / --ivf / --zorder")
-    if args.zorder and not args.zorder_cols:
-        ap.error("--zorder requires --zorder-cols")
+    zorder_cols: list[str] = []
+    if args.zorder:
+        if not args.zorder_cols:
+            ap.error("--zorder requires --zorder-cols")
+        zorder_cols = [c.strip() for c in args.zorder_cols.split(",")]
+        if not all(zorder_cols):
+            ap.error(f"--zorder-cols has an empty column name: "
+                     f"{args.zorder_cols!r}")
 
     from dig_etl_engine_spark.session import get_spark
     spark = get_spark("maintain")
@@ -109,8 +115,7 @@ def main() -> int:
 
     if args.zorder:
         from dig_etl_engine_spark.operators.layout import recluster_zorder
-        n = recluster_zorder(spark, args.zorder,
-                             args.zorder_cols.split(","),
+        n = recluster_zorder(spark, args.zorder, zorder_cols,
                              num_files=args.zorder_files,
                              lock_timeout=args.lock_timeout)
         print(f"zorder layout: re-clustered {n} rows "

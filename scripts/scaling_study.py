@@ -64,32 +64,31 @@ def scaled_embeddings(spark, k: int):
     return out
 
 
-def scaled_lineitem(spark, k: int):
-    base = spark.read.parquet(f"{SF}/lineitem.parquet") \
-        .select("l_orderkey", "l_partkey", "l_extendedprice")
-    parts = [base]
+def _key_shifted_replicas(base, key_col: str, k: int,
+                          offset: int = 10_000_000):
+    """k copies of ``base`` with ``key_col`` shifted into disjoint
+    ranges per replica — the relational-table replication counterpart of
+    scaled_docs' near-dup text replicas."""
+    rest = [c for c in base.columns if c != key_col]
+    out = base
     for i in range(1, k):
-        parts.append(base.select(
-            (F.col("l_orderkey") + 10_000_000 * i).alias("l_orderkey"),
-            "l_partkey", "l_extendedprice"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(base.select(
+            (F.col(key_col) + offset * i).alias(key_col), *rest))
     return out
+
+
+def scaled_lineitem(spark, k: int):
+    return _key_shifted_replicas(
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_extendedprice"),
+        "l_orderkey", k)
 
 
 def scaled_orders(spark, k: int):
-    base = spark.read.parquet(f"{SF}/orders.parquet") \
-        .select("o_orderkey", "o_totalprice")
-    parts = [base]
-    for i in range(1, k):
-        parts.append(base.select(
-            (F.col("o_orderkey") + 10_000_000 * i).alias("o_orderkey"),
-            "o_totalprice"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _key_shifted_replicas(
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_totalprice"),
+        "o_orderkey", k)
 
 
 def ops(spark, docs_path: str, emb_path: str):

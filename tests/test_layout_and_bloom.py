@@ -207,6 +207,51 @@ class TestZorderLayout:
         back = read_zorder_clustered(spark, path)
         assert back.count() == 300
 
+    def test_empty_input_never_destroys_live_layout(self, spark, tmp_path):
+        """An EMPTY input with DEFAULT bounds refuses cleanly (NULL
+        min/max — almost certainly an upstream bug) and the committed
+        layout survives. With EXPLICIT bounds the caller asked for an
+        overwrite and gets a valid, readable, schema-bearing EMPTY
+        layout — never the zero-complete-exports state (Spark stages a
+        schema-only part file; the staged-empty guard backstops the
+        pathological case)."""
+        from dig_etl_engine_spark.operators.layout import (
+            read_zorder_clustered, write_zorder_clustered)
+
+        path = str(tmp_path / "z")
+        df = spark.range(0, 100).select(
+            F.col("id").alias("a"), (F.col("id") * 3).alias("b"))
+        write_zorder_clustered(df, path, ["a", "b"], num_files=2)
+
+        empty = df.filter(F.col("a") < 0)
+        with pytest.raises(ValueError, match="empty|no rows"):
+            write_zorder_clustered(empty, path, ["a", "b"])
+        assert read_zorder_clustered(spark, path).count() == 100
+
+        write_zorder_clustered(empty, path, ["a", "b"],
+                               bounds={"a": (0, 99), "b": (0, 297)})
+        back = read_zorder_clustered(spark, path)
+        assert back.count() == 0
+        assert sorted(back.columns) == ["a", "b"]
+
+    def test_skip_fraction_requires_complete_stats(self):
+        """A file with stats-less row groups must count as MUST-READ (a
+        planner cannot prove it clear of matches); only empty files or
+        fully-stats'd out-of-range files are skippable."""
+        from dig_etl_engine_spark.operators.layout import skip_fraction
+
+        stats = [
+            {"file": "a", "min": 0, "max": 10, "rows": 5,
+             "stats_complete": True},     # in range -> read
+            {"file": "b", "min": 90, "max": 99, "rows": 5,
+             "stats_complete": True},     # out of range -> skip
+            {"file": "c", "min": None, "max": None, "rows": 5,
+             "stats_complete": False},    # stats-less -> MUST read
+            {"file": "d", "min": None, "max": None, "rows": 0,
+             "stats_complete": False},    # empty -> skip
+        ]
+        assert skip_fraction(stats, 0, 50) == pytest.approx(0.5)
+
     def test_read_raises_on_missing_layout(self, spark, tmp_path):
         from dig_etl_engine_spark.operators.layout import (
             read_zorder_clustered)
@@ -299,6 +344,26 @@ class TestBloom:
             assert got == want
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_null_keys_are_join_identical(self, spark):
+        """NULL probe/build keys: xxhash64 hashes a NULL to a
+        seed-derived constant, so NULL rows get a deterministic bloom
+        verdict either way — and the exact equi-join that follows drops
+        them exactly as the plain join does. Row-identity must hold on
+        data containing NULLs on both sides."""
+        from dig_etl_engine_spark.operators.runtime_filter import (
+            bloom_pruned_join)
+
+        probe = spark.createDataFrame(
+            [(1, "a"), (None, "b"), (2, "c"), (None, "d"), (3, "e")],
+            "k long, v string")
+        build = spark.createDataFrame(
+            [(1, 10.0), (None, 20.0), (3, 30.0)], "k2 long, w double")
+        got = sorted((r.k, r.v, r.w) for r in bloom_pruned_join(
+            probe, build, probe_key="k", build_key="k2").collect())
+        want = sorted((r.k, r.v, r.w) for r in probe.join(
+            build, probe["k"] == build["k2"]).collect())
+        assert got == want and len(got) == 2
 
     def test_rejects_unsound_join_types(self, spark):
         from dig_etl_engine_spark.operators.runtime_filter import (
