@@ -98,6 +98,39 @@ class TestMorton:
         with pytest.raises(ValueError):
             morton_key([F.lit(1)] * 4, 16)
 
+    def test_duckdb_fuzz_matches_python_reference(self):
+        """Hypothesis sweep of the SQL generators against the pure-Python
+        reference over random bits/bounds/values (the Python reference is
+        pinned to the Spark expression by test_matches_python_reference,
+        so this transitively fuzzes the cross-engine contract without a
+        per-example Spark job)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dig_etl_engine_spark.operators.layout import (
+            sql_morton_key, sql_quantize_cell)
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.integers(1, 12),
+               st.integers(-10**9, 10**9), st.integers(0, 10**6),
+               st.lists(st.integers(-2 * 10**9, 2 * 10**9),
+                        min_size=1, max_size=20))
+        def run(bits, lo, span, values):
+            hi = lo + span
+            con = duckdb.connect()
+            con.execute("CREATE TABLE t (v BIGINT)")
+            con.executemany("INSERT INTO t VALUES (?)",
+                            [(v,) for v in values])
+            cell = sql_quantize_cell("v", str(lo), str(hi), bits)
+            z = sql_morton_key([cell, cell], bits)
+            got = con.execute(f"SELECT v, {cell}, {z} FROM t").fetchall()
+            for v, c, zc in got:
+                want_c = _py_quantize(min(hi, max(lo, v)), lo, hi, bits)
+                assert c == want_c, (v, lo, hi, bits)
+                assert zc == _py_morton([want_c, want_c], bits)
+
+        run()
+
 
 class TestZorderLayout:
     def test_two_dimensional_skipping(self, spark, tmp_path):
