@@ -94,9 +94,17 @@ def bloom_pruned_join(probe: DataFrame, build: DataFrame, *,
     Row-identical to ``probe.join(build, probe[pk] == build[bk], how)``
     for inner/semi joins — false positives pass the filter but are
     removed by the exact join that follows; false negatives cannot occur
-    (property-tested)."""
+    (property-tested).
+
+    The build side feeds TWO consumers (the bitset aggregate's action,
+    then the join), so it is pinned (`operators/pin.py`, strategy knob
+    honored) — without the pin its lineage re-executes per consumer,
+    which at 100 TB means scanning the dimension's source twice."""
+    from dig_etl_engine_spark.operators.pin import pin
+
     if how not in ("inner", "left_semi", "leftsemi"):
         raise ValueError("bloom pruning is sound for inner/semi joins only")
+    build = pin(build, eager=False)
     words = build_bloom(build, build_key, m_bits=m_bits)
     pruned = probe.filter(might_contain(words, probe[probe_key]))
     return pruned.join(build, pruned[probe_key] == build[build_key], how)

@@ -1284,16 +1284,14 @@ def bloom_prejoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Filter-below-Exchange) and no-false-negative property:
     tests/test_layout_and_bloom.py."""
     from dig_etl_engine_spark.operators.runtime_filter import (
-        build_bloom, might_contain)
+        bloom_pruned_join)
 
     t = load_tables(spark, sf_dir)
     build = t["orders"].filter(F.col("o_totalprice") > 400000) \
         .select("o_orderkey", "o_orderpriority")
     li = t["lineitem"].select("l_orderkey", "l_extendedprice")
-    words = build_bloom(build, "o_orderkey")
-    pruned = li.filter(might_contain(words, F.col("l_orderkey")))
-    return (pruned.join(build,
-                        pruned["l_orderkey"] == build["o_orderkey"])
+    return (bloom_pruned_join(li, build, probe_key="l_orderkey",
+                              build_key="o_orderkey")
             .withColumn("price_c", fixed(F.col("l_extendedprice"), 2))
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_items"),
