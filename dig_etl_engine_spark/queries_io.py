@@ -725,9 +725,16 @@ def stream_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               1, 20)).alias("text")))
 
     root = _scratch("e2estream")
-    in_dir, target = os.path.join(root, "in"), os.path.join(root, "kg")
-    ckpt = os.path.join(root, "ck")
-    src.write.mode("overwrite").json(in_dir)
+    target, ckpt = os.path.join(root, "kg"), os.path.join(root, "ck")
+    # the input drop is a pure function of documents.parquet, so it uses
+    # the content-keyed build-once cache (same contract as the minhash /
+    # IVF index fixtures) — the checkpoint and target stay per-call: the
+    # stream's STATE must replay fresh each run, only the input bytes
+    # are reusable
+    from dig_etl_engine_spark.queries_corpus import _scratch_path
+    in_dir, fresh = _scratch_path(sf_dir, "e2e_in", "_SUCCESS")
+    if not fresh:
+        src.write.mode("overwrite").json(in_dir)
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
