@@ -252,17 +252,24 @@ def recluster_zorder(spark, path: str, cols: Sequence[str], *,
     return n
 
 
-def file_skip_stats(path: str, column: str) -> list[dict]:
-    """Per-file min/max of ``column`` from parquet footers only.
+def file_skip_stats(path: str, column: str, *,
+                    granularity: str = "file") -> list[dict]:
+    """Min/max of ``column`` from parquet footers only, at ``file`` or
+    ``rowgroup`` granularity (row groups are where engines actually
+    prune — a file-level audit understates a layout whose groups are
+    tighter than the whole file).
 
-    Returns ``[{file, min, max}, ...]`` — the statistics a scan planner
-    uses for pruning. Footer-only: cost is O(files), independent of data
+    Returns ``[{file, min, max, rows, stats_complete}, ...]`` (plus
+    ``rowgroup`` index at rowgroup granularity) — the statistics a scan
+    planner uses. Footer-only: cost is O(files), independent of data
     size. Local-filesystem audit tool (``os.listdir``); on an object
     store, point it at a synced copy or swap the listing for a
     pyarrow.fs call — the query-side pruning itself is Spark's own and
     needs no local access."""
     import pyarrow.parquet as pq
 
+    if granularity not in ("file", "rowgroup"):
+        raise ValueError(f"unknown granularity {granularity!r}")
     out = []
     for name in sorted(os.listdir(path)):
         if not name.endswith(".parquet"):
@@ -271,6 +278,16 @@ def file_skip_stats(path: str, column: str) -> list[dict]:
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         if column not in idx:
             raise KeyError(f"{column} not in {name}")
+        if granularity == "rowgroup":
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = g.column(idx[column]).statistics
+                has = st is not None and st.has_min_max
+                out.append({"file": name, "rowgroup": rg,
+                            "min": st.min if has else None,
+                            "max": st.max if has else None,
+                            "rows": g.num_rows, "stats_complete": has})
+            continue
         cmin, cmax = None, None
         stats_complete = md.num_row_groups > 0
         for rg in range(md.num_row_groups):

@@ -225,6 +225,14 @@ class TestZorderLayout:
                                       F.max("l_partkey")).collect()[0]
         assert min(s["min"] for s in stats) == table_min
         assert max(s["max"] for s in stats) == table_max
+        # rowgroup granularity covers the same rows with bounds nested
+        # inside its file's bounds
+        rg = file_skip_stats(path, "l_partkey", granularity="rowgroup")
+        assert sum(s["rows"] for s in rg) == li.count()
+        fb = {s["file"]: s for s in stats}
+        for s in rg:
+            assert s["min"] >= fb[s["file"]]["min"]
+            assert s["max"] <= fb[s["file"]]["max"]
 
     def test_recluster_replaces_atomically(self, spark, tmp_path):
         """A re-cluster REPLACES the live layout through the shared
