@@ -754,10 +754,23 @@ def stream_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_col="fingerprint", order_col="kafka_offset",
         output_schema=("doc_id long, text string, kafka_offset long, "
                        "fingerprint string"))
-    q = (deduped.writeStream.outputMode("append").foreachBatch(curate)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    # A stateful stream's state-store partition count is captured from
+    # spark.sql.shuffle.partitions at FIRST start (baked into the fresh
+    # checkpoint) and AQE never resizes stateful shuffles — so size it
+    # to the state's key cardinality like a deployment would, instead
+    # of inheriting the batch default (64 here) for a fixture-scale
+    # fingerprint set. Production sizing: partitions ≈ distinct
+    # fingerprints / target-keys-per-task; partition count never
+    # affects results (pinned by the adversarial 7-partition sweep).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (deduped.writeStream.outputMode("append").foreachBatch(curate)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     toks = F.split(F.trim(F.lower(F.col("text"))), " ")
     nmatch = lambda w: F.size(F.filter(toks, lambda t: t == F.lit(w)))  # noqa: E731
