@@ -39,6 +39,29 @@ def _scratch(name: str) -> str:
     return path
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _stream_parts(spark: SparkSession, n: int = 16):
+    """Scope ``spark.sql.shuffle.partitions`` around a stream start: a
+    stateful stream captures the conf into its FRESH checkpoint at first
+    start and AQE never resizes stateful shuffles, so without this every
+    fixture-scale stream here runs its state store (and per-micro-batch
+    shuffles) at the 2×cores batch default — pure task overhead for a
+    few-thousand-key state. Production sizing is the opposite direction:
+    partitions ≈ distinct state keys / target-keys-per-task, set before
+    the FIRST start of the real stream. Partition count never affects
+    results (pinned registry-wide by the adversarial 7-partition
+    sweep)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @register(
     "src_jsonlines_roundtrip",
     oracle="SELECT doc_id, source, lang, n_chars FROM documents",
@@ -266,10 +289,11 @@ def stream_file_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("value", T.DoubleType()),
     ])
     create_table_if_not_exists(spark, target, schema)
-    q = run_ingest(file_stream_source(spark, in_dir, schema),
-                   target_path=target, quarantine_path=quarantine,
-                   checkpoint_dir=ckpt)
-    q.awaitTermination()
+    with _stream_parts(spark):
+        q = run_ingest(file_stream_source(spark, in_dir, schema),
+                       target_path=target, quarantine_path=quarantine,
+                       checkpoint_dir=ckpt)
+        q.awaitTermination()
     return spark.read.parquet(target) \
         .select("doc_id", "kafka_offset", "event_type", "value")
 
@@ -313,8 +337,10 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("value", T.DoubleType()),
     ])
     src = file_stream_source(spark, in_dir, schema)
-    q = run_windowed_counts(src, target_path=target, checkpoint_dir=ckpt)
-    q.awaitTermination()
+    with _stream_parts(spark):
+        q = run_windowed_counts(src, target_path=target,
+                                checkpoint_dir=ckpt)
+        q.awaitTermination()
     return (spark.read.parquet(target)
             .select(F.date_format("window_start", "yyyy-MM-dd")
                     .alias("window_start"),
@@ -364,13 +390,14 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
     ])
-    q = run_first_seen_dedup(
-        file_stream_source(spark, in_dir, schema),
-        target_path=target, checkpoint_dir=ckpt,
-        fingerprint_col="fingerprint", order_col="kafka_offset",
-        output_schema=("fingerprint string, kafka_offset long, "
-                       "event_type string, value double"))
-    q.awaitTermination()
+    with _stream_parts(spark):
+        q = run_first_seen_dedup(
+            file_stream_source(spark, in_dir, schema),
+            target_path=target, checkpoint_dir=ckpt,
+            fingerprint_col="fingerprint", order_col="kafka_offset",
+            output_schema=("fingerprint string, kafka_offset long, "
+                           "event_type string, value double"))
+        q.awaitTermination()
     return spark.read.parquet(target) \
         .select("fingerprint", "kafka_offset", "event_type", "value")
 
@@ -434,9 +461,11 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("value", T.DoubleType()),
     ])
     src = file_stream_source(spark, in_dir, schema)
-    q = run_session_windows(src, target_path=target, checkpoint_dir=ckpt,
-                            gap="30 minutes", watermark="1 hour")
-    q.awaitTermination()
+    with _stream_parts(spark):
+        q = run_session_windows(src, target_path=target,
+                                checkpoint_dir=ckpt,
+                                gap="30 minutes", watermark="1 hour")
+        q.awaitTermination()
     return (spark.read.parquet(target)
             .select(F.date_format("session_start",
                                   "yyyy-MM-dd HH:mm:ss.SSSSSS")
@@ -544,12 +573,13 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("kafka_offset", T.LongType()),
     ])
     create_table_if_not_exists(spark, target, schema)
-    q = run_dedup_ingest(
-        file_stream_source(spark, in_dir, schema),
-        target_path=target, quarantine_path=quarantine,
-        checkpoint_dir=ckpt, index_path=index, threshold=0.5,
-        buckets=None)
-    q.awaitTermination()
+    with _stream_parts(spark):
+        q = run_dedup_ingest(
+            file_stream_source(spark, in_dir, schema),
+            target_path=target, quarantine_path=quarantine,
+            checkpoint_dir=ckpt, index_path=index, threshold=0.5,
+            buckets=None)
+        q.awaitTermination()
     return (spark.read.parquet(target)
             .select(F.col("doc_id")))
 
@@ -620,10 +650,11 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str
         T.StructField("kafka_offset", T.LongType()),
     ])
     create_table_if_not_exists(spark, target, schema)
-    q = run_ingest(file_stream_source(spark, in_dir, schema),
-                   target_path=target, quarantine_path=quarantine,
-                   checkpoint_dir=ckpt, transform=gate, buckets=None)
-    q.awaitTermination()
+    with _stream_parts(spark):
+        q = run_ingest(file_stream_source(spark, in_dir, schema),
+                       target_path=target, quarantine_path=quarantine,
+                       checkpoint_dir=ckpt, transform=gate, buckets=None)
+        q.awaitTermination()
     return spark.read.parquet(target).select("doc_id")
 
 
@@ -754,23 +785,11 @@ def stream_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_col="fingerprint", order_col="kafka_offset",
         output_schema=("doc_id long, text string, kafka_offset long, "
                        "fingerprint string"))
-    # A stateful stream's state-store partition count is captured from
-    # spark.sql.shuffle.partitions at FIRST start (baked into the fresh
-    # checkpoint) and AQE never resizes stateful shuffles — so size it
-    # to the state's key cardinality like a deployment would, instead
-    # of inheriting the batch default (64 here) for a fixture-scale
-    # fingerprint set. Production sizing: partitions ≈ distinct
-    # fingerprints / target-keys-per-task; partition count never
-    # affects results (pinned by the adversarial 7-partition sweep).
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
+    with _stream_parts(spark):
         q = (deduped.writeStream.outputMode("append").foreachBatch(curate)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     toks = F.split(F.trim(F.lower(F.col("text"))), " ")
     nmatch = lambda w: F.size(F.filter(toks, lambda t: t == F.lit(w)))  # noqa: E731
@@ -1015,10 +1034,11 @@ def stream_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # availableNow alone would drain everything in one batch
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).json(in_dir))
-    q = (stream.writeStream.foreachBatch(merge)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _stream_parts(spark):
+        q = (stream.writeStream.foreachBatch(merge)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     r = spark.read.parquet(target)
     rd = lambda c: F.round(c, 4)  # noqa: E731
     return r.select(
@@ -1100,10 +1120,11 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).json(in_dir))
-    q = (stream.writeStream.foreachBatch(merge)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _stream_parts(spark):
+        q = (stream.writeStream.foreachBatch(merge)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     sk = spark.read.parquet(target)
     frac = (F.conv(F.max("h"), 16, 10).cast("decimal(20,0)")
             .cast("double") / F.lit(float(2 ** 64)))
