@@ -279,6 +279,13 @@ def file_skip_stats(path: str, column: str, *,
         if column not in idx:
             raise KeyError(f"{column} not in {name}")
         if granularity == "rowgroup":
+            if md.num_row_groups == 0:
+                # a zero-row-group file must still appear in the audit —
+                # omitting it would give the two granularities different
+                # file populations and skip_fraction denominators
+                out.append({"file": name, "rowgroup": None, "min": None,
+                            "max": None, "rows": 0,
+                            "stats_complete": False})
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 st = g.column(idx[column]).statistics

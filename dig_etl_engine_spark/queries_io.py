@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,7 +41,7 @@ def _scratch(name: str) -> str:
     return path
 
 
-from contextlib import contextmanager  # noqa: E402
+_STREAM_CONF_LOCK = threading.Lock()
 
 
 @contextmanager
@@ -53,13 +55,21 @@ def _stream_parts(spark: SparkSession, n: int = 16):
     partitions ≈ distinct state keys / target-keys-per-task, set before
     the FIRST start of the real stream. Partition count never affects
     results (pinned registry-wide by the adversarial 7-partition
-    sweep)."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    sweep).
+
+    Session conf is process-global, and `streaming/ingest.py` documents
+    why a bare get/set/restore races when two streams share one session
+    (one thread's restore can fire between another's set and start) —
+    so the whole scope serializes on a module lock: stream drains here
+    are seconds long, and the registry runs them sequentially anyway;
+    the lock turns that implicit invariant into an enforced one."""
+    with _STREAM_CONF_LOCK:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @register(
@@ -763,9 +773,34 @@ def stream_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream's STATE must replay fresh each run, only the input bytes
     # are reusable
     from dig_etl_engine_spark.queries_corpus import _scratch_path
-    in_dir, fresh = _scratch_path(sf_dir, "e2e_in", "_SUCCESS")
+    # the cache key carries a fingerprint of the fixture's ANALYZED plan
+    # (attribute ids stripped — they vary per session) so editing the
+    # fixture expression invalidates the cache automatically; the data
+    # dependency is covered by _scratch_path's (mtime, size) key
+    import hashlib
+    import re as _re
+    plan = src._jdf.queryExecution().analyzed().toString()
+    tag = hashlib.md5(_re.sub(r"#\d+", "", plan).encode()).hexdigest()[:10]
+    in_dir, fresh = _scratch_path(sf_dir, f"e2e_in-{tag}", "_SUCCESS")
     if not fresh:
-        src.write.mode("overwrite").json(in_dir)
+        # build-aside + atomic rename: a concurrent process may be
+        # READING a committed cache dir while this one decides to
+        # (re)build — mode('overwrite') straight onto in_dir would
+        # delete it under the reader. Build into a pid-scoped temp dir
+        # and rename in; the loser of a build race keeps the winner's
+        # committed copy. A committed (_SUCCESS-bearing) dir is never
+        # deleted or overwritten.
+        tmp = in_dir + f".build-{os.getpid()}"
+        src.write.mode("overwrite").json(tmp)
+        try:
+            if os.path.isdir(in_dir) and not os.path.exists(
+                    os.path.join(in_dir, "_SUCCESS")):
+                shutil.rmtree(in_dir)  # crashed partial, never committed
+            os.rename(tmp, in_dir)
+        except OSError:
+            if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
