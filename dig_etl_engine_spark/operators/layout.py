@@ -247,6 +247,16 @@ def recluster_zorder(spark, path: str, cols: Sequence[str], *,
             raise ValueError(f"recluster_zorder: {path} holds no rows — "
                              "refusing to rewrite an empty layout")
         bounds = {c: (row[f"min_{c}"], row[f"max_{c}"]) for c in cols}
+        # non-empty but all-NULL key column: bounds are (None, None)
+        # and zorder_key would fail later with an opaque int(None)
+        # TypeError — refuse as clearly as the empty-table case
+        all_null = [c for c, (lo, hi) in bounds.items()
+                    if lo is None or hi is None]
+        if all_null:
+            raise ValueError(
+                f"recluster_zorder: {path} column(s) {all_null} are "
+                f"entirely NULL over {n} rows — no key bounds to "
+                f"cluster on; drop the column from `cols` or backfill")
         _write_clustered_locked(df, path, cols, bits=bits,
                                 num_files=num_files, bounds=bounds)
     return n
@@ -310,13 +320,21 @@ def file_skip_stats(path: str, column: str, *,
 
 
 def skip_fraction(stats: list[dict], lo, hi) -> float:
-    """Fraction of files a range predicate ``[lo, hi]`` can SKIP given
-    their footer min/max — the layout-quality metric (higher is better).
+    """Fraction of SCAN UNITS a range predicate ``[lo, hi]`` can SKIP
+    given their footer min/max — the layout-quality metric (higher is
+    better). The denominator is whatever granularity the ``stats``
+    entries carry: one entry per file from
+    ``file_skip_stats(granularity="file")`` → fraction of files; one
+    entry per row group from ``granularity="rowgroup"`` → fraction of
+    row groups (zero-row-group files contribute one always-skippable
+    placeholder entry). The two metrics are deliberately not
+    comparable across granularities — row groups are the unit engines
+    actually prune, files are the unit a listing-time planner prunes.
 
-    A file is skippable only when it is EMPTY or every row group carries
-    min/max statistics that clear the range: a stats-less row group must
-    be read (a planner cannot prove it empty of matches), so files with
-    incomplete statistics count as must-read, never as skipped."""
+    A unit is skippable only when it is EMPTY or carries min/max
+    statistics that clear the range: a stats-less unit must be read (a
+    planner cannot prove it empty of matches), so incomplete
+    statistics count as must-read, never as skipped."""
     if not stats:
         return 0.0
     skipped = sum(

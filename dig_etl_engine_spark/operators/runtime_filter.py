@@ -39,6 +39,24 @@ from pyspark.sql import functions as F
 _DEFAULT_M_BITS = 1 << 16   # 8 KiB bitset
 _DEFAULT_SEEDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35)
 
+# xxhash64 hashes INT and BIGINT differently even when the values are
+# equal, so a bitset built from one width never matches probes of the
+# other — silent false negatives where the exact join would up-cast and
+# match (external review r7, high). Normalize both hash inputs to one
+# canonical width per type family before hashing: integral → BIGINT,
+# float → DOUBLE (the same widening the join's implicit cast performs).
+_WIDEN = {"tinyint": "bigint", "smallint": "bigint", "int": "bigint",
+          "float": "double"}
+
+
+def _hash_key(col: Column, simple_type: str) -> Column:
+    target = _WIDEN.get(simple_type)
+    return col.cast(target) if target else col
+
+
+def _canonical_type(simple_type: str) -> str:
+    return _WIDEN.get(simple_type, simple_type)
+
 
 def build_bloom(build: DataFrame, key: str, *, m_bits: int = _DEFAULT_M_BITS,
                 seeds: tuple[int, ...] = _DEFAULT_SEEDS) -> list[int]:
@@ -47,10 +65,13 @@ def build_bloom(build: DataFrame, key: str, *, m_bits: int = _DEFAULT_M_BITS,
 
     One distributed aggregate (map-side-combined `bit_or` per word), then
     a bounded collect: at most ``m_bits/64`` rows come back no matter how
-    large the build side is."""
+    large the build side is. Integral keys hash at BIGINT width and
+    float keys at DOUBLE (see ``_hash_key``) — a probe side of a
+    different width in the same family then hashes identically."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
-    pos = [F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m_bits))
+    hkey = _hash_key(F.col(key), build.schema[key].dataType.simpleString())
+    pos = [F.pmod(F.xxhash64(hkey, F.lit(s)), F.lit(m_bits))
            for s in seeds]
     bits = build.select(
         F.explode(F.array(*pos)).alias("pos")
@@ -73,7 +94,12 @@ def might_contain(words: list[int], key: Column, *,
     An AND of k `element_at`-shift-mask probes on an array LITERAL — the
     bitset rides into every task inside the serialized plan (it is KiB;
     for multi-MiB filters switch to an explicit broadcast variable), and
-    the whole test stays inside whole-stage codegen."""
+    the whole test stays inside whole-stage codegen.
+
+    ``key`` must hash at the SAME data type :func:`build_bloom` hashed
+    (it widens integral→BIGINT, float→DOUBLE); pass
+    ``_hash_key(col, simple_type)`` when the raw column may be
+    narrower — :func:`bloom_pruned_join` does this for both sides."""
     m_bits = len(words) * 64
     arr = F.lit(words)
     test = F.lit(True)
@@ -94,7 +120,12 @@ def bloom_pruned_join(probe: DataFrame, build: DataFrame, *,
     Row-identical to ``probe.join(build, probe[pk] == build[bk], how)``
     for inner/semi joins — false positives pass the filter but are
     removed by the exact join that follows; false negatives cannot occur
-    (property-tested).
+    (property-tested, INCLUDING mixed integral widths: both hash inputs
+    widen to a canonical per-family type first — xxhash64 is
+    width-sensitive, so an un-widened INT probe against a BIGINT build
+    bitset would silently drop every match). Key families that the
+    exact join would only reconcile through lossy/implicit casts
+    (e.g. string vs numeric) raise instead of guessing.
 
     The build side feeds TWO consumers (the bitset aggregate's action,
     then the join), so it is pinned (`operators/pin.py`, strategy knob
@@ -104,7 +135,17 @@ def bloom_pruned_join(probe: DataFrame, build: DataFrame, *,
 
     if how not in ("inner", "left_semi", "leftsemi"):
         raise ValueError("bloom pruning is sound for inner/semi joins only")
+    p_type = _canonical_type(probe.schema[probe_key].dataType.simpleString())
+    b_type = _canonical_type(build.schema[build_key].dataType.simpleString())
+    if p_type != b_type:
+        raise ValueError(
+            f"bloom_pruned_join key types diverge beyond integral/float "
+            f"widening: probe {probe_key}:{p_type} vs build "
+            f"{build_key}:{b_type} — the bitset membership test would "
+            f"silently produce false negatives; cast the keys explicitly")
     build = pin(build, eager=False)
     words = build_bloom(build, build_key, m_bits=m_bits)
-    pruned = probe.filter(might_contain(words, probe[probe_key]))
+    probe_hash = _hash_key(
+        probe[probe_key], probe.schema[probe_key].dataType.simpleString())
+    pruned = probe.filter(might_contain(words, probe_hash))
     return pruned.join(build, pruned[probe_key] == build[build_key], how)

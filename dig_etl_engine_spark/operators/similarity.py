@@ -107,22 +107,30 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
             cell_col: str = "label", round_digits: int = 4) -> DataFrame:
     """IVF-style ANN: search only within the query's cell (centroid
-    assignment precomputed in ``cell_col``; nprobe=1). Same output shape as
-    brute force — recall trades against the |N|/|cells| cost reduction."""
+    assignment precomputed in ``cell_col``; nprobe=1). Output
+    ``(query_id, neighbor_id, cosine_e4, rank)`` — the score as a
+    1e-4-scaled BIGINT via the explicit ``floor(cos·1e4 + 0.5)`` tree
+    (continuous-round lint, r8: no engine round() on the sqrt-derived
+    cosine), quantized BEFORE ranking so boundary ties resolve
+    identically in every engine. Recall trades against the |N|/|cells|
+    cost reduction."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(cell_col).alias("cell"),
                        as_double(F.col(vec_col)).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(cell_col).alias("ncell"),
                       as_double(F.col(vec_col)).alias("cv"))
+    scale = float(10 ** round_digits)
     scored = (
         q.join(c, (F.col("cell") == F.col("ncell"))
                & (F.col("query_id") != F.col("neighbor_id")))
         .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
-                 .alias("cosine"))
+                F.floor(cosine(F.col("qv"), F.col("cv")) * F.lit(scale)
+                        + F.lit(0.5)).cast("long")
+                 .alias(f"cosine_e{round_digits}"))
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(
+        F.desc(f"cosine_e{round_digits}"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
@@ -540,19 +548,23 @@ def knn_ivf_indexed(queries: DataFrame, index_path: str, *, k: int = 5,
              .filter(F.col("cluster").isin(probe_set))
              .select(F.col("id").alias("neighbor_id"), "cluster",
                      as_double(F.col("v")).alias("cv")))
+    scale = float(10 ** round_digits)
     scored = (
         F.broadcast(probed).join(cells, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        # 1e-4-scaled BIGINT score via the shared floor tree
+        # (continuous-round lint, r8) — quantized before ranking
         .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
-                 .alias("cosine"))
+                F.floor(cosine(F.col("qv"), F.col("cv")) * F.lit(scale)
+                        + F.lit(0.5)).cast("long")
+                 .alias(f"cosine_e{round_digits}"))
         # candidate-scale guard: a neighbor listed twice in the index (a
         # crashed compaction or a multi-probe overlap) must occupy ONE
         # top-k slot, not two — row_number would rank both copies
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                          F.asc("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(
+        F.desc(f"cosine_e{round_digits}"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
@@ -902,8 +914,8 @@ def embedding_profile(df: DataFrame, *, vec_col: str = "embedding",
                       round_digits: int = 4) -> DataFrame:
     """Per-dimension QA profile of an embedding column — the drift /
     sanity dashboard an embedding pipeline owner checks after every
-    re-embed: ``(dim, n, mean, std, min_v, max_v)``, one row per vector
-    dimension. A collapsed dimension (std ≈ 0), a mean far off center,
+    re-embed: ``(dim, n, mean, std_e4, min_v, max_v)`` (std as a
+    1e-4-scaled BIGINT), one row per vector dimension. A collapsed dimension (std ≈ 0), a mean far off center,
     or a count mismatch across dims (ragged vectors) are all one-glance
     visible.
 
@@ -940,8 +952,13 @@ def embedding_profile(df: DataFrame, *, vec_col: str = "embedding",
     std = F.when(F.col("n") >= 2,
                  F.sqrt(var_num.cast("double")
                         / (nd * (nd - F.lit(1.0)))) / F.lit(1000000.0))
+    # std is sqrt-derived (continuous): emit as a 1e-4-scaled BIGINT
+    # through the explicit floor tree mirrored in the oracle — no
+    # engine round() on a continuous double (continuous-round lint, r8)
+    scale = float(10 ** round_digits)
+    std_fp = F.floor(std * F.lit(scale) + F.lit(0.5)).cast("long")
     return agg.select(
         "dim", "n",
         round_fixed(F.col("s"), 6, round_digits, F.col("n")).alias("mean"),
-        F.round(std, round_digits).alias("std"),
+        std_fp.alias(f"std_e{round_digits}"),
         "min_v", "max_v")

@@ -478,14 +478,19 @@ def tfidf_keywords(df, *, id_col: str = "doc_id", text_col: str = "text",
     """Per-document top-``k`` keywords by smoothed TF-IDF
     (``tf · (ln((N+1)/(df+1)) + 1)``) — the model-free doc-summary /
     routing signal (and the classic weighting the coarse search's BM25
-    generalizes). Returns ``(id, token, tfidf, rank)``.
+    generalizes). Returns ``(id, token, tfidf_e6, rank)`` with the
+    score as a 1e-6-scaled BIGINT.
 
     Shape: one explode → groupBy(id, token) count (map-side combined)
     gives tf; df reduces the SAME tf table (already distinct per doc) by
     token; N arrives as a broadcast 1-row aggregate, never a driver
     round-trip; scores stay in codegen and the per-doc top-k is one
-    window over (id). Scores are rounded BEFORE ranking so cross-engine
-    libm noise in ln() can't flip a tie at the k boundary."""
+    window over (id). Scores QUANTIZE to integers BEFORE ranking —
+    ``floor(score·1e6 + 0.5)`` — so cross-engine libm noise in ln()
+    can't flip a tie at the k boundary, and the hashed emission avoids
+    engine ``round()`` on a continuous double entirely (the
+    continuous-round lint class, r8): the quantization tree is the
+    same correctly-rounded multiply+add+floor in every engine."""
     from pyspark.sql import Window as W
 
     toks = df.select(
@@ -498,11 +503,12 @@ def tfidf_keywords(df, *, id_col: str = "doc_id", text_col: str = "text",
     scored = (tf.join(dfreq, "token")
               .join(F.broadcast(n_docs))
               .select(id_col, "token",
-                      F.round(F.col("tf")
+                      F.floor(F.col("tf")
                               * (F.log((F.col("n_docs") + 1.0)
-                                       / (F.col("df") + 1.0)) + 1.0),
-                              6).alias("tfidf")))
-    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+                                       / (F.col("df") + 1.0)) + 1.0)
+                              * F.lit(1_000_000.0) + F.lit(0.5))
+                      .cast("long").alias("tfidf_e6")))
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf_e6"), F.asc("token"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
@@ -519,8 +525,13 @@ def weighted_sample(df, k: int, *, weight_col: str,
     ``mix_sources``/``stratified_sample``, upgraded from per-stratum
     rates to continuous per-row weights (e.g. quality scores).
 
-    Non-positive/null weights never sample (priority +inf). Returns the
-    sampled rows with their ``_priority`` (ascending = first drawn).
+    Non-positive/null weights never sample (priority NULL, filtered).
+    Returns the sampled rows with their ``priority_e9`` — the A-ES
+    priority as a 1e-9-scaled BIGINT (ascending = first drawn). The
+    integer emission (``floor(prio·1e9 + 0.5)``, same tree in the
+    oracle) replaces engine ``round()`` on the ln-derived continuous
+    priority (continuous-round lint, r8); k-boundary margins are ~1/n,
+    far above both libm noise and the 1e-9 quantization step.
 
     Shape: pure column math for the priority, then ``orderBy(...).
     limit(k)`` — TakeOrderedAndProject (per-partition top-k + k-row
@@ -531,10 +542,12 @@ def weighted_sample(df, k: int, *, weight_col: str,
                           F.col(id_col).cast("string"))), 1, 8),
         16, 10).cast("double") + 1.0) / (denom + 1.0))
     w = F.col(weight_col).cast("double")
-    prio = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
-    return (df.withColumn("_priority", F.round(prio, 9))
-            .filter(F.col("_priority") != float("inf"))
-            .orderBy(F.asc("_priority"), F.asc(id_col))
+    prio = F.when(w > 0, -F.log(u) / w)
+    prio_fp = F.floor(prio * F.lit(1_000_000_000.0) + F.lit(0.5)) \
+               .cast("long")
+    return (df.withColumn("priority_e9", prio_fp)
+            .filter(F.col("priority_e9").isNotNull())
+            .orderBy(F.asc("priority_e9"), F.asc(id_col))
             .limit(k))
 
 

@@ -75,26 +75,31 @@ _LOADED = False
 # window. Keep the set small: every LIVE entry displaces one
 # staleness-window slot.
 _PRIORITY_RECHECK: dict[str, int] = {
-    "sink_webdataset_roundtrip": 6,
-    "stream_ohlc_rollup": 6,
-    "stream_kmv_cardinality": 6,
-    "incremental_minhash_dedup": 6,
-    "knn_ivf_indexed": 6,
-    "ts_downsample_ohlc": 6,
-    # late-r6 KG-upsert/streaming hardening (rename-aside swaps,
-    # per-writer overwrite mode, chunk-streamed stateful emit): the
-    # r02-stale queries it also touched (stream_file_upsert,
-    # stream_stateful_dedup) are guaranteed staleness-window slots and
-    # need no entry here
-    "upsert_last_write_wins": 6,
-    "upsert_partitioned_merge": 6,
-    "stream_dedup_ingest": 6,
-    "stream_decontaminate_ingest": 6,
-    "multimodal_webdataset_roundtrip": 6,
-    "incremental_embedding_dedup": 6,
-    # parallel-input-write change to the stream queries (the other five
-    # affected queries are already above, r02-stale, or never-verified)
-    "stream_session_windows": 6,
+    # (the r6 entries all expired at r7 — every one re-verified green —
+    # and were pruned; entries below are the r8 code changes)
+    #
+    # continuous-round lint rewrites (r8): hashed surfaces moved from
+    # engine round() over sqrt/log-derived doubles to scaled-integer
+    # emission (floor(x·10^d + 0.5) AS BIGINT, same tree both engines)
+    "correlation_matrix": 8,
+    "tfidf_keywords": 8,
+    "weighted_sample": 8,
+    "knn_cosine_ivf": 8,
+    "embedding_profile": 8,
+    "knn_ivf_indexed": 8,
+    # bloom key-width widening (r8, external-review high): build and
+    # probe hash inputs now widen integral→BIGINT / float→DOUBLE before
+    # xxhash64; identical-width keys (the registered query) are
+    # behavior-identical, but the semantics changed, so re-verify
+    "bloom_prejoin_prune": 8,
+    # Deliberately NOT listed (r8 changes that cannot move results):
+    # stream_e2e_curation — the input-cache TOCTOU fix only reorders
+    # partial-dir cleanup (rename-aside before rmtree); committed cache
+    # content is byte-identical either way. zorder_cluster_write — the
+    # recluster all-NULL-bounds guard adds an error path the registered
+    # query never enters, and the skip_fraction edit is docstring-only.
+    # ts_rolling_anomaly (exact-integer surface rewrite) needs no entry:
+    # never driver-green, so it sorts tier-0 ahead of this tier.
 }
 
 

@@ -772,13 +772,14 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.token,
-             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0))
-                            + 1.0), 6) AS tfidf
+             CAST(floor(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0))
+                                 + 1.0) * 1000000.0 + 0.5) AS BIGINT)
+               AS tfidf_e6
       FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
     )
-    SELECT doc_id, token, tfidf, rank FROM (
+    SELECT doc_id, token, tfidf_e6, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                 ORDER BY tfidf DESC, token ASC) AS rank
+                 ORDER BY tfidf_e6 DESC, token ASC) AS rank
       FROM scored
     ) WHERE rank <= 5
     """,
@@ -787,8 +788,11 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 smoothed TF-IDF keywords (`operators/
     text_analysis.py:tfidf_keywords`): the model-free doc-summary /
     routing signal. tf and df reduce the same exploded table; N is a
-    broadcast 1-row aggregate; scores round BEFORE ranking so
-    cross-engine ln() noise can't flip a boundary tie."""
+    broadcast 1-row aggregate; scores quantize to 1e-6-scaled BIGINTs
+    BEFORE ranking (the explicit floor(score·1e6 + 0.5) tree in both
+    engines — continuous-round lint, r8) so cross-engine ln() noise
+    can't flip a boundary tie and no engine round() touches the
+    hashed surface."""
     docs = load_tables(spark, sf_dir)["documents"]
     return TA.tfidf_keywords(docs, k=5)
 
@@ -839,14 +843,15 @@ def corpus_cardinality_profile(spark: SparkSession, sf_dir: str
     oracle="""
     WITH pr AS (
       SELECT doc_id, source, n_chars,
-             ROUND(-ln((('0x' || substr(md5('ws|' || doc_id::VARCHAR),
-                                        1, 8))::BIGINT + 1.0)
-                       / (4294967296.0 + 1.0))
-                   / n_chars, 9) AS _priority
+             CAST(floor(-ln((('0x' || substr(md5('ws|' || doc_id::VARCHAR),
+                                             1, 8))::BIGINT + 1.0)
+                            / (4294967296.0 + 1.0))
+                        / n_chars * 1000000000.0 + 0.5) AS BIGINT)
+               AS priority_e9
       FROM documents WHERE n_chars > 0
     )
-    SELECT doc_id, source, n_chars, _priority
-    FROM pr ORDER BY _priority ASC, doc_id ASC LIMIT 50
+    SELECT doc_id, source, n_chars, priority_e9
+    FROM pr ORDER BY priority_e9 ASC, doc_id ASC LIMIT 50
     """,
 )
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,8 +861,10 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived exponential priorities — the quality/length-weighted
     corpus sampling primitive, reproducible across runs, engines and
     partitionings. TakeOrderedAndProject top-k, no global sort; the
-    oracle replays the priority formula (round-9 before ranking — the
-    k-boundary margins are ~1/n, far above cross-engine ln() noise)."""
+    oracle replays the priority formula (quantized to a 1e-9-scaled
+    BIGINT before ranking via the shared floor tree — the k-boundary
+    margins are ~1/n, far above cross-engine ln() noise, and no engine
+    round() touches the hashed surface; continuous-round lint, r8)."""
     docs = load_tables(spark, sf_dir)["documents"] \
         .select("doc_id", "source", "n_chars")
     return TA.weighted_sample(docs, 50, weight_col="n_chars")
@@ -1690,16 +1697,17 @@ def _knn_indexed_sql() -> str:
     ),
     scored AS (
       SELECT c.query_id, c.neighbor_id,
-             ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
-                                          n.embedding::DOUBLE[]), 4)
-               AS cosine
+             CAST(floor(list_cosine_similarity(q.embedding::DOUBLE[],
+                                               n.embedding::DOUBLE[])
+                        * 10000.0 + 0.5) AS BIGINT)
+               AS cosine_e4
       FROM cand c
       JOIN embeddings q ON q.vec_id = c.query_id
       JOIN embeddings n ON n.vec_id = c.neighbor_id
     )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine_e4, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                 ORDER BY cosine_e4 DESC, neighbor_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 5
     """
@@ -2500,10 +2508,10 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dim, n,
            {sql_round_fixed('s', 6, 4, 'n')} AS mean,
-           round(CASE WHEN n >= 2 THEN
+           CAST(floor(CASE WHEN n >= 2 THEN
              sqrt(CAST(n * ss - s * s AS DOUBLE)
                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
-             / 1000000.0 END, 4) AS std,
+             / 1000000.0 END * 10000.0 + 0.5) AS BIGINT) AS std_e4,
            min_v, max_v
     FROM s
     """,

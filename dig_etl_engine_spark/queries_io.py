@@ -412,6 +412,104 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fingerprint", "kafka_offset", "event_type", "value")
 
 
+_RESTART_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "stream_restart_recovery",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, {_RESTART_FP_SQL} AS fingerprint,
+             doc_id AS kafka_offset
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    b AS (
+      SELECT doc_id + 500000 AS doc_id, {_RESTART_FP_SQL} AS fingerprint,
+             doc_id + 500000 AS kafka_offset
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, {_RESTART_FP_SQL} AS fingerprint,
+             doc_id + 1000000 AS kafka_offset
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT doc_id, fingerprint, kafka_offset FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                 ORDER BY kafka_offset) AS rn
+      FROM u
+    ) WHERE rn = 1
+    """,
+)
+def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RESTART/RECOVERY proof — the streaming semantics a real
+    deployment exercises daily and every other stream query here only
+    implies: drain drop A (even docs) through the stateful first-seen
+    dedup, STOP the query, append drop B, then start a **new** query
+    object from the SAME checkpoint and drain again. Drop B contains
+    (1) byte-identical re-sends of every drop-A document under fresh
+    doc_ids/offsets — these must stay suppressed, which is only possible
+    if the state store REPLAYED across the restart — and (2) genuinely
+    new (odd) documents, which must pass. The file source must likewise
+    resume its processed-file log (re-reading drop A would re-emit
+    nothing but double-processes the input; losing the log would break
+    the batch numbering the parquet sink's exactly-once relies on).
+
+    The oracle replays BOTH drains relationally as global
+    min-offset-per-fingerprint over A ∪ B; offsets are constructed
+    strictly increasing across the two drops (A: doc_id; B re-sends:
+    +500000; B fresh: +1000000) and each drop lands as files before its
+    drain starts (one availableNow micro-batch per drain,
+    `file_stream_source` contract), so first-seen-across-restarts ==
+    global min-offset exactly. A lost state store re-emits ~2500
+    re-sent fingerprints — a row-count mismatch, not a subtle hash
+    flip. Kafka parity: swap the file source for the Kafka reader and
+    the same checkpoint mechanics carry consumer offsets + state
+    (`integration/kafka/`; broker absent in this container)."""
+    from dig_etl_engine_spark.streaming.ingest import file_stream_source
+    from dig_etl_engine_spark.streaming.stateful import run_first_seen_dedup
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    drop_a = even.select("doc_id", fp.alias("fingerprint"),
+                         F.col("doc_id").alias("kafka_offset"))
+    drop_b = (even.select((F.col("doc_id") + 500000).alias("doc_id"),
+                          fp.alias("fingerprint"),
+                          (F.col("doc_id") + 500000).alias("kafka_offset"))
+              .unionByName(
+                  odd.select("doc_id", fp.alias("fingerprint"),
+                             (F.col("doc_id") + 1000000)
+                             .alias("kafka_offset"))))
+
+    root = _scratch("restartstream")
+    in_dir, target = os.path.join(root, "in"), os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("kafka_offset", T.LongType()),
+    ])
+    out_schema = "doc_id long, fingerprint string, kafka_offset long"
+
+    def drain():
+        q = run_first_seen_dedup(
+            file_stream_source(spark, in_dir, schema),
+            target_path=target, checkpoint_dir=ckpt,
+            fingerprint_col="fingerprint", order_col="kafka_offset",
+            output_schema=out_schema)
+        q.awaitTermination()
+
+    with _stream_parts(spark):
+        drop_a.write.mode("overwrite").json(in_dir)
+        drain()                                   # run 1: drop A only
+        drop_b.write.mode("append").json(in_dir)  # lands AFTER the stop
+        drain()                                   # run 2: fresh query,
+        #                                           same checkpoint
+    return spark.read.parquet(target) \
+        .select("doc_id", "fingerprint", "kafka_offset")
+
+
 @register(
     "stream_session_windows",
     oracle="""
@@ -795,7 +893,22 @@ def stream_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             if os.path.isdir(in_dir) and not os.path.exists(
                     os.path.join(in_dir, "_SUCCESS")):
-                shutil.rmtree(in_dir)  # crashed partial, never committed
+                # crashed partial, never committed — but between the
+                # _SUCCESS check and a direct rmtree a concurrent
+                # builder could rename ITS committed copy into in_dir,
+                # and the rmtree would delete a live committed dir
+                # under its readers (external review r7, TOCTOU).
+                # Rename the suspect aside first: rename is atomic, so
+                # a dir that becomes committed after the check can no
+                # longer be the thing we delete — if the rename races
+                # the winner's commit, one rename fails cleanly instead.
+                trash = in_dir + f".trash-{os.getpid()}"
+                try:
+                    os.rename(in_dir, trash)
+                except FileNotFoundError:
+                    pass  # another builder already trashed the partial
+                else:
+                    shutil.rmtree(trash, ignore_errors=True)
             os.rename(tmp, in_dir)
         except OSError:
             if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):

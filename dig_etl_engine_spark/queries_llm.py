@@ -313,12 +313,13 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE vec_id % 50 = 0),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.v, c.embedding::DOUBLE[]), 4) AS cosine
+             CAST(floor(list_cosine_similarity(q.v, c.embedding::DOUBLE[])
+                        * 10000.0 + 0.5) AS BIGINT) AS cosine_e4
       FROM q JOIN embeddings c ON q.label = c.label AND q.vec_id <> c.vec_id
     )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine_e4, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                 ORDER BY cosine_e4 DESC, neighbor_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 5
     """,

@@ -1137,18 +1137,22 @@ def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT
-      round((nd * sqp - sq * sp)
-            / (sqrt(nd * sqq - sq * sq) * sqrt(nd * spp - sp * sp)), 4)
-        AS qty_price,
-      round((nd * sqd - sq * sd)
-            / (sqrt(nd * sqq - sq * sq) * sqrt(nd * sdd - sd * sd)), 4)
-        AS qty_disc,
-      round((nd * spd - sp * sd)
-            / (sqrt(nd * spp - sp * sp) * sqrt(nd * sdd - sd * sd)), 4)
-        AS price_disc,
-      round((nd * spt - sp * st)
-            / (sqrt(nd * spp - sp * sp) * sqrt(nd * stt - st * st)), 4)
-        AS price_tax
+      CAST(floor((nd * sqp - sq * sp)
+            / (sqrt(nd * sqq - sq * sq) * sqrt(nd * spp - sp * sp))
+            * 10000.0 + 0.5) AS BIGINT)
+        AS qty_price_e4,
+      CAST(floor((nd * sqd - sq * sd)
+            / (sqrt(nd * sqq - sq * sq) * sqrt(nd * sdd - sd * sd))
+            * 10000.0 + 0.5) AS BIGINT)
+        AS qty_disc_e4,
+      CAST(floor((nd * spd - sp * sd)
+            / (sqrt(nd * spp - sp * sp) * sqrt(nd * sdd - sd * sd))
+            * 10000.0 + 0.5) AS BIGINT)
+        AS price_disc_e4,
+      CAST(floor((nd * spt - sp * st)
+            / (sqrt(nd * spp - sp * sp) * sqrt(nd * stt - st * st))
+            * 10000.0 + 0.5) AS BIGINT)
+        AS price_tax_e4
     FROM dd
     """,
 )
@@ -1165,8 +1169,14 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~6e19 already at sf0.1), and the Pearson closed form
     ``(n·Sxy − Sx·Sy)/(√(n·Sxx−Sx²)·√(n·Syy−Sy²))`` evaluates per-row
     in doubles with the identical expression tree in the oracle. corr
-    is scale-invariant, so cents-corr ≡ unit-corr exactly; the output
-    is irrational (sqrt), so plain round is boundary-safe."""
+    is scale-invariant, so cents-corr ≡ unit-corr exactly. The outputs
+    emit as 1e-4-scaled BIGINTs via the explicit floor(r·1e4 + 0.5)
+    tree in both engines (continuous-round lint, r8): an irrational
+    value never SITS on a boundary, but Spark's BigDecimal HALF_UP and
+    DuckDB's multiply-first round() can still disagree on doubles
+    whose exact expansion crowds one — the scaled-integer tree is the
+    same correctly-rounded multiply+add+floor in both engines, so
+    identical bits in give identical integers out."""
     li = load_tables(spark, sf_dir)["lineitem"]
     q = fixed(F.col("l_quantity"), 2)
     p = fixed(F.col("l_extendedprice"), 2)
@@ -1189,13 +1199,14 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = D["n"] * D[sxy] - D[sx] * D[sy]
         den = (F.sqrt(D["n"] * D[sxx] - D[sx] * D[sx])
                * F.sqrt(D["n"] * D[syy] - D[sy] * D[sy]))
-        return F.round(num / den, 4)
+        return F.floor(num / den * F.lit(10000.0) + F.lit(0.5)) \
+                .cast("long")
 
     return s.select(
-        corr4("sqp", "sq", "sp", "sqq", "spp").alias("qty_price"),
-        corr4("sqd", "sq", "sd", "sqq", "sdd").alias("qty_disc"),
-        corr4("spd", "sp", "sd", "spp", "sdd").alias("price_disc"),
-        corr4("spt", "sp", "st", "spp", "stt").alias("price_tax"))
+        corr4("sqp", "sq", "sp", "sqq", "spp").alias("qty_price_e4"),
+        corr4("sqd", "sq", "sd", "sqq", "sdd").alias("qty_disc_e4"),
+        corr4("spd", "sp", "sd", "spp", "sdd").alias("price_disc_e4"),
+        corr4("spt", "sp", "st", "spp", "stt").alias("price_tax_e4"))
 
 
 @register(

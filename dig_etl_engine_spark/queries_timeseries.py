@@ -355,22 +355,22 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_rolling_anomaly",
     oracle="""
     WITH c AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, epoch_us(ts) AS ts_us,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events
     ),
     w AS (
-      SELECT user_id, ts, value, cents,
+      SELECT user_id, ts_us, cents,
              COUNT(*) OVER fr AS roll_n,
              CAST(SUM(cents) OVER fr AS BIGINT) AS s,
              CAST(SUM(cents * cents) OVER fr AS BIGINT) AS ss
       FROM c
-      WINDOW fr AS (PARTITION BY user_id ORDER BY ts
-                    RANGE BETWEEN INTERVAL 7 DAY PRECEDING
-                                AND INTERVAL 1 MICROSECOND PRECEDING)
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
+                    RANGE BETWEEN 604800000000 PRECEDING
+                                AND 1 PRECEDING)
     ),
     d AS (
-      SELECT user_id, ts, value, roll_n, s,
+      SELECT user_id, ts_us, cents, roll_n, s,
              roll_n * ss - s * s AS var_num,
              CASE WHEN roll_n * ss - s * s > 0 THEN
                (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(roll_n AS DOUBLE))
@@ -380,11 +380,11 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w
     )
     SELECT user_id,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-           round(value, 4) AS value,
+           ts_us,
+           cents AS value_cents,
            roll_n,
-           round(CAST(s AS DOUBLE) / 100.0, 2) AS roll_sum,
-           round(z_raw, 4) AS z,
+           s AS roll_sum_cents,
+           CAST(floor(z_raw * 10000.0 + 0.5) AS BIGINT) AS z_e4,
            COALESCE(ABS(z_raw) > 3.0, FALSE) AS is_anomaly
     FROM d
     """,
@@ -404,7 +404,17 @@ def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator; a windowed STDDEV_SAMP would instead accumulate doubles
     in an engine-chosen order whose 1-ulp wobble flips round(z,4) on
     half-boundaries in some libm builds (the r5 driver flip). The
-    var>0 guard is an integer comparison — no float boundary."""
+    var>0 guard is an integer comparison — no float boundary.
+    r8 hardening (the r7 residual): after the arithmetic was proven
+    bitwise-clean locally, the remaining engine-sensitive surface was
+    the SQL itself — the registry's only INTERVAL-framed RANGE window
+    (interval frame-edge computation over timestamps varies across
+    DuckDB builds), plus engine round()/strftime on the hashed
+    output. All three are gone: both engines now order on exact int64
+    epoch-micros with the integer frame 604800000000 PRECEDING AND 1
+    PRECEDING, ts is emitted as epoch-micros BIGINT, and z as
+    floor(z·1e4 + 0.5) BIGINT — the identical two-op tree in both
+    engines. Every hashed column is now int64 or boolean."""
     ev = load_tables(spark, sf_dir)["events"]
     return C.rolling_anomaly(ev)
 

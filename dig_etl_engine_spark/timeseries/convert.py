@@ -264,7 +264,7 @@ def downsample_ohlc(df, *, key_col: str = "user_id", ts_col: str = "ts",
 
 def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
                     val_col: str = "value", window_days: int = 7,
-                    z_cut: float = 3.0, round_digits: int = 4):
+                    z_cut: float = 3.0, z_scale: int = 10_000):
     """Trailing-window anomaly scoring — the monitoring query every
     metrics pipeline runs: per key, each point scored against the
     baseline of the PRIOR ``window_days`` — every strictly-earlier
@@ -281,8 +281,15 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
     One window exchange on the key; the range frame slides
     incrementally (no per-row rescan). Empty / 1-point / constant
     baselines yield z NULL → flagged false (coalesce), so cold-start
-    points never alert. Returns (key, ts, value, roll_n, roll_sum, z,
-    is_anomaly).
+    points never alert. Returns (key, ts_us, value_cents, roll_n,
+    roll_sum_cents, z_e4, is_anomaly) — an EXACT-INTEGER surface
+    (epoch-micros BIGINT timestamp, fixed-point cents, z scaled by
+    ``z_scale`` into a BIGINT); a presentation layer divides by
+    100 / ``z_scale`` at the edge. Emitting integers is deliberate:
+    it removes every engine-interpreted construct (``date_format`` /
+    ``strftime`` rendering, engine ``round()`` of a continuous
+    double) from the comparable output, so two engines that agree on
+    the arithmetic cannot disagree on the bytes.
 
     Hash-determinism design (the ``gap_fill_linear`` "engine-identical
     expression tree" pattern): the window aggregates are EXACT integer
@@ -299,6 +306,16 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
     exact integers, mean/var/z derive PER-ROW through one closed-form
     IEEE-754 expression tree written identically in the oracle SQL:
     correctly-rounded ops on bitwise-identical inputs cannot diverge.
+    The frame itself is equally engine-proof: BOTH engines order on
+    exact int64 epoch-microseconds with an INTEGER range frame
+    (``604800000000 PRECEDING AND 1 PRECEDING``) — frame-edge
+    membership is pure int64 comparison, with none of the
+    INTERVAL-arithmetic machinery whose timestamp frame-edge
+    computation has differed across DuckDB builds (the r7 residual
+    after the arithmetic was proven bitwise-clean locally). The
+    scaled z output is ``floor(z·z_scale + 0.5)`` cast to BIGINT —
+    the same explicit two-op tree in both engines, no engine
+    ``round()`` touching a continuous double anywhere.
     Two bonus exactness wins: the variance numerator ``n·SS − S²``
     stays in integer arithmetic, so constant windows give var = 0.0
     exactly (no catastrophic-cancellation epsilon → phantom huge z),
@@ -327,14 +344,16 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
     mean_c = s.cast("double") / n_d
     z = F.when(var_num > 0,
                (cents.cast("double") - mean_c) / F.sqrt(var_c))
-    r = lambda c: F.round(c, round_digits)  # noqa: E731
+    # floor(double) is already LONG in Spark; keep the explicit cast so
+    # the tree reads identically to the oracle's CAST(floor(..) AS BIGINT)
+    z_fp = F.floor(z * F.lit(float(z_scale)) + F.lit(0.5)).cast("long")
     return df.select(
         F.col(key_col),
-        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("ts"),
-        r(F.col(val_col)).alias("value"),
+        us.alias("ts_us"),
+        cents.alias("value_cents"),
         n.alias("roll_n"),
-        F.round(s.cast("double") / F.lit(100.0), 2).alias("roll_sum"),
-        r(z).alias("z"),
+        s.alias("roll_sum_cents"),
+        z_fp.alias("z_e4"),
         F.coalesce(F.abs(z) > z_cut, F.lit(False)).alias("is_anomaly"))
 
 

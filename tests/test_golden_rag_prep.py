@@ -55,7 +55,7 @@ def test_duplicated_paragraph_is_top_neighbor(spark, chunked_index):
                .collect())
         assert len(top) == 1
         assert top[0].neighbor_id == 201
-        assert top[0].cosine == 1.0
+        assert top[0].cosine_e4 == 10_000  # cosine exactly 1.0
 
 
 def test_featurizer_stays_jvm_side(spark):
@@ -74,4 +74,4 @@ def test_unrelated_chunks_score_low(spark, chunked_index):
     probe = embedded.filter(F.col("vec_id") == 300)   # gamma chunk 0
     rows = knn_ivf_indexed(probe, path, k=3, nprobe=2).collect()
     # gamma's tokens are unique; nothing reaches near-dup territory
-    assert all(r.cosine < 0.9 for r in rows)
+    assert all(r.cosine_e4 < 9_000 for r in rows)

@@ -46,9 +46,13 @@ class TestIvfIndex:
         """nprobe = all cells searches the full corpus: results must be
         IDENTICAL to exact brute force (same ranking tie-breaks)."""
         path, clustered, queries = built
-        exact = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+        # bruteforce still emits round-4 double cosine; the indexed path
+        # emits the 1e-4-scaled BIGINT (continuous-round lint, r8) —
+        # both quantize at the same grid, so scale one to the other
+        exact = {(r.query_id, r.neighbor_id, int(round(r.cosine * 10_000)),
+                  r.rank)
                  for r in knn_bruteforce(queries, clustered, k=5).collect()}
-        got = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+        got = {(r.query_id, r.neighbor_id, r.cosine_e4, r.rank)
                for r in knn_ivf_indexed(queries, path, k=5,
                                         nprobe=K_CELLS).collect()}
         assert got == exact
@@ -205,7 +209,7 @@ class TestCompactIvfIndex:
 
         _, clustered, queries = built
         idx = self._build_with_appends(spark, built, tmp_path)
-        knn_before = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+        knn_before = {(r.query_id, r.neighbor_id, r.cosine_e4, r.rank)
                       for r in knn_ivf_indexed(queries, idx, k=5,
                                                nprobe=2).collect()}
         assert knn_before
@@ -216,7 +220,7 @@ class TestCompactIvfIndex:
         abs_left = {os.path.basename(d) for d in _glob.glob(
             os.path.join(idx, "cells", "cluster=*", "_ab=*"))}
         assert abs_left == {"_ab=-2"}
-        knn_after = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+        knn_after = {(r.query_id, r.neighbor_id, r.cosine_e4, r.rank)
                      for r in knn_ivf_indexed(queries, idx, k=5,
                                               nprobe=2).collect()}
         assert knn_after == knn_before
@@ -238,7 +242,7 @@ class TestCompactIvfIndex:
 
         _, clustered, queries = built
         idx = self._build_with_appends(spark, built, tmp_path)
-        knn_before = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+        knn_before = {(r.query_id, r.neighbor_id, r.cosine_e4, r.rank)
                       for r in knn_ivf_indexed(queries, idx, k=5,
                                                nprobe=2).collect()}
         saved = str(tmp_path / "saved_cells")
@@ -250,7 +254,7 @@ class TestCompactIvfIndex:
             if not os.path.exists(dst):
                 _sh.copytree(d, dst)
 
-        knn_dup = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+        knn_dup = {(r.query_id, r.neighbor_id, r.cosine_e4, r.rank)
                    for r in knn_ivf_indexed(queries, idx, k=5,
                                             nprobe=2).collect()}
         assert knn_dup == knn_before                  # guard absorbs dups
@@ -260,7 +264,7 @@ class TestCompactIvfIndex:
         abs_left = {os.path.basename(d) for d in _glob.glob(
             os.path.join(idx, "cells", "cluster=*", "_ab=*"))}
         assert abs_left == {"_ab=-3"}
-        knn_healed = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+        knn_healed = {(r.query_id, r.neighbor_id, r.cosine_e4, r.rank)
                       for r in knn_ivf_indexed(queries, idx, k=5,
                                                nprobe=2).collect()}
         assert knn_healed == knn_before

@@ -290,6 +290,28 @@ class TestZorderLayout:
         assert back.count() == 0
         assert sorted(back.columns) == ["a", "b"]
 
+    def test_recluster_refuses_all_null_key_column(self, spark, tmp_path):
+        """Non-empty layout whose key column is entirely NULL: bounds
+        aggregate to (None, None) and clustering is meaningless —
+        recluster must refuse with a clear message (not an opaque
+        int(None) TypeError from inside zorder_key), and the committed
+        layout must survive untouched."""
+        from dig_etl_engine_spark.operators.layout import (
+            read_zorder_clustered, recluster_zorder, write_zorder_clustered)
+
+        path = str(tmp_path / "z")
+        df = spark.range(0, 50).select(
+            F.col("id").alias("a"), (F.col("id") * 3).alias("b"))
+        write_zorder_clustered(df, path, ["a", "b"], num_files=2)
+        # append a layout whose 'b' went all-NULL via an explicit-bounds
+        # overwrite of NULL-keyed rows (simulates an upstream backfill bug)
+        nulled = spark.range(0, 50).select(
+            F.col("id").alias("a"), F.lit(None).cast("long").alias("b"))
+        write_zorder_clustered(nulled, path, ["a"], num_files=2)
+        with pytest.raises(ValueError, match="entirely NULL"):
+            recluster_zorder(spark, path, ["a", "b"])
+        assert read_zorder_clustered(spark, path).count() == 50
+
     def test_skip_fraction_requires_complete_stats(self):
         """A file with stats-less row groups must count as MUST-READ (a
         planner cannot prove it clear of matches); only empty files or
@@ -429,3 +451,41 @@ class TestBloom:
         with pytest.raises(ValueError):
             bloom_pruned_join(df, df, probe_key="k", build_key="k",
                               how="left")
+
+    def test_mixed_integral_widths_no_false_negatives(self, spark):
+        """The r7 external-review high finding: xxhash64(INT) ≠
+        xxhash64(BIGINT) for equal values, so an un-widened bitset
+        built from one width silently drops EVERY probe match of the
+        other. Both hash inputs now widen to BIGINT first —
+        bloom_pruned_join over mixed widths must equal the plain join
+        (which up-casts) in both directions."""
+        from dig_etl_engine_spark.operators.runtime_filter import (
+            bloom_pruned_join)
+
+        probe_int = spark.createDataFrame(
+            [(i, f"p{i}") for i in range(100)], "k int, v string")
+        build_long = spark.createDataFrame(
+            [(i, i * 10.0) for i in range(0, 100, 2)], "k2 long, w double")
+        got = sorted((r.k, r.v, r.w) for r in bloom_pruned_join(
+            probe_int, build_long, probe_key="k", build_key="k2").collect())
+        want = sorted((r.k, r.v, r.w) for r in probe_int.join(
+            build_long, probe_int["k"] == build_long["k2"]).collect())
+        assert got == want and len(got) == 50
+        # and the transposed widths
+        got2 = sorted((r.k2, r.w, r.v) for r in bloom_pruned_join(
+            build_long, probe_int, probe_key="k2", build_key="k").collect())
+        want2 = sorted((r.k2, r.w, r.v) for r in build_long.join(
+            probe_int, build_long["k2"] == probe_int["k"]).collect())
+        assert got2 == want2 and len(got2) == 50
+
+    def test_rejects_cross_family_key_types(self, spark):
+        """String-vs-numeric keys: the exact join would reconcile them
+        through an implicit cast, but the bitset cannot — refuse loudly
+        instead of silently returning too few rows."""
+        from dig_etl_engine_spark.operators.runtime_filter import (
+            bloom_pruned_join)
+
+        nums = spark.createDataFrame([(1,), (2,)], "k long")
+        strs = spark.createDataFrame([("1",), ("2",)], "k2 string")
+        with pytest.raises(ValueError, match="key types diverge"):
+            bloom_pruned_join(nums, strs, probe_key="k", build_key="k2")

@@ -261,6 +261,166 @@ def test_float_topk_lint_catches_violations(spark):
     assert not _untotal_float_orders(df.filter("s > 2"))
 
 
+# ---------------------------------------------------------------------------
+# Interval-frame lint: no INTERVAL-framed RANGE windows in oracle SQL.
+#
+# The ts_rolling_anomaly r7 residual: after the windowed arithmetic was
+# proven bitwise-clean, the query still hash-flipped under the driver's
+# DuckDB build — the remaining engine-sensitive surface was the oracle's
+# `RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND INTERVAL 1 MICROSECOND
+# PRECEDING` frame (interval frame-edge computation over timestamps is a
+# known cross-version variance point in DuckDB's window code: one row
+# entering/leaving the frame changes integer roll_n/roll_sum — exactly a
+# hash-only mismatch). Registry convention, enforced here: event-time
+# range frames order on exact BIGINT epoch-micros with INTEGER frame
+# bounds (`RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING`) in
+# both engines — frame-edge membership is then pure int64 comparison.
+# INTERVAL in non-frame positions (comparisons, timestamp arithmetic)
+# stays allowed: those expressions are mirrored token-for-token and do
+# not move window frame edges.
+# ---------------------------------------------------------------------------
+
+_INTERVAL_FRAME_RE = re.compile(
+    r"(?is)\brange\s+between\b(?:(?!\brows\b|\bbetween\b).){0,160}?"
+    r"\binterval\b")
+
+INTERVAL_FRAME_ALLOWLIST: dict[str, str] = {}
+
+
+def test_no_interval_framed_range_windows():
+    o = registry.oracle_sql()
+    hits = {n: m.group(0)[:100] for n, sql in o.items()
+            if n not in INTERVAL_FRAME_ALLOWLIST
+            and (m := _INTERVAL_FRAME_RE.search(sql))}
+    assert not hits, (
+        "oracle SQL uses an INTERVAL-framed RANGE window — interval "
+        "frame-edge computation varies across DuckDB builds (the "
+        "ts_rolling_anomaly r7 flip). Order on epoch_us(ts) with integer "
+        f"frame bounds instead: {hits}")
+
+
+def test_interval_frame_lint_catches_violations():
+    """Self-test: the regex flags both the long ts_rolling_anomaly form
+    and a short-form interval frame, and passes the integer frame that
+    replaced them — otherwise a refactor could make the lint vacuous."""
+    assert _INTERVAL_FRAME_RE.search(
+        "OVER (ORDER BY ts RANGE BETWEEN INTERVAL 7 DAY PRECEDING "
+        "AND INTERVAL 1 MICROSECOND PRECEDING)")
+    assert _INTERVAL_FRAME_RE.search(
+        "over (order by ts range between interval '1' hour preceding "
+        "and current row)")
+    assert not _INTERVAL_FRAME_RE.search(
+        "OVER (ORDER BY ts_us RANGE BETWEEN 604800000000 PRECEDING "
+        "AND 1 PRECEDING)")
+    assert not _INTERVAL_FRAME_RE.search(
+        "WHERE d + INTERVAL 1 DAY <= x AND RANGE BETWEEN 5 PRECEDING "
+        "AND 1 PRECEDING")  # non-frame INTERVAL elsewhere is fine
+
+
+# ---------------------------------------------------------------------------
+# Continuous-round lint: no engine round() over an irrational-producing
+# per-row double on the hashed surface.
+#
+# Companion to the wobble lint above, closing the OTHER half of the
+# ts_rolling_anomaly failure: even with bitwise-identical input doubles,
+# Spark's Round (BigDecimal HALF_UP over the double's exact decimal
+# expansion) and DuckDB's round (multiply by 10^d first) can disagree
+# when the value is not a representable fixed-point rational. Values
+# whose lineage passes through sqrt/log/exp/pow are continuous — their
+# decimal expansion never terminates, so the two round algorithms see
+# different neighborhoods of the boundary. The safe emission for such
+# values is the scaled-integer tree written explicitly in BOTH engines:
+# `CAST(floor(x * 10^d + 0.5) AS BIGINT)` (one correctly-rounded multiply
+# + add + floor — identical bits in, identical integer out), as
+# ts_rolling_anomaly's z_e4 now does. round() over fixed-point-derived
+# rationals (sums of cents / 100.0 etc.) stays allowed — that class is
+# covered by the r6 granularity audit.
+#
+# Known reach limit: values produced INSIDE a Python/Arrow UDF
+# (mapInPandas) are opaque to the plan walk — `knn_bruteforce`'s
+# numpy-side cosine (queries knn_cosine_bruteforce, rag_pipeline_full)
+# rounds out of the lint's sight and is scheduled for the same
+# scaled-integer conversion in r9 (r8's driver-verdict window is fully
+# subscribed: 2 tier-0 + 7 rechecks + 41 r03-stale = 50).
+# ---------------------------------------------------------------------------
+
+_CONTINUOUS_FNS = {"Sqrt", "Cbrt", "Exp", "Expm1", "Log", "Log2", "Log10",
+                   "Log1p", "Logarithm", "Pow", "Power", "Hypot", "Sin",
+                   "Cos", "Tan", "Asin", "Acos", "Atan", "Atan2", "Sinh",
+                   "Cosh", "Tanh"}
+
+# name → why round-over-continuous is provably safe THERE. Keep empty:
+# the scaled-integer emission pattern removes the need.
+CONTINUOUS_ROUND_ALLOWLIST: dict[str, str] = {}
+
+
+def _continuous_rounds(df) -> list[str]:
+    """Round/BRound expressions in ``df``'s analyzed plan whose
+    (alias-resolved) lineage contains an irrational-producing function —
+    same walk as ``_wobbly_rounds`` with a different target set."""
+    plan = df._jdf.queryExecution().analyzed()
+    aliases: dict[int, object] = {}
+    rounds = []
+    for node in _walk_plan(plan):
+        for top in _jseq(node.expressions()):
+            for e in _walk_expr(top):
+                cls = e.getClass().getSimpleName()
+                if cls == "Alias":
+                    aliases[e.exprId().id()] = e.child()
+                elif cls in ("Round", "BRound"):
+                    rounds.append(e)
+
+    def lineage_has_continuous(e, seen: set[int]) -> str | None:
+        for sub in _walk_expr(e):
+            cls = sub.getClass().getSimpleName()
+            if cls in _CONTINUOUS_FNS:
+                return cls
+            if cls == "AttributeReference":
+                aid = sub.exprId().id()
+                target = aliases.get(aid)
+                if target is not None and aid not in seen:
+                    hit = lineage_has_continuous(target, seen | {aid})
+                    if hit:
+                        return hit
+        return None
+
+    out = []
+    for r in rounds:
+        hit = lineage_has_continuous(r, set())
+        if hit:
+            out.append(f"{hit} under {r.toString()[:120]}")
+    return out
+
+
+@pytest.mark.parametrize("name", _names(), ids=_names())
+def test_no_round_over_continuous_double(spark, name):
+    if name in CONTINUOUS_ROUND_ALLOWLIST:
+        pytest.skip(f"allowlisted: {CONTINUOUS_ROUND_ALLOWLIST[name]}")
+    hits = _continuous_rounds(_df_for(spark, name))
+    assert not hits, (
+        f"{name}: engine round() applied over a continuous "
+        f"(sqrt/log/exp/pow-derived) double — Spark's BigDecimal HALF_UP "
+        f"and DuckDB's multiply-first round can disagree on such values "
+        f"even from bitwise-identical doubles (the ts_rolling_anomaly r7 "
+        f"residual). Emit CAST(floor(x * 10^d + 0.5) AS BIGINT) written "
+        f"explicitly in BOTH engines instead:\n  " + "\n  ".join(hits))
+
+
+def test_continuous_round_lint_catches_violations(spark):
+    """Self-test: flags round(sqrt(x), 4) — including hidden behind an
+    alias — passes the scaled-integer emission and passes round over a
+    fixed-point rational (the granularity-audited class)."""
+    from pyspark.sql import functions as F
+    df = spark.range(1, 10).withColumn("x", F.col("id") * 1.0)
+    assert _continuous_rounds(df.select(F.round(F.sqrt("x"), 4)))
+    aliased = df.withColumn("s", F.sqrt("x"))
+    assert _continuous_rounds(aliased.select(F.round(F.col("s"), 4)))
+    assert not _continuous_rounds(df.select(
+        F.floor(F.sqrt("x") * 10_000 + F.lit(0.5)).cast("long")))
+    assert not _continuous_rounds(df.select(
+        F.round(F.col("id").cast("double") / 100.0, 2)))
+
+
 def test_no_oracle_escapes_are_enumerated():
     q = registry.queries()
     o = registry.oracle_sql()

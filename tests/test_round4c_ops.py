@@ -88,10 +88,13 @@ class TestEmbeddingProfile:
         df = spark.createDataFrame(
             [([1.0, 5.0],), ([3.0, 5.0],)], "embedding ARRAY<FLOAT>")
         out = {r["dim"]: r for r in embedding_profile(df).collect()}
-        assert out[0]["mean"] == 2.0 and out[0]["std"] > 0
-        assert (out[1]["mean"], out[1]["std"]) == (5.0, 0.0)  # collapsed
+        assert out[0]["mean"] == 2.0 and out[0]["std_e4"] > 0
+        # collapsed dim: exact integer variance numerator → std exactly 0
+        assert (out[1]["mean"], out[1]["std_e4"]) == (5.0, 0)
         assert out[0]["n"] == out[1]["n"] == 2
         assert (out[0]["min_v"], out[0]["max_v"]) == (1.0, 3.0)
+        # std_e4 is the 1e-4-scaled sample std: std([1,3]) = √2 ≈ 1.41421
+        assert out[0]["std_e4"] == 14142
 
     def test_ragged_vectors_visible_in_counts(self, spark):
         df = spark.createDataFrame(
@@ -101,6 +104,15 @@ class TestEmbeddingProfile:
 
 
 class TestRollingAnomaly:
+    # Output surface is exact-integer (r8 determinism hardening):
+    # (key, ts_us BIGINT, value_cents, roll_n, roll_sum_cents, z_e4,
+    # is_anomaly). Tests key rows positionally by ts_us order — the
+    # inputs are built in ascending timestamp order per key.
+
+    @staticmethod
+    def _by_time(df_rows):
+        return sorted(df_rows, key=lambda r: r["ts_us"])
+
     def test_spike_flagged_gap_shrinks_window(self, spark):
         from dig_etl_engine_spark.timeseries.convert import rolling_anomaly
         t = datetime.datetime
@@ -110,11 +122,12 @@ class TestRollingAnomaly:
                 + [(1, t(2024, 2, 20), 10.0, 8)])    # after a 44-day gap
         df = spark.createDataFrame(
             rows, "user_id LONG, ts TIMESTAMP, value DOUBLE, event_id LONG")
-        out = {r["ts"]: r for r in rolling_anomaly(df).collect()}
-        assert out["2024-01-07 00:00:00"]["is_anomaly"] is True
-        first = out["2024-01-01 00:00:00"]  # empty prior baseline
+        out = self._by_time(rolling_anomaly(df).collect())
+        assert out[6]["is_anomaly"] is True          # the Jan-7 spike
+        assert out[6]["value_cents"] == 50000
+        first = out[0]  # empty prior baseline
         assert first["roll_n"] == 0 and first["is_anomaly"] is False
-        gap = out["2024-02-20 00:00:00"]  # gap: prior baseline empty
+        gap = out[7]  # Feb-20 after the gap: prior baseline empty
         assert gap["roll_n"] == 0 and gap["is_anomaly"] is False
 
     def test_event_time_frame_not_row_frame(self, spark):
@@ -126,16 +139,16 @@ class TestRollingAnomaly:
         df = spark.createDataFrame(
             [(1, t(2024, 1, 1), 5.0, 1), (1, t(2024, 1, 11), 9.0, 2)],
             "user_id LONG, ts TIMESTAMP, value DOUBLE, event_id LONG")
-        out = {r["ts"]: r for r in rolling_anomaly(df).collect()}
-        assert out["2024-01-11 00:00:00"]["roll_n"] == 0
-        assert out["2024-01-11 00:00:00"]["roll_sum"] is None
+        out = self._by_time(rolling_anomaly(df).collect())
+        assert out[1]["roll_n"] == 0
+        assert out[1]["roll_sum_cents"] is None
         # close the gap to 3 days: baseline now holds the first point
         df2 = spark.createDataFrame(
             [(1, t(2024, 1, 1), 5.0, 1), (1, t(2024, 1, 4), 9.0, 2)],
             "user_id LONG, ts TIMESTAMP, value DOUBLE, event_id LONG")
-        out2 = {r["ts"]: r for r in rolling_anomaly(df2).collect()}
-        assert out2["2024-01-04 00:00:00"]["roll_n"] == 1
-        assert out2["2024-01-04 00:00:00"]["roll_sum"] == 5.0
+        out2 = self._by_time(rolling_anomaly(df2).collect())
+        assert out2[1]["roll_n"] == 1
+        assert out2[1]["roll_sum_cents"] == 500
 
     def test_constant_baseline_var_exactly_zero(self, spark):
         """Integer variance numerator n·SS−S² is EXACTLY 0 for a
@@ -146,10 +159,10 @@ class TestRollingAnomaly:
         rows = [(1, t(2024, 1, d), 41.37, d) for d in range(1, 9)]
         df = spark.createDataFrame(
             rows, "user_id LONG, ts TIMESTAMP, value DOUBLE, event_id LONG")
-        out = {r["ts"]: r for r in rolling_anomaly(df).collect()}
+        out = self._by_time(rolling_anomaly(df).collect())
         for d in range(2, 9):  # constant baseline → z undefined, never flagged
-            row = out[f"2024-01-0{d} 00:00:00"]
-            assert row["z"] is None and row["is_anomaly"] is False
+            row = out[d - 1]
+            assert row["z_e4"] is None and row["is_anomaly"] is False
             assert row["roll_n"] == min(d - 1, 7)
 
     def test_z_matches_python_sample_std(self, spark):
@@ -162,12 +175,28 @@ class TestRollingAnomaly:
         rows = [(1, t(2024, 1, d + 1), v, d) for d, v in enumerate(vals)]
         df = spark.createDataFrame(
             rows, "user_id LONG, ts TIMESTAMP, value DOUBLE, event_id LONG")
-        out = {r["ts"]: r for r in rolling_anomaly(df).collect()}
+        out = self._by_time(rolling_anomaly(df).collect())
         base = vals[:-1]
         want = (vals[-1] - statistics.mean(base)) / statistics.stdev(base)
-        got = out["2024-01-07 00:00:00"]["z"]  # rounded to 4 digits
+        got = out[6]["z_e4"] / 10_000.0  # scaled-integer z, 1e-4 units
         assert abs(got - want) < 5e-5
-        assert out["2024-01-07 00:00:00"]["is_anomaly"] is (abs(want) > 3.0)
+        assert out[6]["is_anomaly"] is (abs(want) > 3.0)
+
+    def test_exact_integer_output_surface(self, spark):
+        """The r7→r8 determinism contract: every output column is
+        BIGINT or BOOLEAN except the key — no timestamp rendering, no
+        engine round() of a continuous double on the hashed surface."""
+        from dig_etl_engine_spark.timeseries.convert import rolling_anomaly
+        t = datetime.datetime
+        df = spark.createDataFrame(
+            [(1, t(2024, 1, 1), 5.0, 1), (1, t(2024, 1, 2), 9.0, 2)],
+            "user_id LONG, ts TIMESTAMP, value DOUBLE, event_id LONG")
+        schema = {f.name: f.dataType.simpleString()
+                  for f in rolling_anomaly(df).schema.fields}
+        assert schema == {"user_id": "bigint", "ts_us": "bigint",
+                          "value_cents": "bigint", "roll_n": "bigint",
+                          "roll_sum_cents": "bigint", "z_e4": "bigint",
+                          "is_anomaly": "boolean"}
 
 
 class TestSeededSweeps:

@@ -42,3 +42,45 @@ def test_available_now_drains_many_files_in_one_batch(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     assert batches == [(0, 20000)], (n_files, batches)
+
+
+def test_checkpoint_restart_carries_state_and_file_log(spark, tmp_path):
+    """The restart contract behind `stream_restart_recovery`
+    (queries_io.py): a NEW query started from the SAME checkpoint must
+    (1) resume the state store — fingerprints emitted in run 1 stay
+    suppressed in run 2 even from a fresh query object — and (2) resume
+    the processed-file log — run 2 reads only files landed after run 1.
+    Both are Spark's documented contract; this pins them at the exact
+    operator + source shape the registered query uses."""
+    from dig_etl_engine_spark.streaming.ingest import file_stream_source
+    from dig_etl_engine_spark.streaming.stateful import (
+        run_first_seen_dedup)
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = T.StructType([T.StructField("fp", T.StringType()),
+                           T.StructField("off", T.LongType())])
+
+    def drain():
+        q = run_first_seen_dedup(
+            file_stream_source(spark, in_dir, schema),
+            target_path=out, checkpoint_dir=ck,
+            fingerprint_col="fp", order_col="off",
+            output_schema="fp string, off long")
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], schema).write.json(in_dir)
+    drain()
+    got1 = {(r.fp, r.off) for r in spark.read.parquet(out).collect()}
+    assert got1 == {("a", 1), ("b", 2)}
+
+    # run 2: re-sends of a/b (must stay suppressed — state carried)
+    # plus a new fingerprint c (must pass); offsets strictly later
+    spark.createDataFrame(
+        [("a", 10), ("b", 11), ("c", 12)], schema) \
+        .write.mode("append").json(in_dir)
+    drain()
+    got2 = {(r.fp, r.off) for r in spark.read.parquet(out).collect()}
+    assert got2 == {("a", 1), ("b", 2), ("c", 12)}, got2
