@@ -12,9 +12,11 @@ suffix token is appended to the text, so replicas are NEAR-dups (same
 shingle mass, distinct fingerprints) — the worst case for dedup
 families, not the trivial exact-collapse case.
 
-Usage:  python scripts/scaling_study.py [ks]   (default "1,4,16")
-Writes one JSON line per (op, k) to stdout and a summary table at the
-end. Uses /tmp scratch; safe to re-run.
+Usage:  python scripts/scaling_study.py [ks] [op1,op2,...]
+(ks default "1,4,16"; the optional op list restricts the run to those
+kernels and materializes only their inputs). Writes one JSON line per
+(op, k) to stdout and a summary table at the end. Uses /tmp scratch;
+safe to re-run.
 """
 
 from __future__ import annotations
@@ -91,6 +93,23 @@ def scaled_orders(spark, k: int):
         "o_orderkey", k)
 
 
+def scaled_events(spark, k: int):
+    """k copies of events with event_id AND user_id shifted into
+    disjoint ranges per replica: more users at the same per-user
+    series length — the scale axis a per-key window operator actually
+    meets in production (key count grows, frame length does not)."""
+    base = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("event_id", "ts", "user_id", "value")
+    out = base
+    for i in range(1, k):
+        out = out.unionByName(base.select(
+            (F.col("event_id") + 10_000_000 * i).alias("event_id"),
+            "ts",
+            (F.col("user_id") + 1_000_000 * i).alias("user_id"),
+            "value"))
+    return out
+
+
 def ops(spark, docs_path: str, emb_path: str):
     """(name, thunk) pairs over MATERIALIZED scaled tables — the read
     is part of the timing, like bench.py."""
@@ -124,7 +143,25 @@ def ops(spark, docs_path: str, emb_path: str):
          lambda: S.knn_ivf(emb().limit(10), emb(), k=10).count()),
         ("ann_hyperplane_lsh",
          lambda: S.assign_hyperplane_buckets(emb(), n_planes=16).count()),
+        ("tfidf_keywords",
+         lambda: TA.tfidf_keywords(docs(), k=5).count()),
     ]
+
+
+def event_ops(spark, ev_path: str):
+    """Round-8 addendum kernel: the event-time window operator behind
+    `ts_rolling_anomaly` (partition-by-user RANGE frame over int64
+    epoch-micros, exact SUM/SUMSQ/COUNT). Scaling axis = user count at
+    constant per-user series length, so expected growth is the window
+    exchange's ~n·log n; a super-linear curve would mean the frame is
+    rescanning instead of sliding."""
+    from dig_etl_engine_spark.timeseries import convert as C
+
+    def ev():
+        return spark.read.parquet(ev_path)
+
+    return [("rolling_anomaly",
+             lambda: C.rolling_anomaly(ev()).count())]
 
 
 def layout_ops(spark, li_path: str, ord_path: str, scratch: str):
@@ -174,11 +211,27 @@ def run_single(k: int) -> None:
     droot = f"/tmp/spark_graft_scale/x{k}"
     dp, ep = f"{droot}/documents.parquet", f"{droot}/embeddings.parquet"
     lp, op = f"{droot}/lineitem.parquet", f"{droot}/orders.parquet"
-    scaled_docs(spark, k).write.mode("overwrite").parquet(dp)
-    scaled_embeddings(spark, k).write.mode("overwrite").parquet(ep)
-    scaled_lineitem(spark, k).write.mode("overwrite").parquet(lp)
-    scaled_orders(spark, k).write.mode("overwrite").parquet(op)
-    for name, fn in ops(spark, dp, ep) + layout_ops(spark, lp, op, droot):
+    evp = f"{droot}/events.parquet"
+    only = None
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+    todo = [(n, f) for n, f in (ops(spark, dp, ep)
+                                + layout_ops(spark, lp, op, droot)
+                                + event_ops(spark, evp))
+            if only is None or n in only]
+    names = {n for n, _ in todo}
+    emb_ops = {"knn_cosine_ivf", "ann_hyperplane_lsh"}
+    layout_names = {"zorder_cluster_write", "bloom_prejoin_prune"}
+    if only is None or names - emb_ops - layout_names - {"rolling_anomaly"}:
+        scaled_docs(spark, k).write.mode("overwrite").parquet(dp)
+    if only is None or emb_ops & names:
+        scaled_embeddings(spark, k).write.mode("overwrite").parquet(ep)
+    if only is None or layout_names & names:
+        scaled_lineitem(spark, k).write.mode("overwrite").parquet(lp)
+        scaled_orders(spark, k).write.mode("overwrite").parquet(op)
+    if only is None or "rolling_anomaly" in names:
+        scaled_events(spark, k).write.mode("overwrite").parquet(evp)
+    for name, fn in todo:
         t0 = time.time()
         n = fn()
         dt = round(time.time() - t0, 3)
@@ -192,13 +245,18 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--single":
         run_single(int(sys.argv[2]))
         return
+    # usage: scaling_study.py [ks] [op1,op2,...]  — the op subset runs
+    # only those kernels (and materializes only their inputs)
     ks = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1
                            else "1,4,16").split(",")]
+    op_filter = sys.argv[2] if len(sys.argv) > 2 else None
     results: dict[str, dict[int, float]] = {}
     for k in ks:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--single", str(k)],
-            capture_output=True, text=True, check=True)
+        cmd = [sys.executable, __file__, "--single", str(k)]
+        if op_filter:
+            cmd.append(op_filter)
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              check=True)
         for line in proc.stdout.splitlines():
             line = line.strip()
             if not line.startswith("{"):
