@@ -92,6 +92,11 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # xxhash64; identical-width keys (the registered query) are
     # behavior-identical, but the semantics changed, so re-verify
     "bloom_prejoin_prune": 8,
+    # session-zone independence fix (r8 NY-session sweep): the window
+    # pipeline now shifts parsed instants to naive-as-UTC epochs before
+    # windowing and compensates on output — UTC results are identical
+    # (145 rows before and after), but the expressions changed
+    "stream_windowed_counts": 8,
     # Deliberately NOT listed (r8 changes that cannot move results):
     # stream_e2e_curation — the input-cache TOCTOU fix only reorders
     # partial-dir cleanup (rename-aside before rmtree); committed cache

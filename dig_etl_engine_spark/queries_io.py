@@ -346,14 +346,31 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
     ])
-    src = file_stream_source(spark, in_dir, schema)
+    # Zone-free window assignment under ANY session zone (caught by the
+    # r8 America/New_York registry sweep — the one query whose output
+    # moved with the session zone): fixed-width windows bucket by epoch
+    # arithmetic on the INSTANT, and the JSON parse builds that instant
+    # by interpreting the wall time in the SESSION zone, so a non-UTC
+    # session shifts events across day boundaries relative to the
+    # oracle's naive date_trunc. Watermarks reject TIMESTAMP_NTZ in this
+    # Spark build (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so instead
+    # shift the instant to the naive-as-UTC epoch before windowing —
+    # from_utc_timestamp(ts, session_zone) removes the offset the parse
+    # added, per value — and compensate symmetrically on the way out
+    # (to_utc_timestamp before the session-zone date_format). Both are
+    # identities under UTC.
+    src = (file_stream_source(spark, in_dir, schema)
+           .withColumn("ts", F.from_utc_timestamp(
+               "ts", F.current_timezone())))
     with _stream_parts(spark):
         q = run_windowed_counts(src, target_path=target,
                                 checkpoint_dir=ckpt)
         q.awaitTermination()
     return (spark.read.parquet(target)
-            .select(F.date_format("window_start", "yyyy-MM-dd")
-                    .alias("window_start"),
+            .select(F.date_format(
+                        F.to_utc_timestamp("window_start",
+                                           F.current_timezone()),
+                        "yyyy-MM-dd").alias("window_start"),
                     "event_type", "n_events", "sum_value"))
 
 

@@ -325,11 +325,26 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
     windows should pre-aggregate to coarser buckets first."""
     from pyspark.sql import Window as W
 
-    # NTZ-safe: unix_micros needs TIMESTAMP; the cast only shifts the
-    # epoch by a constant (session TZ), which a relative frame ignores
     from dig_etl_engine_spark.functions.exact import fixed
 
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # ts_us is an OUTPUT column now (r8), so it must be
+    # session-timezone-independent, not merely frame-safe. For an NTZ
+    # column, `unix_micros(cast(ts as timestamp))` interprets the wall
+    # time in the SESSION zone — a non-UTC driver session would shift
+    # every emitted ts_us by the zone offset (measured: +18000 s under
+    # America/New_York) while the DuckDB oracle's epoch_us treats naive
+    # as UTC; worse, a DST transition inside the data would shift
+    # values by DIFFERENT offsets, bending the frame itself. Compute
+    # NTZ epochs with pure calendar arithmetic against the NTZ epoch
+    # instead (no zone anywhere); true instant columns keep
+    # unix_micros, which is zone-independent by definition.
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        us = F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            F.col(ts_col))
+    else:
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = (W.partitionBy(key_col).orderBy(us)
          .rangeBetween(-window_days * 86400 * 1_000_000, -1))
     cents = fixed(F.col(val_col), 2)

@@ -182,6 +182,29 @@ class TestRollingAnomaly:
         assert abs(got - want) < 5e-5
         assert out[6]["is_anomaly"] is (abs(want) > 3.0)
 
+    def test_ts_us_session_timezone_independent(self, spark):
+        """NTZ input: ts_us comes from calendar arithmetic against the
+        NTZ epoch, NOT from a session-zone interpretation — a non-UTC
+        driver session must emit the same bytes (the r8 review finding:
+        unix_micros(cast(ntz as timestamp)) shifted every value by the
+        zone offset, +18000 s under America/New_York)."""
+        from dig_etl_engine_spark.timeseries.convert import rolling_anomaly
+        t = datetime.datetime
+        df = spark.createDataFrame(
+            [(1, t(2024, 1, 1), 5.0, 1), (1, t(2024, 1, 2), 9.0, 2)],
+            "user_id LONG, ts TIMESTAMP_NTZ, value DOUBLE, event_id LONG")
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        utc = sorted(r.ts_us for r in rolling_anomaly(df).collect())
+        try:
+            spark.conf.set("spark.sql.session.timeZone",
+                           "America/New_York")
+            ny = sorted(r.ts_us for r in rolling_anomaly(df).collect())
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+        assert ny == utc
+        # and the values are the naive-as-UTC epochs the oracle computes
+        assert utc[0] == 1704067200000000  # 2024-01-01T00:00:00Z
+
     def test_exact_integer_output_surface(self, spark):
         """The r7→r8 determinism contract: every output column is
         BIGINT or BOOLEAN except the key — no timestamp rendering, no
