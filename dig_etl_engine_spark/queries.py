@@ -103,6 +103,12 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # content is byte-identical either way. zorder_cluster_write — the
     # recluster all-NULL-bounds guard adds an error path the registered
     # query never enters, and the skip_fraction edit is docstring-only.
+    # upsert_partitioned_merge — kg_table._bucket_expr now widens
+    # integral keys before xxhash64, but widening is the IDENTITY for
+    # the long/string keys every registered query uses (the cast is
+    # only attached for narrower types), so the bucket expression those
+    # queries execute is token-identical to the one their r7 verdicts
+    # covered; the new width path is unit-pinned in test_io.py.
     # ts_rolling_anomaly (exact-integer surface rewrite) needs no entry:
     # never driver-green, so it sorts tier-0 ahead of this tier.
 }

@@ -432,12 +432,30 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
                                    buckets=buckets)
 
 
+def _bucket_expr(df: DataFrame, key_col: str, buckets: int):
+    """``_kb = pmod(xxhash64(key), buckets)`` with the key WIDENED to a
+    canonical per-family type first (integral → BIGINT, float →
+    DOUBLE). xxhash64 hashes INT and BIGINT differently for equal
+    values, so without widening a batch whose key column arrives
+    narrower than the original writer's would bucket the SAME logical
+    keys into DIFFERENT ``_kb=`` directories — the partitioned merge
+    then reads the wrong partitions and last-write-wins silently keeps
+    both rows (the r7 external-review bloom finding, same class; closed
+    here proactively). Every writer and re-bucketer of a table MUST go
+    through this one expression."""
+    widen = {"tinyint": "bigint", "smallint": "bigint", "int": "bigint",
+             "float": "double"}
+    t = df.schema[key_col].dataType.simpleString()
+    key = F.col(key_col).cast(widen[t]) if t in widen else F.col(key_col)
+    return F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
+
+
 def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
                                batch: DataFrame, *, key_col: str,
                                order_col: str, buckets: int) -> None:
     buckets = _load_bucket_meta(target_path, buckets)
     _recover_partitioned_swap(target_path)
-    kb = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)).cast("int")
+    kb = _bucket_expr(batch, key_col, buckets)
     b = dedupe_last_write_wins(batch.withColumn("_kb", kb),
                                key_col, order_col)
 
@@ -652,7 +670,7 @@ def _rebucket_partitioned_locked(spark: SparkSession, target_path: str,
     shutil.rmtree(old, ignore_errors=True)
 
     df = read_partitioned(spark, target_path)
-    kb = F.pmod(F.xxhash64(F.col(key_col)), F.lit(new_buckets)).cast("int")
+    kb = _bucket_expr(df, key_col, new_buckets)
     (df.withColumn("_kb", kb)
      .write.mode("overwrite").partitionBy("_kb").parquet(tmp))
     _persist_bucket_meta(tmp, new_buckets)

@@ -264,7 +264,7 @@ def downsample_ohlc(df, *, key_col: str = "user_id", ts_col: str = "ts",
 
 def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
                     val_col: str = "value", window_days: int = 7,
-                    z_cut: float = 3.0, z_scale: int = 10_000):
+                    z_cut: float = 3.0, z_digits: int = 4):
     """Trailing-window anomaly scoring — the monitoring query every
     metrics pipeline runs: per key, each point scored against the
     baseline of the PRIOR ``window_days`` — every strictly-earlier
@@ -282,10 +282,10 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
     incrementally (no per-row rescan). Empty / 1-point / constant
     baselines yield z NULL → flagged false (coalesce), so cold-start
     points never alert. Returns (key, ts_us, value_cents, roll_n,
-    roll_sum_cents, z_e4, is_anomaly) — an EXACT-INTEGER surface
-    (epoch-micros BIGINT timestamp, fixed-point cents, z scaled by
-    ``z_scale`` into a BIGINT); a presentation layer divides by
-    100 / ``z_scale`` at the edge. Emitting integers is deliberate:
+    roll_sum_cents, z_e{z_digits}, is_anomaly) — an EXACT-INTEGER
+    surface (epoch-micros BIGINT timestamp, fixed-point cents, z
+    scaled by 10^``z_digits`` into a BIGINT); a presentation layer
+    divides back at the edge. Emitting integers is deliberate:
     it removes every engine-interpreted construct (``date_format`` /
     ``strftime`` rendering, engine ``round()`` of a continuous
     double) from the comparable output, so two engines that agree on
@@ -313,7 +313,7 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
     INTERVAL-arithmetic machinery whose timestamp frame-edge
     computation has differed across DuckDB builds (the r7 residual
     after the arithmetic was proven bitwise-clean locally). The
-    scaled z output is ``floor(z·z_scale + 0.5)`` cast to BIGINT —
+    scaled z output is ``floor(z·10^z_digits + 0.5)`` cast to BIGINT —
     the same explicit two-op tree in both engines, no engine
     ``round()`` touching a continuous double anywhere.
     Two bonus exactness wins: the variance numerator ``n·SS − S²``
@@ -361,14 +361,15 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
                (cents.cast("double") - mean_c) / F.sqrt(var_c))
     # floor(double) is already LONG in Spark; keep the explicit cast so
     # the tree reads identically to the oracle's CAST(floor(..) AS BIGINT)
-    z_fp = F.floor(z * F.lit(float(z_scale)) + F.lit(0.5)).cast("long")
+    z_fp = F.floor(z * F.lit(float(10 ** z_digits)) + F.lit(0.5)) \
+            .cast("long")
     return df.select(
         F.col(key_col),
         us.alias("ts_us"),
         cents.alias("value_cents"),
         n.alias("roll_n"),
         s.alias("roll_sum_cents"),
-        z_fp.alias("z_e4"),
+        z_fp.alias(f"z_e{z_digits}"),
         F.coalesce(F.abs(z) > z_cut, F.lit(False)).alias("is_anomaly"))
 
 

@@ -247,6 +247,29 @@ class TestUpsert:
         rows = spark.read.parquet(p).collect()
         assert len(rows) == 1 and rows[0].v == "y"
 
+    def test_partitioned_upsert_mixed_key_widths_merge(
+            self, spark, tmp_path):
+        """A batch whose key column arrives NARROWER than the original
+        writer's (INT vs BIGINT) must bucket the same logical keys into
+        the same _kb= dirs — xxhash64 hashes the two widths differently,
+        so without the canonical widening in _bucket_expr the merge
+        reads the wrong partitions and keeps BOTH rows per key (the r7
+        bloom review finding, same class)."""
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(i, 1, "base") for i in range(40)],
+            "doc_id long, kafka_offset long, v string")
+        kg_table.upsert_partitioned(spark, p, base, buckets=8)
+        batch = spark.createDataFrame(
+            [(0, 10, "new"), (99, 2, "add")],
+            "doc_id int, kafka_offset long, v string")
+        kg_table.upsert_partitioned(spark, p, batch, buckets=8)
+        got = {r.doc_id: (r.kafka_offset, r.v)
+               for r in kg_table.read_partitioned(spark, p).collect()}
+        assert got[0] == (10, "new")     # updated, not duplicated
+        assert got[99] == (2, "add")
+        assert len(got) == 41
+
     def test_partitioned_upsert_touches_only_batch_partitions(
             self, spark, tmp_path):
         """upsert_partitioned: merge semantics identical to upsert, but
