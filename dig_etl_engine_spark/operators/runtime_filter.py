@@ -36,26 +36,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_DEFAULT_M_BITS = 1 << 16   # 8 KiB bitset
-_DEFAULT_SEEDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35)
-
 # xxhash64 hashes INT and BIGINT differently even when the values are
 # equal, so a bitset built from one width never matches probes of the
 # other — silent false negatives where the exact join would up-cast and
-# match (external review r7, high). Normalize both hash inputs to one
-# canonical width per type family before hashing: integral → BIGINT,
-# float → DOUBLE (the same widening the join's implicit cast performs).
-_WIDEN = {"tinyint": "bigint", "smallint": "bigint", "int": "bigint",
-          "float": "double"}
+# match (external review r7, high). Both hash inputs normalize to one
+# canonical width per type family before hashing; the widening lives in
+# `functions/hashkey.py`, SHARED with the bucketed KG table's _kb
+# assignment (same hazard class) so the two sites cannot drift apart.
+from dig_etl_engine_spark.functions.hashkey import (
+    canonical_hash_type as _canonical_type,
+    widen_for_hash as _hash_key,
+)
 
-
-def _hash_key(col: Column, simple_type: str) -> Column:
-    target = _WIDEN.get(simple_type)
-    return col.cast(target) if target else col
-
-
-def _canonical_type(simple_type: str) -> str:
-    return _WIDEN.get(simple_type, simple_type)
+_DEFAULT_M_BITS = 1 << 16   # 8 KiB bitset
+_DEFAULT_SEEDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35)
 
 
 def build_bloom(build: DataFrame, key: str, *, m_bits: int = _DEFAULT_M_BITS,

@@ -120,13 +120,13 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(cell_col).alias("ncell"),
                       as_double(F.col(vec_col)).alias("cv"))
-    scale = float(10 ** round_digits)
+    from dig_etl_engine_spark.functions.exact import fixed
+
     scored = (
         q.join(c, (F.col("cell") == F.col("ncell"))
                & (F.col("query_id") != F.col("neighbor_id")))
         .select("query_id", "neighbor_id",
-                F.floor(cosine(F.col("qv"), F.col("cv")) * F.lit(scale)
-                        + F.lit(0.5)).cast("long")
+                fixed(cosine(F.col("qv"), F.col("cv")), round_digits)
                  .alias(f"cosine_e{round_digits}"))
     )
     w = W.partitionBy("query_id").orderBy(
@@ -548,15 +548,15 @@ def knn_ivf_indexed(queries: DataFrame, index_path: str, *, k: int = 5,
              .filter(F.col("cluster").isin(probe_set))
              .select(F.col("id").alias("neighbor_id"), "cluster",
                      as_double(F.col("v")).alias("cv")))
-    scale = float(10 ** round_digits)
+    from dig_etl_engine_spark.functions.exact import fixed
+
     scored = (
         F.broadcast(probed).join(cells, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        # 1e-4-scaled BIGINT score via the shared floor tree
+        # 1e-4-scaled BIGINT score via the shared quantization helper
         # (continuous-round lint, r8) — quantized before ranking
         .select("query_id", "neighbor_id",
-                F.floor(cosine(F.col("qv"), F.col("cv")) * F.lit(scale)
-                        + F.lit(0.5)).cast("long")
+                fixed(cosine(F.col("qv"), F.col("cv")), round_digits)
                  .alias(f"cosine_e{round_digits}"))
         # candidate-scale guard: a neighbor listed twice in the index (a
         # crashed compaction or a multi-probe overlap) must occupy ONE
@@ -953,10 +953,9 @@ def embedding_profile(df: DataFrame, *, vec_col: str = "embedding",
                  F.sqrt(var_num.cast("double")
                         / (nd * (nd - F.lit(1.0)))) / F.lit(1000000.0))
     # std is sqrt-derived (continuous): emit as a 1e-4-scaled BIGINT
-    # through the explicit floor tree mirrored in the oracle — no
-    # engine round() on a continuous double (continuous-round lint, r8)
-    scale = float(10 ** round_digits)
-    std_fp = F.floor(std * F.lit(scale) + F.lit(0.5)).cast("long")
+    # through the shared quantization helper, mirrored in the oracle —
+    # no engine round() on a continuous double (continuous-round lint)
+    std_fp = fixed(std, round_digits)
     return agg.select(
         "dim", "n",
         round_fixed(F.col("s"), 6, round_digits, F.col("n")).alias("mean"),

@@ -503,11 +503,10 @@ def tfidf_keywords(df, *, id_col: str = "doc_id", text_col: str = "text",
     scored = (tf.join(dfreq, "token")
               .join(F.broadcast(n_docs))
               .select(id_col, "token",
-                      F.floor(F.col("tf")
-                              * (F.log((F.col("n_docs") + 1.0)
-                                       / (F.col("df") + 1.0)) + 1.0)
-                              * F.lit(1_000_000.0) + F.lit(0.5))
-                      .cast("long").alias("tfidf_e6")))
+                      _ex.fixed(F.col("tf")
+                                * (F.log((F.col("n_docs") + 1.0)
+                                         / (F.col("df") + 1.0)) + 1.0),
+                                6).alias("tfidf_e6")))
     w = W.partitionBy(id_col).orderBy(F.desc("tfidf_e6"), F.asc("token"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
@@ -543,8 +542,7 @@ def weighted_sample(df, k: int, *, weight_col: str,
         16, 10).cast("double") + 1.0) / (denom + 1.0))
     w = F.col(weight_col).cast("double")
     prio = F.when(w > 0, -F.log(u) / w)
-    prio_fp = F.floor(prio * F.lit(1_000_000_000.0) + F.lit(0.5)) \
-               .cast("long")
+    prio_fp = _ex.fixed(prio, 9)
     return (df.withColumn("priority_e9", prio_fp)
             .filter(F.col("priority_e9").isNotNull())
             .orderBy(F.asc("priority_e9"), F.asc(id_col))

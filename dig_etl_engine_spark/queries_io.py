@@ -915,17 +915,28 @@ def stream_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # builder could rename ITS committed copy into in_dir,
                 # and the rmtree would delete a live committed dir
                 # under its readers (external review r7, TOCTOU).
-                # Rename the suspect aside first: rename is atomic, so
-                # a dir that becomes committed after the check can no
-                # longer be the thing we delete — if the rename races
-                # the winner's commit, one rename fails cleanly instead.
+                # Rename the suspect aside first (atomic), then RE-CHECK
+                # the renamed dir: if it turned out to be a committed
+                # copy that landed after the first check, put it back
+                # instead of deleting it (the r8 review's completion of
+                # the fix — rename-aside alone only narrowed the window,
+                # it could still grab and destroy a winner's commit).
+                # Only a RE-verified uncommitted partial is deleted.
                 trash = in_dir + f".trash-{os.getpid()}"
                 try:
                     os.rename(in_dir, trash)
                 except FileNotFoundError:
                     pass  # another builder already trashed the partial
                 else:
-                    shutil.rmtree(trash, ignore_errors=True)
+                    if os.path.exists(os.path.join(trash, "_SUCCESS")):
+                        try:
+                            os.rename(trash, in_dir)  # grabbed a commit
+                        except OSError:
+                            # an equivalent committed copy already took
+                            # the slot (content-keyed dir ⇒ identical)
+                            shutil.rmtree(trash, ignore_errors=True)
+                    else:
+                        shutil.rmtree(trash, ignore_errors=True)
             os.rename(tmp, in_dir)
         except OSError:
             if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):

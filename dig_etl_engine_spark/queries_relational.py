@@ -1199,8 +1199,7 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = D["n"] * D[sxy] - D[sx] * D[sy]
         den = (F.sqrt(D["n"] * D[sxx] - D[sx] * D[sx])
                * F.sqrt(D["n"] * D[syy] - D[sy] * D[sy]))
-        return F.floor(num / den * F.lit(10000.0) + F.lit(0.5)) \
-                .cast("long")
+        return fixed(num / den, 4)
 
     return s.select(
         corr4("sqp", "sq", "sp", "sqq", "spp").alias("qty_price_e4"),

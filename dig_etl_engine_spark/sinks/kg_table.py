@@ -262,9 +262,19 @@ def _swap_upsert(target_path: str, tmp: str) -> None:
 
 
 _BUCKETS_META = "_kg_buckets"
+# Second meta token: the bucket-hash VERSION. Tables born after the r8
+# width-safe change carry "widened" (integral keys cast to BIGINT before
+# xxhash64); a meta file holding only the count — or no meta at all over
+# an existing _kb= layout — identifies a LEGACY table whose directories
+# were placed by the unwidened hash. Legacy tables keep hashing
+# unwidened FOREVER (their layout contract; switching silently would
+# misplace every narrow-keyed row and duplicate keys through the merge)
+# until rebucket_partitioned rewrites them, which always stamps the
+# widened marker.
+_HASH_WIDENED = "widened"
 
 
-def _load_bucket_meta(target_path: str, buckets: int) -> int:
+def _load_bucket_meta(target_path: str, buckets: int) -> tuple[int, bool]:
     """The table's persisted bucket count wins over the argument — the
     same doctrine as the minhash index's ``_load_minhash_meta``: a
     caller passing a different ``buckets`` against an existing table
@@ -285,11 +295,24 @@ def _load_bucket_meta(target_path: str, buckets: int) -> int:
     bound the count from below — but it is also the harmless
     direction only when equal; equal counts pass the check, and the
     first post-adoption upsert persists the value so later drift is
-    caught exactly.)"""
+    caught exactly.)
+
+    Returns ``(buckets, widened)``: the second token records the
+    bucket-hash version (see ``_HASH_WIDENED``). A count-only meta, or
+    no meta over an existing ``_kb=`` layout, identifies a legacy
+    unwidened table; no meta and no layout is a BIRTH — new tables
+    always start width-safe."""
+    has_kb = False
+    try:
+        has_kb = any(n.startswith("_kb=") for n in os.listdir(target_path))
+    except OSError:
+        pass
     try:
         with open(os.path.join(target_path, _BUCKETS_META)) as fh:
-            persisted = int(fh.read().strip())
-    except (OSError, ValueError):
+            tokens = fh.read().split()
+            persisted = int(tokens[0])
+            widened = _HASH_WIDENED in tokens[1:]
+    except (OSError, ValueError, IndexError):
         max_kb = -1
         try:
             for name in os.listdir(target_path):
@@ -309,20 +332,24 @@ def _load_bucket_meta(target_path: str, buckets: int) -> int:
                 "rebucket_partitioned) instead of adopting a mismatched "
                 "one; merging under the wrong count leaves stale "
                 "duplicate keys in unread directories.")
-        return buckets
+        # metaless: an existing _kb= layout is legacy (pre-marker hash
+        # placed its dirs); a fresh/flat-only table is a birth and
+        # starts width-safe
+        return buckets, not has_kb
     if persisted != buckets:
         logger.warning(
             "upsert_partitioned: table %s is bucketed %d-way; ignoring "
             "buckets=%d argument (rebucket_partitioned changes the count)",
             target_path, persisted, buckets)
-    return persisted
+    return persisted, widened
 
 
-def _persist_bucket_meta(target_path: str, buckets: int) -> None:
+def _persist_bucket_meta(target_path: str, buckets: int, *,
+                         widened: bool = True) -> None:
     os.makedirs(target_path, exist_ok=True)
     tmp = os.path.join(target_path, f".{_BUCKETS_META}.tmp.{os.getpid()}")
     with open(tmp, "w") as fh:
-        fh.write(str(buckets))
+        fh.write(f"{buckets} {_HASH_WIDENED}" if widened else str(buckets))
     os.replace(tmp, os.path.join(target_path, _BUCKETS_META))
 
 
@@ -432,30 +459,70 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
                                    buckets=buckets)
 
 
-def _bucket_expr(df: DataFrame, key_col: str, buckets: int):
+def _bucket_expr(df: DataFrame, key_col: str, buckets: int, *,
+                 widened: bool = True):
     """``_kb = pmod(xxhash64(key), buckets)`` with the key WIDENED to a
     canonical per-family type first (integral → BIGINT, float →
-    DOUBLE). xxhash64 hashes INT and BIGINT differently for equal
-    values, so without widening a batch whose key column arrives
-    narrower than the original writer's would bucket the SAME logical
-    keys into DIFFERENT ``_kb=`` directories — the partitioned merge
-    then reads the wrong partitions and last-write-wins silently keeps
-    both rows (the r7 external-review bloom finding, same class; closed
-    here proactively). Every writer and re-bucketer of a table MUST go
-    through this one expression."""
-    widen = {"tinyint": "bigint", "smallint": "bigint", "int": "bigint",
-             "float": "double"}
-    t = df.schema[key_col].dataType.simpleString()
-    key = F.col(key_col).cast(widen[t]) if t in widen else F.col(key_col)
+    DOUBLE; shared with the Bloom filter via ``functions/hashkey.py``).
+    xxhash64 hashes INT and BIGINT differently for equal values, so
+    without widening a batch whose key column arrives narrower than the
+    original writer's would bucket the SAME logical keys into DIFFERENT
+    ``_kb=`` directories — the partitioned merge then reads the wrong
+    partitions and last-write-wins silently keeps both rows (the r7
+    external-review bloom finding, same class; closed here
+    proactively). Every writer and re-bucketer of a table MUST go
+    through this one expression, built from the dataframe the
+    expression is APPLIED to (an expression built from another frame's
+    schema would pick the cast from the wrong dtype).
+
+    ``widened=False`` reproduces the pre-marker hash for LEGACY tables
+    whose ``_kb=`` directories were placed unwidened — their layout
+    contract is preserved exactly (see :func:`_load_bucket_meta`);
+    :func:`rebucket_partitioned` is the upgrade path (it rewrites every
+    row, so it always stamps the widened hash)."""
+    from dig_etl_engine_spark.functions.hashkey import widen_for_hash
+
+    key = F.col(key_col)
+    if widened:
+        key = widen_for_hash(key, df.schema[key_col].dataType.simpleString())
     return F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
+
+
+def _check_key_family(batch_df: DataFrame, table_df: DataFrame,
+                      key_col: str, *, widened: bool) -> None:
+    """Reject a batch whose key type cannot hash-agree with the stored
+    table's: cross-family always (string vs bigint — the union would
+    silently coerce to string while the bucket hashes diverge, leaving
+    duplicate keys across partitions), and same-family width drift on
+    LEGACY (unwidened) tables, whose fix is an explicit
+    ``rebucket_partitioned`` upgrade."""
+    from dig_etl_engine_spark.functions.hashkey import canonical_hash_type
+
+    b_t = batch_df.schema[key_col].dataType.simpleString()
+    t_t = table_df.schema[key_col].dataType.simpleString()
+    if widened:
+        ok = canonical_hash_type(b_t) == canonical_hash_type(t_t)
+    else:
+        ok = b_t == t_t
+    if not ok:
+        raise ValueError(
+            f"upsert_partitioned: batch key {key_col}:{b_t} cannot "
+            f"hash-agree with the table's {key_col}:{t_t} "
+            f"({'cross-family' if widened else 'legacy unwidened table'})"
+            " — the merge would bucket the same logical keys into "
+            "different _kb= partitions and silently keep duplicates. "
+            "Cast the batch key explicitly"
+            + ("" if widened else
+               ", or run rebucket_partitioned to upgrade the table to "
+               "width-safe hashing") + ".")
 
 
 def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
                                batch: DataFrame, *, key_col: str,
                                order_col: str, buckets: int) -> None:
-    buckets = _load_bucket_meta(target_path, buckets)
+    buckets, widened = _load_bucket_meta(target_path, buckets)
     _recover_partitioned_swap(target_path)
-    kb = _bucket_expr(batch, key_col, buckets)
+    kb = _bucket_expr(batch, key_col, buckets, widened=widened)
     b = dedupe_last_write_wins(batch.withColumn("_kb", kb),
                                key_col, order_col)
 
@@ -478,16 +545,25 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
         has_kb = any(f.startswith("_kb=") for f in names)
     if flat_files:
         stray = spark.read.parquet(
-            *[os.path.join(target_path, f) for f in flat_files]) \
-            .withColumn("_kb", kb)
+            *[os.path.join(target_path, f) for f in flat_files])
+        # the bucket expression must be rebuilt from the STRAY frame's
+        # own key dtype: the batch-derived `kb` picks its widening cast
+        # from the batch schema, and a stray column of a different
+        # width would hash unwidened into the wrong partition (external
+        # review r8) — and a stray of a different FAMILY cannot
+        # hash-agree at all
+        _check_key_family(batch, stray, key_col, widened=widened)
+        stray = stray.withColumn(
+            "_kb", _bucket_expr(stray, key_col, buckets, widened=widened))
         b = dedupe_last_write_wins(
             stray.unionByName(b, allowMissingColumns=True),
             key_col, order_col)
     if has_kb:
+        existing_all = (spark.read.option("basePath", target_path)
+                        .parquet(os.path.join(target_path, "_kb=*")))
+        _check_key_family(batch, existing_all, key_col, widened=widened)
         touched = [r[0] for r in b.select("_kb").distinct().collect()]
-        existing = (spark.read.option("basePath", target_path)
-                    .parquet(os.path.join(target_path, "_kb=*"))
-                    .filter(F.col("_kb").isin(touched)))
+        existing = existing_all.filter(F.col("_kb").isin(touched))
         b = dedupe_last_write_wins(
             existing.unionByName(b, allowMissingColumns=True),
             key_col, order_col)
@@ -495,9 +571,11 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
     staging = os.path.join(target_path, f".upsert_tmp_{token}")
     b.write.partitionBy("_kb").parquet(staging)
     _swap_upsert_buckets(target_path, staging, token)
-    # (re-)pin the table's bucket count: idempotent, heals a manually
-    # deleted meta, and upgrades legacy tables on their next upsert
-    _persist_bucket_meta(target_path, buckets)
+    # (re-)pin the table's bucket count AND hash version: idempotent,
+    # heals a manually deleted meta; a legacy table stays marked legacy
+    # (its directories were placed by the unwidened hash — only
+    # rebucket_partitioned, which rewrites every row, may flip the flag)
+    _persist_bucket_meta(target_path, buckets, widened=widened)
     for f in flat_files:
         try:
             os.remove(os.path.join(target_path, f))
@@ -670,10 +748,13 @@ def _rebucket_partitioned_locked(spark: SparkSession, target_path: str,
     shutil.rmtree(old, ignore_errors=True)
 
     df = read_partitioned(spark, target_path)
-    kb = _bucket_expr(df, key_col, new_buckets)
+    # a rebucket rewrites EVERY row, so it is also the sanctioned
+    # upgrade path from legacy unwidened hashing: always place (and
+    # mark) the new layout with the width-safe hash
+    kb = _bucket_expr(df, key_col, new_buckets, widened=True)
     (df.withColumn("_kb", kb)
      .write.mode("overwrite").partitionBy("_kb").parquet(tmp))
-    _persist_bucket_meta(tmp, new_buckets)
+    _persist_bucket_meta(tmp, new_buckets, widened=True)
     n = spark.read.option("basePath", tmp) \
         .parquet(os.path.join(tmp, "_kb=*")).count()
     os.rename(target_path, old)

@@ -359,10 +359,12 @@ def rolling_anomaly(df, *, key_col: str = "user_id", ts_col: str = "ts",
     mean_c = s.cast("double") / n_d
     z = F.when(var_num > 0,
                (cents.cast("double") - mean_c) / F.sqrt(var_c))
-    # floor(double) is already LONG in Spark; keep the explicit cast so
-    # the tree reads identically to the oracle's CAST(floor(..) AS BIGINT)
-    z_fp = F.floor(z * F.lit(float(10 ** z_digits)) + F.lit(0.5)) \
-            .cast("long")
+    # scaled-integer emission via the shared helper — ONE definition of
+    # the floor(x·10^d + 0.5) quantization tree for the whole registry
+    # (functions/exact.fixed; its docstring carries the tie-rule and
+    # cross-engine rationale), mirrored in the oracle as
+    # CAST(floor(.. * 10^d + 0.5) AS BIGINT)
+    z_fp = fixed(z, z_digits)
     return df.select(
         F.col(key_col),
         us.alias("ts_us"),

@@ -215,10 +215,17 @@ def run_single(k: int) -> None:
     only = None
     if len(sys.argv) > 3:
         only = set(sys.argv[3].split(","))
-    todo = [(n, f) for n, f in (ops(spark, dp, ep)
-                                + layout_ops(spark, lp, op, droot)
-                                + event_ops(spark, evp))
-            if only is None or n in only]
+    every = (ops(spark, dp, ep) + layout_ops(spark, lp, op, droot)
+             + event_ops(spark, evp))
+    if only is not None:
+        unknown = only - {n for n, _ in every}
+        if unknown:
+            # a typo'd op name must fail loudly — a silently-empty run
+            # prints a clean summary that reads as a completed study
+            raise SystemExit(
+                f"scaling_study: unknown op(s) {sorted(unknown)}; "
+                f"known: {sorted(n for n, _ in every)}")
+    todo = [(n, f) for n, f in every if only is None or n in only]
     names = {n for n, _ in todo}
     emb_ops = {"knn_cosine_ivf", "ann_hyperplane_lsh"}
     layout_names = {"zorder_cluster_write", "bloom_prejoin_prune"}

@@ -270,6 +270,92 @@ class TestUpsert:
         assert got[99] == (2, "add")
         assert len(got) == 41
 
+    def test_partitioned_upsert_stray_flat_files_mixed_width(
+            self, spark, tmp_path):
+        """Flat bootstrap rows (plain upsert) with INT keys folded into
+        a LONG-keyed partitioned batch: the stray frame must get a
+        bucket expression built from ITS OWN dtype (r8 review — the
+        batch-derived expression would hash the stray column unwidened
+        into the wrong partition), so the same logical key collapses to
+        one row."""
+        p = str(tmp_path / "t")
+        flat = spark.createDataFrame(
+            [(0, 1, "flat"), (7, 1, "flat")],
+            "doc_id int, kafka_offset long, v string")
+        kg_table.upsert(spark, p, flat)      # flat root layout
+        batch = spark.createDataFrame(
+            [(0, 10, "new"), (5, 2, "add")],
+            "doc_id long, kafka_offset long, v string")
+        kg_table.upsert_partitioned(spark, p, batch, buckets=8)
+        got = {r.doc_id: (r.kafka_offset, r.v)
+               for r in kg_table.read_partitioned(spark, p).collect()}
+        assert got[0] == (10, "new")     # migrated + updated, one row
+        assert got[7] == (1, "flat")     # migrated untouched
+        assert got[5] == (2, "add")
+        assert len(got) == 3
+        # and a later NARROW batch still merges against the same layout
+        b2 = spark.createDataFrame(
+            [(7, 9, "upd")], "doc_id int, kafka_offset long, v string")
+        kg_table.upsert_partitioned(spark, p, b2, buckets=8)
+        got2 = {r.doc_id: r.v
+                for r in kg_table.read_partitioned(spark, p).collect()}
+        assert got2[7] == "upd" and len(got2) == 3
+
+    def test_partitioned_upsert_rejects_cross_family_keys(
+            self, spark, tmp_path):
+        """String batch keys against a bigint-keyed table: the union
+        would silently coerce to string while the bucket hashes diverge
+        — must refuse loudly (same class the bloom join rejects)."""
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(i, 1, "base") for i in range(10)],
+            "doc_id long, kafka_offset long, v string")
+        kg_table.upsert_partitioned(spark, p, base, buckets=4)
+        bad = spark.createDataFrame(
+            [("3", 9, "boom")], "doc_id string, kafka_offset long, v string")
+        with pytest.raises(ValueError, match="hash-agree"):
+            kg_table.upsert_partitioned(spark, p, bad, buckets=4)
+
+    def test_bucket_hash_version_marker_and_legacy_preservation(
+            self, spark, tmp_path):
+        """New tables stamp the 'widened' hash-version token in
+        _kg_buckets; a legacy (count-only) meta is PRESERVED across
+        upserts — the table keeps its birth hashing — and a
+        narrower-width batch against it refuses with the rebucket
+        upgrade path named; rebucket_partitioned rewrites every row and
+        flips the marker."""
+        import os
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(i, 1, "base") for i in range(20)],
+            "doc_id long, kafka_offset long, v string")
+        kg_table.upsert_partitioned(spark, p, base, buckets=4)
+        meta = os.path.join(p, "_kg_buckets")
+        assert "widened" in open(meta).read().split()
+        # simulate a legacy table: count-only meta (its long-keyed
+        # layout is valid under both hash versions — widening is the
+        # identity for BIGINT — so only the CONTRACT changes)
+        with open(meta, "w") as fh:
+            fh.write("4")
+        b = spark.createDataFrame(
+            [(3, 9, "upd")], "doc_id long, kafka_offset long, v string")
+        kg_table.upsert_partitioned(spark, p, b, buckets=4)
+        assert open(meta).read().split() == ["4"]   # legacy preserved
+        got = {r.doc_id: r.v
+               for r in kg_table.read_partitioned(spark, p).collect()}
+        assert got[3] == "upd" and len(got) == 20
+        narrow = spark.createDataFrame(
+            [(3, 11, "x")], "doc_id int, kafka_offset long, v string")
+        with pytest.raises(ValueError, match="rebucket_partitioned"):
+            kg_table.upsert_partitioned(spark, p, narrow, buckets=4)
+        kg_table.rebucket_partitioned(spark, p, key_col="doc_id",
+                                      new_buckets=4)
+        assert "widened" in open(meta).read().split()
+        kg_table.upsert_partitioned(spark, p, narrow, buckets=4)  # now ok
+        got2 = {r.doc_id: r.v
+                for r in kg_table.read_partitioned(spark, p).collect()}
+        assert got2[3] == "x" and len(got2) == 20
+
     def test_partitioned_upsert_touches_only_batch_partitions(
             self, spark, tmp_path):
         """upsert_partitioned: merge semantics identical to upsert, but

@@ -280,8 +280,12 @@ def test_float_topk_lint_catches_violations(spark):
 # not move window frame edges.
 # ---------------------------------------------------------------------------
 
+# the scan stops at `)` (the end of the OVER/WINDOW spec) as well as at
+# a nested ROWS/BETWEEN — otherwise a clean integer frame followed
+# within 160 chars by a legitimate non-frame INTERVAL (timestamp
+# arithmetic in a later predicate) would false-positive (r8 review)
 _INTERVAL_FRAME_RE = re.compile(
-    r"(?is)\brange\s+between\b(?:(?!\brows\b|\bbetween\b).){0,160}?"
+    r"(?is)\brange\s+between\b(?:(?!\brows\b|\bbetween\b|\)).){0,160}?"
     r"\binterval\b")
 
 INTERVAL_FRAME_ALLOWLIST: dict[str, str] = {}
@@ -309,12 +313,19 @@ def test_interval_frame_lint_catches_violations():
     assert _INTERVAL_FRAME_RE.search(
         "over (order by ts range between interval '1' hour preceding "
         "and current row)")
+    assert _INTERVAL_FRAME_RE.search(  # INTERVAL in the SECOND bound
+        "over (order by ts range between 5 preceding "
+        "and interval '1' hour following)")
     assert not _INTERVAL_FRAME_RE.search(
         "OVER (ORDER BY ts_us RANGE BETWEEN 604800000000 PRECEDING "
         "AND 1 PRECEDING)")
     assert not _INTERVAL_FRAME_RE.search(
         "WHERE d + INTERVAL 1 DAY <= x AND RANGE BETWEEN 5 PRECEDING "
         "AND 1 PRECEDING")  # non-frame INTERVAL elsewhere is fine
+    assert not _INTERVAL_FRAME_RE.search(  # r8 review false-positive:
+        # integer frame, then a legit non-frame INTERVAL close behind
+        "OVER (ORDER BY ts_us RANGE BETWEEN 5 PRECEDING AND CURRENT "
+        "ROW) WHERE ts + INTERVAL 1 DAY <= x")
 
 
 # ---------------------------------------------------------------------------
