@@ -34,7 +34,40 @@ _MEAN_V_SQL = ohlc_mean_v_sql()
 _SCRATCH = f"/tmp/spark_graft_io-{os.getpid()}"
 
 
+def _reap_dead_scratch() -> None:
+    """Best-effort removal of sibling pid-scoped scratch roots whose
+    owning process is gone — pid-scoping prevents cross-process races
+    but leaks one directory per exited process (a long-lived dev box
+    measured 88 of them); a live pid's root is never touched, and a
+    recycled pid at worst postpones one reap. Runs once per process."""
+    parent, prefix = os.path.dirname(_SCRATCH), "spark_graft_io-"
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for n in names:
+        if not n.startswith(prefix) or n == os.path.basename(_SCRATCH):
+            continue
+        try:
+            pid = int(n[len(prefix):])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)      # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+        except OSError:
+            continue             # alive but not ours / no permission
+
+
+_REAPED = False
+
+
 def _scratch(name: str) -> str:
+    global _REAPED
+    if not _REAPED:
+        _REAPED = True
+        _reap_dead_scratch()
     path = os.path.join(_SCRATCH, name)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)

@@ -84,3 +84,29 @@ def test_checkpoint_restart_carries_state_and_file_log(spark, tmp_path):
     drain()
     got2 = {(r.fp, r.off) for r in spark.read.parquet(out).collect()}
     assert got2 == {("a", 1), ("b", 2), ("c", 12)}, got2
+
+
+def test_dead_process_scratch_roots_are_reaped(tmp_path, monkeypatch):
+    """`_scratch` reaps sibling pid-scoped roots whose owner exited
+    (one leaked dir per process otherwise) and never touches a live
+    pid's root or non-scratch names."""
+    import os
+
+    from dig_etl_engine_spark import queries_io as qio
+
+    parent = tmp_path / "scratchroot"
+    parent.mkdir()
+    dead = parent / "spark_graft_io-999999999"   # pid can't exist
+    dead.mkdir()
+    (dead / "junk").write_text("x")
+    live = parent / f"spark_graft_io-{os.getpid()}x"  # non-int suffix
+    live.mkdir()
+    other_live = parent / f"spark_graft_io-{os.getppid()}"
+    other_live.mkdir()
+    monkeypatch.setattr(qio, "_SCRATCH",
+                        str(parent / f"spark_graft_io-{os.getpid()}"))
+    monkeypatch.setattr(qio, "_REAPED", False)
+    qio._scratch("t")
+    assert not dead.exists()          # dead pid reaped
+    assert live.exists()              # malformed name untouched
+    assert other_live.exists()        # live pid untouched
