@@ -49,8 +49,14 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
                    round_digits: int = 4) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Output: (query_id, neighbor_id, cosine, rank), self-matches excluded,
-    ties broken by neighbor id.
+    Output: ``(query_id, neighbor_id, cosine_e{d}, rank)`` — the score as
+    a 10^-d-scaled BIGINT via the shared ``floor(cos·10^d + 0.5)`` tree
+    (``functions/exact.fixed``; continuous-round lint, r9: the kernel
+    emits the RAW double and quantization happens in the same JVM
+    expression both oracles restate — no engine ``round()`` ever touches
+    the sqrt-derived cosine). Self-matches excluded, ties broken by
+    neighbor id, quantized BEFORE ranking so boundary ties resolve
+    identically in every engine.
 
     Shape: the query matrix (|Q|·d — small by contract) is collected and
     closed over; the corpus STREAMS through an Arrow-batched mapInPandas
@@ -82,12 +88,16 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(qids):
                 col = sims[:, qi]
-                # select under the FINAL total order (rounded cosine desc,
-                # id asc): rounding creates ties, and a raw-value sort
-                # would pick different ids among them than the oracle
-                rounded = np.floor(col * scale + 0.5) / scale
+                # select under the FINAL total order (quantized cosine
+                # desc, id asc): quantization creates ties, and a
+                # raw-value sort would pick different ids among them
+                # than the oracle. floor(x·10^d + 0.5) here is the SAME
+                # IEEE ops the JVM `fixed` tree applies to the same
+                # emitted double below — batch-local and global orders
+                # cannot disagree
+                scaled = np.floor(col * scale + 0.5)
                 mask = ids != qid                     # exclude self
-                order = np.lexsort((ids[mask], -rounded[mask]))[:k]
+                order = np.lexsort((ids[mask], -scaled[mask]))[:k]
                 sel = np.flatnonzero(mask)[order]
                 out_q.extend([qid] * len(sel))
                 out_n.extend(ids[sel])
@@ -95,10 +105,14 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
                                 "cosine": out_s})
 
+    from dig_etl_engine_spark.functions.exact import fixed
+
     cand = corpus.select(id_col, vec_col).mapInPandas(
         part, "query_id long, neighbor_id long, cosine double")
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (cand.withColumn("cosine", F.round("cosine", round_digits))
+    score = f"cosine_e{round_digits}"
+    w = W.partitionBy("query_id").orderBy(F.desc(score), F.asc("neighbor_id"))
+    return (cand.select("query_id", "neighbor_id",
+                        fixed(F.col("cosine"), round_digits).alias(score))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
@@ -645,7 +659,9 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
     driver). The cells scan is pruned to the batch's occupied cells, each
     cell groups corpus + batch rows onto one executor, and the cell's
     batch×all cosine block is one BLAS matmul. Returns
-    ``(doc_a, doc_b, cosine, origin)`` with ``doc_a`` a batch doc;
+    ``(doc_a, doc_b, cosine_e{d}, origin)`` — the score a 10^-d-scaled
+    BIGINT via ``functions/exact.fixed`` (continuous-round lint, r9) —
+    with ``doc_a`` a batch doc;
     batch-internal pairs (``origin='batch'``) have ``doc_a < doc_b``.
     Same cell-boundary approximation as :func:`embedding_near_dup_pairs`;
     raise ``nprobe`` to catch straddlers. ``append=True`` adds the batch
@@ -734,14 +750,21 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
             "cosine": sims[ai, bi][keep],
             "origin": np.where(b_new[keep], "batch", "corpus")})
 
+    from dig_etl_engine_spark.functions.exact import fixed
+
+    score = f"cosine_e{round_digits}"
     result = (
         both.groupBy("cluster").applyInPandas(
             cell_pairs,
             "doc_a long, doc_b long, cosine double, origin string")
         # nprobe > 1 can surface the same pair in several probed cells
         .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("cosine", F.round("cosine", round_digits))
-        .filter(F.col("cosine") >= threshold)
+        # 1e-d-scaled BIGINT score via the shared quantization tree
+        # (continuous-round lint, r9) — threshold in exact integer units
+        .select("doc_a", "doc_b",
+                fixed(F.col("cosine"), round_digits).alias(score),
+                "origin")
+        .filter(F.col(score) >= int(round(threshold * 10 ** round_digits)))
     )
     if append:
         import uuid
@@ -776,12 +799,16 @@ def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                              threshold: float = 0.99,
                              round_digits: int = 4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a cell (semantic dedup):
-    pairs with cosine ≥ threshold, doc_a < doc_b.
+    pairs with cosine ≥ threshold, doc_a < doc_b. Output ``(doc_a, doc_b,
+    cosine_e{d})`` — the score as a 10^-d-scaled BIGINT via the shared
+    ``floor(cos·10^d + 0.5)`` tree (``functions/exact.fixed``;
+    continuous-round lint, r9: no engine ``round()`` on the sqrt-derived
+    cosine, and the threshold compares in exact integer units).
 
     Shape: one shuffle groups each cell onto an executor (applyInPandas),
     where the cell's pairwise cosines are ONE BLAS Gram matrix; only pairs
     near the threshold leave Python (with a margin so the authoritative
-    round+filter happens JVM-side). Cells are IVF-partition-sized by
+    quantize+filter happens JVM-side). Cells are IVF-partition-sized by
     contract — the same bound that makes the IVF search path work. An
     expression-level pair join evaluated interpreted HOF folds per pair —
     the same cliff documented in operators/dedup.py.
@@ -806,10 +833,15 @@ def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
         return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi],
                              "cosine": sims[ai, bi]})
 
+    from dig_etl_engine_spark.functions.exact import fixed
+
+    score = f"cosine_e{round_digits}"
     cand = df.select(id_col, cell_col, vec_col).groupBy(cell_col) \
         .applyInPandas(cell_pairs, "doc_a long, doc_b long, cosine double")
-    return (cand.withColumn("cosine", F.round("cosine", round_digits))
-            .filter(F.col("cosine") >= threshold))
+    return (cand.select("doc_a", "doc_b",
+                        fixed(F.col("cosine"), round_digits).alias(score))
+            .filter(F.col(score) >= int(round(threshold
+                                              * 10 ** round_digits))))
 
 
 def semdedup(df: DataFrame, *, k: int = 8, iters: int = 3,
@@ -873,11 +905,12 @@ def contrastive_pairs(df: DataFrame, *, k: int = 8, iters: int = 3,
     band: close enough to be confusable, far enough to be genuinely
     different, which is exactly what a random in-batch negative is not.
 
-    Returns ``(anchor, other, cosine, pair_type)`` with pair_type ∈
+    Returns ``(anchor, other, cosine_e{d}, pair_type)`` with pair_type ∈
     positive / hard_negative; both directions of each pair are emitted
     (each doc serves as an anchor). Negatives rank hardest-first
-    (cosine desc, id asc — deterministic on the ROUNDED cosine, so
-    replayable cross-engine).
+    (cosine_e{d} desc, id asc — deterministic on the 10^-d-scaled BIGINT
+    score from :func:`embedding_near_dup_pairs`, so replayable
+    cross-engine; band edges compare in the same exact integer units).
 
     Shape: the learned k-means partition bounds the candidate set the
     same way :func:`semdedup` does — pairwise cosine only ever runs
@@ -895,16 +928,18 @@ def contrastive_pairs(df: DataFrame, *, k: int = 8, iters: int = 3,
     pairs = embedding_near_dup_pairs(
         cells, id_col="id", vec_col=vec_col, cell_col="cluster",
         threshold=neg_lo, round_digits=round_digits)
+    score = f"cosine_e{round_digits}"
+    scaled = lambda t: int(round(t * 10 ** round_digits))  # noqa: E731
     both = pairs.select(F.col("doc_a").alias("anchor"),
-                        F.col("doc_b").alias("other"), "cosine") \
+                        F.col("doc_b").alias("other"), score) \
         .unionByName(pairs.select(F.col("doc_b").alias("anchor"),
-                                  F.col("doc_a").alias("other"), "cosine"))
-    pos = both.filter(F.col("cosine") >= pos_threshold) \
+                                  F.col("doc_a").alias("other"), score))
+    pos = both.filter(F.col(score) >= scaled(pos_threshold)) \
         .withColumn("pair_type", F.lit("positive"))
     rn = F.row_number().over(
-        W.partitionBy("anchor").orderBy(F.desc("cosine"), F.asc("other")))
-    neg = (both.filter((F.col("cosine") >= neg_lo)
-                       & (F.col("cosine") < neg_hi))
+        W.partitionBy("anchor").orderBy(F.desc(score), F.asc("other")))
+    neg = (both.filter((F.col(score) >= scaled(neg_lo))
+                       & (F.col(score) < scaled(neg_hi)))
            .withColumn("_rn", rn).filter(F.col("_rn") <= m_negatives)
            .drop("_rn").withColumn("pair_type", F.lit("hard_negative")))
     return pos.unionByName(neg)

@@ -75,28 +75,32 @@ _LOADED = False
 # window. Keep the set small: every LIVE entry displaces one
 # staleness-window slot.
 _PRIORITY_RECHECK: dict[str, int] = {
-    # (the r6 entries all expired at r7 — every one re-verified green —
-    # and were pruned; entries below are the r8 code changes)
+    # (the r8 entries all expired at r8's own driver sweep — every one
+    # re-verified green — and were pruned; entries below are the r9
+    # code changes)
     #
-    # continuous-round lint rewrites (r8): hashed surfaces moved from
-    # engine round() over sqrt/log-derived doubles to scaled-integer
-    # emission (floor(x·10^d + 0.5) AS BIGINT, same tree both engines)
-    "correlation_matrix": 8,
-    "tfidf_keywords": 8,
-    "weighted_sample": 8,
-    "knn_cosine_ivf": 8,
-    "embedding_profile": 8,
-    "knn_ivf_indexed": 8,
-    # bloom key-width widening (r8, external-review high): build and
-    # probe hash inputs now widen integral→BIGINT / float→DOUBLE before
-    # xxhash64; identical-width keys (the registered query) are
-    # behavior-identical, but the semantics changed, so re-verify
-    "bloom_prejoin_prune": 8,
-    # session-zone independence fix (r8 NY-session sweep): the window
-    # pipeline now shifts parsed instants to naive-as-UTC epochs before
-    # windowing and compensates on output — UTC results are identical
-    # (145 rows before and after), but the expressions changed
-    "stream_windowed_counts": 8,
+    # kernel-side continuous-round conversions (r9): the r8 plan-walk
+    # lint's documented blind spot — engine/Python round() applied to a
+    # sqrt-derived cosine produced INSIDE a numpy kernel (mapInPandas /
+    # applyInPandas) or on the driver — rewritten to the shared
+    # floor(x·10^d + 0.5) BIGINT tree in both engines. VERDICT r8 named
+    # knn_cosine_bruteforce and rag_pipeline_full; the r9 audit found
+    # the same class live in every query below (F.round over a
+    # Python-kernel-produced cosine on a hashed surface, or a
+    # quantized threshold deciding row membership), so all converted
+    # and all re-verified together.
+    "knn_cosine_bruteforce": 9,
+    "rag_pipeline_full": 9,
+    "dedup_embedding_cosine": 9,
+    "ann_hyperplane_lsh": 9,
+    "semdedup": 9,
+    "contrastive_pairs": 9,
+    "incremental_embedding_dedup": 9,
+    # ivf_kmeans_train additionally replaced a driver-side Python
+    # round() (HALF-EVEN!) over the sqrt-derived centroid norm with the
+    # same floor tree; its last verdict is r3 so it sorts near the
+    # front either way — the entry records WHY it must not be skipped
+    "ivf_kmeans_train": 9,
     # Deliberately NOT listed (r8 changes that cannot move results):
     # stream_e2e_curation — the input-cache TOCTOU fix only reorders
     # partial-dir cleanup (rename-aside before rmtree); committed cache

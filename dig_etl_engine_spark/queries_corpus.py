@@ -1283,14 +1283,15 @@ def _rag_sql(dim: int = 16) -> str:
     ),
     scored AS (
       SELECT q.cid AS query_cid, c.cid AS neighbor_cid,
-             ROUND(list_cosine_similarity(q.v::DOUBLE[], c.v::DOUBLE[]), 4)
-               AS cosine
+             CAST(floor(list_cosine_similarity(q.v::DOUBLE[], c.v::DOUBLE[])
+                        * 10000.0 + 0.5) AS BIGINT)
+               AS cosine_e4
       FROM vecs q JOIN vecs c ON q.cid <> c.cid
       WHERE q.cid // 100 % 100 = 0
     )
-    SELECT query_cid, neighbor_cid, cosine, rank FROM (
+    SELECT query_cid, neighbor_cid, cosine_e4, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_cid
-                 ORDER BY cosine DESC, neighbor_cid ASC) AS rank
+                 ORDER BY cosine_e4 DESC, neighbor_cid ASC) AS rank
       FROM scored
     ) WHERE rank <= 3
     """
@@ -1306,7 +1307,9 @@ def rag_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the %100 query docs (`knn_bruteforce`). Chunk ids pack as
     doc_id·100 + chunk_id. Each stage keeps its operator's scale shape:
     narrow chunk explode, one-shuffle featurizer, corpus-streaming
-    Arrow-BLAS scoring with per-batch top-k."""
+    Arrow-BLAS scoring with per-batch top-k. Scores emit as 1e-4-scaled
+    BIGINTs via the shared ``floor(cos·1e4 + 0.5)`` tree
+    (continuous-round lint, r9)."""
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     chunks = TA.chunk_documents(docs, chunk_tokens=32, overlap=8) \
         .select((F.col("doc_id") * 100 + F.col("chunk_id")).alias("cid"),
@@ -1318,7 +1321,7 @@ def rag_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                            vec_col="embedding")
     return out.select(F.col("query_id").alias("query_cid"),
                       F.col("neighbor_id").alias("neighbor_cid"),
-                      "cosine", "rank")
+                      "cosine_e4", "rank")
 
 
 # --- the full curation pipeline, composed -------------------------------------
@@ -1761,8 +1764,9 @@ def _incr_embedding_sql() -> str:
     ),
     pairs_c AS (
       SELECT p.id AS doc_a, a.id AS doc_b,
-             ROUND(list_cosine_similarity(b.v, e.embedding::DOUBLE[]), 4)
-               AS cosine,
+             CAST(floor(list_cosine_similarity(b.v, e.embedding::DOUBLE[])
+                        * 10000.0 + 0.5) AS BIGINT)
+               AS cosine_e4,
              'corpus' AS origin
       FROM bprobe p
       JOIN bv b ON b.id = p.id
@@ -1771,16 +1775,19 @@ def _incr_embedding_sql() -> str:
     ),
     pairs_b AS (
       SELECT p1.id AS doc_a, p2.id AS doc_b,
-             ROUND(list_cosine_similarity(b1.v, b2.v), 4) AS cosine,
+             CAST(floor(list_cosine_similarity(b1.v, b2.v)
+                        * 10000.0 + 0.5) AS BIGINT) AS cosine_e4,
              'batch' AS origin
       FROM bprobe p1
       JOIN bprobe p2 ON p1.cluster = p2.cluster AND p1.id < p2.id
       JOIN bv b1 ON b1.id = p1.id
       JOIN bv b2 ON b2.id = p2.id
     )
-    SELECT doc_a, doc_b, cosine, origin FROM pairs_c WHERE cosine >= 0.99
+    SELECT doc_a, doc_b, cosine_e4, origin FROM pairs_c
+    WHERE cosine_e4 >= 9900
     UNION ALL
-    SELECT doc_a, doc_b, cosine, origin FROM pairs_b WHERE cosine >= 0.99
+    SELECT doc_a, doc_b, cosine_e4, origin FROM pairs_b
+    WHERE cosine_e4 >= 9900
     """
 
 
@@ -1796,7 +1803,9 @@ def incremental_embedding_dedup(spark: SparkSession, sf_dir: str
     each cell's batch×all cosine block is one BLAS matmul.
     ``append=False`` keeps the query a pure read. The oracle replays the
     trained centroids, batch probe assignment, and same-cell pairing
-    with the rounded-cosine threshold."""
+    with the threshold compared in exact 1e-4 integer units (scores are
+    1e-4-scaled BIGINTs via the shared quantization tree —
+    continuous-round lint, r9)."""
     path = _ivf_index_path(spark, sf_dir)
     emb = load_tables(spark, sf_dir)["embeddings"]
     b1 = (emb.filter(F.col("vec_id") % 2 == 0)
@@ -1934,16 +1943,17 @@ def _semdedup_sql() -> str:
     WITH {_ivf_kmeans_ctes(8, it, 64, v_sql=_SEM_V_SQL)},
     pairs AS (
       SELECT a.id AS ida, b.id AS idb,
-             ROUND(list_cosine_similarity(va.embedding::DOUBLE[],
-                                          vb.embedding::DOUBLE[]), 4)
-               AS cos
+             CAST(floor(list_cosine_similarity(va.embedding::DOUBLE[],
+                                               vb.embedding::DOUBLE[])
+                        * 10000.0 + 0.5) AS BIGINT)
+               AS cos_e4
       FROM a{it} a
       JOIN a{it} b ON a.cluster = b.cluster AND a.id < b.id
       JOIN v va ON va.id = a.id
       JOIN v vb ON vb.id = b.id
     ),
     dropped AS (SELECT DISTINCT idb AS id FROM pairs
-                WHERE cos >= {_SEM_THRESH})
+                WHERE cos_e4 >= {int(round(_SEM_THRESH * 10000))})
     SELECT a.id AS vec_id, a.cluster, (d.id IS NULL) AS kept
     FROM a{it} a LEFT JOIN dropped d ON a.id = d.id
     """
@@ -2244,31 +2254,32 @@ def _contrastive_sql() -> str:
     WITH {_ivf_kmeans_ctes(8, it, 64, v_sql=_SEM_V_SQL)},
     pairs AS (
       SELECT a.id AS ida, b.id AS idb,
-             ROUND(list_cosine_similarity(va.embedding::DOUBLE[],
-                                          vb.embedding::DOUBLE[]), 4)
-               AS cosine
+             CAST(floor(list_cosine_similarity(va.embedding::DOUBLE[],
+                                               vb.embedding::DOUBLE[])
+                        * 10000.0 + 0.5) AS BIGINT)
+               AS cosine_e4
       FROM a{it} a
       JOIN a{it} b ON a.cluster = b.cluster AND a.id < b.id
       JOIN v va ON va.id = a.id
       JOIN v vb ON vb.id = b.id
     ),
     bi_dir AS (
-      SELECT ida AS anchor, idb AS other, cosine FROM pairs
+      SELECT ida AS anchor, idb AS other, cosine_e4 FROM pairs
       UNION ALL
-      SELECT idb, ida, cosine FROM pairs
+      SELECT idb, ida, cosine_e4 FROM pairs
     ),
     neg AS (
-      SELECT anchor, other, cosine FROM (
-        SELECT anchor, other, cosine,
+      SELECT anchor, other, cosine_e4 FROM (
+        SELECT anchor, other, cosine_e4,
                ROW_NUMBER() OVER (PARTITION BY anchor
-                 ORDER BY cosine DESC, other ASC) AS rn
-        FROM bi_dir WHERE cosine >= 0.5 AND cosine < 0.9
+                 ORDER BY cosine_e4 DESC, other ASC) AS rn
+        FROM bi_dir WHERE cosine_e4 >= 5000 AND cosine_e4 < 9000
       ) WHERE rn <= 2
     )
-    SELECT anchor, other, cosine, 'positive' AS pair_type
-    FROM bi_dir WHERE cosine >= {_SEM_THRESH}
+    SELECT anchor, other, cosine_e4, 'positive' AS pair_type
+    FROM bi_dir WHERE cosine_e4 >= {int(round(_SEM_THRESH * 10000))}
     UNION ALL
-    SELECT anchor, other, cosine, 'hard_negative' FROM neg
+    SELECT anchor, other, cosine_e4, 'hard_negative' FROM neg
     """
 
 
@@ -2280,7 +2291,9 @@ def contrastive_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-2 hardest same-cluster negatives in the [0.5, 0.9) cosine band.
     Same mutant-planted corpus and learned partition as `semdedup`; the
     oracle replays the trained model, the in-cluster pairwise cosines,
-    and the deterministic hardest-first ranking over rounded values."""
+    and the deterministic hardest-first ranking over the 1e-4-scaled
+    BIGINT scores (continuous-round lint, r9 — band edges and ranking
+    both live on the exact integer grid)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     base = emb.select("vec_id", S.as_double(F.col("embedding"))
                       .alias("embedding"))

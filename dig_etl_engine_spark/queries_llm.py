@@ -256,16 +256,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id % 2 = 0
     )
     SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+           CAST(floor(list_cosine_similarity(a.v, b.v) * 10000.0 + 0.5)
+                AS BIGINT) AS cosine_e4
     FROM corpus a JOIN corpus b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+    WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 10000.0 + 0.5)
+               AS BIGINT) >= 9900
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (semantic dedup): within-cell pairs with
     cosine ≥ 0.99. Mutants are the original vector +0.001 per dim —
-    cosine ≈ 0.9999 to their source, far from any random pair (~N(0,1/8))."""
+    cosine ≈ 0.9999 to their source, far from any random pair (~N(0,1/8)).
+    Score emitted as a 1e-4-scaled BIGINT via the shared
+    ``floor(cos·1e4 + 0.5)`` tree (continuous-round lint, r9: no engine
+    round() on the sqrt-derived cosine; threshold in integer units)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     mut = (emb.filter(F.col("vec_id") % 2 == 0)
            .select((F.col("vec_id") + 100000).alias("vec_id"), "label",
@@ -288,12 +293,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE vec_id % 50 = 0),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.v, c.embedding::DOUBLE[]), 4) AS cosine
+             CAST(floor(list_cosine_similarity(q.v, c.embedding::DOUBLE[])
+                        * 10000.0 + 0.5) AS BIGINT) AS cosine_e4
       FROM q, embeddings c WHERE q.vec_id <> c.vec_id
     )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine_e4, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                 ORDER BY cosine_e4 DESC, neighbor_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 5
     """,
@@ -301,7 +307,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (the exact ANN baseline): queries broadcast
     over the corpus, per-query window top-5. |Q|·|N|·d flops, no corpus
-    shuffle — the right exact method when |Q| is small."""
+    shuffle — the right exact method when |Q| is small. Score emitted as
+    a 1e-4-scaled BIGINT via the shared ``floor(cos·1e4 + 0.5)`` tree
+    (continuous-round lint, r9 — closing the kernel-side blind spot the
+    r8 plan-walk lint documented)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return S.knn_bruteforce(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
 
@@ -386,14 +395,19 @@ def _ivf_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     fixed iteration count, argmin ties to the lowest cluster id) precisely
     so it CAN be oracled. Cross-engine float64 noise is ~1e-13 while the
     narrowest argmin margin on the test embeddings is 6.7e-6 (measured),
-    so assignments agree exactly; centroid norms are rounded to 4 digits
-    per the registry's double convention."""
+    so assignments agree exactly; centroid norms emit as 1e-4-scaled
+    BIGINTs via the shared ``floor(x·1e4 + 0.5)`` tree (continuous-round
+    lint, r9: the norm is sqrt-derived, so engine/Python round() on it is
+    the ts_rolling_anomaly divergence class — Python's round() is even
+    HALF-EVEN where DuckDB's is half-away)."""
     return f"""
     WITH {_ivf_kmeans_ctes(k, iters, dim)}
-    SELECT s.cluster, s.n_vectors, n.centroid_norm
+    SELECT s.cluster, s.n_vectors, n.centroid_norm_e4
     FROM (SELECT cluster, COUNT(*) AS n_vectors
           FROM a{iters} GROUP BY cluster) s
-    JOIN (SELECT cluster, ROUND(SQRT(SUM(c * c)), 4) AS centroid_norm
+    JOIN (SELECT cluster,
+                 CAST(floor(SQRT(SUM(c * c)) * 10000.0 + 0.5) AS BIGINT)
+                   AS centroid_norm_e4
           FROM c{iters} GROUP BY cluster) n
     ON s.cluster = n.cluster
     """
@@ -410,18 +424,26 @@ def ivf_kmeans_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained CTEs, so the driver gets a FULL value-hash oracle (no query
     left on the weaker rows-only contract); semantics are additionally
     pinned by a NumPy-Lloyd's parity unit test. Returns per-cell sizes +
-    rounded centroid norms — deterministic across runs and layouts."""
+    1e-4-scaled BIGINT centroid norms (``floor(norm·1e4 + 0.5)`` — the
+    same IEEE multiply+add+floor the oracle restates; the previous
+    Python ``round()`` was HALF-EVEN over a sqrt-derived continuous
+    double, the exact cross-engine divergence class the r8 lint closed
+    on the JVM side) — deterministic across runs and layouts."""
+    import math
+
     import numpy as np
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     assigned, cents = S.ivf_kmeans_train(emb, k=8, iters=3)
     sizes = assigned.groupBy("cluster") \
         .agg(F.count(F.lit(1)).alias("n_vectors"))
-    norms = [(int(i), float(round(float(np.linalg.norm(c)), 4)))
+    norms = [(int(i),
+              int(math.floor(float(np.linalg.norm(c)) * 10000.0 + 0.5)))
              for i, c in enumerate(cents)]
-    ndf = spark.createDataFrame(norms, "cluster int, centroid_norm double")
+    ndf = spark.createDataFrame(
+        norms, "cluster int, centroid_norm_e4 long")
     return sizes.join(ndf, "cluster").select(
-        "cluster", "n_vectors", "centroid_norm")
+        "cluster", "n_vectors", "centroid_norm_e4")
 
 
 def _hyperplane_sql(n_planes: int = 8, dim: int = 64) -> str:
@@ -443,10 +465,12 @@ def _hyperplane_sql(n_planes: int = 8, dim: int = 64) -> str:
     sums AS (SELECT vec_id, v, {sums} FROM vecs),
     bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM sums)
     SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+           CAST(floor(list_cosine_similarity(a.v, b.v) * 10000.0 + 0.5)
+                AS BIGINT) AS cosine_e4
     FROM bucketed a JOIN bucketed b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.0
+    WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 10000.0 + 0.5)
+               AS BIGINT) >= 0
     """
 
 
@@ -459,7 +483,8 @@ def ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (applyInPandas). Both stages are Arrow-batched BLAS (assignment is one
     matmul per batch — no interpreted HOF folds); no stored model, no
     broadcast; bucket cardinality ~n/2^planes keeps cells executor-sized
-    at any corpus scale."""
+    at any corpus scale. Verification scores emit as 1e-4-scaled BIGINTs
+    (continuous-round lint, r9)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     bucketed = S.assign_hyperplane_buckets(
         emb.select("vec_id",

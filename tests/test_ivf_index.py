@@ -46,11 +46,9 @@ class TestIvfIndex:
         """nprobe = all cells searches the full corpus: results must be
         IDENTICAL to exact brute force (same ranking tie-breaks)."""
         path, clustered, queries = built
-        # bruteforce still emits round-4 double cosine; the indexed path
-        # emits the 1e-4-scaled BIGINT (continuous-round lint, r8) —
-        # both quantize at the same grid, so scale one to the other
-        exact = {(r.query_id, r.neighbor_id, int(round(r.cosine * 10_000)),
-                  r.rank)
+        # both paths emit the 1e-4-scaled BIGINT score (continuous-round
+        # lint: bruteforce converted r9, indexed r8) — compare directly
+        exact = {(r.query_id, r.neighbor_id, r.cosine_e4, r.rank)
                  for r in knn_bruteforce(queries, clustered, k=5).collect()}
         got = {(r.query_id, r.neighbor_id, r.cosine_e4, r.rank)
                for r in knn_ivf_indexed(queries, path, k=5,
@@ -87,7 +85,7 @@ class TestIvfIndex:
         path, clustered, _ = built
         batch = clustered.filter(F.col("vec_id") % 20 == 7).select(
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
-        got = {(r.doc_a, r.doc_b, r.origin): r.cosine
+        got = {(r.doc_a, r.doc_b, r.origin): r.cosine_e4
                for r in incremental_embedding_dedup(
                    batch, path, threshold=0.9, append=False).collect()}
 
@@ -110,15 +108,16 @@ class TestIvfIndex:
                     continue
                 if b in new and not a < b:
                     continue
-                c = round(float(va @ (every[b] / np.linalg.norm(every[b]))), 4)
-                if c >= 0.9:
+                raw = float(va @ (every[b] / np.linalg.norm(every[b])))
+                c = int(np.floor(raw * 10_000 + 0.5))  # the shared tree
+                if c >= 9_000:
                     expect[(a, b, "batch" if b in new else "corpus")] = c
         assert got == expect
         assert len(got) > 0     # exact copies must have matched
         # every batch doc is an exact copy of a corpus doc: its pair is
-        # present at cosine 1.0
+        # present at cosine 1.0 (scaled: 10_000)
         assert all(
-            got.get((i + 100000, i, "corpus")) == 1.0
+            got.get((i + 100000, i, "corpus")) == 10_000
             for i in old if i % 20 == 7)
 
     def test_incremental_embedding_append_feeds_next_batch(

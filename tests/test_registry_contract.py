@@ -490,3 +490,246 @@ def test_registry_orders_least_recently_verified_first():
         f"policy; first entries: "
         f"{[(n, k) for n, k in zip(names, keys)][:60]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Kernel-output round lint (r9): no engine round() over a double produced
+# by a Python/Arrow map node.
+#
+# Closes the continuous-round lint's documented reach limit: a double
+# computed INSIDE a pandas kernel (mapInPandas / applyInPandas) carries no
+# sqrt/log lineage the plan walk can see, so `F.round(kernel_output, d)`
+# sailed past `_continuous_rounds` — which is exactly how
+# knn_cosine_bruteforce's BLAS cosine stayed on engine round() through r8
+# (and, found by the r9 audit, dedup_embedding_cosine / ann_hyperplane_lsh /
+# contrastive_pairs / semdedup / incremental_embedding_dedup /
+# rag_pipeline_full with it). Registry convention: anything a kernel emits
+# is presumed continuous — quantize it with the shared
+# `CAST(floor(x·10^d + 0.5) AS BIGINT)` tree (functions/exact.fixed),
+# written token-identically in the oracle, never engine round().
+#
+# Known reach limit (documented, not closed): a `pin(eager=True)`
+# checkpoint between the kernel and the round collapses the lineage to a
+# LogicalRDD, hiding the Python node. The source-level kernel scan below
+# covers the kernel interior; no registered query rounds a post-checkpoint
+# kernel output today (this lint + the conversions prove the visible set
+# is empty).
+# ---------------------------------------------------------------------------
+
+_PY_MAP_NODES = {"MapInPandas", "FlatMapGroupsInPandas",
+                 "FlatMapGroupsInPandasWithState",
+                 "TransformWithStateInPandas", "PythonMapInArrow",
+                 "MapInArrow", "FlatMapGroupsInArrow"}
+
+# name → why round-over-kernel-output is provably safe THERE. Keep empty:
+# the scaled-integer emission pattern removes the need.
+KERNEL_ROUND_ALLOWLIST: dict[str, str] = {}
+
+
+def _kernel_output_rounds(df) -> list[str]:
+    """Round/BRound expressions in ``df``'s analyzed plan whose
+    (alias-resolved) lineage reaches a float/double attribute emitted by
+    a Python/Arrow map node — same walk as ``_wobbly_rounds`` with the
+    target being the map node's output attribute set."""
+    plan = df._jdf.queryExecution().analyzed()
+    aliases: dict[int, object] = {}
+    rounds = []
+    py_attrs: dict[int, str] = {}
+    for node in _walk_plan(plan):
+        cls = node.getClass().getSimpleName()
+        if cls in _PY_MAP_NODES:
+            out_attrs = node.output()
+            for i in range(out_attrs.size()):
+                a = out_attrs.apply(i)
+                if a.dataType().simpleString() in _FLOATY:
+                    py_attrs[a.exprId().id()] = f"{cls}.{a.name()}"
+        for top in _jseq(node.expressions()):
+            for e in _walk_expr(top):
+                ecls = e.getClass().getSimpleName()
+                if ecls == "Alias":
+                    aliases[e.exprId().id()] = e.child()
+                elif ecls in ("Round", "BRound"):
+                    rounds.append(e)
+
+    def lineage_hits_kernel(e, seen: set[int]) -> str | None:
+        for sub in _walk_expr(e):
+            if sub.getClass().getSimpleName() == "AttributeReference":
+                aid = sub.exprId().id()
+                if aid in py_attrs:
+                    return py_attrs[aid]
+                target = aliases.get(aid)
+                if target is not None and aid not in seen:
+                    hit = lineage_hits_kernel(target, seen | {aid})
+                    if hit:
+                        return hit
+        return None
+
+    out = []
+    for r in rounds:
+        hit = lineage_hits_kernel(r, set())
+        if hit:
+            out.append(f"{hit} under {r.toString()[:120]}")
+    return out
+
+
+@pytest.mark.parametrize("name", _names(), ids=_names())
+def test_no_round_over_kernel_output(spark, name):
+    if name in KERNEL_ROUND_ALLOWLIST:
+        pytest.skip(f"allowlisted: {KERNEL_ROUND_ALLOWLIST[name]}")
+    hits = _kernel_output_rounds(_df_for(spark, name))
+    assert not hits, (
+        f"{name}: engine round() applied over a double emitted by a "
+        f"Python/Arrow kernel — the value is presumed continuous (BLAS "
+        f"cosines, learned scores) and Spark's BigDecimal HALF_UP vs "
+        f"DuckDB's multiply-first round can flip the digit (the "
+        f"knn_cosine_bruteforce r9 conversion class). Emit "
+        f"CAST(floor(x * 10^d + 0.5) AS BIGINT) via functions/exact.fixed "
+        f"in BOTH engines instead:\n  " + "\n  ".join(hits))
+
+
+def test_kernel_output_round_lint_catches_violations(spark):
+    """Self-test: flags round over a mapInPandas double — including
+    hidden behind an alias — passes the scaled-integer emission, passes
+    round over a JVM-computed double, and ignores integer kernel
+    outputs."""
+    import pandas as pd  # noqa: F401  (executor-side import)
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(8).withColumn("v", F.col("id") * 1.0)
+
+    def k(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"], "s": pdf["v"] * 0.5,
+                                "n": pdf["id"] * 2})
+
+    m = df.mapInPandas(k, "id long, s double, n long")
+    assert _kernel_output_rounds(m.select(F.round("s", 4)))
+    aliased = m.withColumn("t", F.col("s") + 1.0)
+    assert _kernel_output_rounds(aliased.select(F.round("t", 4)))
+    assert not _kernel_output_rounds(
+        m.select(F.floor(F.col("s") * 10_000 + F.lit(0.5)).cast("long")))
+    assert not _kernel_output_rounds(
+        m.select(F.round(F.col("n") / 100.0, 2)))   # int output is exempt
+    assert not _kernel_output_rounds(
+        df.select(F.round(F.col("v") / 3.0, 4)))    # no kernel at all
+
+
+# ---------------------------------------------------------------------------
+# Kernel-interior round lint (r9): no round()/np.round/.round() CALL inside
+# a pandas-kernel function body anywhere in the package.
+#
+# The other half of the blind spot: quantization applied INSIDE the kernel
+# (numpy round, Python round — Python's is even HALF-EVEN) is invisible to
+# every plan walk and lands on the hashed surface with kernel-local
+# semantics no oracle restates. Registry convention: kernels emit RAW
+# doubles; quantization happens in the JVM expression tree
+# (functions/exact.fixed) that the oracle mirrors. The sanctioned
+# kernel-side pattern for ORDERING on the quantized grid is
+# `np.floor(x * 10^d + 0.5)` — the same IEEE ops as the JVM tree, no
+# round() call — as knn_bruteforce's batch-local top-k does.
+#
+# Scope: every function whose NAME is passed as the kernel argument of
+# .mapInPandas / .applyInPandas / .applyInPandasWithState /
+# .transformWithStateInPandas / .mapInArrow anywhere under
+# dig_etl_engine_spark/, plus inline lambda kernels.
+# ---------------------------------------------------------------------------
+
+_KERNEL_SINKS = {"mapInPandas", "applyInPandas", "applyInPandasWithState",
+                 "transformWithStateInPandas", "mapInArrow"}
+
+# "file.py:kernel_name" → why a round call inside that kernel is safe.
+# Keep empty: the floor(x·10^d + 0.5) ordering pattern removes the need.
+KERNEL_SOURCE_ALLOWLIST: dict[str, str] = {}
+
+
+def _round_calls_in(fn_node, rel: str, kernel: str) -> list[str]:
+    import ast
+
+    hits = []
+    for sub in ast.walk(fn_node):
+        if not isinstance(sub, ast.Call):
+            continue
+        f = sub.func
+        if isinstance(f, ast.Name) and f.id == "round":
+            hits.append(f"{rel}:{sub.lineno} kernel={kernel} round()")
+        elif isinstance(f, ast.Attribute) and f.attr in ("round", "around"):
+            hits.append(f"{rel}:{sub.lineno} kernel={kernel} .{f.attr}()")
+    return hits
+
+
+def _kernel_source_round_sites(pkg_root: Path) -> list[str]:
+    import ast
+
+    hits = []
+    for path in sorted(pkg_root.rglob("*.py")):
+        rel = path.relative_to(pkg_root.parent).as_posix()
+        tree = ast.parse(path.read_text())
+        kernel_names: set[str] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Call) \
+                    and isinstance(node.func, ast.Attribute) \
+                    and node.func.attr in _KERNEL_SINKS and node.args:
+                a = node.args[0]
+                if isinstance(a, ast.Name):
+                    kernel_names.add(a.id)
+                elif isinstance(a, ast.Lambda):
+                    hits += _round_calls_in(a, rel, "<lambda>")
+        if not kernel_names:
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) \
+                    and node.name in kernel_names:
+                key = f"{path.name}:{node.name}"
+                if key in KERNEL_SOURCE_ALLOWLIST:
+                    continue
+                hits += _round_calls_in(node, rel, node.name)
+    return hits
+
+
+def test_no_round_inside_pandas_kernels():
+    pkg = Path(__file__).resolve().parent.parent / "dig_etl_engine_spark"
+    hits = _kernel_source_round_sites(pkg)
+    assert not hits, (
+        "round()/np.round/.round() called inside a pandas kernel — "
+        "kernel-local quantization is invisible to the plan lints and no "
+        "oracle restates it. Emit the raw double and quantize with "
+        "functions/exact.fixed in the JVM tree; for kernel-side ORDERING "
+        "use np.floor(x * 10^d + 0.5) (no round call):\n  "
+        + "\n  ".join(hits))
+
+
+def test_kernel_source_lint_catches_violations(tmp_path):
+    """Self-test over a synthetic module: flags round/np.round/.round in
+    named and lambda kernels, passes np.floor ordering and rounds outside
+    kernels — otherwise a refactor could make the scan vacuous."""
+    mod = tmp_path / "dig_etl_engine_spark"
+    mod.mkdir()
+    (mod / "bad.py").write_text(
+        "def outer(df):\n"
+        "    def k(batches):\n"
+        "        for pdf in batches:\n"
+        "            yield pdf.assign(s=round(pdf.s, 4))\n"
+        "    return df.mapInPandas(k, 's double')\n"
+        "def outer2(df):\n"
+        "    def g(pdf):\n"
+        "        import numpy as np\n"
+        "        return pdf.assign(s=np.round(pdf.s, 4))\n"
+        "    return df.groupBy('a').applyInPandas(g, 's double')\n"
+        "def outer3(df):\n"
+        "    return df.mapInPandas(lambda it: (p.round(2) for p in it),\n"
+        "                          's double')\n")
+    (mod / "good.py").write_text(
+        "def outer(df):\n"
+        "    def k(batches):\n"
+        "        import numpy as np\n"
+        "        for pdf in batches:\n"
+        "            order = np.floor(pdf.s * 1e4 + 0.5)\n"
+        "            yield pdf\n"
+        "    return df.mapInPandas(k, 's double')\n"
+        "def not_a_kernel(x):\n"
+        "    return round(x, 4)\n")
+    hits = _kernel_source_round_sites(mod)
+    assert len([h for h in hits if "bad.py" in h]) == 3, hits
+    assert not [h for h in hits if "good.py" in h], hits

@@ -251,17 +251,17 @@ class TestContrastivePairs:
         assert pos0 == [1]
         # anchor 0's negatives: hardest two in [0.5, 0.9) by cosine are
         # 2 (cos 0.6 ≈ .825) then 3 (cos 0.8 ≈ .697); 4 (.622) misses
-        # the m=2 cut
+        # the m=2 cut (scores are 1e-4-scaled BIGINTs, r9)
         negs0 = [r.other for r in sorted(
             (r for r in by_anchor[0] if r.pair_type == "hard_negative"),
-            key=lambda r: -r.cosine)]
+            key=lambda r: -r.cosine_e4)]
         assert negs0 == [2, 3]
         # band respected everywhere; positives symmetric
         for rs in by_anchor.values():
             for r in rs:
                 if r.pair_type == "hard_negative":
-                    assert 0.5 <= r.cosine < 0.9
+                    assert 5_000 <= r.cosine_e4 < 9_000
                 else:
-                    assert r.cosine >= 0.99
+                    assert r.cosine_e4 >= 9_900
         assert [r.other for r in by_anchor[1]
                 if r.pair_type == "positive"] == [0]
