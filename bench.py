@@ -2,9 +2,19 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query runs once after a warm-up pass of the session (JVM + catalog),
+Each query runs after a warm-up pass of the session (JVM + catalog),
 timed end-to-end including the action (count of the result) — the honest
 cost of planning + execution + any Python-side stages.
+
+Measurement protocol knobs (r9, after two rounds of sub-second queries
+swinging ±2x run-to-run on this VM — VERDICT r8 "settle the bench drift
+with data"):
+  SPARK_GRAFT_BENCH_RUNS  repeats per query (default 3; min-of-2 could
+                          not resolve a 1.4x signal at 0.3 s scale)
+  SPARK_GRAFT_BENCH_STAT  "min" (default — steady-state cost, what a
+                          long-lived cluster amortizes to) or "median"
+                          (drift adjudication: robust against one slow
+                          AND one lucky run; use RUNS>=5)
 """
 
 from __future__ import annotations
@@ -88,27 +98,38 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "min")
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap.get(name)
         if fn is None:
             continue
-        # min of 2 runs: steady-state cost (first run pays codegen/broadcast
-        # warm-up that a long-lived cluster amortizes away).
-        best = float("inf")
-        for _ in range(2):
+        # default min-of-N: steady-state cost (the first run pays
+        # codegen/broadcast warm-up that a long-lived cluster amortizes
+        # away); median mode for drift adjudication (see module doc)
+        samples = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        if stat == "median":
+            import statistics
+            timings[name] = round(statistics.median(samples), 3)
+        else:
+            timings[name] = round(min(samples), 3)
 
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if runs != 3 or stat != "min":
+        out["protocol"] = {"runs": runs, "stat": stat}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -488,6 +488,84 @@ def _bucket_expr(df: DataFrame, key_col: str, buckets: int, *,
     return F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
 
 
+_INT_WIDTHS = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+_FLT_WIDTHS = {"float": 1, "double": 2}
+
+
+def _num_family(t: str) -> str | None:
+    if t in _INT_WIDTHS:
+        return "integral"
+    if t in _FLT_WIDTHS:
+        return "fractional"
+    return None
+
+
+def _align_to_table(batch: DataFrame, ref_schema, *,
+                    target_path: str) -> DataFrame:
+    """Cast the batch's common columns to the TABLE's exact types — the
+    bucketed table's schema is a cross-bucket contract (r9).
+
+    The hazard this closes (found by the r9 migration golden): the
+    partitioned merge rewrites only the TOUCHED buckets, so a batch
+    column arriving WIDER than the table's (bigint vs int) used to
+    coerce the union up and rewrite those buckets at the wider parquet
+    type — the table became cross-bucket schema-inconsistent and
+    ``read_partitioned`` failed with PARQUET_COLUMN_DATA_TYPE_MISMATCH
+    on the next read touching both widths. (The plain ``upsert`` is
+    immune: it rewrites the WHOLE table, so its schema evolves
+    atomically.)
+
+    Same-family numeric drift aligns via a GUARDED ``try_cast``: a
+    value that does not fit the table's type raises at execution
+    (deployment-independent — a plain cast wraps silently under
+    ansi=false and throws under ansi=true), everything else lands at
+    the table's birth type so every bucket file keeps one schema.
+    Cross-family drift and batch-only NEW columns are refused — adding
+    a column to a bucketed table is a full-table rewrite, not a merge.
+    Columns MISSING from the batch stay fine (the union fills nulls
+    and the rewrite keeps the full table schema). Fractional
+    down-casts (double→float) lose precision by construction; the
+    table's birth type is the declared contract, same as any fixed
+    parquet schema."""
+    ref_types = {f.name: f.dataType.simpleString()
+                 for f in ref_schema.fields if f.name != "_kb"}
+    extra = [c for c in batch.columns if c not in ref_types]
+    if extra:
+        raise ValueError(
+            f"upsert_partitioned: batch adds column(s) {extra} not "
+            f"present in the bucketed table {target_path} — a per-bucket "
+            "merge would leave the new column in touched buckets only "
+            "(a cross-bucket schema mix read_partitioned cannot "
+            "resolve). Adding a column is a full-table rewrite: "
+            "read_partitioned → withColumn → write to a fresh path.")
+    exprs = []
+    drift = False
+    for c in batch.columns:
+        t_b = batch.schema[c].dataType.simpleString()
+        t_t = ref_types[c]
+        if t_b == t_t:
+            exprs.append(F.col(c))
+            continue
+        if _num_family(t_b) is None or _num_family(t_b) != _num_family(t_t):
+            raise ValueError(
+                f"upsert_partitioned: batch column {c}:{t_b} cannot merge "
+                f"into the table's {c}:{t_t} at {target_path} "
+                "(cross-family or unsupported type drift) — cast the "
+                "batch explicitly to the table's type.")
+        drift = True
+        tc = F.col(c).try_cast(t_t)
+        exprs.append(
+            F.when(F.col(c).isNotNull() & tc.isNull(),
+                   F.raise_error(F.lit(
+                       f"upsert_partitioned: a value in batch column "
+                       f"{c} ({t_b}) does not fit the table's {t_t} — "
+                       f"the bucketed table keeps its birth type; fix "
+                       f"the value or rewrite the table at a wider "
+                       f"type.")))
+            .otherwise(tc).cast(t_t).alias(c))
+    return batch.select(*exprs) if drift else batch
+
+
 def _check_key_family(batch_df: DataFrame, table_df: DataFrame,
                       key_col: str, *, widened: bool) -> None:
     """Reject a batch whose key type cannot hash-agree with the stored
@@ -522,9 +600,6 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
                                order_col: str, buckets: int) -> None:
     buckets, widened = _load_bucket_meta(target_path, buckets)
     _recover_partitioned_swap(target_path)
-    kb = _bucket_expr(batch, key_col, buckets, widened=widened)
-    b = dedupe_last_write_wins(batch.withColumn("_kb", kb),
-                               key_col, order_col)
 
     # Migration / crash-recovery: flat root *.parquet files exist when the
     # table is a create_table bootstrap, was built by the plain upsert, OR
@@ -543,25 +618,49 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
         names = os.listdir(target_path)
         flat_files = [f for f in names if f.endswith(".parquet")]
         has_kb = any(f.startswith("_kb=") for f in names)
+    existing_all = None
+    stray = None
+    if has_kb:
+        existing_all = (spark.read.option("basePath", target_path)
+                        .parquet(os.path.join(target_path, "_kb=*")))
     if flat_files:
         stray = spark.read.parquet(
             *[os.path.join(target_path, f) for f in flat_files])
-        # the bucket expression must be rebuilt from the STRAY frame's
-        # own key dtype: the batch-derived `kb` picks its widening cast
-        # from the batch schema, and a stray column of a different
-        # width would hash unwidened into the wrong partition (external
-        # review r8) — and a stray of a different FAMILY cannot
-        # hash-agree at all
-        _check_key_family(batch, stray, key_col, widened=widened)
+
+    # The INCUMBENT schema (the bucketed dirs, else the flat bootstrap)
+    # is the table's contract: check the key's hash-compatibility
+    # against it, then align every writer-side frame to its EXACT types
+    # (r9, found by the migration golden): the merge rewrites only the
+    # touched buckets, so letting the union coerce a wider batch column
+    # up would rewrite those buckets at a different parquet type and
+    # leave the table cross-bucket schema-inconsistent — see
+    # _align_to_table. The alignment also subsumes the r8 stray-width
+    # rule (a stray column of a different width would otherwise hash
+    # into the wrong partition): post-alignment, batch, stray and table
+    # hash from one key dtype.
+    incumbent = existing_all if existing_all is not None else stray
+    if incumbent is not None:
+        _check_key_family(batch, incumbent, key_col, widened=widened)
+        batch = _align_to_table(batch, incumbent.schema,
+                                target_path=target_path)
+        if stray is not None and existing_all is not None:
+            _check_key_family(stray, incumbent, key_col, widened=widened)
+            stray = _align_to_table(stray, incumbent.schema,
+                                    target_path=target_path)
+
+    kb = _bucket_expr(batch, key_col, buckets, widened=widened)
+    b = dedupe_last_write_wins(batch.withColumn("_kb", kb),
+                               key_col, order_col)
+    if stray is not None:
+        # the bucket expression is still rebuilt from the (aligned)
+        # stray frame itself — an expression built from another frame's
+        # schema would pick the widening cast from the wrong dtype
         stray = stray.withColumn(
             "_kb", _bucket_expr(stray, key_col, buckets, widened=widened))
         b = dedupe_last_write_wins(
             stray.unionByName(b, allowMissingColumns=True),
             key_col, order_col)
     if has_kb:
-        existing_all = (spark.read.option("basePath", target_path)
-                        .parquet(os.path.join(target_path, "_kb=*")))
-        _check_key_family(batch, existing_all, key_col, widened=widened)
         touched = [r[0] for r in b.select("_kb").distinct().collect()]
         existing = existing_all.filter(F.col("_kb").isin(touched))
         b = dedupe_last_write_wins(

@@ -1230,6 +1230,119 @@ class TestBucketMetaAndRebucket:
                for r in kg_table.read_partitioned(spark, p).collect()}
         assert got["k0"] == "post" and len(got) == len(before)
 
+    def test_true_legacy_int_table_refuse_upgrade_merge(self, spark,
+                                                        tmp_path):
+        """End-to-end migration golden over a table whose legacy layout
+        GENUINELY diverges from the widened hash (VERDICT r8 item 6):
+        an INT-keyed table placed by the unwidened expression — where
+        xxhash64(INT) and xxhash64(BIGINT) bucket the same logical keys
+        differently — must (1) keep merging same-type batches under its
+        birth contract with no duplicate keys, (2) refuse a wider-key
+        batch with the upgrade path named, (3) relocate rows to the
+        widened layout under rebucket_partitioned, (4) then merge the
+        wider batch cleanly — aligned DOWN to the table's birth INT
+        type (the schema is a cross-bucket contract: a coerced-up
+        rewrite of only the touched buckets would leave the table
+        unreadable, the r9 _align_to_table hazard) — and (5) refuse, at
+        execution, a wider value that does not fit the birth type. The
+        earlier marker test simulates legacy on a BIGINT key, where
+        widening is the identity; this one proves the migration moves
+        rows."""
+        import glob
+
+        from pyspark.sql import functions as F
+
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(i, 1, "base") for i in range(40)],
+            "doc_id int, kafka_offset long, v string")
+        # non-vacuity: the two hash versions must place at least one of
+        # these keys differently, else the relocation assert below
+        # proves nothing
+        diverging = base.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4))
+            != F.pmod(F.xxhash64(F.col("doc_id").cast("long")),
+                      F.lit(4))).count()
+        assert diverging > 0
+        # build the TRUE legacy layout: dirs placed by the unwidened
+        # hash, count-only meta (what a pre-r8 writer left on disk)
+        (base.withColumn("_kb", kg_table._bucket_expr(
+            base, "doc_id", 4, widened=False))
+         .write.partitionBy("_kb").parquet(p))
+        with open(os.path.join(p, "_kg_buckets"), "w") as fh:
+            fh.write("4")
+
+        legacy_dirs = {d.rsplit("=", 1)[1]: d
+                       for d in glob.glob(f"{p}/_kb=*")}
+        legacy_placement = {
+            r.doc_id: r._kb
+            for r in spark.read.option("basePath", p)
+            .parquet(f"{p}/_kb=*").select("doc_id", "_kb").collect()}
+
+        # (1) same-type batch merges under the birth contract
+        b_int = spark.createDataFrame(
+            [(7, 9, "upd")], "doc_id int, kafka_offset long, v string")
+        kg_table.upsert_partitioned(spark, p, b_int, buckets=4)
+        got = {r.doc_id: r.v
+               for r in kg_table.read_partitioned(spark, p).collect()}
+        assert got[7] == "upd" and len(got) == 40   # no duplicate keys
+        meta = os.path.join(p, "_kg_buckets")
+        assert open(meta).read().split() == ["4"]   # still legacy
+
+        # (2) a wider (BIGINT) batch cannot hash-agree: refuse, naming
+        # the upgrade
+        b_long = spark.createDataFrame(
+            [(7, 11, "wide")], "doc_id long, kafka_offset long, v string")
+        with pytest.raises(ValueError, match="rebucket_partitioned"):
+            kg_table.upsert_partitioned(spark, p, b_long, buckets=4)
+
+        # (3) upgrade: every row rewritten under the widened hash
+        n = kg_table.rebucket_partitioned(spark, p, 4, key_col="doc_id")
+        assert n == 40
+        assert "widened" in open(meta).read().split()
+        new_placement = {
+            r.doc_id: r._kb
+            for r in spark.read.option("basePath", p)
+            .parquet(f"{p}/_kb=*").select("doc_id", "_kb").collect()}
+        moved = [k for k in legacy_placement
+                 if legacy_placement[k] != new_placement[k]]
+        assert moved, (legacy_dirs, new_placement)   # rows relocated
+
+        # (4) the wider batch now merges, aligned down to the birth INT
+        # type; one row per key, values right, schema unchanged
+        kg_table.upsert_partitioned(spark, p, b_long, buckets=4)
+        table = kg_table.read_partitioned(spark, p)
+        assert table.schema["doc_id"].dataType.simpleString() == "int"
+        rows = table.collect()
+        assert len(rows) == 40
+        final = {r.doc_id: r.v for r in rows}
+        assert final[7] == "wide"
+        assert sum(1 for r in rows if r.doc_id == 7) == 1
+
+        # (5) a wider VALUE that cannot fit the birth type fails loudly
+        # at execution (guarded try_cast), and the failed staging write
+        # leaves the table intact
+        b_big = spark.createDataFrame(
+            [(2**40, 12, "oob")],
+            "doc_id long, kafka_offset long, v string")
+        with pytest.raises(Exception, match="does not fit the table's"):
+            kg_table.upsert_partitioned(spark, p, b_big, buckets=4)
+        assert {r.doc_id: r.v
+                for r in kg_table.read_partitioned(spark, p).collect()} \
+            == final
+
+        # (6) cross-bucket schema drift is refused for NON-key columns
+        # and for batch-only new columns too (same mixed-parquet hazard)
+        b_widecol = spark.createDataFrame(
+            [(7, 13, "x", 1.5)],
+            "doc_id int, kafka_offset long, v string, extra double")
+        with pytest.raises(ValueError, match="adds column"):
+            kg_table.upsert_partitioned(spark, p, b_widecol, buckets=4)
+        b_cross = spark.createDataFrame(
+            [(7, 13, 99)], "doc_id int, kafka_offset long, v int")
+        with pytest.raises(ValueError, match="cross-family"):
+            kg_table.upsert_partitioned(spark, p, b_cross, buckets=4)
+
     def test_rebucket_crash_recovery_states(self, spark, tmp_path):
         import shutil as _sh
         p = self._table(spark, tmp_path, buckets=2)
