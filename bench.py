@@ -14,7 +14,11 @@ with data"):
   SPARK_GRAFT_BENCH_STAT  "min" (default — steady-state cost, what a
                           long-lived cluster amortizes to) or "median"
                           (drift adjudication: robust against one slow
-                          AND one lucky run; use RUNS>=5)
+                          AND one lucky run; use RUNS>=5). Median mode
+                          runs one untimed warm-up execution per query
+                          first — without it the sweep-order-first
+                          queries sample the session's codegen ramp
+                          into their median (r9 adjudication)
 """
 
 from __future__ import annotations
@@ -100,6 +104,11 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "min")
+    if stat not in ("min", "median"):
+        # a typo must not silently demote a median adjudication to
+        # min-of-N while the protocol field records the typo as applied
+        raise SystemExit(f"SPARK_GRAFT_BENCH_STAT={stat!r}: "
+                         "expected 'min' or 'median'")
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -108,7 +117,16 @@ def main() -> None:
             continue
         # default min-of-N: steady-state cost (the first run pays
         # codegen/broadcast warm-up that a long-lived cluster amortizes
-        # away); median mode for drift adjudication (see module doc)
+        # away); median mode for drift adjudication (see module doc).
+        # Median mode additionally runs one UNTIMED warm-up execution
+        # per query: the queries at the HEAD of the sweep otherwise
+        # sample the session's codegen/Arrow-pool ramp into every one
+        # of their consecutive timed runs, and the median keeps it —
+        # the r9 adjudication measured agg_pricing_summary at 1.03 s
+        # median in sweep position 1 vs 0.48 s median isolated (min-of-N
+        # never showed this because min absorbs the ramp).
+        if stat == "median":
+            fn(spark, sf_dir).count()
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -724,7 +724,15 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
                            F.lit(True).alias("is_new"), "is_primary") \
         .unionByName(old_rows)
 
-    margin = 0.5 * 10.0 ** (-round_digits)
+    # prefilter with the EXACT quantized predicate the JVM filter (and
+    # the oracle) applies — floor(x·10^d + 0.5) >= scaled threshold, the
+    # same IEEE ops. A subtracted-margin heuristic (threshold - 0.5·10^-d)
+    # is 1 ulp too strict at some thresholds: a raw cosine can quantize
+    # UP to the threshold yet sit below fl(threshold - margin), dropping
+    # the pair Spark-side only (r9 round-close review, verified
+    # numerically at threshold=0.9/d=4).
+    _scale = 10.0 ** round_digits
+    _cut = int(round(threshold * 10 ** round_digits))
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         new = pdf[pdf["is_new"]]
@@ -739,7 +747,7 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
         is_new = pdf["is_new"].to_numpy(bool)
         ni = np.flatnonzero(is_new)
         sims = v[ni] @ v.T                       # |new| × |all|
-        ai, bi = np.where(sims >= threshold - margin)
+        ai, bi = np.where(np.floor(sims * _scale + 0.5) >= _cut)
         a_ids, b_ids = ids[ni[ai]], ids[bi]
         b_new = is_new[bi]
         # drop self-pairs; orient batch-internal pairs doc_a < doc_b
@@ -807,8 +815,9 @@ def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
 
     Shape: one shuffle groups each cell onto an executor (applyInPandas),
     where the cell's pairwise cosines are ONE BLAS Gram matrix; only pairs
-    near the threshold leave Python (with a margin so the authoritative
-    quantize+filter happens JVM-side). Cells are IVF-partition-sized by
+    at or above the threshold leave Python (the kernel prefilter applies
+    the SAME quantized predicate as the authoritative JVM filter —
+    bit-identical keep set). Cells are IVF-partition-sized by
     contract — the same bound that makes the IVF search path work. An
     expression-level pair join evaluated interpreted HOF folds per pair —
     the same cliff documented in operators/dedup.py.
@@ -819,8 +828,12 @@ def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     from dig_etl_engine_spark.session import ship_package
 
     ship_package(df.sparkSession)
-    # emit margin: anything that could still round UP to the threshold
-    margin = 0.5 * 10.0 ** (-round_digits)
+    # prefilter with the EXACT quantized predicate the JVM filter (and
+    # the oracle) applies — same IEEE ops, bit-identical keep set; a
+    # subtracted-margin heuristic is 1 ulp too strict at some
+    # thresholds (r9 round-close review)
+    _scale = 10.0 ** round_digits
+    _cut = int(round(threshold * 10 ** round_digits))
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -829,7 +842,8 @@ def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
         v = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
         v = v / np.linalg.norm(v, axis=1, keepdims=True)
         sims = v @ v.T
-        ai, bi = np.where(np.triu(sims >= threshold - margin, k=1))
+        ai, bi = np.where(np.triu(
+            np.floor(sims * _scale + 0.5) >= _cut, k=1))
         return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi],
                              "cosine": sims[ai, bi]})
 

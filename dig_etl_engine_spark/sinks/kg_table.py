@@ -501,7 +501,7 @@ def _num_family(t: str) -> str | None:
 
 
 def _align_to_table(batch: DataFrame, ref_schema, *,
-                    target_path: str) -> DataFrame:
+                    target_path: str, frame: str = "batch") -> DataFrame:
     """Cast the batch's common columns to the TABLE's exact types — the
     bucketed table's schema is a cross-bucket contract (r9).
 
@@ -526,13 +526,20 @@ def _align_to_table(batch: DataFrame, ref_schema, *,
     and the rewrite keeps the full table schema). Fractional
     down-casts (double→float) lose precision by construction; the
     table's birth type is the declared contract, same as any fixed
-    parquet schema."""
+    parquet schema — but a FINITE double overflowing to float
+    ±Infinity is a misencoding, not a precision loss, and raises like
+    the integral overflow does (``try_cast`` alone cannot see it:
+    double→float overflow yields Inf, not NULL — r9 round-close
+    review). ``frame`` names the frame being aligned in every
+    diagnostic ("batch", or the stray flat-file migration frame — a
+    wedged migration must blame the on-disk stray, not the caller's
+    conforming batch)."""
     ref_types = {f.name: f.dataType.simpleString()
                  for f in ref_schema.fields if f.name != "_kb"}
     extra = [c for c in batch.columns if c not in ref_types]
     if extra:
         raise ValueError(
-            f"upsert_partitioned: batch adds column(s) {extra} not "
+            f"upsert_partitioned: {frame} adds column(s) {extra} not "
             f"present in the bucketed table {target_path} — a per-bucket "
             "merge would leave the new column in touched buckets only "
             "(a cross-bucket schema mix read_partitioned cannot "
@@ -548,16 +555,24 @@ def _align_to_table(batch: DataFrame, ref_schema, *,
             continue
         if _num_family(t_b) is None or _num_family(t_b) != _num_family(t_t):
             raise ValueError(
-                f"upsert_partitioned: batch column {c}:{t_b} cannot merge "
-                f"into the table's {c}:{t_t} at {target_path} "
+                f"upsert_partitioned: {frame} column {c}:{t_b} cannot "
+                f"merge into the table's {c}:{t_t} at {target_path} "
                 "(cross-family or unsupported type drift) — cast the "
-                "batch explicitly to the table's type.")
+                f"{frame} explicitly to the table's type.")
         drift = True
         tc = F.col(c).try_cast(t_t)
+        # try_cast yields NULL on integral overflow, but double→float
+        # overflow yields ±Infinity (verified on Spark 4.1.2) — guard a
+        # FINITE source turning infinite separately
+        does_not_fit = F.col(c).isNotNull() & tc.isNull()
+        if t_t in _FLT_WIDTHS:
+            inf = F.lit(float("inf"))
+            does_not_fit = does_not_fit | (
+                (F.abs(tc) == inf) & (F.abs(F.col(c)) != inf))
         exprs.append(
-            F.when(F.col(c).isNotNull() & tc.isNull(),
+            F.when(does_not_fit,
                    F.raise_error(F.lit(
-                       f"upsert_partitioned: a value in batch column "
+                       f"upsert_partitioned: a value in {frame} column "
                        f"{c} ({t_b}) does not fit the table's {t_t} — "
                        f"the bucketed table keeps its birth type; fix "
                        f"the value or rewrite the table at a wider "
@@ -645,8 +660,10 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
                                 target_path=target_path)
         if stray is not None and existing_all is not None:
             _check_key_family(stray, incumbent, key_col, widened=widened)
-            stray = _align_to_table(stray, incumbent.schema,
-                                    target_path=target_path)
+            stray = _align_to_table(
+                stray, incumbent.schema, target_path=target_path,
+                frame="stray flat-file migration frame (on disk at the "
+                      "table root, not this batch)")
 
     kb = _bucket_expr(batch, key_col, buckets, widened=widened)
     b = dedupe_last_write_wins(batch.withColumn("_kb", kb),

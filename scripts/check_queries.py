@@ -6,6 +6,7 @@ at a given SF dir (defaults to sf0.001 for speed). Usage:
 Prints MATCH/MISMATCH per query with first differing rows.
 """
 
+import os
 import sys
 from pathlib import Path
 
@@ -19,8 +20,9 @@ from tests.oracle_harness import compare  # noqa: E402
 def main() -> int:
     args = sys.argv[1:]
     sf = "/root/testdata/sf0.001"
-    if args and args[0].startswith("/"):
-        sf, args = args[0], args[1:]
+    # a relative sf_dir must not be misread as a query name
+    if args and (args[0].startswith("/") or os.path.isdir(args[0])):
+        sf, args = os.path.abspath(args[0]), args[1:]
     spark = get_spark("check")
     spark.sparkContext.setLogLevel("ERROR")
     q, o = registry.queries(), registry.oracle_sql()

@@ -75,8 +75,10 @@ def main() -> int:
         zone, sf, names = args[1], args[2], args[3:]
         return _child(zone, sf, names)
     sf = DEFAULT_SF
-    if args and args[0].startswith("/"):
-        sf, args = args[0], args[1:]
+    # an sf_dir may be given relative (testdata/sf0.001) — anything
+    # that exists as a directory is the dataset, not a query name
+    if args and (args[0].startswith("/") or os.path.isdir(args[0])):
+        sf, args = os.path.abspath(args[0]), args[1:]
     results: dict[str, dict] = {}
     for zone in ZONES:
         proc = subprocess.run(

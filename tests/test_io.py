@@ -1343,6 +1343,43 @@ class TestBucketMetaAndRebucket:
         with pytest.raises(ValueError, match="cross-family"):
             kg_table.upsert_partitioned(spark, p, b_cross, buckets=4)
 
+    def test_fractional_overflow_to_infinity_refused(self, spark,
+                                                     tmp_path):
+        """r9 round-close review regression: ``try_cast`` yields NULL on
+        integral overflow but double→float overflow yields ±Infinity, so
+        the alignment guard's null-check alone silently stored Inf in a
+        FLOAT-birth column. A finite double that overflows float must
+        raise; a fitting double aligns down; an ALREADY-infinite source
+        passes through (it is not a misencoding)."""
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(i, 1, float(i)) for i in range(8)],
+            "doc_id long, kafka_offset long, score float")
+        kg_table.upsert_partitioned(spark, p, base, buckets=2)
+
+        b_over = spark.createDataFrame(
+            [(3, 2, 1e300)], "doc_id long, kafka_offset long, score double")
+        with pytest.raises(Exception, match="does not fit the table's"):
+            kg_table.upsert_partitioned(spark, p, b_over, buckets=2)
+        table = kg_table.read_partitioned(spark, p)
+        assert table.schema["score"].dataType.simpleString() == "float"
+        assert {r.doc_id: r.score for r in table.collect()}[3] == 3.0
+
+        b_fit = spark.createDataFrame(
+            [(3, 3, 1.5)], "doc_id long, kafka_offset long, score double")
+        kg_table.upsert_partitioned(spark, p, b_fit, buckets=2)
+        got = {r.doc_id: r.score
+               for r in kg_table.read_partitioned(spark, p).collect()}
+        assert got[3] == 1.5 and len(got) == 8
+
+        b_inf = spark.createDataFrame(
+            [(4, 4, float("inf"))],
+            "doc_id long, kafka_offset long, score double")
+        kg_table.upsert_partitioned(spark, p, b_inf, buckets=2)
+        got = {r.doc_id: r.score
+               for r in kg_table.read_partitioned(spark, p).collect()}
+        assert got[4] == float("inf")
+
     def test_rebucket_crash_recovery_states(self, spark, tmp_path):
         import shutil as _sh
         p = self._table(spark, tmp_path, buckets=2)

@@ -633,7 +633,10 @@ def test_kernel_output_round_lint_catches_violations(spark):
 # Scope: every function whose NAME is passed as the kernel argument of
 # .mapInPandas / .applyInPandas / .applyInPandasWithState /
 # .transformWithStateInPandas / .mapInArrow anywhere under
-# dig_etl_engine_spark/, plus inline lambda kernels.
+# dig_etl_engine_spark/, plus inline lambda kernels, factory-call
+# kernels (the FACTORY's whole body is scanned — the returned closure
+# is a nested def, and driver-side rounds feeding kernel state are the
+# same hazard), and the keyword (func=) form.
 # ---------------------------------------------------------------------------
 
 _KERNEL_SINKS = {"mapInPandas", "applyInPandas", "applyInPandasWithState",
@@ -670,12 +673,30 @@ def _kernel_source_round_sites(pkg_root: Path) -> list[str]:
         for node in ast.walk(tree):
             if isinstance(node, ast.Call) \
                     and isinstance(node.func, ast.Attribute) \
-                    and node.func.attr in _KERNEL_SINKS and node.args:
-                a = node.args[0]
+                    and node.func.attr in _KERNEL_SINKS:
+                # the kernel may arrive positionally or as func=...
+                # (r9 round-close review: the keyword form was skipped)
+                a = node.args[0] if node.args else next(
+                    (kw.value for kw in node.keywords
+                     if kw.arg == "func"), None)
                 if isinstance(a, ast.Name):
                     kernel_names.add(a.id)
                 elif isinstance(a, ast.Lambda):
                     hits += _round_calls_in(a, rel, "<lambda>")
+                elif isinstance(a, ast.Call):
+                    # factory form — mapInPandas(assign_fn(state), schema)
+                    # (ivf k-means). Scan the whole FACTORY body: the
+                    # returned closure is a nested def, and ast.walk on
+                    # the factory covers it. Over-approximates (a round
+                    # in the factory outside the closure also flags) —
+                    # deliberately: a driver-side round() feeding kernel
+                    # state is the same HALF-EVEN hazard the
+                    # ivf_kmeans_train r9 conversion removed.
+                    f = a.func
+                    if isinstance(f, ast.Name):
+                        kernel_names.add(f.id)
+                    elif isinstance(f, ast.Attribute):
+                        kernel_names.add(f.attr)
         if not kernel_names:
             continue
         for node in ast.walk(tree):
@@ -702,8 +723,9 @@ def test_no_round_inside_pandas_kernels():
 
 def test_kernel_source_lint_catches_violations(tmp_path):
     """Self-test over a synthetic module: flags round/np.round/.round in
-    named and lambda kernels, passes np.floor ordering and rounds outside
-    kernels — otherwise a refactor could make the scan vacuous."""
+    named, lambda, factory-call (``mapInPandas(mk(state), ...)``) and
+    keyword (``func=``) kernels, passes np.floor ordering and rounds
+    outside kernels — otherwise a refactor could make the scan vacuous."""
     mod = tmp_path / "dig_etl_engine_spark"
     mod.mkdir()
     (mod / "bad.py").write_text(
@@ -719,7 +741,23 @@ def test_kernel_source_lint_catches_violations(tmp_path):
         "    return df.groupBy('a').applyInPandas(g, 's double')\n"
         "def outer3(df):\n"
         "    return df.mapInPandas(lambda it: (p.round(2) for p in it),\n"
-        "                          's double')\n")
+        "                          's double')\n"
+        # factory form (ivf k-means shape) — the round hides inside the
+        # closure a factory CALL returns (r9 round-close review gap)
+        "def outer4(df):\n"
+        "    def mk(state):\n"
+        "        def run(batches):\n"
+        "            for pdf in batches:\n"
+        "                yield pdf.assign(s=round(pdf.s, 4))\n"
+        "        return run\n"
+        "    return df.mapInPandas(mk(1), 's double')\n"
+        # keyword form — func= used to bypass the positional-only scan
+        "def outer5(df):\n"
+        "    def k5(batches):\n"
+        "        import numpy as np\n"
+        "        for pdf in batches:\n"
+        "            yield pdf.assign(s=np.round(pdf.s, 4))\n"
+        "    return df.mapInPandas(func=k5, schema='s double')\n")
     (mod / "good.py").write_text(
         "def outer(df):\n"
         "    def k(batches):\n"
@@ -731,5 +769,5 @@ def test_kernel_source_lint_catches_violations(tmp_path):
         "def not_a_kernel(x):\n"
         "    return round(x, 4)\n")
     hits = _kernel_source_round_sites(mod)
-    assert len([h for h in hits if "bad.py" in h]) == 3, hits
+    assert len([h for h in hits if "bad.py" in h]) == 5, hits
     assert not [h for h in hits if "good.py" in h], hits

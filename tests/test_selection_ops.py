@@ -265,3 +265,67 @@ class TestContrastivePairs:
                     assert r.cosine_e4 >= 9_900
         assert [r.other for r in by_anchor[1]
                 if r.pair_type == "positive"] == [0]
+
+
+class TestQuantizedPrefilterBoundary:
+    def test_kernel_prefilter_matches_jvm_filter_at_ulp_boundary(self, spark):
+        """r9 round-close review regression: the kernel prefilter used
+        ``sims >= threshold - 0.5·10^-d``, which is 1 ulp too strict at
+        some thresholds — a raw cosine can quantize UP to the threshold
+        (so the authoritative JVM filter and the DuckDB oracle keep the
+        pair) yet sit below the subtracted-margin cut, so the kernel
+        never emitted it. The prefilter now applies the SAME
+        ``floor(x·10^d + 0.5) >= scaled_threshold`` predicate as the
+        JVM tree. This test plants a pair whose post-normalization
+        cosine lies in exactly that disagreement window (found by a
+        deterministic nextafter walk) and asserts the operator emits
+        it."""
+        import math
+
+        import numpy as np
+
+        from dig_etl_engine_spark.operators.similarity import (
+            embedding_near_dup_pairs)
+
+        th, d = 0.9, 4
+        cut = int(round(th * 10 ** d))
+        old_cut = th - 0.5 * 10.0 ** (-d)
+
+        # walk 1-ulp steps below old_cut for a c whose KERNEL-exact
+        # post-normalization cosine still quantizes up to `cut` while
+        # the old margin predicate would have dropped it
+        c = np.nextafter(old_cut, 0.0)
+        planted = None
+        for _ in range(64):
+            s = math.sqrt(max(0.0, 1.0 - c * c))
+            v = np.array([[1.0, 0.0], [c, s]], dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cos = (vn @ vn.T)[0, 1]          # the kernel's exact ops
+            if cos < old_cut and np.floor(cos * 10 ** d + 0.5) >= cut:
+                planted = (float(c), float(s))
+                break
+            c = np.nextafter(c, 0.0)
+        assert planted is not None, "no boundary witness within 64 ulps"
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0], 7), (1, [planted[0], planted[1]], 7)],
+            "vec_id long, embedding array<double>, label int")
+        got = embedding_near_dup_pairs(df, threshold=th,
+                                       round_digits=d).collect()
+        assert [(r.doc_a, r.doc_b, r.cosine_e4) for r in got] == \
+            [(0, 1, cut)]
+
+    def test_pairs_below_threshold_stay_dropped(self, spark):
+        """Complement: one quantization step below the threshold is
+        dropped by kernel and JVM alike."""
+        import math
+
+        from dig_etl_engine_spark.operators.similarity import (
+            embedding_near_dup_pairs)
+
+        ang = math.acos(0.85)                 # quantizes to 8500 < 9000
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0], 7), (1, [math.cos(ang), math.sin(ang)], 7)],
+            "vec_id long, embedding array<double>, label int")
+        assert embedding_near_dup_pairs(
+            df, threshold=0.9, round_digits=4).count() == 0
