@@ -66,6 +66,37 @@ def scaled_embeddings(spark, k: int):
     return out
 
 
+def scaled_embeddings_cells(spark, k: int, dup: int = 8):
+    """k replicas with BOTH vec_id and label (the cell key) shifted into
+    disjoint ranges — cell COUNT grows k×, cell SIZE stays constant.
+    This is the contract scale axis for the within-cell pairwise kernels
+    (`embedding_near_dup_pairs` / the incremental variant): at 100 TB the
+    IVF partitioning bounds cell size, so corpus growth means more cells,
+    not bigger Gram matrices. (`scaled_embeddings` deliberately does NOT
+    shift labels — it is the axis for the probe-side KNN kernels whose
+    corpus per cell does grow.)
+
+    ``dup`` perturbed within-cell copies inflate each cell from the toy
+    sf0.1 size (200) to an IVF-realistic one (1600 at the default), so
+    the per-cell Gram actually costs something and the planted near-dup
+    mass keeps the output non-vacuous at any threshold."""
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    parts = []
+    for i in range(k):
+        for j in range(dup):
+            parts.append(base.select(
+                (F.col("vec_id") + 1000000 * (i * dup + j) + 1)
+                .alias("vec_id"),
+                F.transform("embedding",
+                            lambda x: x + F.lit(float(i * dup + j)) * 1e-4)
+                .alias("embedding"),
+                (F.col("label") + 1000 * i).alias("label")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _key_shifted_replicas(base, key_col: str, k: int,
                           offset: int = 10_000_000):
     """k copies of ``base`` with ``key_col`` shifted into disjoint
@@ -148,6 +179,25 @@ def ops(spark, docs_path: str, emb_path: str):
     ]
 
 
+def cell_pair_ops(spark, emb_cells_path: str):
+    """Round-9 kernel: the within-cell pairwise cosine operator whose
+    prefilter moved to the exact quantized predicate. Scale axis = cell
+    count at constant cell size (`scaled_embeddings_cells`) — expected
+    ~linear: one shuffle groups cells, each cell is one constant-size
+    BLAS Gram matrix, and the quantized prefilter is a vectorized
+    floor+compare over the same sims block the margin compare scanned."""
+    from dig_etl_engine_spark.operators import similarity as S
+
+    def emb_cells():
+        return spark.read.parquet(emb_cells_path)
+
+    return [("embedding_near_dup_pairs",
+             # 0.99 catches only the planted perturbed copies; measured
+             # output stays non-vacuous (a 0-row timing proves nothing)
+             lambda: S.embedding_near_dup_pairs(
+                 emb_cells(), threshold=0.99).count())]
+
+
 def event_ops(spark, ev_path: str):
     """Round-8 addendum kernel: the event-time window operator behind
     `ts_rolling_anomaly` (partition-by-user RANGE frame over int64
@@ -212,11 +262,12 @@ def run_single(k: int) -> None:
     dp, ep = f"{droot}/documents.parquet", f"{droot}/embeddings.parquet"
     lp, op = f"{droot}/lineitem.parquet", f"{droot}/orders.parquet"
     evp = f"{droot}/events.parquet"
+    ecp = f"{droot}/emb_cells.parquet"
     only = None
     if len(sys.argv) > 3:
         only = set(sys.argv[3].split(","))
     every = (ops(spark, dp, ep) + layout_ops(spark, lp, op, droot)
-             + event_ops(spark, evp))
+             + event_ops(spark, evp) + cell_pair_ops(spark, ecp))
     if only is not None:
         unknown = only - {n for n, _ in every}
         if unknown:
@@ -229,7 +280,9 @@ def run_single(k: int) -> None:
     names = {n for n, _ in todo}
     emb_ops = {"knn_cosine_ivf", "ann_hyperplane_lsh"}
     layout_names = {"zorder_cluster_write", "bloom_prejoin_prune"}
-    if only is None or names - emb_ops - layout_names - {"rolling_anomaly"}:
+    cell_names = {"embedding_near_dup_pairs"}
+    if only is None or names - emb_ops - layout_names - cell_names \
+            - {"rolling_anomaly"}:
         scaled_docs(spark, k).write.mode("overwrite").parquet(dp)
     if only is None or emb_ops & names:
         scaled_embeddings(spark, k).write.mode("overwrite").parquet(ep)
@@ -238,6 +291,9 @@ def run_single(k: int) -> None:
         scaled_orders(spark, k).write.mode("overwrite").parquet(op)
     if only is None or "rolling_anomaly" in names:
         scaled_events(spark, k).write.mode("overwrite").parquet(evp)
+    if only is None or cell_names & names:
+        scaled_embeddings_cells(spark, k).write.mode("overwrite") \
+            .parquet(ecp)
     for name, fn in todo:
         t0 = time.time()
         n = fn()
