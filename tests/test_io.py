@@ -1343,6 +1343,70 @@ class TestBucketMetaAndRebucket:
         with pytest.raises(ValueError, match="cross-family"):
             kg_table.upsert_partitioned(spark, p, b_cross, buckets=4)
 
+    def test_align_to_table_width_matrix(self, spark):
+        """_align_to_table unit battery over the full integral width
+        ladder (tinyint/smallint/int/bigint — the migration golden only
+        exercises int↔bigint) and the fractional pair: same-family
+        narrowing keeps fitting values and raises on non-fitting ones,
+        widening is silent, NULLs always pass, missing columns are
+        untouched, and equal types short-circuit to the identity."""
+        from pyspark.sql import types as T
+
+        from dig_etl_engine_spark.sinks.kg_table import _align_to_table
+
+        def ref(*fields):
+            return T.StructType(
+                [T.StructField(n, t) for n, t in fields]
+                + [T.StructField("_kb", T.IntegerType())])
+
+        # fitting values narrow cleanly down the whole ladder
+        b = spark.createDataFrame([(100, 100, 100)],
+                                  "a long, b int, c smallint")
+        out = _align_to_table(
+            b, ref(("a", T.ByteType()), ("b", T.ShortType()),
+                   ("c", T.ByteType())), target_path="/t")
+        assert [f.dataType.simpleString() for f in out.schema.fields] \
+            == ["tinyint", "smallint", "tinyint"]
+        assert out.collect() == [(100, 100, 100)]
+
+        # a non-fitting value raises at execution, naming the column
+        for bad, tgt in [((300,), T.ByteType()), ((40000,), T.ShortType()),
+                         ((2**40,), T.IntegerType())]:
+            nb = spark.createDataFrame([bad], "a long")
+            with pytest.raises(Exception,
+                               match="a value in batch column a"):
+                _align_to_table(nb, ref(("a", tgt)),
+                                target_path="/t").collect()
+
+        # NULLs pass through every narrowing
+        nb = spark.createDataFrame([(None,)], "a long")
+        assert _align_to_table(nb, ref(("a", T.ByteType())),
+                               target_path="/t").collect() == [(None,)]
+
+        # widening (int batch into bigint table) is silent and exact
+        nb = spark.createDataFrame([(7,)], "a int")
+        out = _align_to_table(nb, ref(("a", T.LongType())),
+                              target_path="/t")
+        assert out.schema["a"].dataType.simpleString() == "bigint"
+        assert out.collect() == [(7,)]
+
+        # float batch into double table widens; fitting double→float
+        # narrows; NaN survives (it is not an overflow)
+        nb = spark.createDataFrame([(1.5,)], "a float")
+        assert _align_to_table(nb, ref(("a", T.DoubleType())),
+                               target_path="/t").collect() == [(1.5,)]
+        nb = spark.createDataFrame([(float("nan"),)], "a double")
+        got = _align_to_table(nb, ref(("a", T.FloatType())),
+                              target_path="/t").collect()
+        import math as _m
+        assert _m.isnan(got[0][0])
+
+        # equal types: the function is the identity (no rewrite plan)
+        nb = spark.createDataFrame([(1, "x")], "a long, v string")
+        assert _align_to_table(nb, ref(("a", T.LongType()),
+                                       ("v", T.StringType())),
+                               target_path="/t") is nb
+
     def test_fractional_overflow_to_infinity_refused(self, spark,
                                                      tmp_path):
         """r9 round-close review regression: ``try_cast`` yields NULL on
