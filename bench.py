@@ -145,8 +145,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    if runs != 3 or stat != "min":
-        out["protocol"] = {"runs": runs, "stat": stat}
+    # ALWAYS recorded (r9 review): the default quietly moved min-of-2 →
+    # min-of-3 between r8 and r9, and a missing field made recordings
+    # from different protocols indistinguishable. Historical lines
+    # without the field are min-of-2 (r7/r8) — see README round notes.
+    out["protocol"] = {"runs": runs, "stat": stat}
     print(json.dumps(out))
 
 

@@ -772,7 +772,9 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
         .select("doc_a", "doc_b",
                 fixed(F.col("cosine"), round_digits).alias(score),
                 "origin")
-        .filter(F.col(score) >= int(round(threshold * 10 ** round_digits)))
+        # the SAME _cut the kernel prefilter compares against — one
+        # derivation, so prefilter and filter cannot desync (r9 review)
+        .filter(F.col(score) >= _cut)
     )
     if append:
         import uuid
@@ -854,8 +856,9 @@ def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
         .applyInPandas(cell_pairs, "doc_a long, doc_b long, cosine double")
     return (cand.select("doc_a", "doc_b",
                         fixed(F.col("cosine"), round_digits).alias(score))
-            .filter(F.col(score) >= int(round(threshold
-                                              * 10 ** round_digits))))
+            # the SAME _cut the kernel prefilter compares against — one
+            # derivation, so prefilter and filter cannot desync
+            .filter(F.col(score) >= _cut))
 
 
 def semdedup(df: DataFrame, *, k: int = 8, iters: int = 3,

@@ -501,7 +501,8 @@ def _num_family(t: str) -> str | None:
 
 
 def _align_to_table(batch: DataFrame, ref_schema, *,
-                    target_path: str, frame: str = "batch") -> DataFrame:
+                    target_path: str, frame: str = "batch",
+                    allow_new: bool = False) -> DataFrame:
     """Cast the batch's common columns to the TABLE's exact types — the
     bucketed table's schema is a cross-bucket contract (r9).
 
@@ -521,7 +522,11 @@ def _align_to_table(batch: DataFrame, ref_schema, *,
     ansi=false and throws under ansi=true), everything else lands at
     the table's birth type so every bucket file keeps one schema.
     Cross-family drift and batch-only NEW columns are refused — adding
-    a column to a bucketed table is a full-table rewrite, not a merge.
+    a column to a bucketed table is a full-table rewrite, not a merge —
+    EXCEPT under ``allow_new`` (the flat-bootstrap case, where the
+    caller rewrites every row in one pass anyway, so a new column lands
+    in every bucket atomically and first-upsert schema evolution stays
+    legal).
     Columns MISSING from the batch stay fine (the union fills nulls
     and the rewrite keeps the full table schema). Fractional
     down-casts (double→float) lose precision by construction; the
@@ -537,7 +542,7 @@ def _align_to_table(batch: DataFrame, ref_schema, *,
     ref_types = {f.name: f.dataType.simpleString()
                  for f in ref_schema.fields if f.name != "_kb"}
     extra = [c for c in batch.columns if c not in ref_types]
-    if extra:
+    if extra and not allow_new:
         raise ValueError(
             f"upsert_partitioned: {frame} adds column(s) {extra} not "
             f"present in the bucketed table {target_path} — a per-bucket "
@@ -548,6 +553,10 @@ def _align_to_table(batch: DataFrame, ref_schema, *,
     exprs = []
     drift = False
     for c in batch.columns:
+        if c not in ref_types:          # allow_new: pass through as-is
+            exprs.append(F.col(c))
+            drift = True
+            continue
         t_b = batch.schema[c].dataType.simpleString()
         t_t = ref_types[c]
         if t_b == t_t:
@@ -582,13 +591,17 @@ def _align_to_table(batch: DataFrame, ref_schema, *,
 
 
 def _check_key_family(batch_df: DataFrame, table_df: DataFrame,
-                      key_col: str, *, widened: bool) -> None:
+                      key_col: str, *, widened: bool,
+                      frame: str = "batch") -> None:
     """Reject a batch whose key type cannot hash-agree with the stored
     table's: cross-family always (string vs bigint — the union would
     silently coerce to string while the bucket hashes diverge, leaving
     duplicate keys across partitions), and same-family width drift on
     LEGACY (unwidened) tables, whose fix is an explicit
-    ``rebucket_partitioned`` upgrade."""
+    ``rebucket_partitioned`` upgrade. ``frame`` names the offending
+    frame in the diagnostic — when the check runs over the on-disk
+    stray migration frame, blaming "the batch" points the operator at
+    data no batch cast can ever fix (r9 round-close review)."""
     from dig_etl_engine_spark.functions.hashkey import canonical_hash_type
 
     b_t = batch_df.schema[key_col].dataType.simpleString()
@@ -599,12 +612,12 @@ def _check_key_family(batch_df: DataFrame, table_df: DataFrame,
         ok = b_t == t_t
     if not ok:
         raise ValueError(
-            f"upsert_partitioned: batch key {key_col}:{b_t} cannot "
+            f"upsert_partitioned: {frame} key {key_col}:{b_t} cannot "
             f"hash-agree with the table's {key_col}:{t_t} "
             f"({'cross-family' if widened else 'legacy unwidened table'})"
             " — the merge would bucket the same logical keys into "
-            "different _kb= partitions and silently keep duplicates. "
-            "Cast the batch key explicitly"
+            f"different _kb= partitions and silently keep duplicates. "
+            f"Cast the {frame} key explicitly"
             + ("" if widened else
                ", or run rebucket_partitioned to upgrade the table to "
                "width-safe hashing") + ".")
@@ -654,16 +667,25 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
     # into the wrong partition): post-alignment, batch, stray and table
     # hash from one key dtype.
     incumbent = existing_all if existing_all is not None else stray
+    _STRAY_FRAME = ("stray flat-file migration frame (on disk at the "
+                    "table root, not this batch)")
     if incumbent is not None:
         _check_key_family(batch, incumbent, key_col, widened=widened)
+        # batch-only NEW columns are refused only when bucketed dirs
+        # already exist (a per-bucket merge would leave the column in
+        # touched buckets only); in the flat-bootstrap case every row
+        # (stray ∪ batch) is rewritten in this one pass, so schema
+        # evolution on the first partitioned upsert stays legal (r9
+        # round-close review — this worked before the alignment landed)
         batch = _align_to_table(batch, incumbent.schema,
-                                target_path=target_path)
+                                target_path=target_path,
+                                allow_new=existing_all is None)
         if stray is not None and existing_all is not None:
-            _check_key_family(stray, incumbent, key_col, widened=widened)
+            _check_key_family(stray, incumbent, key_col, widened=widened,
+                              frame=_STRAY_FRAME)
             stray = _align_to_table(
                 stray, incumbent.schema, target_path=target_path,
-                frame="stray flat-file migration frame (on disk at the "
-                      "table root, not this batch)")
+                frame=_STRAY_FRAME)
 
     kb = _bucket_expr(batch, key_col, buckets, widened=widened)
     b = dedupe_last_write_wins(batch.withColumn("_kb", kb),

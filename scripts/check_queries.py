@@ -6,6 +6,7 @@ at a given SF dir (defaults to sf0.001 for speed). Usage:
 Prints MATCH/MISMATCH per query with first differing rows.
 """
 
+import glob
 import os
 import sys
 from pathlib import Path
@@ -20,8 +21,12 @@ from tests.oracle_harness import compare  # noqa: E402
 def main() -> int:
     args = sys.argv[1:]
     sf = "/root/testdata/sf0.001"
-    # a relative sf_dir must not be misread as a query name
-    if args and (args[0].startswith("/") or os.path.isdir(args[0])):
+    # a relative sf_dir must not be misread as a query name — and a
+    # bare dir sharing a query's name must not eat the query arg, so a
+    # dataset dir is one that CONTAINS parquet tables
+    if args and (args[0].startswith("/")
+                 or (os.path.isdir(args[0])
+                     and glob.glob(os.path.join(args[0], "*.parquet")))):
         sf, args = os.path.abspath(args[0]), args[1:]
     spark = get_spark("check")
     spark.sparkContext.setLogLevel("ERROR")

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import glob
 import os
 import subprocess
 import sys
@@ -75,9 +76,12 @@ def main() -> int:
         zone, sf, names = args[1], args[2], args[3:]
         return _child(zone, sf, names)
     sf = DEFAULT_SF
-    # an sf_dir may be given relative (testdata/sf0.001) — anything
-    # that exists as a directory is the dataset, not a query name
-    if args and (args[0].startswith("/") or os.path.isdir(args[0])):
+    # an sf_dir may be given relative (testdata/sf0.001): a dataset dir
+    # is a directory CONTAINING parquet tables — a bare existing dir
+    # that happens to share a query's name must not eat the query arg
+    if args and (args[0].startswith("/")
+                 or (os.path.isdir(args[0])
+                     and glob.glob(os.path.join(args[0], "*.parquet")))):
         sf, args = os.path.abspath(args[0]), args[1:]
     results: dict[str, dict] = {}
     for zone in ZONES:

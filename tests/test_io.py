@@ -1343,6 +1343,42 @@ class TestBucketMetaAndRebucket:
         with pytest.raises(ValueError, match="cross-family"):
             kg_table.upsert_partitioned(spark, p, b_cross, buckets=4)
 
+    def test_flat_bootstrap_first_upsert_schema_evolution(self, spark,
+                                                          tmp_path):
+        """r9 round-close review regression: a batch-only NEW column is
+        legal on the FIRST partitioned upsert after a flat
+        create_table bootstrap — every row (stray ∪ batch) is rewritten
+        in that one pass, so the column lands in every bucket
+        atomically (this worked before _align_to_table landed and must
+        keep working). Once bucketed dirs exist, a further new column
+        refuses as before."""
+        from dig_etl_engine_spark.sinks.kg_table import (
+            read_partitioned, upsert_partitioned)
+
+        p = str(tmp_path / "t")
+        boot = spark.createDataFrame(
+            [(i, 1, "base") for i in range(10)],
+            "doc_id long, kafka_offset long, v string")
+        boot.write.parquet(p)          # flat root layout = the bootstrap
+
+        b1 = spark.createDataFrame(
+            [(3, 2, "upd", 0.5)],
+            "doc_id long, kafka_offset long, v string, extra double")
+        upsert_partitioned(spark, p, b1, buckets=2)
+        table = read_partitioned(spark, p)
+        assert "extra" in table.columns
+        got = {r.doc_id: (r.v, r.extra) for r in table.collect()}
+        assert got[3] == ("upd", 0.5) and got[0] == ("base", None)
+        assert len(got) == 10
+
+        # bucketed dirs now exist: a second new column refuses
+        b2 = spark.createDataFrame(
+            [(4, 3, "x", 1.0, 7)],
+            "doc_id long, kafka_offset long, v string, extra double, "
+            "more int")
+        with pytest.raises(ValueError, match="adds column"):
+            upsert_partitioned(spark, p, b2, buckets=2)
+
     def test_align_to_table_width_matrix(self, spark):
         """_align_to_table unit battery over the full integral width
         ladder (tinyint/smallint/int/bigint — the migration golden only

@@ -553,7 +553,15 @@ def _kernel_output_rounds(df) -> list[str]:
 
     def lineage_hits_kernel(e, seen: set[int]) -> str | None:
         for sub in _walk_expr(e):
-            if sub.getClass().getSimpleName() == "AttributeReference":
+            scls = sub.getClass().getSimpleName()
+            # scalar pandas_udf / python udf results are EXPRESSIONS at
+            # the analyzed level (no map node) — a floaty PythonUDF
+            # anywhere under the round is the same kernel-output class
+            # (r9 round-close review: this reach was missing)
+            if scls in ("PythonUDF", "PythonUDAF") \
+                    and sub.dataType().simpleString() in _FLOATY:
+                return f"{scls}<{sub.dataType().simpleString()}>"
+            if scls == "AttributeReference":
                 aid = sub.exprId().id()
                 if aid in py_attrs:
                     return py_attrs[aid]
@@ -614,6 +622,17 @@ def test_kernel_output_round_lint_catches_violations(spark):
         m.select(F.round(F.col("n") / 100.0, 2)))   # int output is exempt
     assert not _kernel_output_rounds(
         df.select(F.round(F.col("v") / 3.0, 4)))    # no kernel at all
+    # scalar pandas_udf results are expressions, not map nodes — the
+    # lint must still see them (r9 round-close review reach fix)
+    half = F.pandas_udf(lambda s: s * 0.5, "double")
+    assert _kernel_output_rounds(
+        df.select(F.round(half(F.col("v")), 4)))
+    assert _kernel_output_rounds(           # …including via an alias
+        df.select(half(F.col("v")).alias("h"))
+          .select(F.round(F.col("h") + 1.0, 4)))
+    assert not _kernel_output_rounds(       # scaled-integer emission ok
+        df.select(F.floor(half(F.col("v")) * 10_000 + F.lit(0.5))
+                  .cast("long")))
 
 
 # ---------------------------------------------------------------------------
@@ -640,7 +659,9 @@ def test_kernel_output_round_lint_catches_violations(spark):
 # ---------------------------------------------------------------------------
 
 _KERNEL_SINKS = {"mapInPandas", "applyInPandas", "applyInPandasWithState",
-                 "transformWithStateInPandas", "mapInArrow"}
+                 "transformWithStateInPandas", "mapInArrow",
+                 # scalar-UDF kernels are the same class (r9 review)
+                 "pandas_udf"}
 
 # "file.py:kernel_name" → why a round call inside that kernel is safe.
 # Keep empty: the floor(x·10^d + 0.5) ordering pattern removes the need.
@@ -665,44 +686,68 @@ def _round_calls_in(fn_node, rel: str, kernel: str) -> list[str]:
 def _kernel_source_round_sites(pkg_root: Path) -> list[str]:
     import ast
 
-    hits = []
+    def _callable_name(f) -> str | None:
+        if isinstance(f, ast.Name):
+            return f.id
+        if isinstance(f, ast.Attribute):
+            return f.attr
+        return None
+
+    # PHASE 1 (package-global): collect every name that flows into a
+    # kernel sink anywhere in the package — a kernel def'd in one module
+    # and passed as helpers.kern from another must still be scanned
+    # (r9 round-close review: the scan was file-local and missed
+    # attribute references, factory calls, keyword func=, and
+    # pandas_udf in both call and decorator form).
+    trees: list[tuple[str, str, object]] = []
     for path in sorted(pkg_root.rglob("*.py")):
         rel = path.relative_to(pkg_root.parent).as_posix()
-        tree = ast.parse(path.read_text())
-        kernel_names: set[str] = set()
+        trees.append((path.name, rel, ast.parse(path.read_text())))
+    kernel_names: set[str] = set()
+    hits = []
+    for fname, rel, tree in trees:
         for node in ast.walk(tree):
-            if isinstance(node, ast.Call) \
-                    and isinstance(node.func, ast.Attribute) \
-                    and node.func.attr in _KERNEL_SINKS:
-                # the kernel may arrive positionally or as func=...
-                # (r9 round-close review: the keyword form was skipped)
-                a = node.args[0] if node.args else next(
-                    (kw.value for kw in node.keywords
-                     if kw.arg == "func"), None)
-                if isinstance(a, ast.Name):
-                    kernel_names.add(a.id)
-                elif isinstance(a, ast.Lambda):
-                    hits += _round_calls_in(a, rel, "<lambda>")
-                elif isinstance(a, ast.Call):
-                    # factory form — mapInPandas(assign_fn(state), schema)
-                    # (ivf k-means). Scan the whole FACTORY body: the
-                    # returned closure is a nested def, and ast.walk on
-                    # the factory covers it. Over-approximates (a round
-                    # in the factory outside the closure also flags) —
-                    # deliberately: a driver-side round() feeding kernel
-                    # state is the same HALF-EVEN hazard the
-                    # ivf_kmeans_train r9 conversion removed.
-                    f = a.func
-                    if isinstance(f, ast.Name):
-                        kernel_names.add(f.id)
-                    elif isinstance(f, ast.Attribute):
-                        kernel_names.add(f.attr)
-        if not kernel_names:
-            continue
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                # @pandas_udf("double") / @F.pandas_udf(...) decorators
+                for dec in node.decorator_list:
+                    d = dec.func if isinstance(dec, ast.Call) else dec
+                    if _callable_name(d) == "pandas_udf":
+                        kernel_names.add(node.name)
+                continue
+            if not (isinstance(node, ast.Call)
+                    and _callable_name(node.func) in _KERNEL_SINKS):
+                continue
+            # the kernel may arrive positionally or as func=...
+            a = node.args[0] if node.args else next(
+                (kw.value for kw in node.keywords
+                 if kw.arg == "func"), None)
+            if isinstance(a, ast.Name):
+                kernel_names.add(a.id)
+            elif isinstance(a, ast.Attribute):
+                kernel_names.add(a.attr)          # helpers.kern
+            elif isinstance(a, ast.Lambda):
+                hits += _round_calls_in(a, rel, "<lambda>")
+            elif isinstance(a, ast.Call):
+                # factory form — mapInPandas(assign_fn(state), schema)
+                # (ivf k-means). Scan the whole FACTORY body: the
+                # returned closure is a nested def, and ast.walk on
+                # the factory covers it. Over-approximates (a round
+                # in the factory outside the closure also flags) —
+                # deliberately: a driver-side round() feeding kernel
+                # state is the same HALF-EVEN hazard the
+                # ivf_kmeans_train r9 conversion removed.
+                nm = _callable_name(a.func)
+                if nm:
+                    kernel_names.add(nm)
+
+    # PHASE 2: scan every matching def in EVERY package file (a name
+    # collision scans an unrelated same-named def too — acceptable
+    # over-approximation for an empty-allowlist lint)
+    for fname, rel, tree in trees:
         for node in ast.walk(tree):
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) \
                     and node.name in kernel_names:
-                key = f"{path.name}:{node.name}"
+                key = f"{fname}:{node.name}"
                 if key in KERNEL_SOURCE_ALLOWLIST:
                     continue
                 hits += _round_calls_in(node, rel, node.name)
@@ -757,7 +802,26 @@ def test_kernel_source_lint_catches_violations(tmp_path):
         "        import numpy as np\n"
         "        for pdf in batches:\n"
         "            yield pdf.assign(s=np.round(pdf.s, 4))\n"
-        "    return df.mapInPandas(func=k5, schema='s double')\n")
+        "    return df.mapInPandas(func=k5, schema='s double')\n"
+        # attribute reference to a kernel DEF'd IN ANOTHER MODULE —
+        # the file-local scan missed this entirely (r9 review)
+        "def outer6(df, helpers):\n"
+        "    return df.groupBy('a').applyInPandas(helpers.far_kern,\n"
+        "                                         's double')\n"
+        # pandas_udf, decorator and call form — scalar-UDF kernels are
+        # the same continuous-round class
+        "@pandas_udf('double')\n"
+        "def pk(s):\n"
+        "    return s.round(2)\n"
+        "def outer7(df, F):\n"
+        "    def pk2(s):\n"
+        "        import numpy as np\n"
+        "        return np.round(s, 4)\n"
+        "    return df.select(F.pandas_udf(pk2, 'double')(df.s))\n")
+    (mod / "helpers.py").write_text(
+        # no kernel SINK in this file — only the cross-module def
+        "def far_kern(pdf):\n"
+        "    return pdf.assign(s=round(pdf.s, 4))\n")
     (mod / "good.py").write_text(
         "def outer(df):\n"
         "    def k(batches):\n"
@@ -769,5 +833,6 @@ def test_kernel_source_lint_catches_violations(tmp_path):
         "def not_a_kernel(x):\n"
         "    return round(x, 4)\n")
     hits = _kernel_source_round_sites(mod)
-    assert len([h for h in hits if "bad.py" in h]) == 5, hits
+    assert len([h for h in hits if "bad.py" in h]) == 7, hits
+    assert len([h for h in hits if "helpers.py" in h]) == 1, hits
     assert not [h for h in hits if "good.py" in h], hits
