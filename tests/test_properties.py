@@ -8,6 +8,8 @@ from __future__ import annotations
 import random
 import re
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -525,3 +527,79 @@ def test_cc_numpy_kernel_matches_union_find(edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert dict(zip(nodes.tolist(), labels.tolist())) == want
+
+
+class TestQuantizationTreeCrossEngine:
+    """The registry's entire hash-determinism story rests on ONE
+    invariant: ``floor(x·10^d + 0.5)`` lands on the same int64 in numpy
+    (kernel prefilters / batch-local ordering), the JVM expression tree
+    (``functions/exact.fixed``), and DuckDB (the oracles' restated
+    predicate). This fuzzes that three-way agreement directly on an
+    adversarial grid — exact half-boundaries k/10^d, their ±1-ulp
+    neighbors (the r9 prefilter bug lived exactly there), seeded
+    uniform noise, negatives, and magnitude extremes — for every scale
+    the registry uses (e4 / e6 / e9). No other test pins this
+    cross-engine; everything else assumes it."""
+
+    def _grid(self, d: int):
+        import numpy as np
+
+        scale = 10.0 ** d
+        ks = np.arange(-25, 26, dtype=np.float64)
+        bounds = (2 * ks + 1) / (2 * scale)       # exact .5 ties ±k
+        near = np.concatenate([np.nextafter(bounds, -np.inf),
+                               bounds,
+                               np.nextafter(bounds, np.inf)])
+        rng = np.random.default_rng(20260816 + d)
+        noise = rng.uniform(-2.0, 2.0, 400)
+        big = np.array([1e6, -1e6, 123456.789, -0.999999,
+                        0.9999499999999999, 0.99995, 1.0, -1.0, 0.0])
+        return np.unique(np.concatenate([near, noise, big]))
+
+    @pytest.mark.parametrize("d", [4, 6, 9])
+    def test_numpy_jvm_duckdb_agree(self, spark, d):
+        import duckdb
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from dig_etl_engine_spark.functions.exact import fixed
+
+        xs = self._grid(d)
+        np_q = np.floor(xs * 10.0 ** d + 0.5).astype(np.int64)
+
+        df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+        jvm_q = [r.q for r in
+                 df.select(fixed(F.col("x"), d).alias("q"))
+                   .collect()]
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)",
+                        [(float(x),) for x in xs])
+        duck_q = [r[0] for r in con.execute(
+            f"SELECT CAST(floor(x * power(10.0, {d}) + 0.5) AS BIGINT) "
+            "FROM t ORDER BY rowid").fetchall()]
+
+        for x, a, b, c in zip(xs, np_q.tolist(), jvm_q, duck_q):
+            assert a == b == c, (
+                f"d={d} x={x!r}: numpy={a} jvm={b} duckdb={c}")
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.floats(min_value=-1e9, max_value=1e9,
+                              allow_nan=False, allow_infinity=False),
+                    min_size=1, max_size=40))
+    def test_numpy_matches_duckdb_hypothesis(self, xs):
+        """Engine-free half of the invariant under hypothesis: numpy vs
+        DuckDB on arbitrary finite doubles (the JVM side shares IEEE
+        semantics with numpy and is pinned by the grid test — keeping
+        Spark out of the hypothesis loop keeps this fast)."""
+        import duckdb
+        import numpy as np
+
+        np_q = np.floor(np.array(xs) * 1e4 + 0.5).astype(np.int64)
+        con = duckdb.connect()
+        duck_q = [con.execute(
+            "SELECT CAST(floor(? * 10000.0 + 0.5) AS BIGINT)",
+            [float(x)]).fetchone()[0] for x in xs]
+        assert np_q.tolist() == duck_q
