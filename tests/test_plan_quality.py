@@ -444,3 +444,39 @@ class TestSinglePassLineage:
         docs = load_tables(spark, SF)["documents"]
         scans, gens = self._scans(kmv_source_overlap(docs, k=16))
         assert (scans, gens) == (0, 0), (scans, gens)
+
+
+class TestQuantizedFilterPlacement:
+    def test_near_dup_filter_is_jvm_integer_predicate(self, spark):
+        """r9 pin: the authoritative near-dup threshold filter must sit
+        JVM-side as an exact BIGINT comparison on the quantized score —
+        NOT inside the Python kernel and NOT as a double comparison.
+        The kernel's prefilter is an optimization; if a refactor makes
+        the kernel the only filter (or reintroduces a raw-double
+        predicate), cross-engine keep-sets can drift by 1 ulp at the
+        quantization boundary (the r9 review class)."""
+        from pyspark.sql import functions as F
+
+        from dig_etl_engine_spark.catalog import load_tables
+        from dig_etl_engine_spark.operators.similarity import (
+            embedding_near_dup_pairs)
+
+        emb = load_tables(spark, SF)["embeddings"].select(
+            "vec_id", "label",
+            F.col("embedding").cast("array<double>").alias("embedding"))
+        df = embedding_near_dup_pairs(emb, threshold=0.99,
+                                      round_digits=4)
+        plan = plan_of(df)
+        import re
+
+        # the authoritative predicate is a JVM Filter DIRECTLY above the
+        # Python node, comparing the inlined floor tree against the
+        # integer cut (Catalyst collapses the alias into the filter)
+        assert re.search(r"Filter .*FLOOR.*>= 9900", plan), plan[:2000]
+        # the emitted score column is the same JVM floor tree
+        assert re.search(r"Project .*FLOOR.*AS cosine_e4", plan), \
+            plan[:2000]
+        # and the filter sits ABOVE the kernel (parents print first) —
+        # the kernel's own prefilter is only an optimization
+        assert plan.index("Filter ") < plan.index("FlatMapGroupsInPandas"), \
+            plan[:2000]
