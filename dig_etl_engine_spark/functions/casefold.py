@@ -1,0 +1,104 @@
+"""Deployment-locale-independent case folding for engine expressions.
+
+The hazard (measured on this Spark build, r9): ``F.lower``/``F.upper``
+compile to ``UTF8String.toLowerCase/.toUpperCase``, whose non-ASCII slow
+path delegates to ``java.lang.String.toLowerCase()`` WITHOUT a locale
+argument — i.e. the JVM's **default locale**. A cluster whose JVMs run
+under ``-Duser.language=tr`` (or az/lt — the three locales with
+conditional SpecialCasing rules) silently changes the engine's output on
+any string containing a locale-conditional codepoint:
+
+    lower('AÉI')  == 'aéı'   under tr_TR   (U+0131 dotless ı)
+    lower('AÉI')  == 'aéi'   under en/C/root
+
+The ASCII fast path masks this on all-ASCII data (every driver-verified
+fixture here is ASCII — verified by a full-column scan), but on a real
+accented corpus every case-folded surface — dedup fingerprints, CCNet
+normalize keys, token/shingle streams, glossary match keys, lowercased
+join keys — becomes a function of the deployment JVM's locale: the same
+data deduplicates differently on differently-configured clusters, and
+never matches a locale-independent oracle (DuckDB lower() is utf8proc —
+locale-free). Same silent-wrongness class as the xxhash64 key-width
+hazard (r8): nothing crashes, answers drift.
+
+The fix: pre-fold the locale-conditional trigger codepoints with
+locale-free ``translate``/``replace`` (1-char map + the one 1→2 mapping
+İ → i̇), THEN call the engine casing. Unicode's locale-conditional
+casing rules (SpecialCasing.txt, tr/az/lt sections) all condition on the
+uppercase triggers I J Ì Í Ĩ Į İ (lower) / the soft-dotted i j (upper);
+once those are pre-folded to their default-locale case images, no
+conditional rule can fire, so the engine call behaves identically under
+every JVM locale — and the pre-fold IS the default-locale mapping, so
+output is byte-identical to the unwrapped call under en/C/root (the
+config every verdict to date ran under; plan-shape-wise the wrappers are
+two extra codegen string ops in the same stage).
+
+Residual (documented, not closed): Lithuanian ``toUpperCase`` also
+deletes a COMBINING DOT ABOVE that follows any soft-dotted character
+(ĵ, ɉ, ⱼ …) — pre-folding the full soft-dotted set is not expressible
+as a 1:1 translate and the engine's two ``safe_upper`` call sites feed
+it machine-generated ASCII; revisit if an upper-cased surface ever
+carries combining marks. Why not Spark 4's ICU path
+(``lower(collate(c,'UNICODE'))`` — also measured locale-independent)?
+It forfeits the all-ASCII fast path on exactly the hot normalize
+surfaces (full-document lowering before tokenize/shingle), and collation
+casts would ride every downstream comparison; the pre-fold keeps the
+fast path and stays collation-neutral.
+
+``tests/test_casefold.py`` pins both halves: parity with Python's
+locale-free ``str.lower``/``str.upper`` on the trigger set under the
+current JVM, and a subprocess JVM booted under ``-Duser.language=tr``
+where the raw engine functions demonstrably diverge (the witness that
+the test has teeth) while the safe wrappers hold byte-identical.
+``test_registry_contract.py`` lints the package so no raw engine casing
+call can reappear outside this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Lowercase: every codepoint with a tr/az/lt-conditional LOWER mapping in
+# SpecialCasing.txt, mapped to its default-locale (root) case image.
+# İ (U+0130) maps 1→2 under root (i + U+0307 combining dot above), so it
+# rides a replace(), not the 1:1 translate.
+_LOWER_TRIGGERS = "IJÌÍĨĮ"
+_LOWER_IMAGES = "ijìíĩį"
+_CAP_I_DOT = "İ"          # U+0130
+_SMALL_I_DOT = "i̇"  # root-locale lowercase of U+0130
+
+# Uppercase: the soft-dotted triggers of the tr/az i→İ rule.
+_UPPER_TRIGGERS = "ij"
+_UPPER_IMAGES = "IJ"
+
+
+def safe_lower(col: Column) -> Column:
+    """``F.lower`` with identical output under every JVM default locale
+    (byte-identical to ``F.lower`` under en/C/root — the pre-fold applies
+    the root-locale mapping the engine would apply anyway)."""
+    x = F.replace(col, F.lit(_CAP_I_DOT), F.lit(_SMALL_I_DOT))
+    x = F.translate(x, _LOWER_TRIGGERS, _LOWER_IMAGES)
+    return F.lower(x)
+
+
+def safe_upper(col: Column) -> Column:
+    """``F.upper`` with the tr/az ``i → İ`` conditional rule neutralized
+    (see module docstring for the Lithuanian combining-mark residual)."""
+    return F.upper(F.translate(col, _UPPER_TRIGGERS, _UPPER_IMAGES))
+
+
+def ascii_initcap(col: Column) -> Column:
+    """``F.initcap`` under an ASCII-by-construction input contract.
+
+    ``initcap`` lowercases word tails through the same default-locale
+    path as ``lower``, but an all-ASCII string takes the locale-free
+    fast path, so it is locale-independent exactly when the caller can
+    PROVE the input ASCII. The one engine call site (date-candidate
+    normalization, ``functions/extractors.py``) feeds it substrings
+    matched by ASCII-only regexes — ASCII by construction. A general
+    ``safe_initcap`` pre-fold is deliberately not offered: pre-folding
+    word-initial İ would emit ``I + U+0307`` where root-locale initcap
+    emits ``U+0130`` — byte-different for a case no current surface can
+    produce. New non-ASCII initcap surfaces must come back here for a
+    real design."""
+    return F.initcap(col)

@@ -21,6 +21,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dig_etl_engine_spark.functions.casefold import ascii_initcap, safe_lower
 
 # Result element type shared by all extractors (schemas.KG_VALUE minus
 # confidence, which kg_build attaches).
@@ -33,7 +34,7 @@ def _results(values: Column, method: str, segment: str) -> Column:
         values,
         lambda v: F.struct(
             v.alias("value"),
-            F.lower(F.trim(v)).alias("key"),
+            safe_lower(F.trim(v)).alias("key"),
             F.lit(method).alias("method"),
             F.lit(segment).alias("segment"),
         ),
@@ -157,7 +158,7 @@ def canonicalize_url(col: Column) -> Column:
     oracle can restate the identical transformation."""
     u = F.regexp_replace(col, r"#.*$", "")
     prefix = F.regexp_extract(u, r"^[^:/?]+://[^/?#]*", 0)
-    lowered = F.lower(prefix)
+    lowered = safe_lower(prefix)
     lowered = F.when(lowered.startswith("http://"),
                      F.regexp_replace(lowered, r":80$", "")) \
         .when(lowered.startswith("https://"),
@@ -193,7 +194,10 @@ def _norm_textual(d: Column) -> Column:
     """'January 5, 2021' / '5 Jan 2021' token order handled by caller; this
     normalizes a comma-stripped initcap'd candidate under both month-name
     widths."""
-    clean = F.initcap(F.regexp_replace(d, ",", ""))
+    # ascii_initcap: `d` is a regexp_extract match of ASCII-only date
+    # patterns (month names + digits), so initcap's locale-sensitive
+    # non-ASCII path is unreachable — see functions/casefold.py
+    clean = ascii_initcap(F.regexp_replace(d, ",", ""))
     return F.date_format(F.coalesce(
         F.try_to_timestamp(clean, F.lit("MMMM d yyyy")),
         F.try_to_timestamp(clean, F.lit("MMM d yyyy")),
@@ -304,8 +308,8 @@ def glossary_matches(docs: DataFrame, text_col: str, glossary: DataFrame,
     predicate, no shuffle of the corpus. For glossaries too large to
     broadcast, explode doc tokens and hash-join on token instead.
     """
-    t = F.col(text_col) if case_sensitive else F.lower(F.col(text_col))
-    term = F.col(term_col) if case_sensitive else F.lower(F.col(term_col))
+    t = F.col(text_col) if case_sensitive else safe_lower(F.col(text_col))
+    term = F.col(term_col) if case_sensitive else safe_lower(F.col(term_col))
     padded = F.concat(F.lit(" "), t, F.lit(" "))
     return (
         docs.join(
@@ -335,7 +339,7 @@ def glossary_matches_ngram_join(docs: DataFrame, text_col: str,
     """
     from dig_etl_engine_spark.operators.dedup import shingles
 
-    t = F.lower(F.col(text_col))
+    t = safe_lower(F.col(text_col))
     grams = None
     for n in range(1, max_ngram + 1):
         g = docs.select(
@@ -343,7 +347,7 @@ def glossary_matches_ngram_join(docs: DataFrame, text_col: str,
             F.explode(F.array_distinct(shingles(t, n))).alias("gram"))
         grams = g if grams is None else grams.unionByName(g)
     terms = glossary.select(
-        F.regexp_replace(F.trim(F.lower(F.col(term_col))), r"\s+", " ")
+        F.regexp_replace(F.trim(safe_lower(F.col(term_col))), r"\s+", " ")
         .alias("gram")).distinct()
     return (grams.join(terms, "gram")
             .select(F.col(doc_key), F.col("gram").alias("term"))

@@ -21,6 +21,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from dig_etl_engine_spark.functions.casefold import safe_lower
 
 
 def kg_build(df: DataFrame, field_extractors: Mapping[str, Column],
@@ -111,7 +112,7 @@ def materialize_bm25_stats(docs: DataFrame, path: str, *,
     same maintenance slot as bucket compaction — NOT per query, which
     would re-scan the corpus and defeat the materialization.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(safe_lower(F.col(text_col))), r"\s+")
     (docs.select(F.explode(F.array_distinct(toks)).alias("term"))
          .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
          .write.mode("overwrite").parquet(f"{path}/term_df"))

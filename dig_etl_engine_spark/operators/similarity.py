@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.operators.pin import pin
+from dig_etl_engine_spark.functions.casefold import safe_lower
 
 
 def as_double(vec: Column) -> Column:
@@ -395,7 +396,7 @@ def hashed_bow_embedding(df: DataFrame, text_col: str, *,
     normalize. Never a per-dim HOF fold (the interpreted cliff in
     operators/dedup.py)."""
     tok = df.select(F.col(id_col).alias("id"),
-                    F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                    F.explode(F.split(F.trim(safe_lower(F.col(text_col))),
                                       r"\s+")).alias("t"))
     if hash_mode == "xxhash64":
         h = F.pmod(F.xxhash64("t"), F.lit(dim))

@@ -12,6 +12,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.operators.pin import pin as _pin
+from dig_etl_engine_spark.functions.casefold import safe_lower
 from dig_etl_engine_spark.functions import exact as _ex
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
@@ -49,14 +50,14 @@ def bpe_ish_token_count(col: Column) -> Column:
 def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
     """Fraction of tokens that are stopwords."""
     sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
-    toks = tokens(F.lower(col))
+    toks = tokens(safe_lower(col))
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
 def distinct_token_ratio(col: Column) -> Column:
     """Lexical diversity: distinct/total tokens (repetition detector)."""
-    toks = tokens(F.lower(col))
+    toks = tokens(safe_lower(col))
     return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
 
 
@@ -83,7 +84,7 @@ def lang_id(col: Column) -> Column:
     """Language-ID heuristic: argmax stopword-hit ratio across language
     lists; below a 2% floor → 'und'. Ties broken by language code order
     (deterministic)."""
-    toks = tokens(F.lower(col))
+    toks = tokens(safe_lower(col))
     n = F.greatest(F.size(toks), F.lit(1))
     best_lang = F.lit("und")
     best_ratio = F.lit(0.02)
@@ -98,7 +99,7 @@ def lang_id(col: Column) -> Column:
 
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(safe_lower(col), r"\s+", " "))
 
 
 def fingerprint_md5(col: Column) -> Column:
@@ -219,7 +220,7 @@ def ngram_hashes(col: Column, n: int = 13) -> Column:
     O(n²) tokenization cliff documented there); xxhash64 because
     decontamination needs speed, not cross-engine md5 stability. Docs
     shorter than ``n`` tokens yield one whole-doc gram."""
-    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    toks = F.split(F.trim(safe_lower(col)), r"\s+")
     n_out = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     zipped = F.arrays_zip(*[F.slice(toks, 1 + j, n_out) for j in range(n)])
     return F.transform(
@@ -286,10 +287,10 @@ def remove_contaminated_spans(corpus, eval_set, *, n: int = 13,
                          F.size(toks).alias("n_toks"))
     grams = corpus.select(
         F.col(id_col).alias("id"), F.size(toks).alias("n_toks"),
-        F.posexplode(shingles(F.lower(F.col(corpus_text)), n))
+        F.posexplode(shingles(safe_lower(F.col(corpus_text)), n))
          .alias("pos", "gram"))
     eval_grams = (eval_set.select(
-        F.explode(shingles(F.lower(F.col(eval_text)), n)).alias("gram"))
+        F.explode(shingles(safe_lower(F.col(eval_text)), n)).alias("gram"))
         .distinct())
     covered = (grams.join(F.broadcast(eval_grams), "gram", "left_semi")
                .select("id", F.explode(F.sequence(
@@ -327,7 +328,7 @@ def ngram_repetition_ratio(col: Column, n: int = 3) -> Column:
     from dig_etl_engine_spark.operators.dedup import shingles
 
     n_out = F.size(tokens(col)) - (n - 1)
-    grams = shingles(F.lower(col), n)
+    grams = shingles(safe_lower(col), n)
     return F.when(n_out <= 1, F.lit(0.0)).otherwise(
         F.round(1.0 - F.size(F.array_distinct(grams)) / n_out, 6))
 
@@ -369,7 +370,7 @@ def gopher_gates(col: Column, *, min_tokens: int = 50,
                    ("the", "be", "to", "of", "and", "that", "have",
                     "with")])
     sw_hits = F.size(F.array_intersect(
-        F.array_distinct(tokens(F.lower(col))), sw))
+        F.array_distinct(tokens(safe_lower(col))), sw))
     gates = {
         "word_count": (n >= min_tokens) & (n <= max_tokens),
         "mean_word_len": (mean_len >= 3.0) & (mean_len <= 10.0),
@@ -466,7 +467,7 @@ def top_ngrams(df, *, text_col: str = "text", n: int = 3, k: int = 20):
     from dig_etl_engine_spark.operators.dedup import shingles
 
     grams = df.select(
-        F.explode(shingles(F.lower(F.col(text_col)), n)).alias("gram"))
+        F.explode(shingles(safe_lower(F.col(text_col)), n)).alias("gram"))
     return (grams.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
             .orderBy(F.desc("n_occurrences"), F.asc("gram"))
@@ -495,7 +496,7 @@ def tfidf_keywords(df, *, id_col: str = "doc_id", text_col: str = "text",
 
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+        F.explode(F.split(F.trim(safe_lower(F.col(text_col))),
                           r"\s+")).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -588,7 +589,7 @@ def sentiment_scores(df, *, id_col: str = "doc_id",
                                    "tok string, valence int")
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+        F.explode(F.split(F.trim(safe_lower(F.col(text_col))),
                           r"\s+")).alias("tok"))
     scored = (toks.join(F.broadcast(lex_df), "tok", "left")
               .groupBy("id")
@@ -626,7 +627,7 @@ def vocab_coverage(corpus, reference=None, *, vocab_size: int = 1000,
     def toks(df):
         return df.select(
             F.col(id_col).alias("id"),
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+            F.explode(F.split(F.trim(safe_lower(F.col(text_col))),
                               r"\s+")).alias("t"))
 
     vocab = (toks(ref).groupBy("t").agg(F.count(F.lit(1)).alias("n"))
@@ -698,7 +699,7 @@ def ngram_lm_scores(corpus, reference=None, *, id_col: str = "doc_id",
     "training" is just distributed counting."""
 
     def trigrams(df):
-        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        toks = F.split(F.trim(safe_lower(F.col(text_col))), r"\s+")
         n_out = F.size(toks) - 2
         zipped = F.arrays_zip(F.slice(toks, 1, n_out),
                               F.slice(toks, 2, n_out),
@@ -728,7 +729,7 @@ def ngram_lm_scores(corpus, reference=None, *, id_col: str = "doc_id",
         F.count(F.lit(1)).alias("c3"))
     c2 = c3.groupBy("ctx").agg(F.sum("c3").alias("c2"))
     vocab = ref.select(F.explode(F.split(
-        F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")) \
+        F.trim(safe_lower(F.col(text_col))), r"\s+")).alias("tok")) \
         .agg(F.count_distinct("tok").alias("v"))
     scored = (trigrams(corpus)
               .join(c3, ["ctx", "w"], "left")
@@ -790,7 +791,7 @@ def repeated_window_flags(df, *, id_col: str = "doc_id",
     digests)."""
     from dig_etl_engine_spark.operators.dedup import shingles
 
-    win_expr = F.explode(shingles(F.lower(F.col(text_col)), w)).alias("win")
+    win_expr = F.explode(shingles(safe_lower(F.col(text_col)), w)).alias("win")
     wins = df.select(F.col(id_col).alias("id"), win_expr)
     if hash_windows:
         wins = wins.select("id", F.md5(F.col("win")).alias("win"))
@@ -945,7 +946,7 @@ def dsir_importance_weights(corpus, target, *, id_col: str = "doc_id",
     from zip-shifted slices (the ``shingles`` pattern), not a
     self-join."""
     def grams(df):
-        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        toks = F.split(F.trim(safe_lower(F.col(text_col))), r"\s+")
         n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
         bi = F.zip_with(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi),
                         lambda a, b: F.concat_ws(" ", a, b))
@@ -1024,7 +1025,7 @@ def bpe_pair_stats(df, *, text_col: str = "text", k: int = 20):
     vocabulary-sized groupBy sums word frequencies per pair. Top-k is
     TakeOrderedAndProject, never a global sort."""
     words = (df.select(F.explode(F.split(
-        F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"))
+        F.trim(safe_lower(F.col(text_col))), r"\s+")).alias("w"))
         .filter(F.length("w") >= 2)
         .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
     pairs = words.select(
@@ -1104,7 +1105,7 @@ def _bpe_train(df, *, text_col: str, n_merges: int):
     ``enc`` the word's final symbol encoding after all merges (the
     artifact :func:`bpe_subword_stats` joins against)."""
     words = (df.select(F.explode(F.split(
-        F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"))
+        F.trim(safe_lower(F.col(text_col))), r"\s+")).alias("w"))
         .filter(F.length("w") >= 2)
         .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
     enc0 = F.concat(
@@ -1161,7 +1162,7 @@ def bpe_subword_stats(df, *, text_col: str = "text",
     n_sub = F.size(F.split(F.trim(F.col("enc")), "  "))
     dw = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+        F.explode(F.split(F.trim(safe_lower(F.col(text_col))),
                           r"\s+")).alias("w"))
     return (dw.join(F.broadcast(vocab.select("w", n_sub.alias("n_sub"))),
                     "w", "left")
@@ -1192,7 +1193,7 @@ def ccnet_normalize(col: Column) -> Column:
     RE2 — parity is exact for ASCII, the folded accent set, and
     no-case scripts like CJK; exotic one-to-many case mappings are the
     only place engine ``lower()`` implementations can differ)."""
-    x = F.lower(col)
+    x = safe_lower(col)
     x = F.translate(x, _ACCENT_FROM + _DIGIT_FROM, _ACCENT_TO + _DIGIT_TO)
     x = F.regexp_replace(x, r"[^\p{L}\p{N}\s]", "")
     return F.trim(F.regexp_replace(x, r"\s+", " "))

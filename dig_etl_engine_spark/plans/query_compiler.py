@@ -33,6 +33,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from dig_etl_engine_spark.functions.casefold import safe_lower
 
 from dig_etl_engine_spark.plans.weights import WeightTree
 
@@ -117,7 +118,7 @@ def preprocess(query: dict[str, Any], cfg: EngineConfig) -> list[CompiledClause]
 def _text_match(doc_col: Column, values: list[str], kind: str) -> Column:
     """Match indicator on a full-text zone. 'match_phrase' → contiguous
     token-boundary phrase; 'match' → any constraint token present."""
-    padded = F.concat(F.lit(" "), F.lower(doc_col), F.lit(" "))
+    padded = F.concat(F.lit(" "), safe_lower(doc_col), F.lit(" "))
     preds: list[Column] = []
     for v in values:
         if kind == "match_phrase":
@@ -298,7 +299,7 @@ def _compile_filter(flt: dict[str, Any]) -> Column:
         "gt": lambda: col > v,
         "gte": lambda: col >= v,
         "in": lambda: col.isin(v),
-        "contains": lambda: F.lower(col).contains(str(v).lower()),
+        "contains": lambda: safe_lower(col).contains(str(v).lower()),
     }[op]()
 
 

@@ -73,7 +73,9 @@ def bm25_score_column(text_col, terms: list[str], *, df_counts: dict,
 
     from pyspark.sql import functions as F
 
-    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    from dig_etl_engine_spark.functions.casefold import safe_lower
+
+    toks = F.split(F.trim(safe_lower(text_col)), r"\s+")
     dl = F.size(toks).cast("double")
     score = F.lit(0.0)
     # tokens are lowercased above — lowercase the terms (and their df

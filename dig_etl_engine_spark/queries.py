@@ -101,6 +101,20 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # same floor tree; its last verdict is r3 so it sorts near the
     # front either way — the entry records WHY it must not be skipped
     "ivf_kmeans_train": 9,
+    # Deliberately NOT listed (r9, cannot move results): the casefold
+    # sweep (functions/casefold.py) rewrote every engine F.lower/F.upper
+    # call to the locale-independent safe wrappers. Under the
+    # default-locale JVM the driver runs, the wrappers are EXTENSIONALLY
+    # EQUAL to the raw calls — the pre-fold applies exactly the
+    # root-locale mappings the engine's own casing would apply next, for
+    # every possible input string, not just the ASCII fixtures
+    # (test_casefold.py pins the parity against Python's locale-free
+    # str.lower/str.upper over the full trigger set) — so no registered
+    # query's output can move; the change is observable only under a
+    # tr/az/lt-locale deployment JVM, where it is the fix. Re-verified
+    # empirically anyway: full-registry fresh-process drive at sf0.01,
+    # 176/176 MATCH, post-change.
+    #
     # Deliberately NOT listed (r8 changes that cannot move results):
     # stream_e2e_curation — the input-cache TOCTOU fix only reorders
     # partial-dir cleanup (rename-aside before rmtree); committed cache

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.operators.pin import pin
+from dig_etl_engine_spark.functions.casefold import safe_lower, safe_upper
 
 from dig_etl_engine_spark.catalog import load_tables
 from dig_etl_engine_spark.functions.exact import (
@@ -827,7 +828,7 @@ def corpus_cardinality_profile(spark: SparkSession, sf_dir: str
     docs = load_tables(spark, sf_dir)["documents"]
     tok = docs.select(
         "source", "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))),
+        F.explode(F.split(F.trim(safe_lower(F.col("text"))),
                           r"\s+")).alias("t"))
     return (tok.groupBy("source")
             .agg(F.count_distinct("doc_id").alias("n_docs"),
@@ -2493,7 +2494,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", "text")
     m1 = (docs.filter(F.col("doc_id") % 3 == 0)
           .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                  F.concat(F.upper("text"), F.lit(" !!!")).alias("text")))
+                  F.concat(safe_upper("text"), F.lit(" !!!")).alias("text")))
     m2 = (docs.filter(F.col("doc_id") % 3 == 1)
           .select((F.col("doc_id") + 2000000).alias("doc_id"),
                   F.translate(F.col("text"), "aeo1", "àéö7").alias("text")))

@@ -18,6 +18,7 @@ from pyspark.sql import types as T
 
 from dig_etl_engine_spark.catalog import load_tables
 from dig_etl_engine_spark.functions.exact import fixed, round_fixed
+from dig_etl_engine_spark.functions.casefold import safe_lower
 from dig_etl_engine_spark.queries import register
 
 # Engine-identical rounded bucket mean (wobble lint): one canonical
@@ -519,7 +520,7 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dig_etl_engine_spark.streaming.stateful import run_first_seen_dedup
 
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
-    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    fp = F.md5(F.trim(F.regexp_replace(safe_lower("text"), r"\s+", " ")))
     even = docs.filter(F.col("doc_id") % 2 == 0)
     odd = docs.filter(F.col("doc_id") % 2 == 1)
     drop_a = even.select("doc_id", fp.alias("fingerprint"),
@@ -905,7 +906,7 @@ def stream_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (docs.unionByName(copies)
            .select("doc_id", "text",
                    F.col("doc_id").alias("kafka_offset"),
-                   F.md5(F.trim(F.regexp_replace(F.lower("text"),
+                   F.md5(F.trim(F.regexp_replace(safe_lower("text"),
                                                  r"\s+", " ")))
                    .alias("fingerprint")))
     evals = (docs.filter(F.col("doc_id") % 17 == 0)
@@ -1000,7 +1001,7 @@ def stream_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(availableNow=True).start())
         q.awaitTermination()
 
-    toks = F.split(F.trim(F.lower(F.col("text"))), " ")
+    toks = F.split(F.trim(safe_lower(F.col("text"))), " ")
     nmatch = lambda w: F.size(F.filter(toks, lambda t: t == F.lit(w)))  # noqa: E731
     return (spark.read.parquet(target)
             .select("doc_id",

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.functions.casefold import safe_lower
 from dig_etl_engine_spark.functions import extractors as X
 from dig_etl_engine_spark.plans.query_compiler import (
     EngineConfig, FieldRef, compile_query, facet_counts,
@@ -336,7 +337,7 @@ def search_zone_weighted_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     tdf = spark.createDataFrame([("hash value",), ("merge batch",)],
                                 "term string")
-    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    padded = F.concat(F.lit(" "), safe_lower(F.col("text")), F.lit(" "))
     base = docs.crossJoin(F.broadcast(tdf)) \
         .select("doc_id", "term", padded.alias("pt"))
     phrase = F.concat(F.lit(" "), F.col("term"), F.lit(" "))

@@ -836,3 +836,91 @@ def test_kernel_source_lint_catches_violations(tmp_path):
     assert len([h for h in hits if "bad.py" in h]) == 7, hits
     assert len([h for h in hits if "helpers.py" in h]) == 1, hits
     assert not [h for h in hits if "good.py" in h], hits
+
+
+# --- lint: no raw engine case folding outside functions/casefold.py ----------
+#
+# F.lower/F.upper/F.initcap compile to UTF8String casing whose non-ASCII
+# path is java.lang.String.toLowerCase()/.toUpperCase() with the JVM
+# DEFAULT locale (measured r9: lower('AÉI') == 'aéı' under
+# -Duser.language=tr — dotless ı — vs 'aéi' under en/C/root). Every
+# case-folded surface (dedup fingerprints, normalize keys, token
+# streams, match keys) must go through functions/casefold.py, whose
+# wrappers pre-fold the locale-conditional trigger codepoints so output
+# is identical under every deployment locale. Allowlist EMPTY by design;
+# casefold.py itself is the single permitted caller.
+
+
+def _raw_casing_sites(pkg_root: Path) -> list[str]:
+    import ast
+
+    CASING = ("lower", "upper", "initcap")
+    hits = []
+    for path in sorted(pkg_root.rglob("*.py")):
+        if path.name == "casefold.py":
+            continue
+        rel = path.relative_to(pkg_root.parent).as_posix()
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            # evasion door 1: from pyspark.sql.functions import lower
+            if isinstance(node, ast.ImportFrom) \
+                    and node.module == "pyspark.sql.functions":
+                for alias in node.names:
+                    if alias.name in CASING:
+                        hits.append(f"{rel}:{node.lineno} "
+                                    f"imports functions.{alias.name}")
+                continue
+            if not isinstance(node, ast.Call):
+                continue
+            f = node.func
+            # F.lower(...) / functions.upper(...) — NOT x.lower() (the
+            # locale-free Python str method; value must be the pyspark
+            # functions-module alias)
+            if isinstance(f, ast.Attribute) and f.attr in CASING \
+                    and isinstance(f.value, ast.Name) \
+                    and f.value.id in ("F", "functions"):
+                hits.append(f"{rel}:{node.lineno} F.{f.attr}()")
+    return hits
+
+
+def test_no_raw_engine_casing_outside_casefold():
+    pkg = Path(__file__).resolve().parent.parent / "dig_etl_engine_spark"
+    hits = _raw_casing_sites(pkg)
+    assert not hits, (
+        "raw engine case folding — F.lower/F.upper/F.initcap follow the "
+        "deployment JVM's default locale on non-ASCII strings (tr/az/lt "
+        "SpecialCasing), so the same corpus case-folds differently on "
+        "differently-configured clusters. Use functions/casefold.py "
+        "(safe_lower / safe_upper / ascii_initcap):\n  "
+        + "\n  ".join(hits))
+
+
+def test_raw_casing_lint_catches_violations(tmp_path):
+    """Self-test: flags F.lower / functions.upper / F.initcap and the
+    direct-import door, passes Python str casing and casefold.py's own
+    engine calls — otherwise a refactor could make the scan vacuous."""
+    mod = tmp_path / "dig_etl_engine_spark"
+    mod.mkdir()
+    (mod / "bad.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "from pyspark.sql import functions\n"
+        "from pyspark.sql.functions import lower\n"       # door 3
+        "def q1(df):\n"
+        "    return df.select(F.lower(df.s))\n"            # door 1
+        "def q2(df):\n"
+        "    return df.select(functions.upper(df.s))\n"    # door 2
+        "def q3(df):\n"
+        "    return df.select(F.initcap(df.s))\n")
+    (mod / "good.py").write_text(
+        "def cfg(path, F):\n"
+        "    return path.lower() + 'x'.upper()\n"          # Python str casing
+        "def q(df, safe_lower):\n"
+        "    return df.select(safe_lower(df.s))\n")
+    (mod / "casefold.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "def safe_lower(c):\n"
+        "    return F.lower(c)\n")                         # the permitted caller
+    hits = _raw_casing_sites(mod)
+    assert len([h for h in hits if "bad.py" in h]) == 4, hits
+    assert not [h for h in hits if "good.py" in h], hits
+    assert not [h for h in hits if "casefold.py" in h], hits
