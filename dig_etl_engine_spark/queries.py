@@ -153,7 +153,7 @@ def _last_verified_round() -> dict[str, int]:
             continue
         rnd = int(m.group(1))
         try:
-            data = json.loads(path.read_text())
+            data = json.loads(path.read_text(encoding="utf-8"))
         except (OSError, ValueError):
             continue
         for name, verdict in data.items():

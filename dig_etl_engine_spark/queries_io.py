@@ -179,7 +179,7 @@ def src_csv_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey") \
         .orderBy("n_nationkey").collect()
     path = os.path.join(_scratch("csv"), "nations.csv")
-    with open(path, "w") as fh:
+    with open(path, "w", encoding="utf-8") as fh:
         fh.write("export from upstream tool\n")
         fh.write("generated;do not edit\n")
         fh.write("nationkey,name,regionkey\n")
@@ -244,7 +244,8 @@ def src_html_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 8).select("doc_id", "text").collect()
     d = _scratch("html")
     for r in docs:
-        with open(os.path.join(d, f"doc_{r.doc_id}.html"), "w") as fh:
+        with open(os.path.join(d, f"doc_{r.doc_id}.html"), "w",
+                  encoding="utf-8") as fh:
             fh.write(f"<html><body>{r.text}</body></html>")
     out = read_html_files(spark, os.path.join(d, "*.html"), dataset="crawl")
     return out.select(
@@ -273,9 +274,11 @@ def src_raw_export_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in docs:
         d = os.path.join(root, r.source)
         os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, f"{r.doc_id}.json"), "w") as fh:
+        with open(os.path.join(d, f"{r.doc_id}.json"), "w",
+                  encoding="utf-8") as fh:
             fh.write('{"doc_id": %d}' % r.doc_id)
-        with open(os.path.join(d, f"{r.doc_id}.html"), "w") as fh:
+        with open(os.path.join(d, f"{r.doc_id}.html"), "w",
+                  encoding="utf-8") as fh:
             fh.write(r.text)
     paired = pair_raw_data(spark, root)
     return paired.select(
@@ -1141,7 +1144,8 @@ def _batch_already_applied(target: str, bid: int) -> bool:
     crashes — the standard foreachBatch idempotence pattern."""
     _recover_state(target)
     try:
-        with open(os.path.join(target, "_LAST_BATCH_ID")) as fh:
+        with open(os.path.join(target, "_LAST_BATCH_ID"),
+                  encoding="utf-8") as fh:
             return bid <= int(fh.read().strip())
     except (OSError, ValueError):
         return False
@@ -1159,7 +1163,8 @@ def _swap_state(folded: DataFrame, target: str, bid: int) -> None:
 
     nxt = target + ".next"
     folded.write.mode("overwrite").parquet(nxt)
-    with open(os.path.join(nxt, "_LAST_BATCH_ID"), "w") as fh:
+    with open(os.path.join(nxt, "_LAST_BATCH_ID"), "w",
+              encoding="utf-8") as fh:
         fh.write(str(bid))
     old = target + ".old"
     shutil.rmtree(old, ignore_errors=True)

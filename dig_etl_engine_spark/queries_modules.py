@@ -42,7 +42,8 @@ def module_pipeline_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = f"/tmp/spark_graft_io-{os.getpid()}/ems"
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir, exist_ok=True)
-    with open(os.path.join(workdir, "em_short_doc.py"), "w") as fh:
+    with open(os.path.join(workdir, "em_short_doc.py"), "w",
+              encoding="utf-8") as fh:
         fh.write(
             "from pyspark.sql import functions as F\n"
             "def document_selector():\n"
@@ -51,7 +52,8 @@ def module_pipeline_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    return df.select('doc_id', 'source',\n"
             "                     F.lit('short_doc').alias('module'),\n"
             "                     F.upper('lang').alias('lang_tag'))\n")
-    with open(os.path.join(workdir, "em_long_doc.py"), "w") as fh:
+    with open(os.path.join(workdir, "em_long_doc.py"), "w",
+              encoding="utf-8") as fh:
         fh.write(
             "from pyspark.sql import functions as F\n"
             "from dig_etl_engine_spark.pipeline import Module\n"

@@ -101,7 +101,7 @@ def table_lock(target_path: str, *, timeout: float = 300.0,
             continue  # released between the mkdir and the stat
         dead_local = False
         try:
-            pid_s, host = open(owner).read().split()
+            pid_s, host = open(owner, encoding="utf-8").read().split()
             dead_local = (host == socket.gethostname()
                           and not _pid_alive(int(pid_s)))
         except (OSError, ValueError):
@@ -139,7 +139,7 @@ def table_lock(target_path: str, *, timeout: float = 300.0,
     hb = threading.Thread(target=_heartbeat, daemon=True,
                           name="kg-table-lock-heartbeat")
     try:
-        with open(owner, "w") as fh:
+        with open(owner, "w", encoding="utf-8") as fh:
             fh.write(me)
         hb.start()
         yield
@@ -154,7 +154,7 @@ def table_lock(target_path: str, *, timeout: float = 300.0,
         # own owner-file write failed, the dir leaks instead and heals
         # through the dead-pid / TTL break like any crashed owner's.
         try:
-            still_me = open(owner).read() == me
+            still_me = open(owner, encoding="utf-8").read() == me
         except OSError:
             still_me = False
         if still_me:
@@ -308,7 +308,8 @@ def _load_bucket_meta(target_path: str, buckets: int) -> tuple[int, bool]:
     except OSError:
         pass
     try:
-        with open(os.path.join(target_path, _BUCKETS_META)) as fh:
+        with open(os.path.join(target_path, _BUCKETS_META),
+              encoding="utf-8") as fh:
             tokens = fh.read().split()
             persisted = int(tokens[0])
             widened = _HASH_WIDENED in tokens[1:]
@@ -348,7 +349,7 @@ def _persist_bucket_meta(target_path: str, buckets: int, *,
                          widened: bool = True) -> None:
     os.makedirs(target_path, exist_ok=True)
     tmp = os.path.join(target_path, f".{_BUCKETS_META}.tmp.{os.getpid()}")
-    with open(tmp, "w") as fh:
+    with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(f"{buckets} {_HASH_WIDENED}" if widened else str(buckets))
     os.replace(tmp, os.path.join(target_path, _BUCKETS_META))
 

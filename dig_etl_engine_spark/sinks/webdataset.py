@@ -268,7 +268,7 @@ def _swap_export(path: str, pattern: str,
     os.makedirs(oldd)
     for old in _glob_in(path, pattern):
         os.replace(old, os.path.join(oldd, os.path.basename(old)))
-    with open(os.path.join(oldd, "_RETIRED"), "w") as fh:
+    with open(os.path.join(oldd, "_RETIRED"), "w", encoding="utf-8") as fh:
         fh.write("1")
     finals = []
     for spath in staged_paths:

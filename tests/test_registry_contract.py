@@ -924,3 +924,84 @@ def test_raw_casing_lint_catches_violations(tmp_path):
     assert len([h for h in hits if "bad.py" in h]) == 4, hits
     assert not [h for h in hits if "good.py" in h], hits
     assert not [h for h in hits if "casefold.py" in h], hits
+
+
+# --- lint: no locale-default text-file encoding -------------------------------
+#
+# Text-mode open() / Path.read_text()/.write_text() without encoding=
+# follow locale.getpreferredencoding(): under LANG=C the codec is ASCII
+# (a non-ASCII doc write CRASHES), and under a non-UTF-8 locale Python
+# writes bytes that Spark's readers — which always assume UTF-8 — turn
+# into mojibake: silently different fingerprints on differently-
+# configured hosts. Same deployment-environment family as the casefold
+# and session-timezone classes. Binary modes are exempt (no codec).
+
+
+def _default_encoding_sites(pkg_root: Path) -> list[str]:
+    import ast
+
+    hits = []
+    for path in sorted(pkg_root.rglob("*.py")):
+        rel = path.relative_to(pkg_root.parent).as_posix()
+        for node in ast.walk(ast.parse(path.read_text(encoding="utf-8"))):
+            if not isinstance(node, ast.Call):
+                continue
+            f = node.func
+            if isinstance(f, ast.Name) and f.id == "open":
+                mode = None
+                if len(node.args) >= 2:
+                    mode = node.args[1]
+                for kw in node.keywords:
+                    if kw.arg == "mode":
+                        mode = kw.value
+                if isinstance(mode, ast.Constant) \
+                        and isinstance(mode.value, str) \
+                        and "b" in mode.value:
+                    continue              # binary: no codec involved
+                if not any(kw.arg == "encoding" for kw in node.keywords):
+                    hits.append(f"{rel}:{node.lineno} open() text mode "
+                                "without encoding=")
+            elif isinstance(f, ast.Attribute) \
+                    and f.attr in ("read_text", "write_text"):
+                # encoding may ride positionally: read_text(encoding) /
+                # write_text(data, encoding)
+                enc_pos = 1 if f.attr == "read_text" else 2
+                if not any(kw.arg == "encoding" for kw in node.keywords) \
+                        and len(node.args) < enc_pos:
+                    hits.append(f"{rel}:{node.lineno} .{f.attr}() "
+                                "without encoding=")
+    return hits
+
+
+def test_no_locale_default_text_encoding():
+    pkg = Path(__file__).resolve().parent.parent / "dig_etl_engine_spark"
+    hits = _default_encoding_sites(pkg)
+    assert not hits, (
+        "text-mode file IO without encoding= follows the host locale "
+        "(ASCII crash under LANG=C; mojibake against Spark's UTF-8 "
+        "readers under non-UTF-8 locales) — pass encoding='utf-8':\n  "
+        + "\n  ".join(hits))
+
+
+def test_default_encoding_lint_catches_violations(tmp_path):
+    mod = tmp_path / "dig_etl_engine_spark"
+    mod.mkdir()
+    (mod / "bad.py").write_text(
+        "from pathlib import Path\n"
+        "def w(p):\n"
+        "    with open(p, 'w') as fh:\n"              # text write
+        "        fh.write('x')\n"
+        "    open(p).read()\n"                         # implicit text read
+        "    Path(p).read_text()\n"
+        "    Path(p).write_text('x')\n", encoding="utf-8")
+    (mod / "good.py").write_text(
+        "from pathlib import Path\n"
+        "def w(p):\n"
+        "    with open(p, 'w', encoding='utf-8') as fh:\n"
+        "        fh.write('x')\n"
+        "    open(p, 'rb').read()\n"
+        "    open(p, mode='wb').write(b'x')\n"
+        "    Path(p).read_text(encoding='utf-8')\n", encoding="utf-8")
+    hits = _default_encoding_sites(mod)
+    assert len([h for h in hits if "bad.py" in h]) == 4, hits
+    assert not [h for h in hits if "good.py" in h], hits
