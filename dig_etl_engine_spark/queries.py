@@ -113,7 +113,13 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # query's output can move; the change is observable only under a
     # tr/az/lt-locale deployment JVM, where it is the fix. Re-verified
     # empirically anyway: full-registry fresh-process drive at sf0.01,
-    # 176/176 MATCH, post-change.
+    # 176/176 MATCH, post-change. Same adjudication for the r9
+    # review fixes: the two stream fingerprints now call
+    # text_analysis.fingerprint_md5 (token-identical expression tree to
+    # the inline copies they replace) and module_pipeline_demux's
+    # generated module case-folds through safe_upper (extensionally
+    # equal on its ASCII lang codes) — all three pre-validated MATCH at
+    # sf0.01 after the edit.
     #
     # Deliberately NOT listed (r8 changes that cannot move results):
     # stream_e2e_curation — the input-cache TOCTOU fix only reorders

@@ -19,6 +19,7 @@ from pyspark.sql import types as T
 from dig_etl_engine_spark.catalog import load_tables
 from dig_etl_engine_spark.functions.exact import fixed, round_fixed
 from dig_etl_engine_spark.functions.casefold import safe_lower
+from dig_etl_engine_spark.operators import text_analysis as TA
 from dig_etl_engine_spark.queries import register
 
 # Engine-identical rounded bucket mean (wobble lint): one canonical
@@ -523,7 +524,10 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dig_etl_engine_spark.streaming.stateful import run_first_seen_dedup
 
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
-    fp = F.md5(F.trim(F.regexp_replace(safe_lower("text"), r"\s+", " ")))
+    # the canonical dedup fingerprint — the named helper, so the
+    # normalization can never silently fork from the rest of the
+    # engine (r9 review: this was an inline copy)
+    fp = TA.fingerprint_md5(F.col("text"))
     even = docs.filter(F.col("doc_id") % 2 == 0)
     odd = docs.filter(F.col("doc_id") % 2 == 1)
     drop_a = even.select("doc_id", fp.alias("fingerprint"),
@@ -909,8 +913,7 @@ def stream_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (docs.unionByName(copies)
            .select("doc_id", "text",
                    F.col("doc_id").alias("kafka_offset"),
-                   F.md5(F.trim(F.regexp_replace(safe_lower("text"),
-                                                 r"\s+", " ")))
+                   TA.fingerprint_md5(F.col("text"))
                    .alias("fingerprint")))
     evals = (docs.filter(F.col("doc_id") % 17 == 0)
              .select("doc_id",

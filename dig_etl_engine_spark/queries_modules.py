@@ -45,13 +45,19 @@ def module_pipeline_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(workdir, "em_short_doc.py"), "w",
               encoding="utf-8") as fh:
         fh.write(
+            # the generated module case-folds through the engine's
+            # locale-safe wrapper, like all engine code — the casing
+            # lint can't see inside this string, so the discipline is
+            # enforced here by construction (r9 review)
             "from pyspark.sql import functions as F\n"
+            "from dig_etl_engine_spark.functions.casefold import "
+            "safe_upper\n"
             "def document_selector():\n"
             "    return F.col('n_chars') < 300\n"
             "def process(df):\n"
             "    return df.select('doc_id', 'source',\n"
             "                     F.lit('short_doc').alias('module'),\n"
-            "                     F.upper('lang').alias('lang_tag'))\n")
+            "                     safe_upper('lang').alias('lang_tag'))\n")
     with open(os.path.join(workdir, "em_long_doc.py"), "w",
               encoding="utf-8") as fh:
         fh.write(

@@ -111,7 +111,11 @@ def _run_child(env_extra: dict[str, str]) -> dict:
     env = dict(os.environ)
     env.pop("PYSPARK_GATEWAY_PORT", None)   # never attach to our JVM
     env.pop("PYSPARK_GATEWAY_SECRET", None)
-    env.update(env_extra)
+    for k, v in env_extra.items():
+        # APPEND to inherited JAVA_TOOL_OPTIONS (hosts may carry
+        # heap/truststore flags there — clobbering them would fail the
+        # child JVM for reasons unrelated to the locale axis)
+        env[k] = f"{env[k]} {v}" if env.get(k) else v
     proc = subprocess.run(
         [sys.executable, "-c", _CHILD, repo, json.dumps(HAZARD)],
         capture_output=True, text=True, env=env, timeout=300)

@@ -459,7 +459,7 @@ def test_registry_orders_least_recently_verified_first():
         if not m:
             continue
         rnd = int(m.group(1))
-        data = json.loads(path.read_text())
+        data = json.loads(path.read_text(encoding="utf-8"))
         for n, v in data.items():
             if isinstance(v, dict) and v.get("rows_match") \
                     and v.get("schema_match") and v.get("hash_match"):
@@ -702,7 +702,8 @@ def _kernel_source_round_sites(pkg_root: Path) -> list[str]:
     trees: list[tuple[str, str, object]] = []
     for path in sorted(pkg_root.rglob("*.py")):
         rel = path.relative_to(pkg_root.parent).as_posix()
-        trees.append((path.name, rel, ast.parse(path.read_text())))
+        trees.append((path.name, rel,
+                      ast.parse(path.read_text(encoding="utf-8"))))
     kernel_names: set[str] = set()
     hits = []
     for fname, rel, tree in trees:
@@ -857,10 +858,13 @@ def _raw_casing_sites(pkg_root: Path) -> list[str]:
     CASING = ("lower", "upper", "initcap")
     hits = []
     for path in sorted(pkg_root.rglob("*.py")):
-        if path.name == "casefold.py":
-            continue
+        rel_pkg = path.relative_to(pkg_root).as_posix()
+        if rel_pkg == "functions/casefold.py":
+            continue   # the single permitted caller — full path, not
+                       # basename, so a stray casefold.py elsewhere in
+                       # the package cannot self-exempt
         rel = path.relative_to(pkg_root.parent).as_posix()
-        tree = ast.parse(path.read_text())
+        tree = ast.parse(path.read_text(encoding="utf-8"))
         for node in ast.walk(tree):
             # evasion door 1: from pyspark.sql.functions import lower
             if isinstance(node, ast.ImportFrom) \
@@ -916,14 +920,24 @@ def test_raw_casing_lint_catches_violations(tmp_path):
         "    return path.lower() + 'x'.upper()\n"          # Python str casing
         "def q(df, safe_lower):\n"
         "    return df.select(safe_lower(df.s))\n")
-    (mod / "casefold.py").write_text(
+    (mod / "functions").mkdir()
+    (mod / "functions" / "casefold.py").write_text(
         "from pyspark.sql import functions as F\n"
         "def safe_lower(c):\n"
         "    return F.lower(c)\n")                         # the permitted caller
+    (mod / "casefold.py").write_text(
+        # a stray file REUSING the permitted basename elsewhere in the
+        # package must NOT self-exempt (the exemption is the full
+        # package-relative path)
+        "from pyspark.sql import functions as F\n"
+        "def sneaky(c):\n"
+        "    return F.lower(c)\n")
     hits = _raw_casing_sites(mod)
     assert len([h for h in hits if "bad.py" in h]) == 4, hits
     assert not [h for h in hits if "good.py" in h], hits
-    assert not [h for h in hits if "casefold.py" in h], hits
+    assert not [h for h in hits if "functions/casefold.py" in h], hits
+    assert len([h for h in hits
+                if "dig_etl_engine_spark/casefold.py" in h]) == 1, hits
 
 
 # --- lint: no locale-default text-file encoding -------------------------------
@@ -937,8 +951,32 @@ def test_raw_casing_lint_catches_violations(tmp_path):
 # and session-timezone classes. Binary modes are exempt (no codec).
 
 
+# Modules whose .open() is byte-oriented by API design — flagging
+# tarfile.open(path, 'r:gz') as "text mode" would be wrong. io is NOT
+# here: io.open is builtins.open (locale-default text), so it flags.
+_BINARY_OPENERS = {"tarfile", "zipfile", "gzip", "bz2", "lzma"}
+
+
 def _default_encoding_sites(pkg_root: Path) -> list[str]:
     import ast
+
+    def _flag_open(node, rel, label) -> str | None:
+        mode = None
+        if len(node.args) >= 2:
+            mode = node.args[1]
+        for kw in node.keywords:
+            if kw.arg == "mode":
+                mode = kw.value
+        if isinstance(mode, ast.Constant) \
+                and isinstance(mode.value, str) \
+                and "b" in mode.value:
+            return None              # binary: no codec involved
+        # builtins.open/Path.open take encoding positionally at index 3
+        if len(node.args) >= 4:
+            return None
+        if not any(kw.arg == "encoding" for kw in node.keywords):
+            return f"{rel}:{node.lineno} {label} text mode without encoding="
+        return None
 
     hits = []
     for path in sorted(pkg_root.rglob("*.py")):
@@ -948,19 +986,18 @@ def _default_encoding_sites(pkg_root: Path) -> list[str]:
                 continue
             f = node.func
             if isinstance(f, ast.Name) and f.id == "open":
-                mode = None
-                if len(node.args) >= 2:
-                    mode = node.args[1]
-                for kw in node.keywords:
-                    if kw.arg == "mode":
-                        mode = kw.value
-                if isinstance(mode, ast.Constant) \
-                        and isinstance(mode.value, str) \
-                        and "b" in mode.value:
-                    continue              # binary: no codec involved
-                if not any(kw.arg == "encoding" for kw in node.keywords):
-                    hits.append(f"{rel}:{node.lineno} open() text mode "
-                                "without encoding=")
+                h = _flag_open(node, rel, "open()")
+                if h:
+                    hits.append(h)
+            elif isinstance(f, ast.Attribute) and f.attr == "open":
+                # Path(p).open('w') / io.open(p) follow the locale too;
+                # compression/archive modules' .open() is byte-oriented
+                if isinstance(f.value, ast.Name) \
+                        and f.value.id in _BINARY_OPENERS:
+                    continue
+                h = _flag_open(node, rel, f".open()")
+                if h:
+                    hits.append(h)
             elif isinstance(f, ast.Attribute) \
                     and f.attr in ("read_text", "write_text"):
                 # encoding may ride positionally: read_text(encoding) /
@@ -988,20 +1025,28 @@ def test_default_encoding_lint_catches_violations(tmp_path):
     mod.mkdir()
     (mod / "bad.py").write_text(
         "from pathlib import Path\n"
+        "import io\n"
         "def w(p):\n"
         "    with open(p, 'w') as fh:\n"              # text write
         "        fh.write('x')\n"
         "    open(p).read()\n"                         # implicit text read
         "    Path(p).read_text()\n"
-        "    Path(p).write_text('x')\n", encoding="utf-8")
+        "    Path(p).write_text('x')\n"
+        "    Path(p).open('w').write('x')\n"           # Path.open door
+        "    io.open(p).read()\n", encoding="utf-8")   # io.open door
     (mod / "good.py").write_text(
         "from pathlib import Path\n"
+        "import tarfile, gzip\n"
         "def w(p):\n"
         "    with open(p, 'w', encoding='utf-8') as fh:\n"
         "        fh.write('x')\n"
         "    open(p, 'rb').read()\n"
         "    open(p, mode='wb').write(b'x')\n"
-        "    Path(p).read_text(encoding='utf-8')\n", encoding="utf-8")
+        "    open(p, 'r', -1, 'utf-8').read()\n"       # positional encoding
+        "    Path(p).read_text(encoding='utf-8')\n"
+        "    Path(p).open('w', encoding='utf-8')\n"
+        "    tarfile.open(p, 'r:gz')\n"                # byte-oriented APIs
+        "    gzip.open(p, 'rb')\n", encoding="utf-8")
     hits = _default_encoding_sites(mod)
-    assert len([h for h in hits if "bad.py" in h]) == 4, hits
+    assert len([h for h in hits if "bad.py" in h]) == 6, hits
     assert not [h for h in hits if "good.py" in h], hits
