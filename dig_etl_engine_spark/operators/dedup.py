@@ -628,11 +628,13 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
                 # micro-batch retry replaces its rows, never duplicates
                 # them. Per-writer option, not a session conf set/restore
                 # — concurrent streams in one session race the restore.
+                # "DYNAMIC" pre-uppercased (locale-proof enum lookup —
+                # see streaming/ingest.py).
                 bands_out.write.mode("overwrite") \
-                    .option("partitionOverwriteMode", "dynamic") \
+                    .option("partitionOverwriteMode", "DYNAMIC") \
                     .partitionBy("_ab").parquet(f"{index_path}/bands")
                 sh_out.write.mode("overwrite") \
-                    .option("partitionOverwriteMode", "dynamic") \
+                    .option("partitionOverwriteMode", "DYNAMIC") \
                     .partitionBy("_ab").parquet(f"{index_path}/shingles")
             else:
                 bands_out.write.mode("append").partitionBy("_ab") \

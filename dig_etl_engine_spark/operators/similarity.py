@@ -794,8 +794,10 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
             if batch_id is not None:
                 # per-writer option, not a session conf set/restore —
                 # concurrent streams in one session race the restore
+                # "DYNAMIC" pre-uppercased (locale-proof enum lookup —
+                # see streaming/ingest.py).
                 out.write.mode("overwrite") \
-                    .option("partitionOverwriteMode", "dynamic") \
+                    .option("partitionOverwriteMode", "DYNAMIC") \
                     .partitionBy("cluster", "_ab") \
                     .parquet(f"{index_path}/cells")
             else:

@@ -256,6 +256,11 @@ def compile_query(
                 terms.extend([v] if c.kind == "match_phrase" else v.split())
         terms = [t for t in dict.fromkeys(terms) if t]
         if terms:
+            # (?i) without UNICODE_CASE is ASCII-only folding in Java —
+            # deterministic and JVM-locale-free (unlike lower(), see
+            # functions/casefold.py); a non-ASCII query term matches
+            # case-sensitively, a documented divergence from RE2's
+            # Unicode simple folding
             pat = (r"(?i)\b(" + "|".join(_re.escape(t) for t in terms)
                    + r")\b")
             for hf in cfg.highlight_fields:

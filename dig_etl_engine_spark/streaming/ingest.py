@@ -87,7 +87,11 @@ def write_quarantine(invalid: DataFrame, batch_id: int,
     (invalid.withColumn("_quarantine_reason", F.lit(reason))
      .withColumn("_batch_id", F.lit(batch_id))
      .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
+     # "DYNAMIC" pre-uppercased: Spark resolves this option via a
+     # default-locale toUpperCase before the enum lookup, and tr/az
+     # JVM locales uppercase 'i' to 'İ' (NoSuchElementException:
+     # 'DYNAMİC'); uppercase 'I' is locale-invariant
+     .option("partitionOverwriteMode", "DYNAMIC")
      .partitionBy("_batch_id")
      .parquet(quarantine_path))
 

@@ -93,6 +93,17 @@ out = df.select(
     ccnet_normalize(F.col("s")).alias("norm"),
     ascii_initcap(F.lit("JANUARY 5 2021")).alias("cap"),
 ).collect()
+# the Spark-internal cousin of the casing hazard: the writer resolves
+# partitionOverwriteMode via a default-locale toUpperCase before its
+# enum lookup, so a lowercase "dynamic" crashes under tr
+# (NoSuchElementException: 'DYNAMIC' with dotted I). The engine ships
+# the pre-uppercased literal everywhere; prove it survives this JVM.
+import tempfile
+d = tempfile.mkdtemp()
+(spark.range(2).withColumn("p", F.col("id") % 2)
+ .write.mode("overwrite").option("partitionOverwriteMode", "DYNAMIC")
+ .partitionBy("p").parquet(d))
+dyn_rows = spark.read.parquet(d).count()
 print("CASEFOLD_JSON:" + json.dumps({
     "locale": loc,
     "raw_lo": [r.raw_lo for r in out],
@@ -100,6 +111,7 @@ print("CASEFOLD_JSON:" + json.dumps({
     "safe_up": [r.safe_up for r in out],
     "norm": [r.norm for r in out],
     "cap": out[0].cap,
+    "dyn_rows": dyn_rows,
 }))
 """
 
@@ -143,6 +155,7 @@ def test_locale_independence_under_turkish_jvm():
     assert got["safe_lo"] == py
     assert got["safe_up"] == [s.upper() for s in HAZARD]
     assert got["cap"] == "January 5 2021"
+    assert got["dyn_rows"] == 2   # pre-uppercased "DYNAMIC" writer option
     ref = _run_child({})   # same child under the suite's default locale
     assert ref["locale"] != "tr_TR"
     assert got["norm"] == ref["norm"]
