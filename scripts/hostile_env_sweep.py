@@ -7,7 +7,12 @@ hostile AT ONCE:
   * ``TZ=America/New_York`` + session timezone   (r8 class: zone-shifted
     epochs — caught ``ts_rolling_anomaly``/``stream_windowed_counts``)
   * ``JAVA_TOOL_OPTIONS=-Duser.language=tr -Duser.country=TR``
-    (r9 class: default-locale JVM case folding — ``functions/casefold.py``)
+    (r9 class: default-locale JVM case folding — ``functions/casefold.py``
+    — and the writer's ``partitionOverwriteMode`` enum lookup, which
+    uppercases under the default locale inside Spark itself)
+  * ``-Dfile.encoding=ISO-8859-1`` (JVM default charset — Java 17 still
+    honors it for default-charset APIs; all engine byte↔text paths must
+    carry explicit UTF-8)
   * ``LANG=LC_ALL=C`` (r9 class: locale-default Python text-file codec —
     the utf-8 IO sweep; under C the preferred encoding is ASCII, so any
     missed text-mode open of non-ASCII content crashes loudly here)
@@ -36,7 +41,8 @@ _TZ_SWEEP = str(Path(__file__).resolve().parent / "tz_sweep.py")
 ENVS: dict[str, dict[str, str]] = {
     "baseline": {},
     "hostile": {
-        "JAVA_TOOL_OPTIONS": "-Duser.language=tr -Duser.country=TR",
+        "JAVA_TOOL_OPTIONS": "-Duser.language=tr -Duser.country=TR "
+                             "-Dfile.encoding=ISO-8859-1",
         "LANG": "C",
         "LC_ALL": "C",
     },
