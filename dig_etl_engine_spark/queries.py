@@ -119,7 +119,13 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # the inline copies they replace) and module_pipeline_demux's
     # generated module case-folds through safe_upper (extensionally
     # equal on its ASCII lang codes) — all three pre-validated MATCH at
-    # sf0.01 after the edit.
+    # sf0.01 after the edit. Likewise the partitionOverwriteMode
+    # literal flip ("dynamic" → "DYNAMIC"): Spark uppercases the value
+    # before its enum lookup, so under the driver's default locale both
+    # spellings resolve to the same mode and the same write — the flip
+    # is observable only under a tr/az JVM, where the lowercase form
+    # CRASHES (it cannot silently alter results anywhere). Full drive
+    # re-verified 176/176 MATCH after it regardless.
     #
     # Deliberately NOT listed (r8 changes that cannot move results):
     # stream_e2e_curation — the input-cache TOCTOU fix only reorders
