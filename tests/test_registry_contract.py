@@ -855,7 +855,9 @@ def test_kernel_source_lint_catches_violations(tmp_path):
 def _raw_casing_sites(pkg_root: Path) -> list[str]:
     import ast
 
-    CASING = ("lower", "upper", "initcap")
+    # lcase/ucase are engine ALIASES of lower/upper (same UTF8String
+    # casing underneath) — same hazard, same lint
+    CASING = ("lower", "upper", "initcap", "lcase", "ucase")
     hits = []
     for path in sorted(pkg_root.rglob("*.py")):
         rel_pkg = path.relative_to(pkg_root).as_posix()
@@ -914,7 +916,9 @@ def test_raw_casing_lint_catches_violations(tmp_path):
         "def q2(df):\n"
         "    return df.select(functions.upper(df.s))\n"    # door 2
         "def q3(df):\n"
-        "    return df.select(F.initcap(df.s))\n")
+        "    return df.select(F.initcap(df.s))\n"
+        "def q4(df):\n"
+        "    return df.select(F.lcase(df.s), F.ucase(df.s))\n")   # alias door
     (mod / "good.py").write_text(
         "def cfg(path, F):\n"
         "    return path.lower() + 'x'.upper()\n"          # Python str casing
@@ -933,7 +937,7 @@ def test_raw_casing_lint_catches_violations(tmp_path):
         "def sneaky(c):\n"
         "    return F.lower(c)\n")
     hits = _raw_casing_sites(mod)
-    assert len([h for h in hits if "bad.py" in h]) == 4, hits
+    assert len([h for h in hits if "bad.py" in h]) == 6, hits
     assert not [h for h in hits if "good.py" in h], hits
     assert not [h for h in hits if "functions/casefold.py" in h], hits
     assert len([h for h in hits
