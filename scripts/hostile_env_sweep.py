@@ -29,14 +29,13 @@ Usage (round-close checklist step, after ``tz_sweep``):
 
 from __future__ import annotations
 
-import json
 import os
-import subprocess
 import sys
 from pathlib import Path
 
-DEFAULT_SF = "/root/testdata/sf0.001"
-_TZ_SWEEP = str(Path(__file__).resolve().parent / "tz_sweep.py")
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import tz_sweep  # noqa: E402  (shared child protocol + compare loop)
 
 ENVS: dict[str, dict[str, str]] = {
     "baseline": {},
@@ -53,10 +52,7 @@ ZONE = {"baseline": "UTC", "hostile": "America/New_York"}
 
 
 def main() -> int:
-    args = sys.argv[1:]
-    sf = DEFAULT_SF
-    if args and os.path.isdir(args[0]):
-        sf, args = os.path.abspath(args[0]), args[1:]
+    sf, args = tz_sweep.split_sf_arg(sys.argv[1:])
     results: dict[str, dict] = {}
     for label, extra in ENVS.items():
         env = dict(os.environ)
@@ -64,26 +60,14 @@ def main() -> int:
             # append JVM flags rather than clobber host-level settings
             env[k] = f"{env[k]} {v}" if k == "JAVA_TOOL_OPTIONS" \
                 and env.get(k) else v
-        proc = subprocess.run(
-            [sys.executable, _TZ_SWEEP, "--zone", ZONE[label], sf, *args],
-            capture_output=True, text=True, env=env)
-        payload = [ln for ln in proc.stdout.splitlines()
-                   if ln.startswith("TZSWEEP_JSON:")]
-        if proc.returncode != 0 or not payload:
-            print(f"{label}: child failed\n{proc.stdout[-2000:]}"
-                  f"\n{proc.stderr[-4000:]}")
+        got = tz_sweep.run_child(ZONE[label], sf, args, env=env)
+        if got is None:
             return 2
-        results[label] = json.loads(payload[0][len("TZSWEEP_JSON:"):])
-    base, host = results["baseline"], results["hostile"]
-    bad = []
-    for name in sorted(base):
-        same = base[name] == host.get(name)
-        print(f"{name}: {'OK' if same else 'ENV-DIFF'} rows={base[name][0]}")
-        if not same:
-            bad.append(name)
-            print(f"    baseline={base[name]}\n    hostile ={host.get(name)}")
-    print(f"hostile_env_sweep: {len(base) - len(bad)}/{len(base)} "
-          f"environment-independent at {sf}")
+        results[label] = got
+    bad = tz_sweep.diff_results(results["baseline"], results["hostile"],
+                                "ENV-DIFF")
+    print(f"hostile_env_sweep: {len(results['baseline']) - len(bad)}"
+          f"/{len(results['baseline'])} environment-independent at {sf}")
     return 1 if bad else 0
 
 

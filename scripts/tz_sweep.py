@@ -70,42 +70,65 @@ def _child(zone: str, sf: str, names: list[str]) -> int:
     return 0
 
 
+def split_sf_arg(args: list[str]) -> tuple[str, list[str]]:
+    """Split an optional leading sf_dir from query-name args. A dataset
+    dir may be given relative (testdata/sf0.001), but it must be a
+    directory CONTAINING parquet tables — a bare existing dir that
+    happens to share a query's name must not eat the query arg."""
+    if args and (args[0].startswith("/")
+                 or (os.path.isdir(args[0])
+                     and glob.glob(os.path.join(args[0], "*.parquet")))):
+        return os.path.abspath(args[0]), args[1:]
+    return DEFAULT_SF, args
+
+
+def run_child(zone: str, sf: str, names: list[str],
+              env: dict[str, str] | None = None) -> dict | None:
+    """Spawn one fresh child under ``zone`` (and optional extra env),
+    return its {name: [rows, dtypes, hash]} payload, or None after
+    printing the failure (shared with hostile_env_sweep — one copy of
+    the child protocol, so a payload-shape change can't silently
+    desynchronize the two gates)."""
+    proc = subprocess.run(
+        [sys.executable, __file__, "--zone", zone, sf, *names],
+        capture_output=True, text=True, env=env)
+    payload = [ln for ln in proc.stdout.splitlines()
+               if ln.startswith("TZSWEEP_JSON:")]
+    if proc.returncode != 0 or not payload:
+        print(f"{zone}: child failed\n{proc.stdout[-2000:]}"
+              f"\n{proc.stderr[-4000:]}")
+        return None
+    return json.loads(payload[0][len("TZSWEEP_JSON:"):])
+
+
+def diff_results(base: dict, other: dict, diff_label: str) -> list[str]:
+    """Print the per-query OK/diff report; return the differing names."""
+    bad = []
+    for name in sorted(base):
+        same = base[name] == other.get(name)
+        print(f"{name}: {'OK' if same else diff_label} "
+              f"rows={base[name][0]}")
+        if not same:
+            bad.append(name)
+            print(f"    base ={base[name]}\n    other={other.get(name)}")
+    return bad
+
+
 def main() -> int:
     args = sys.argv[1:]
     if args and args[0] == "--zone":
         zone, sf, names = args[1], args[2], args[3:]
         return _child(zone, sf, names)
-    sf = DEFAULT_SF
-    # an sf_dir may be given relative (testdata/sf0.001): a dataset dir
-    # is a directory CONTAINING parquet tables — a bare existing dir
-    # that happens to share a query's name must not eat the query arg
-    if args and (args[0].startswith("/")
-                 or (os.path.isdir(args[0])
-                     and glob.glob(os.path.join(args[0], "*.parquet")))):
-        sf, args = os.path.abspath(args[0]), args[1:]
-    results: dict[str, dict] = {}
+    sf, args = split_sf_arg(args)
+    results = {}
     for zone in ZONES:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--zone", zone, sf, *args],
-            capture_output=True, text=True)
-        payload = [ln for ln in proc.stdout.splitlines()
-                   if ln.startswith("TZSWEEP_JSON:")]
-        if proc.returncode != 0 or not payload:
-            print(f"{zone}: child failed\n{proc.stdout[-2000:]}"
-                  f"\n{proc.stderr[-4000:]}")
+        got = run_child(zone, sf, args)
+        if got is None:
             return 2
-        results[zone] = json.loads(payload[0][len("TZSWEEP_JSON:"):])
-    utc, ny = results[ZONES[0]], results[ZONES[1]]
-    bad = []
-    for name in sorted(utc):
-        same = utc[name] == ny.get(name)
-        print(f"{name}: {'OK' if same else 'ZONE-DIFF'} "
-              f"rows={utc[name][0]}")
-        if not same:
-            bad.append(name)
-            print(f"    UTC={utc[name]}\n    NY ={ny.get(name)}")
-    print(f"tz_sweep: {len(utc) - len(bad)}/{len(utc)} zone-independent "
-          f"at {sf}")
+        results[zone] = got
+    bad = diff_results(results[ZONES[0]], results[ZONES[1]], "ZONE-DIFF")
+    print(f"tz_sweep: {len(results[ZONES[0]]) - len(bad)}"
+          f"/{len(results[ZONES[0]])} zone-independent at {sf}")
     return 1 if bad else 0
 
 

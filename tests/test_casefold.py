@@ -98,12 +98,15 @@ out = df.select(
 # enum lookup, so a lowercase "dynamic" crashes under tr
 # (NoSuchElementException: 'DYNAMIC' with dotted I). The engine ships
 # the pre-uppercased literal everywhere; prove it survives this JVM.
-import tempfile
+import shutil, tempfile
 d = tempfile.mkdtemp()
-(spark.range(2).withColumn("p", F.col("id") % 2)
- .write.mode("overwrite").option("partitionOverwriteMode", "DYNAMIC")
- .partitionBy("p").parquet(d))
-dyn_rows = spark.read.parquet(d).count()
+try:
+    (spark.range(2).withColumn("p", F.col("id") % 2)
+     .write.mode("overwrite").option("partitionOverwriteMode", "DYNAMIC")
+     .partitionBy("p").parquet(d))
+    dyn_rows = spark.read.parquet(d).count()
+finally:
+    shutil.rmtree(d, ignore_errors=True)
 print("CASEFOLD_JSON:" + json.dumps({
     "locale": loc,
     "raw_lo": [r.raw_lo for r in out],
@@ -126,8 +129,10 @@ def _run_child(env_extra: dict[str, str]) -> dict:
     for k, v in env_extra.items():
         # APPEND to inherited JAVA_TOOL_OPTIONS (hosts may carry
         # heap/truststore flags there — clobbering them would fail the
-        # child JVM for reasons unrelated to the locale axis)
-        env[k] = f"{env[k]} {v}" if env.get(k) else v
+        # child JVM for reasons unrelated to the locale axis). ONLY that
+        # var is list-valued; anything else (LANG, LC_ALL) must replace.
+        env[k] = f"{env[k]} {v}" if k == "JAVA_TOOL_OPTIONS" \
+            and env.get(k) else v
     proc = subprocess.run(
         [sys.executable, "-c", _CHILD, repo, json.dumps(HAZARD)],
         capture_output=True, text=True, env=env, timeout=300)

@@ -955,19 +955,18 @@ def test_raw_casing_lint_catches_violations(tmp_path):
 # and session-timezone classes. Binary modes are exempt (no codec).
 
 
-# Modules whose .open() is byte-oriented by API design — flagging
-# tarfile.open(path, 'r:gz') as "text mode" would be wrong. io is NOT
-# here: io.open is builtins.open (locale-default text), so it flags.
-_BINARY_OPENERS = {"tarfile", "zipfile", "gzip", "bz2", "lzma"}
-
-
 def _default_encoding_sites(pkg_root: Path) -> list[str]:
     import ast
 
-    def _flag_open(node, rel, label) -> str | None:
+    def _flag_open(node, rel, label, mode_idx, enc_idx) -> str | None:
+        """Flag a text-mode open-style call missing an explicit
+        encoding. ``mode_idx``/``enc_idx`` are the POSITIONAL indexes of
+        mode and encoding for the callable's own signature —
+        builtins/io.open: (1, 3); bound Path.open: (0, 2) (self is not
+        in node.args)."""
         mode = None
-        if len(node.args) >= 2:
-            mode = node.args[1]
+        if len(node.args) > mode_idx:
+            mode = node.args[mode_idx]
         for kw in node.keywords:
             if kw.arg == "mode":
                 mode = kw.value
@@ -975,9 +974,8 @@ def _default_encoding_sites(pkg_root: Path) -> list[str]:
                 and isinstance(mode.value, str) \
                 and "b" in mode.value:
             return None              # binary: no codec involved
-        # builtins.open/Path.open take encoding positionally at index 3
-        if len(node.args) >= 4:
-            return None
+        if len(node.args) > enc_idx:
+            return None              # encoding passed positionally
         if not any(kw.arg == "encoding" for kw in node.keywords):
             return f"{rel}:{node.lineno} {label} text mode without encoding="
         return None
@@ -990,16 +988,26 @@ def _default_encoding_sites(pkg_root: Path) -> list[str]:
                 continue
             f = node.func
             if isinstance(f, ast.Name) and f.id == "open":
-                h = _flag_open(node, rel, "open()")
+                h = _flag_open(node, rel, "open()", 1, 3)
                 if h:
                     hits.append(h)
             elif isinstance(f, ast.Attribute) and f.attr == "open":
-                # Path(p).open('w') / io.open(p) follow the locale too;
-                # compression/archive modules' .open() is byte-oriented
-                if isinstance(f.value, ast.Name) \
-                        and f.value.id in _BINARY_OPENERS:
-                    continue
-                h = _flag_open(node, rel, f".open()")
+                # The locale-default ATTRIBUTE doors, precisely:
+                # io.open (= builtins.open) and a direct Path(...).open.
+                # Receivers are matched structurally, not by flagging
+                # every .open method — zf.open(member)/webbrowser.open
+                # are not text-codec calls. Known blind spot, accepted:
+                # a Path bound to a variable first (p = Path(x);
+                # p.open('w')) — the package has no such site and the
+                # dominant forms are all covered.
+                if isinstance(f.value, ast.Name) and f.value.id == "io":
+                    h = _flag_open(node, rel, "io.open()", 1, 3)
+                elif isinstance(f.value, ast.Call) \
+                        and isinstance(f.value.func, ast.Name) \
+                        and f.value.func.id == "Path":
+                    h = _flag_open(node, rel, "Path(...).open()", 0, 2)
+                else:
+                    h = None
                 if h:
                     hits.append(h)
             elif isinstance(f, ast.Attribute) \
@@ -1041,7 +1049,7 @@ def test_default_encoding_lint_catches_violations(tmp_path):
     (mod / "good.py").write_text(
         "from pathlib import Path\n"
         "import tarfile, gzip\n"
-        "def w(p):\n"
+        "def w(p, zf):\n"
         "    with open(p, 'w', encoding='utf-8') as fh:\n"
         "        fh.write('x')\n"
         "    open(p, 'rb').read()\n"
@@ -1049,8 +1057,11 @@ def test_default_encoding_lint_catches_violations(tmp_path):
         "    open(p, 'r', -1, 'utf-8').read()\n"       # positional encoding
         "    Path(p).read_text(encoding='utf-8')\n"
         "    Path(p).open('w', encoding='utf-8')\n"
+        "    Path(p).open('rb')\n"                     # Path mode is args[0]
+        "    Path(p).open('r', -1, 'utf-8')\n"         # Path enc is args[2]
         "    tarfile.open(p, 'r:gz')\n"                # byte-oriented APIs
-        "    gzip.open(p, 'rb')\n", encoding="utf-8")
+        "    gzip.open(p, 'rb')\n"
+        "    zf.open('member')\n", encoding="utf-8")   # instance .open
     hits = _default_encoding_sites(mod)
     assert len([h for h in hits if "bad.py" in h]) == 6, hits
     assert not [h for h in hits if "good.py" in h], hits
