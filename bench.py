@@ -9,16 +9,21 @@ cost of planning + execution + any Python-side stages.
 Measurement protocol knobs (r9, after two rounds of sub-second queries
 swinging ±2x run-to-run on this VM — VERDICT r8 "settle the bench drift
 with data"):
-  SPARK_GRAFT_BENCH_RUNS  repeats per query (default 3; min-of-2 could
+  SPARK_GRAFT_BENCH_RUNS  repeats per query (default 5; min-of-2 could
                           not resolve a 1.4x signal at 0.3 s scale)
-  SPARK_GRAFT_BENCH_STAT  "min" (default — steady-state cost, what a
-                          long-lived cluster amortizes to) or "median"
-                          (drift adjudication: robust against one slow
-                          AND one lucky run; use RUNS>=5). Median mode
-                          runs one untimed warm-up execution per query
-                          first — without it the sweep-order-first
-                          queries sample the session's codegen ramp
-                          into their median (r9 adjudication)
+  SPARK_GRAFT_BENCH_STAT  "median" (default — robust against one slow
+                          AND one lucky run; runs one untimed warm-up
+                          execution per query first, without which the
+                          sweep-order-first queries sample the session's
+                          codegen ramp into their median, r9
+                          adjudication) or "min" (steady-state cost,
+                          what a long-lived cluster amortizes to).
+
+The DEFAULT is median-of-5-with-warm-up as of r10 (VERDICT r9 item 2):
+r9 recorded min-of-3 in the driver artifact while the README argued
+median-of-5 was the code-representative protocol — two numbers for one
+claim. One protocol, recorded in the artifact's ``protocol`` field, ends
+that. Historical lines: no field = min-of-2 (r7/r8); r9 = min-of-3.
 """
 
 from __future__ import annotations
@@ -102,22 +107,31 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).count()
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "min")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "median")
     if stat not in ("min", "median"):
         # a typo must not silently demote a median adjudication to
         # min-of-N while the protocol field records the typo as applied
         raise SystemExit(f"SPARK_GRAFT_BENCH_STAT={stat!r}: "
                          "expected 'min' or 'median'")
 
+    # argv names = isolated adjudication run (a drift reading is judged
+    # on an idle host with ONLY the query under test in the sweep, the
+    # protocol the r8/r9 drift trios were held to); no argv = full
+    # headline sweep, the driver's recorded artifact.
+    selected = sys.argv[1:] or HEADLINE
+    unknown = [n for n in selected if n not in HEADLINE]
+    if unknown:
+        raise SystemExit(f"not in HEADLINE: {unknown}")
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in selected:
         fn = qmap.get(name)
         if fn is None:
             continue
-        # default min-of-N: steady-state cost (the first run pays
+        # min-of-N: steady-state cost (the first run pays
         # codegen/broadcast warm-up that a long-lived cluster amortizes
-        # away); median mode for drift adjudication (see module doc).
+        # away); median mode (default) for representative readings.
         # Median mode additionally runs one UNTIMED warm-up execution
         # per query: the queries at the HEAD of the sweep otherwise
         # sample the session's codegen/Arrow-pool ramp into every one
@@ -149,7 +163,8 @@ def main() -> None:
     # min-of-3 between r8 and r9, and a missing field made recordings
     # from different protocols indistinguishable. Historical lines
     # without the field are min-of-2 (r7/r8) — see README round notes.
-    out["protocol"] = {"runs": runs, "stat": stat}
+    out["protocol"] = {"runs": runs, "stat": stat,
+                       "warmup": stat == "median"}
     print(json.dumps(out))
 
 

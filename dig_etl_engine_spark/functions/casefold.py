@@ -58,6 +58,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+# What the wrappers actually accept: translate/replace/upper/initcap all
+# take ColumnOrName, and engine call sites do pass bare column-name
+# strings (e.g. safe_upper("text")) — the annotations say so.
+ColumnOrName = Column | str
+
 # Lowercase: every codepoint with a tr/az/lt-conditional LOWER mapping in
 # SpecialCasing.txt, mapped to its default-locale (root) case image.
 # İ (U+0130) maps 1→2 under root (i + U+0307 combining dot above), so it
@@ -72,7 +77,7 @@ _UPPER_TRIGGERS = "ij"
 _UPPER_IMAGES = "IJ"
 
 
-def safe_lower(col: Column) -> Column:
+def safe_lower(col: ColumnOrName) -> Column:
     """``F.lower`` with identical output under every JVM default locale
     (byte-identical to ``F.lower`` under en/C/root — the pre-fold applies
     the root-locale mapping the engine would apply anyway)."""
@@ -81,13 +86,13 @@ def safe_lower(col: Column) -> Column:
     return F.lower(x)
 
 
-def safe_upper(col: Column) -> Column:
+def safe_upper(col: ColumnOrName) -> Column:
     """``F.upper`` with the tr/az ``i → İ`` conditional rule neutralized
     (see module docstring for the Lithuanian combining-mark residual)."""
     return F.upper(F.translate(col, _UPPER_TRIGGERS, _UPPER_IMAGES))
 
 
-def ascii_initcap(col: Column) -> Column:
+def ascii_initcap(col: ColumnOrName) -> Column:
     """``F.initcap`` under an ASCII-by-construction input contract.
 
     ``initcap`` lowercases word tails through the same default-locale
@@ -100,5 +105,7 @@ def ascii_initcap(col: Column) -> Column:
     word-initial İ would emit ``I + U+0307`` where root-locale initcap
     emits ``U+0130`` — byte-different for a case no current surface can
     produce. New non-ASCII initcap surfaces must come back here for a
-    real design."""
+    real design. Call sites are ALLOWLISTED per enclosing function
+    (``test_registry_contract.py:_ASCII_INITCAP_ALLOWED``) so a new
+    caller must re-derive the ASCII proof rather than inherit it."""
     return F.initcap(col)

@@ -108,9 +108,11 @@ def materialize_bm25_stats(docs: DataFrame, path: str, *,
     content signature (order-independent ``bit_xor`` of
     ``xxhash64(id, text)``) in the ``corpus`` table;
     :func:`bm25_stats_stale` recomputes it against the current corpus
-    in one pass. Run the check (and re-materialize on drift) in the
-    same maintenance slot as bucket compaction — NOT per query, which
-    would re-scan the corpus and defeat the materialization.
+    in one pass, and :func:`refresh_bm25_stats` closes the loop
+    (check → crash-safe rebuild-and-swap) in the same maintenance slot
+    as bucket compaction (``scripts/maintain.py --bm25-stats``) — NOT
+    per query, which would re-scan the corpus and defeat the
+    materialization.
     """
     toks = F.split(F.trim(safe_lower(F.col(text_col))), r"\s+")
     (docs.select(F.explode(F.array_distinct(toks)).alias("term"))
@@ -152,6 +154,72 @@ def bm25_stats_stale(docs: DataFrame, path: str, *,
     cur = docs.agg(
         _corpus_signature(id_col, text_col).alias("sig")).head()["sig"]
     return (cur or 0) != (row["corpus_sig"] or 0)
+
+
+def refresh_bm25_stats(docs: DataFrame, path: str, *,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       force: bool = False,
+                       lock_timeout: float = 300.0) -> bool:
+    """Maintenance-slot refresh closing the staleness loop that
+    :func:`bm25_stats_stale` only *detects*: rebuild the persisted
+    stats when (and only when) the corpus has drifted from the
+    snapshot, so a table served through incremental upserts
+    (``sinks/kg_table.upsert_*``) never keeps serving skewed df/avgdl.
+    Reference contract: the ES index the sandpaper queries execute
+    against never serves stale term stats — segment merges rebuild df
+    continuously (`sandpaper/sandbox/config/etk/config.json:38-47`);
+    this is the batch-engine equivalent, scheduled beside bucket
+    compaction in ``scripts/maintain.py``.
+
+    Returns True when a rebuild happened (False = stats already fresh
+    and ``force`` unset — the no-op costs one signature pass, never a
+    rebuild). The rebuild goes to a staging root and swaps rename-aside
+    (previous stats move to ``.__old__`` before the fresh root moves
+    in), so no crash point leaves zero complete snapshots and a
+    concurrent query never reads a half-overwritten ``term_df``; the
+    between-renames window is healed on entry exactly like
+    ``kg_table._recover_upsert``. The check→build→swap runs under the
+    layouts' shared advisory ``table_lock`` so two overlapping
+    maintenance runs serialize instead of racing the swap.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from dig_etl_engine_spark.sinks.kg_table import table_lock
+
+    with table_lock(path, timeout=lock_timeout):
+        _recover_bm25_stats(path)
+        if not force and not bm25_stats_stale(
+                docs, path, id_col=id_col, text_col=text_col):
+            return False
+        tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
+        materialize_bm25_stats(docs, tmp, text_col=text_col, id_col=id_col)
+        old = path + ".__old__"
+        if os.path.isdir(path):
+            shutil.rmtree(old, ignore_errors=True)  # stale committed copy
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    return True
+
+
+def _recover_bm25_stats(path: str) -> None:
+    """Heal :func:`refresh_bm25_stats`'s swap window: a crash between
+    the two renames leaves ``.__old__`` holding the only complete
+    snapshot — restore it (the interrupted rebuild replays at the next
+    maintenance run). Orphaned ``.__tmp__*`` staging roots are
+    recomputable and dropped."""
+    import glob
+    import os
+    import shutil
+
+    old = path + ".__old__"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+    for stale in glob.glob(glob.escape(path) + ".__tmp__*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def load_bm25_stats(spark, path: str, terms: list[str]) -> tuple:

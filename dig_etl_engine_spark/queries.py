@@ -101,6 +101,16 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # same floor tree; its last verdict is r3 so it sorts near the
     # front either way — the entry records WHY it must not be skipped
     "ivf_kmeans_train": 9,
+    # Deliberately NOT listed (r10, cannot move results): the round's
+    # engine-side changes are all OUTSIDE registered query paths —
+    # kg.refresh_bm25_stats/_recover_bm25_stats are NEW maintenance
+    # entry points (search_bm25_rank still calls materialize/load, both
+    # untouched); casefold.py only widened type ANNOTATIONS
+    # (Column → ColumnOrName, no expression change); maintain.py /
+    # tz_sweep.py / hostile_env_sweep.py / bench.py are tooling, not
+    # query code. Zero registered-query expression trees changed, so
+    # the r10 window stays pure staleness (31 r05 + 19 oldest r07).
+    #
     # Deliberately NOT listed (r9, cannot move results): the casefold
     # sweep (functions/casefold.py) rewrote every engine F.lower/F.upper
     # call to the locale-independent safe wrappers. Under the

@@ -60,7 +60,9 @@ def main() -> int:
             # append JVM flags rather than clobber host-level settings
             env[k] = f"{env[k]} {v}" if k == "JAVA_TOOL_OPTIONS" \
                 and env.get(k) else v
-        got = tz_sweep.run_child(ZONE[label], sf, args, env=env)
+        got = tz_sweep.run_child(ZONE[label], sf, args, env=env,
+                                 label=f"hostile[{label}]"
+                                       f"(zone={ZONE[label]}, {extra})")
         if got is None:
             return 2
         results[label] = got

@@ -14,7 +14,10 @@ maintenance story"):
   → ``similarity.compact_ivf_index``;
 * Z-order clustered layouts lose their bounding-box tightness as
   appends land and key bounds drift → ``layout.recluster_zorder``
-  (staged in-place rewrite).
+  (staged in-place rewrite);
+* persisted BM25 corpus stats (df/avgdl snapshots) drift from a table
+  served through incremental upserts → ``kg.refresh_bm25_stats``
+  (signature check, rebuild-and-swap only on drift).
 
 Usage (paths are the warehouse layouts this repo's sinks/indexes write):
 
@@ -23,7 +26,10 @@ Usage (paths are the warehouse layouts this repo's sinks/indexes write):
                                --ivf       /warehouse/ivf_idx \\
                                [--rebucket-kg-to N] \\
                                [--zorder /warehouse/facts_z \\
-                                --zorder-cols k1,k2 [--zorder-files N]]
+                                --zorder-cols k1,k2 [--zorder-files N]] \\
+                               [--bm25-stats /warehouse/bm25 \\
+                                --bm25-docs /warehouse/docs \\
+                                [--bm25-text-col text --bm25-id-col doc_id]]
 
 Any subset of flags may be given; each repair is independent, idempotent
 and single-writer — writer exclusion is ENFORCED by the layouts' shared
@@ -63,6 +69,16 @@ def main() -> int:
     ap.add_argument("--zorder-files", type=int, default=8, metavar="N",
                     help="output file count for the --zorder rewrite "
                          "(default 8)")
+    ap.add_argument("--bm25-stats", metavar="PATH",
+                    help="persisted BM25 stats root (term_df/ + corpus/) "
+                         "to refresh if its corpus signature has drifted")
+    ap.add_argument("--bm25-docs", metavar="PATH",
+                    help="parquet corpus the stats describe "
+                         "(required with --bm25-stats)")
+    ap.add_argument("--bm25-text-col", default="text", metavar="COL",
+                    help="corpus text column (default: text)")
+    ap.add_argument("--bm25-id-col", default="doc_id", metavar="COL",
+                    help="corpus id column (default: doc_id)")
     ap.add_argument("--target-file-bytes", type=int, default=128 << 20,
                     help="KG compaction target file size (default 128 MiB)")
     ap.add_argument("--lock-timeout", type=float, default=1800.0,
@@ -72,9 +88,13 @@ def main() -> int:
                          "job out-waits a long in-flight ingest batch "
                          "rather than dying)")
     args = ap.parse_args()
-    if not (args.kg_table or args.minhash or args.ivf or args.zorder):
+    if not (args.kg_table or args.minhash or args.ivf or args.zorder
+            or args.bm25_stats):
         ap.error("nothing to do: pass at least one of "
-                 "--kg-table / --minhash / --ivf / --zorder")
+                 "--kg-table / --minhash / --ivf / --zorder / --bm25-stats")
+    if bool(args.bm25_stats) != bool(args.bm25_docs):
+        ap.error("--bm25-stats and --bm25-docs must be given together "
+                 "(the stats root and the corpus it describes)")
     zorder_cols: list[str] = []
     if args.zorder:
         if not args.zorder_cols:
@@ -120,6 +140,15 @@ def main() -> int:
                              lock_timeout=args.lock_timeout)
         print(f"zorder layout: re-clustered {n} rows "
               f"into {args.zorder_files} files")
+
+    if args.bm25_stats:
+        from dig_etl_engine_spark.functions.kg import refresh_bm25_stats
+        docs = spark.read.parquet(args.bm25_docs)
+        rebuilt = refresh_bm25_stats(
+            docs, args.bm25_stats,
+            text_col=args.bm25_text_col, id_col=args.bm25_id_col,
+            lock_timeout=args.lock_timeout)
+        print(f"bm25 stats: {'rebuilt (corpus drifted)' if rebuilt else 'fresh, no rebuild'}")
 
     return 0
 

@@ -83,19 +83,22 @@ def split_sf_arg(args: list[str]) -> tuple[str, list[str]]:
 
 
 def run_child(zone: str, sf: str, names: list[str],
-              env: dict[str, str] | None = None) -> dict | None:
+              env: dict[str, str] | None = None,
+              label: str | None = None) -> dict | None:
     """Spawn one fresh child under ``zone`` (and optional extra env),
     return its {name: [rows, dtypes, hash]} payload, or None after
     printing the failure (shared with hostile_env_sweep — one copy of
     the child protocol, so a payload-shape change can't silently
-    desynchronize the two gates)."""
+    desynchronize the two gates). ``label`` names the failure line —
+    hostile_env_sweep passes its composed-environment label so a
+    locale/charset-knob crash isn't misattributed to the zone axis."""
     proc = subprocess.run(
         [sys.executable, __file__, "--zone", zone, sf, *names],
         capture_output=True, text=True, env=env)
     payload = [ln for ln in proc.stdout.splitlines()
                if ln.startswith("TZSWEEP_JSON:")]
     if proc.returncode != 0 or not payload:
-        print(f"{zone}: child failed\n{proc.stdout[-2000:]}"
+        print(f"{label or zone}: child failed\n{proc.stdout[-2000:]}"
               f"\n{proc.stderr[-4000:]}")
         return None
     return json.loads(payload[0][len("TZSWEEP_JSON:"):])

@@ -63,6 +63,77 @@ def test_pre_signature_build_reports_stale(spark, corpus, tmp_path):
     assert bm25_stats_stale(corpus, str(tmp_path / "nowhere")) is True
 
 
+def _ranks(spark, docs, stats_path, terms):
+    """Ranked (doc_id, score) list under the persisted stats — the
+    observable a search user sees, so the refresh equivalence is proven
+    on ranks, not just on the stats scalars."""
+    from dig_etl_engine_spark.plans.weights import bm25_score_column
+
+    n_docs, avgdl, dfs = load_bm25_stats(spark, stats_path, terms)
+    scored = docs.withColumn("score", bm25_score_column(
+        F.col("text"), terms, df_counts=dfs, n_docs=n_docs, avgdl=avgdl))
+    return [(r["doc_id"], round(r["score"], 9))
+            for r in scored.orderBy(F.desc("score"), "doc_id").collect()]
+
+
+def test_refresh_closes_staleness_loop(spark, corpus, tmp_path):
+    """The maintenance refresh: no-op on a fresh snapshot, rebuild on
+    drift, and the stale-then-refreshed stats rank IDENTICALLY to a
+    from-scratch build over the post-upsert corpus (verdict r9 item 5 —
+    the reference's ES never serves stale term stats)."""
+    from dig_etl_engine_spark.functions.kg import refresh_bm25_stats
+
+    path = str(tmp_path / "bm25")
+    materialize_bm25_stats(corpus, path)
+    # fresh snapshot: refresh is a provable no-op (signature pass only)
+    sig_before = spark.read.parquet(f"{path}/corpus").head()["corpus_sig"]
+    assert refresh_bm25_stats(corpus, path) is False
+    assert spark.read.parquet(
+        f"{path}/corpus").head()["corpus_sig"] == sig_before
+
+    # incremental-upsert-style drift: add a doc AND rewrite one in place
+    mutated = corpus.filter(F.col("doc_id") != 3).unionByName(
+        spark.createDataFrame(
+            [(3, "fast rewritten body"), (4, "a brand new fast doc")],
+            "doc_id long, text string"))
+    assert bm25_stats_stale(mutated, path) is True
+    assert refresh_bm25_stats(mutated, path) is True
+    assert bm25_stats_stale(mutated, path) is False
+
+    # equivalence on the observable: refreshed ranks == from-scratch ranks
+    scratch = str(tmp_path / "bm25_scratch")
+    materialize_bm25_stats(mutated, scratch)
+    terms = ["fast", "table"]
+    assert _ranks(spark, mutated, path, terms) \
+        == _ranks(spark, mutated, scratch, terms)
+    # and the stats themselves agree scalar-for-scalar
+    assert load_bm25_stats(spark, path, terms) \
+        == load_bm25_stats(spark, scratch, terms)
+
+
+def test_refresh_force_and_crash_recovery(spark, corpus, tmp_path):
+    """force=True rebuilds a fresh snapshot anyway; a crash between the
+    swap's two renames (only ``.__old__`` on disk) is healed on the next
+    refresh entry, and orphaned staging roots are swept."""
+    import os
+    import shutil
+
+    from dig_etl_engine_spark.functions.kg import refresh_bm25_stats
+
+    path = str(tmp_path / "bm25")
+    materialize_bm25_stats(corpus, path)
+    assert refresh_bm25_stats(corpus, path, force=True) is True
+    assert bm25_stats_stale(corpus, path) is False
+
+    # simulate the between-renames crash window + an orphaned staging dir
+    os.rename(path, path + ".__old__")
+    shutil.copytree(path + ".__old__", path + ".__tmp__deadbeef")
+    assert refresh_bm25_stats(corpus, path) is False  # healed, still fresh
+    assert bm25_stats_stale(corpus, path) is False
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__tmp__deadbeef")
+
+
 def test_load_path_unchanged(spark, corpus, tmp_path):
     path = str(tmp_path / "bm25")
     materialize_bm25_stats(corpus, path)

@@ -854,10 +854,18 @@ def test_kernel_source_lint_catches_violations(tmp_path):
 
 def _raw_casing_sites(pkg_root: Path) -> list[str]:
     import ast
+    import re
 
     # lcase/ucase are engine ALIASES of lower/upper (same UTF8String
     # casing underneath) — same hazard, same lint
     CASING = ("lower", "upper", "initcap", "lcase", "ucase")
+    # SQL-string doors: the same engine casing reached through a SQL
+    # fragment — F.expr("lower(x)"), df.selectExpr(...), spark.sql(...),
+    # and string predicates to filter/where. SQL function names are
+    # case-insensitive; \b keeps 'power(' / 'flower(' out.
+    SQL_DOORS = ("expr", "selectExpr", "sql", "filter", "where")
+    sql_casing = re.compile(
+        r"(?i)\b(" + "|".join(CASING) + r")\s*\(")
     hits = []
     for path in sorted(pkg_root.rglob("*.py")):
         rel_pkg = path.relative_to(pkg_root).as_posix()
@@ -886,6 +894,22 @@ def _raw_casing_sites(pkg_root: Path) -> list[str]:
                     and isinstance(f.value, ast.Name) \
                     and f.value.id in ("F", "functions"):
                 hits.append(f"{rel}:{node.lineno} F.{f.attr}()")
+            # evasion door 4: casing inside a SQL string —
+            # F.expr/selectExpr/spark.sql/filter/where("… lower(x) …").
+            # Scans every string constant in the call's arguments
+            # (f-string literal parts included via the subtree walk);
+            # the receiver is unconstrained because selectExpr/sql hang
+            # off DataFrame/SparkSession values the AST can't type.
+            door = (f.attr if isinstance(f, ast.Attribute)
+                    else f.id if isinstance(f, ast.Name) else None)
+            if door in SQL_DOORS:
+                for arg in list(node.args) + [kw.value for kw in node.keywords]:
+                    for sub in ast.walk(arg):
+                        if isinstance(sub, ast.Constant) \
+                                and isinstance(sub.value, str) \
+                                and (m := sql_casing.search(sub.value)):
+                            hits.append(
+                                f"{rel}:{sub.lineno} {door}(…{m.group(1)}(…)…)")
     return hits
 
 
@@ -902,9 +926,11 @@ def test_no_raw_engine_casing_outside_casefold():
 
 
 def test_raw_casing_lint_catches_violations(tmp_path):
-    """Self-test: flags F.lower / functions.upper / F.initcap and the
-    direct-import door, passes Python str casing and casefold.py's own
-    engine calls — otherwise a refactor could make the scan vacuous."""
+    """Self-test: flags F.lower / functions.upper / F.initcap, the
+    direct-import door, and the SQL-string doors (expr / selectExpr /
+    spark.sql / where, f-strings included); passes Python str casing,
+    casing-free SQL strings, and casefold.py's own engine calls —
+    otherwise a refactor could make the scan vacuous."""
     mod = tmp_path / "dig_etl_engine_spark"
     mod.mkdir()
     (mod / "bad.py").write_text(
@@ -919,11 +945,25 @@ def test_raw_casing_lint_catches_violations(tmp_path):
         "    return df.select(F.initcap(df.s))\n"
         "def q4(df):\n"
         "    return df.select(F.lcase(df.s), F.ucase(df.s))\n")   # alias door
+    (mod / "bad_sql.py").write_text(                       # door 4
+        "from pyspark.sql import functions as F\n"
+        "def q1(df):\n"
+        "    return df.select(F.expr('lower(s)'))\n"
+        "def q2(df):\n"
+        "    return df.selectExpr('UPPER(s) as u')\n"      # SQL is case-insensitive
+        "def q3(spark, t):\n"
+        "    return spark.sql(f'select initcap(s) from {t}')\n"   # f-string part
+        "def q4(df):\n"
+        "    return df.where(\"lcase(s) = 'x'\")\n")
     (mod / "good.py").write_text(
         "def cfg(path, F):\n"
         "    return path.lower() + 'x'.upper()\n"          # Python str casing
         "def q(df, safe_lower):\n"
-        "    return df.select(safe_lower(df.s))\n")
+        "    return df.select(safe_lower(df.s))\n"
+        "def q2(df, F):\n"
+        "    return df.select(F.expr('power(s, 2)'))\n"    # 'power(' != 'lower('
+        "def q3(df):\n"
+        "    return df.filter('flower_id > 1')\n")         # word boundary
     (mod / "functions").mkdir()
     (mod / "functions" / "casefold.py").write_text(
         "from pyspark.sql import functions as F\n"
@@ -938,10 +978,97 @@ def test_raw_casing_lint_catches_violations(tmp_path):
         "    return F.lower(c)\n")
     hits = _raw_casing_sites(mod)
     assert len([h for h in hits if "bad.py" in h]) == 6, hits
+    assert len([h for h in hits if "bad_sql.py" in h]) == 4, hits
     assert not [h for h in hits if "good.py" in h], hits
     assert not [h for h in hits if "functions/casefold.py" in h], hits
     assert len([h for h in hits
                 if "dig_etl_engine_spark/casefold.py" in h]) == 1, hits
+
+
+# --- lint: ascii_initcap only at proven-ASCII call sites ----------------------
+#
+# ascii_initcap (functions/casefold.py) is a PASSTHROUGH to F.initcap
+# whose locale safety rests entirely on a per-call-site proof that the
+# input is ASCII by construction (ASCII takes initcap's locale-free fast
+# path). The casing lint above permits it everywhere — so without this
+# allowlist, a future caller feeding it corpus text would silently
+# reintroduce the default-locale initcap path with no automated check.
+# New call sites must be added here WITH their ASCII proof re-derived
+# (see the contract in ascii_initcap's docstring).
+
+_ASCII_INITCAP_ALLOWED = {
+    # date-candidate normalization: input is a regexp_extract match of
+    # ASCII-only month-name/digit patterns — ASCII by construction
+    ("functions/extractors.py", "_norm_textual"),
+}
+
+
+def _ascii_initcap_sites(pkg_root: Path) -> list[tuple[str, str, int]]:
+    """(package-relative file, enclosing function or '<module>', line)
+    for every ascii_initcap(...) call outside functions/casefold.py
+    (the definition site)."""
+    import ast
+
+    sites = []
+    for path in sorted(pkg_root.rglob("*.py")):
+        rel_pkg = path.relative_to(pkg_root).as_posix()
+        if rel_pkg == "functions/casefold.py":
+            continue
+        tree = ast.parse(path.read_text(encoding="utf-8"))
+
+        def visit(node, func_name):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                func_name = node.name
+            if isinstance(node, ast.Call):
+                f = node.func
+                name = (f.id if isinstance(f, ast.Name)
+                        else f.attr if isinstance(f, ast.Attribute)
+                        else None)
+                if name == "ascii_initcap":
+                    sites.append((rel_pkg, func_name, node.lineno))
+            for child in ast.iter_child_nodes(node):
+                visit(child, func_name)
+
+        visit(tree, "<module>")
+    return sites
+
+
+def test_ascii_initcap_sites_are_allowlisted():
+    pkg = Path(__file__).resolve().parent.parent / "dig_etl_engine_spark"
+    offenders = [s for s in _ascii_initcap_sites(pkg)
+                 if (s[0], s[1]) not in _ASCII_INITCAP_ALLOWED]
+    assert not offenders, (
+        "ascii_initcap called outside the allowlist — its locale safety "
+        "is a per-call-site ASCII-by-construction proof, not a property "
+        "of the function. Re-derive the proof for the new site and add "
+        "it to _ASCII_INITCAP_ALLOWED with the proof in a comment:\n  "
+        + "\n  ".join(f"{f}:{ln} in {fn}" for f, fn, ln in offenders))
+
+
+def test_ascii_initcap_lint_catches_violations(tmp_path):
+    """Self-test: flags bare and attribute-qualified calls with the
+    right enclosing function; skips the casefold.py definition site and
+    non-call name mentions (imports)."""
+    mod = tmp_path / "dig_etl_engine_spark"
+    (mod / "functions").mkdir(parents=True)
+    (mod / "functions" / "casefold.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "def ascii_initcap(c):\n"
+        "    return F.initcap(c)\n")
+    (mod / "user.py").write_text(
+        "from dig_etl_engine_spark.functions.casefold import ascii_initcap\n"
+        "from dig_etl_engine_spark.functions import casefold\n"
+        "def titled(df):\n"
+        "    return df.select(ascii_initcap(df.s))\n"
+        "def nested(df):\n"
+        "    def inner(c):\n"
+        "        return casefold.ascii_initcap(c)\n"
+        "    return df.select(inner(df.s))\n"
+        "x = ascii_initcap\n")                        # reference, not a call
+    sites = _ascii_initcap_sites(mod)
+    assert ("user.py", "titled", 4) in sites, sites
+    assert ("user.py", "inner", 7) in sites, sites
+    assert len(sites) == 2, sites
 
 
 # --- lint: no locale-default text-file encoding -------------------------------
