@@ -77,19 +77,52 @@ _UPPER_TRIGGERS = "ij"
 _UPPER_IMAGES = "IJ"
 
 
+def _as_col(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _is_ascii(c: Column) -> Column:
+    """True iff every char is one UTF-8 byte — exactly the boundary
+    below which the engine's casing never leaves its locale-free ASCII
+    fast path (``UTF8String.toLowerCase`` falls back to the JDK
+    default-locale path on the FIRST byte > 0x7F). Both sides are
+    single cheap scans with no allocation. Exact for valid UTF-8, which
+    the engine's sources guarantee (parquet/JSON are UTF-8 by format
+    contract; the tabular/HTML readers decode with explicit codecs);
+    a string of INVALID bytes could count one char per continuation
+    byte and take the unfolded branch — garbage bytes are outside the
+    casing contract either way."""
+    return F.octet_length(c) == F.length(c)
+
+
 def safe_lower(col: ColumnOrName) -> Column:
     """``F.lower`` with identical output under every JVM default locale
     (byte-identical to ``F.lower`` under en/C/root — the pre-fold applies
-    the root-locale mapping the engine would apply anyway)."""
-    x = F.replace(col, F.lit(_CAP_I_DOT), F.lit(_SMALL_I_DOT))
+    the root-locale mapping the engine would apply anyway).
+
+    ASCII rows skip the pre-fold entirely (r10): the engine's own ASCII
+    fast path is already locale-free, and the fold's ``translate`` is a
+    per-row UTF-8→UTF-16→UTF-8 round-trip in the engine — measured 2.1×
+    on a full-document lower at sf0.1, and 26× in a 13-gram generator
+    tree before bind-once (`functions/bindings.py`). Branch equality:
+    on an all-ASCII string the fold is replace=no-op + translate I→i,
+    J→j + lower — exactly ``F.lower`` — so the guard never changes
+    output, only cost (pinned in test_casefold.py)."""
+    c = _as_col(col)
+    x = F.replace(c, F.lit(_CAP_I_DOT), F.lit(_SMALL_I_DOT))
     x = F.translate(x, _LOWER_TRIGGERS, _LOWER_IMAGES)
-    return F.lower(x)
+    return F.when(_is_ascii(c), F.lower(c)).otherwise(F.lower(x))
 
 
 def safe_upper(col: ColumnOrName) -> Column:
     """``F.upper`` with the tr/az ``i → İ`` conditional rule neutralized
-    (see module docstring for the Lithuanian combining-mark residual)."""
-    return F.upper(F.translate(col, _UPPER_TRIGGERS, _UPPER_IMAGES))
+    (see module docstring for the Lithuanian combining-mark residual).
+    ASCII rows skip the pre-fold — same guard + branch-equality argument
+    as :func:`safe_lower` (translate i→I, j→J + upper ≡ upper on
+    ASCII)."""
+    c = _as_col(col)
+    folded = F.upper(F.translate(c, _UPPER_TRIGGERS, _UPPER_IMAGES))
+    return F.when(_is_ascii(c), F.upper(c)).otherwise(folded)
 
 
 def ascii_initcap(col: ColumnOrName) -> Column:

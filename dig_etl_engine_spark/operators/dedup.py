@@ -23,6 +23,7 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dig_etl_engine_spark.functions.bindings import bind_once
 from dig_etl_engine_spark.operators.pin import pin
 
 logger = logging.getLogger(__name__)
@@ -54,13 +55,22 @@ def shingles(col: Column, k: int = 3) -> Column:
     tokens yield one whole-doc shingle).
 
     Built by zipping k shifted slices of the token array and joining each
-    zipped tuple — the split() is referenced k times per ROW. Never
-    reference the split inside a per-element lambda (e.g. slice(toks, i)
-    over a position sequence): Catalyst inlines the producing expression
-    into the lambda body and recomputes the regex split once per shingle
-    position — O(n²) tokenization, ~50× slower on real documents.
+    zipped tuple. Never reference the split inside a per-element lambda
+    (e.g. slice(toks, i) over a position sequence): Catalyst inlines the
+    producing expression into the lambda body and recomputes the regex
+    split once per shingle position — O(n²) tokenization, ~50× slower on
+    real documents. The split is BOUND ONCE per row (r10) — inlined it
+    appears 2k times in the zip tree (k slices + k inlined length
+    bounds) with no CSE in generator trees; see ``functions/bindings.py``
+    (same fix as ``text_analysis.ngram_hashes``, where the 2n=26-way
+    re-evaluation was the measured r9 bench regression).
     """
-    toks = F.split(F.trim(col), r"\s+")
+    return bind_once(F.split(F.trim(col), r"\s+"),
+                     lambda toks: _shingles_of(toks, k))
+
+
+def _shingles_of(toks: Column, k: int) -> Column:
+    """Shingles of a BOUND token-array reference (see :func:`shingles`)."""
     n_out = F.greatest(F.size(toks) - (k - 1), F.lit(1))
     zipped = F.arrays_zip(*[F.slice(toks, 1 + j, n_out) for j in range(k)])
     # arrays_zip names unnamed inputs by position; concat_ws skips the

@@ -12,6 +12,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.operators.pin import pin as _pin
+from dig_etl_engine_spark.functions.bindings import bind_once
 from dig_etl_engine_spark.functions.casefold import safe_lower
 from dig_etl_engine_spark.functions import exact as _ex
 
@@ -219,8 +220,22 @@ def ngram_hashes(col: Column, n: int = 13) -> Column:
     ``dedup.shingles`` (never re-split inside a per-element lambda — the
     O(n²) tokenization cliff documented there); xxhash64 because
     decontamination needs speed, not cross-engine md5 stability. Docs
-    shorter than ``n`` tokens yield one whole-doc gram."""
-    toks = F.split(F.trim(safe_lower(col)), r"\s+")
+    shorter than ``n`` tokens yield one whole-doc gram.
+
+    The tokenization is BOUND ONCE per row (r10): inlined, the zip tree
+    references it 2n times (n slices + n inlined length bounds) and
+    generator trees get no CSE — at n=13 that re-ran the split (and the
+    casefold pre-fold under it) 26× per row, 5.3× slower at sf0.1. See
+    ``functions/bindings.py`` for the mechanism and measurements."""
+    return bind_once(
+        F.split(F.trim(safe_lower(col)), r"\s+"),
+        lambda toks: _ngrams_of(toks, n))
+
+
+def _ngrams_of(toks: Column, n: int) -> Column:
+    """n-gram hashes of a BOUND token-array reference (see
+    :func:`ngram_hashes` — callers must not pass an expensive
+    expression here, that would re-inline it 2n times)."""
     n_out = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     zipped = F.arrays_zip(*[F.slice(toks, 1 + j, n_out) for j in range(n)])
     return F.transform(
@@ -700,18 +715,24 @@ def ngram_lm_scores(corpus, reference=None, *, id_col: str = "doc_id",
 
     def trigrams(df):
         toks = F.split(F.trim(safe_lower(F.col(text_col))), r"\s+")
-        n_out = F.size(toks) - 2
-        zipped = F.arrays_zip(F.slice(toks, 1, n_out),
-                              F.slice(toks, 2, n_out),
-                              F.slice(toks, 3, n_out))
+
+        def grams(t):
+            # bound reference — inlined, toks appears 7× in this tree
+            # (3 slices + 3 inlined n_out + the filter; no generator
+            # CSE — see functions/bindings.py)
+            n_out = F.size(t) - 2
+            zipped = F.arrays_zip(F.slice(t, 1, n_out),
+                                  F.slice(t, 2, n_out),
+                                  F.slice(t, 3, n_out))
+            return F.transform(
+                zipped,
+                lambda s: F.struct(
+                    F.concat_ws(" ", s["0"], s["1"]).alias("ctx"),
+                    s["2"].alias("w")))
+
         return (df.filter(F.size(toks) >= 3)
                 .select(F.col(id_col).alias("id"),
-                        F.explode(F.transform(
-                            zipped,
-                            lambda s: F.struct(
-                                F.concat_ws(" ", s["0"], s["1"])
-                                 .alias("ctx"),
-                                s["2"].alias("w")))).alias("t"))
+                        F.explode(bind_once(toks, grams)).alias("t"))
                 .select("id", "t.ctx", "t.w"))
 
     ref = reference if reference is not None else corpus

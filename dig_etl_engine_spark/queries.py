@@ -102,14 +102,32 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # front either way — the entry records WHY it must not be skipped
     "ivf_kmeans_train": 9,
     # Deliberately NOT listed (r10, cannot move results): the round's
-    # engine-side changes are all OUTSIDE registered query paths —
+    # perf work rewrote three expression BUILDERS onto bind-once
+    # evaluation (`functions/bindings.py`: ngram_hashes, dedup.shingles,
+    # the perplexity trigrams — generator trees get no CSE, so the
+    # inlined tokenization re-ran 2n× per row; the 26-way re-evaluation
+    # at n=13 was the r9 decontaminate_eval_overlap bench regression)
+    # and added an all-ASCII guard to safe_lower/safe_upper (ASCII rows
+    # take the engine's already-locale-free fast path, skipping the
+    # translate UTF-16 round-trip). Both are EXTENSIONALLY EQUAL to the
+    # forms they replace for every input: bind_once(expr, f) ≡ f(expr)
+    # by HOF semantics (transform maps f over the 1-element array of
+    # expr — value identical, evaluation count 1 instead of 2n), and
+    # the guard's fast branch equals the fold on the exact rows it
+    # takes (on all-ASCII input the fold is replace=no-op + translate
+    # I→i/J→j + lower ≡ lower). Equality is PINNED, not pleaded:
+    # tests/test_bindings.py compares bound vs inlined forms value-by-
+    # value (short/empty/null/unicode docs, n=2/13, k=2/3/5, composed
+    # casefold inputs) and test_casefold.py property-tests guarded vs
+    # unguarded over hypothesis-generated trigger strings plus the
+    # hazard set — and the full registry re-verified 176/176 MATCH at
+    # sf0.01 in a fresh driver-like process after the rewrite. The
+    # remaining r10 changes are outside query paths entirely:
     # kg.refresh_bm25_stats/_recover_bm25_stats are NEW maintenance
-    # entry points (search_bm25_rank still calls materialize/load, both
-    # untouched); casefold.py only widened type ANNOTATIONS
-    # (Column → ColumnOrName, no expression change); maintain.py /
-    # tz_sweep.py / hostile_env_sweep.py / bench.py are tooling, not
-    # query code. Zero registered-query expression trees changed, so
-    # the r10 window stays pure staleness (31 r05 + 19 oldest r07).
+    # entry points (search_bm25_rank still calls materialize/load,
+    # both untouched); maintain.py / tz_sweep.py / hostile_env_sweep.py
+    # / bench.py are tooling. So the r10 window stays pure staleness
+    # (31 r05 + 19 oldest r07), per the r9 verdict's arithmetic.
     #
     # Deliberately NOT listed (r9, cannot move results): the casefold
     # sweep (functions/casefold.py) rewrote every engine F.lower/F.upper

@@ -70,6 +70,46 @@ def test_safe_lower_null_passthrough(spark):
     assert row.lo is None and row.up is None
 
 
+def test_ascii_guard_is_extensionally_equal(spark):
+    """r10: the wrappers route all-ASCII rows to the bare engine casing
+    (its ASCII fast path is already locale-free) and only pre-fold rows
+    carrying a multi-byte char. The guard must NEVER change output —
+    guarded and always-folded forms must agree on every input: ASCII
+    with triggers, non-ASCII with triggers, the İ one-to-many, mixed,
+    hypothesis-generated unicode."""
+    from hypothesis import given, settings, strategies as st
+
+    from dig_etl_engine_spark.functions import casefold as cf
+
+    def folded_lower(c):   # the unguarded r9 form
+        x = F.replace(c, F.lit(cf._CAP_I_DOT), F.lit(cf._SMALL_I_DOT))
+        return F.lower(F.translate(x, cf._LOWER_TRIGGERS, cf._LOWER_IMAGES))
+
+    def folded_upper(c):
+        return F.upper(F.translate(c, cf._UPPER_TRIGGERS, cf._UPPER_IMAGES))
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.text(
+        alphabet=st.sampled_from(list("IJij ÌÍĨĮİé漢xyzAB")),
+        max_size=12), min_size=1, max_size=8))
+    def check(strings):
+        df = spark.createDataFrame([(s,) for s in strings], ["s"])
+        rows = df.select(
+            safe_lower(F.col("s")).alias("g_lo"),
+            folded_lower(F.col("s")).alias("f_lo"),
+            safe_upper(F.col("s")).alias("g_up"),
+            folded_upper(F.col("s")).alias("f_up")).collect()
+        for r in rows:
+            assert r.g_lo == r.f_lo and r.g_up == r.f_up
+
+    check()
+    # and on the curated hazard set
+    df = spark.createDataFrame([(s,) for s in HAZARD], ["s"])
+    rows = df.select(safe_lower(F.col("s")).alias("g"),
+                     folded_lower(F.col("s")).alias("f")).collect()
+    assert [r.g for r in rows] == [r.f for r in rows]
+
+
 # One self-contained child script: emits JSON so the parent asserts on
 # values, not exit codes. Boots its own Spark — must NOT inherit the
 # suite's session (the whole point is a differently-configured JVM).
