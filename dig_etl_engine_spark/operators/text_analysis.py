@@ -967,13 +967,21 @@ def dsir_importance_weights(corpus, target, *, id_col: str = "doc_id",
     from zip-shifted slices (the ``shingles`` pattern), not a
     self-join."""
     def grams(df):
-        toks = F.split(F.trim(safe_lower(F.col(text_col))), r"\s+")
-        n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
-        bi = F.zip_with(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi),
-                        lambda a, b: F.concat_ws(" ", a, b))
+        def uni_plus_bi(toks):
+            # bound reference — inlined, toks appears 5× in the explode
+            # generator (size + 2 slices × (toks + inlined n_bi) +
+            # concat) and generator trees get no CSE; see
+            # functions/bindings.py
+            n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+            bi = F.zip_with(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi),
+                            lambda a, b: F.concat_ws(" ", a, b))
+            return F.concat(toks, bi)
+
         return df.select(
             F.col(id_col).alias("id"),
-            F.explode(F.concat(toks, bi)).alias("g"))
+            F.explode(bind_once(
+                F.split(F.trim(safe_lower(F.col(text_col))), r"\s+"),
+                uni_plus_bi)).alias("g"))
 
     def bucket(g):
         if hash_mode == "xxhash64":

