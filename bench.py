@@ -95,6 +95,17 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # argv names = isolated adjudication run (a drift reading is judged
+    # on an idle host with ONLY the query under test in the sweep, the
+    # protocol the r8/r9 drift rulings were held to); no argv = full
+    # headline sweep, the driver's recorded artifact. Validated BEFORE
+    # the session boots so a typo fails instantly, not after a full
+    # JVM startup + table warm-up.
+    selected = sys.argv[1:] or HEADLINE
+    unknown = [n for n in selected if n not in HEADLINE]
+    if unknown:
+        raise SystemExit(f"not in HEADLINE: {unknown}")
+
     from dig_etl_engine_spark.session import get_spark
     from dig_etl_engine_spark import queries as registry
 
@@ -115,19 +126,17 @@ def main() -> None:
         raise SystemExit(f"SPARK_GRAFT_BENCH_STAT={stat!r}: "
                          "expected 'min' or 'median'")
 
-    # argv names = isolated adjudication run (a drift reading is judged
-    # on an idle host with ONLY the query under test in the sweep, the
-    # protocol the r8/r9 drift trios were held to); no argv = full
-    # headline sweep, the driver's recorded artifact.
-    selected = sys.argv[1:] or HEADLINE
-    unknown = [n for n in selected if n not in HEADLINE]
-    if unknown:
-        raise SystemExit(f"not in HEADLINE: {unknown}")
-
     timings: dict[str, float] = {}
     for name in selected:
         fn = qmap.get(name)
         if fn is None:
+            if sys.argv[1:]:
+                # an explicitly-requested adjudication must not degrade
+                # to an empty artifact when HEADLINE and the registry
+                # drift — fail loudly instead of recording a vacuous
+                # reading
+                raise SystemExit(f"{name}: in HEADLINE but not in the "
+                                 "registry — HEADLINE is stale")
             continue
         # min-of-N: steady-state cost (the first run pays
         # codegen/broadcast warm-up that a long-lived cluster amortizes

@@ -174,52 +174,35 @@ def refresh_bm25_stats(docs: DataFrame, path: str, *,
 
     Returns True when a rebuild happened (False = stats already fresh
     and ``force`` unset — the no-op costs one signature pass, never a
-    rebuild). The rebuild goes to a staging root and swaps rename-aside
-    (previous stats move to ``.__old__`` before the fresh root moves
-    in), so no crash point leaves zero complete snapshots and a
-    concurrent query never reads a half-overwritten ``term_df``; the
-    between-renames window is healed on entry exactly like
-    ``kg_table._recover_upsert``. The check→build→swap runs under the
-    layouts' shared advisory ``table_lock`` so two overlapping
-    maintenance runs serialize instead of racing the swap.
+    rebuild). The rebuild goes to a staging root and commits through
+    ``kg_table``'s shared rename-aside protocol (``_swap_upsert`` /
+    ``_recover_upsert`` — ONE copy of the swap and its recovery, so a
+    durability fix lands in both consumers): no crash point leaves
+    zero complete snapshots, the between-renames window and any stale
+    aside/staging leftovers heal on entry. Honest reader contract:
+    ``load_bm25_stats`` takes NO lock, so a read landing exactly
+    between the two renames sees a missing root (transient
+    AnalysisException) — the same exposure as compaction's bucket
+    swap; schedule the refresh in the maintenance slot beside
+    ``compact_partitioned``, not alongside live queries. The
+    check→build→swap runs under the layouts' shared advisory
+    ``table_lock`` so two overlapping maintenance runs serialize
+    instead of racing the swap.
     """
-    import os
-    import shutil
     import uuid
 
-    from dig_etl_engine_spark.sinks.kg_table import table_lock
+    from dig_etl_engine_spark.sinks.kg_table import (
+        _recover_upsert, _swap_upsert, table_lock)
 
     with table_lock(path, timeout=lock_timeout):
-        _recover_bm25_stats(path)
+        _recover_upsert(path)
         if not force and not bm25_stats_stale(
                 docs, path, id_col=id_col, text_col=text_col):
             return False
         tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
         materialize_bm25_stats(docs, tmp, text_col=text_col, id_col=id_col)
-        old = path + ".__old__"
-        if os.path.isdir(path):
-            shutil.rmtree(old, ignore_errors=True)  # stale committed copy
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_upsert(path, tmp)
     return True
-
-
-def _recover_bm25_stats(path: str) -> None:
-    """Heal :func:`refresh_bm25_stats`'s swap window: a crash between
-    the two renames leaves ``.__old__`` holding the only complete
-    snapshot — restore it (the interrupted rebuild replays at the next
-    maintenance run). Orphaned ``.__tmp__*`` staging roots are
-    recomputable and dropped."""
-    import glob
-    import os
-    import shutil
-
-    old = path + ".__old__"
-    if not os.path.isdir(path) and os.path.isdir(old):
-        os.rename(old, path)
-    for stale in glob.glob(glob.escape(path) + ".__tmp__*"):
-        shutil.rmtree(stale, ignore_errors=True)
 
 
 def load_bm25_stats(spark, path: str, terms: list[str]) -> tuple:

@@ -191,16 +191,28 @@ def dedupe_last_write_wins(df: DataFrame, key_col: str = "doc_id",
 
 
 def _recover_upsert(target_path: str) -> None:
-    """Heal the plain :func:`upsert`'s swap window and sweep its
-    leftovers. A crash between the two renames leaves ``.__old__``
-    holding the only complete table — restore it (the batch that was
-    being merged replays via foreachBatch / the caller's retry).
-    Orphaned ``.__tmp__*`` write dirs are recomputable and dropped."""
+    """Heal the rename-aside swap window (:func:`_swap_upsert`) and
+    sweep its leftovers — shared by the plain :func:`upsert` and the
+    BM25 stats refresh (``functions/kg.refresh_bm25_stats``), which use
+    the same commit protocol on their directory roots. A crash between
+    the two renames leaves ``.__old__`` holding the only complete copy
+    — restore it (the interrupted write replays via foreachBatch / the
+    caller's retry / the next maintenance run). A crash AFTER the
+    second rename but before the final cleanup leaves a committed
+    target plus a stale ``.__old__`` — drop the stale copy here (safe:
+    renames are atomic, so a present target is always complete;
+    without this sweep a consumer that never reaches its next swap —
+    e.g. a stats refresh that keeps finding the snapshot fresh — would
+    leak the full aside copy forever). Orphaned ``.__tmp__*`` write
+    dirs are recomputable and dropped."""
     old = target_path + ".__old__"
-    if not os.path.isdir(target_path) and os.path.isdir(old):
-        logger.warning("upsert: restoring %s from interrupted swap",
-                       target_path)
-        os.rename(old, target_path)
+    if os.path.isdir(old):
+        if not os.path.isdir(target_path):
+            logger.warning("upsert: restoring %s from interrupted swap",
+                           target_path)
+            os.rename(old, target_path)
+        else:
+            shutil.rmtree(old, ignore_errors=True)
     for stale in glob_mod.glob(glob_mod.escape(target_path)
                                + ".__tmp__*"):
         shutil.rmtree(stale, ignore_errors=True)

@@ -89,37 +89,32 @@ def test_shingles_accepts_expression_input(spark):
         assert r.b == r.i
 
 
-def test_dsir_grams_match_inline_form(spark):
-    """The DSIR unigram+bigram stream (bound r10) must reproduce the
-    inlined zip-shifted form element-for-element."""
+def test_dsir_weights_invariant_under_bind(spark, monkeypatch):
+    """The DSIR operator's OWN gram builder, driven end-to-end both
+    bound and inlined: monkeypatching ``bind_once`` to the identity
+    composition ``f(expr)`` reconstructs the exact pre-r10 inlined
+    expression tree inside the real operator, so any drift between the
+    bound builder and its inlined semantics (a slice off-by-one, a
+    changed length bound) shows up as a weight difference — unlike a
+    reference copy pasted into the test, which would drift WITH the
+    operator."""
+    import dig_etl_engine_spark.operators.text_analysis as ta
+
     df = spark.createDataFrame(DOCS, "id long, text string").fillna(
         {"text": ""})
 
-    def inline_grams(col):
-        toks = F.split(F.trim(safe_lower(col)), r"\s+")
-        n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
-        bi = F.zip_with(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi),
-                        lambda a, b: F.concat_ws(" ", a, b))
-        return F.concat(toks, bi)
+    def run():
+        return sorted(
+            (r.id, r.n_feats, round(r.avg_log_ratio, 9))
+            for r in ta.dsir_importance_weights(
+                df, df.limit(3), id_col="id", buckets=64,
+                hash_mode="md5").collect())
 
-    from dig_etl_engine_spark.operators.text_analysis import (
-        dsir_importance_weights)
-    # drive the real operator end-to-end (md5 oracle mode) against a
-    # reimplementation over the inlined gram stream: identical weights
-    got = {r.id: (r.n_feats, r.avg_log_ratio) for r in
-           dsir_importance_weights(df, df.limit(3), id_col="id",
-                                   buckets=64, hash_mode="md5").collect()}
-    assert got and all(n > 0 for n, _ in got.values())
-    rows = df.select(inline_grams(F.col("text")).alias("i")).collect()
-    bound = df.select(F.concat(  # the operator's bound builder, reapplied
-        bind_once(F.split(F.trim(safe_lower(F.col("text"))), r"\s+"),
-                  lambda t: F.concat(
-                      t, F.zip_with(
-                          F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-                          F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
-                          lambda a, b: F.concat_ws(" ", a, b))))
-        ).alias("b")).collect()
-    assert [r.b for r in bound] == [r.i for r in rows]
+    bound = run()
+    monkeypatch.setattr(ta, "bind_once", lambda expr, f: f(expr))
+    inlined = run()
+    assert bound == inlined
+    assert bound and all(n > 0 for _, n, _ in bound)
 
 
 def test_bound_builders_tokenize_once_in_plan(spark):

@@ -133,6 +133,15 @@ def test_refresh_force_and_crash_recovery(spark, corpus, tmp_path):
     assert not os.path.exists(path + ".__old__")
     assert not os.path.exists(path + ".__tmp__deadbeef")
 
+    # simulate a crash AFTER the commit rename but before the aside
+    # cleanup: target present + stale .__old__. A fresh-snapshot no-op
+    # refresh must still sweep the aside copy — without the sweep a
+    # never-stale corpus would leak the full duplicate forever
+    shutil.copytree(path, path + ".__old__")
+    assert refresh_bm25_stats(corpus, path) is False
+    assert not os.path.exists(path + ".__old__")
+    assert bm25_stats_stale(corpus, path) is False
+
 
 def test_load_path_unchanged(spark, corpus, tmp_path):
     path = str(tmp_path / "bm25")
