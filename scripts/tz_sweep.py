@@ -52,11 +52,18 @@ def _child(zone: str, sf: str, names: list[str]) -> int:
     from dig_etl_engine_spark import queries as registry
     from tests.oracle_harness import _norm_rows
 
-    spark = (SparkSession.builder.master("local[8]")
-             .appName(f"tz_sweep_{zone}")
-             .config("spark.sql.session.timeZone", zone)
-             .config("spark.sql.shuffle.partitions", "16")
-             .getOrCreate())
+    b = (SparkSession.builder.master("local[8]")
+         .appName(f"tz_sweep_{zone}")
+         .config("spark.sql.session.timeZone", zone)
+         .config("spark.sql.shuffle.partitions", "16"))
+    # extra SQL confs ride the environment so sibling gates
+    # (conf_sweep.py) can reuse this child protocol for the
+    # deployment-conf axes (ANSI off, case-sensitive resolution,
+    # interpreted eval) without a second child implementation
+    for k, v in json.loads(
+            os.environ.get("TZSWEEP_EXTRA_SQL_CONF", "{}")).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     q = registry.queries()
     out: dict[str, list] = {}
