@@ -107,7 +107,15 @@ def safe_lower(col: ColumnOrName) -> Column:
     tree before bind-once (`functions/bindings.py`). Branch equality:
     on an all-ASCII string the fold is replace=no-op + translate I→i,
     J→j + lower — exactly ``F.lower`` — so the guard never changes
-    output, only cost (pinned in test_casefold.py)."""
+    output, only cost (pinned in test_casefold.py).
+
+    COST CAVEAT (r10 review): the guarded form references the input
+    expression 3× (guard + both branches) where the pre-r10 form
+    referenced it once. Inside a generator/HOF lambda — exactly the
+    no-CSE context — a caller passing an expensive COMPOSED expression
+    pays it 3×. Callers in generator trees must bind expensive inputs
+    first (``functions/bindings.py:bind_once``) and hand the wrapper a
+    cheap bound reference; the engine's own builders all do."""
     c = _as_col(col)
     x = F.replace(c, F.lit(_CAP_I_DOT), F.lit(_SMALL_I_DOT))
     x = F.translate(x, _LOWER_TRIGGERS, _LOWER_IMAGES)
@@ -119,7 +127,9 @@ def safe_upper(col: ColumnOrName) -> Column:
     (see module docstring for the Lithuanian combining-mark residual).
     ASCII rows skip the pre-fold — same guard + branch-equality argument
     as :func:`safe_lower` (translate i→I, j→J + upper ≡ upper on
-    ASCII)."""
+    ASCII), and the same cost caveat: the input expression is referenced
+    3×, so generator-tree callers must ``bind_once`` expensive inputs
+    before wrapping."""
     c = _as_col(col)
     folded = F.upper(F.translate(c, _UPPER_TRIGGERS, _UPPER_IMAGES))
     return F.when(_is_ascii(c), F.upper(c)).otherwise(folded)

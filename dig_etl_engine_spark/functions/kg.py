@@ -82,6 +82,66 @@ def load_index(df_or_spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _stats_root(path: str) -> str | None:
+    """Resolve the live stats epoch under ``path``.
+
+    Pointer first (v2 layout: ``path/_CURRENT`` holds ``<live>
+    [<grace>]`` — the first token names the immutable
+    ``epoch_<token>/`` directory holding BOTH tables, the optional
+    second token is the previous epoch kept for in-flight readers),
+    then the legacy flat layout (``corpus/`` directly under ``path``). Because the two
+    tables live under ONE immutable epoch root and the pointer is read
+    ONCE, a reader can never mix ``corpus`` from one build with
+    ``term_df`` from another (the mixed-epoch tear of the pre-pointer
+    layout, where two unlocked reads straddled a concurrent swap) and
+    never observes a missing root mid-refresh (the pointer flip is a
+    single ``os.replace`` — see ``sinks/kg_table.commit_pointer``)."""
+    import os
+
+    from dig_etl_engine_spark.sinks.kg_table import resolve_pointer
+
+    payload = resolve_pointer(path)
+    tok = payload.split()[0] if payload and payload.split() else None
+    if tok and os.path.isdir(os.path.join(path, tok)):
+        return os.path.join(path, tok)
+    if os.path.isdir(os.path.join(path, "corpus")):
+        return path
+    return None
+
+
+def _sweep_stats_epochs(path: str, keep: set[str]) -> None:
+    """Drop superseded epoch roots and pointer temp files. Called by the
+    writer right after its pointer commit (under the table lock when the
+    caller holds it). ``keep`` always contains the just-committed epoch
+    AND its immediate predecessor — both recorded IN the pointer
+    payload (``<live> [<grace>]``), so every sweep, including a
+    back-to-back refresh entry's orphan sweep, can tell the grace copy
+    from a crashed build's orphan: orphans are epochs named by NO
+    pointer token. An in-flight reader that resolved the pre-flip
+    pointer keeps a complete root until two further builds land.
+    Legacy flat tables (``corpus/`` at the root) get the same grace —
+    their root-level tables are removed only once a previous epoch dir
+    exists to cover the window."""
+    import os
+    import shutil
+
+    from dig_etl_engine_spark.sinks.kg_table import sweep_pointer_tmps
+
+    sweep_pointer_tmps(path)
+    epochs = [n for n in os.listdir(path)
+              if n.startswith("epoch_")
+              and os.path.isdir(os.path.join(path, n))]
+    for n in epochs:
+        if n not in keep:
+            shutil.rmtree(os.path.join(path, n), ignore_errors=True)
+    # the legacy flat layout is "the epoch before epochs existed": keep
+    # it as the grace copy for the FIRST pointer commit, drop it once a
+    # real previous epoch provides the grace instead
+    if len([n for n in epochs if n in keep]) >= 2:
+        for legacy in ("corpus", "term_df"):
+            shutil.rmtree(os.path.join(path, legacy), ignore_errors=True)
+
+
 def materialize_bm25_stats(docs: DataFrame, path: str, *,
                            text_col: str = "text",
                            id_col: str = "doc_id") -> None:
@@ -89,7 +149,10 @@ def materialize_bm25_stats(docs: DataFrame, path: str, *,
     at corpus-build time, the way the reference's Elasticsearch keeps df
     and field-length norms inside the inverted index it builds at ingest.
 
-    Two tables under ``path``:
+    Two tables under one immutable epoch root
+    ``path/epoch_<token>/``, published by a pointer flip
+    (``path/_CURRENT`` — ``sinks/kg_table.commit_pointer``, ONE atomic
+    ``os.replace``; the ES-alias-swap analog, `manager.py:237-255`):
 
     * ``term_df`` — ``(term, df)`` for EVERY distinct token: one
       tokenize → per-doc distinct → explode → groupBy pass. Query time
@@ -100,6 +163,17 @@ def materialize_bm25_stats(docs: DataFrame, path: str, *,
     Tokenization matches ``plans.weights.bm25_score_column`` (lower,
     trim, whitespace split) so build-time df and query-time tf agree.
 
+    COMMIT CONTRACT: the epoch dir is fully written BEFORE the pointer
+    moves, and epochs are immutable after publication — so readers that
+    resolve the pointer (:func:`load_bm25_stats`,
+    :func:`bm25_stats_stale`) always see one complete, internally
+    consistent build: no missing-root window, no mixed-epoch tear. A
+    crash before the flip leaves the old pointer serving the old epoch
+    (the orphan epoch is swept on the next build); a crash after the
+    flip leaves the new build committed. The previous epoch survives, pointer-recorded as
+    the grace copy, until two further builds land (see
+    :func:`_sweep_stats_epochs`).
+
     STALENESS CONTRACT: these stats are a build-time snapshot. An
     incremental doc_id upsert (``sinks/kg_table.py:upsert_*`` — K2)
     changes the corpus WITHOUT refreshing df/avgdl, silently skewing
@@ -109,19 +183,32 @@ def materialize_bm25_stats(docs: DataFrame, path: str, *,
     ``xxhash64(id, text)``) in the ``corpus`` table;
     :func:`bm25_stats_stale` recomputes it against the current corpus
     in one pass, and :func:`refresh_bm25_stats` closes the loop
-    (check → crash-safe rebuild-and-swap) in the same maintenance slot
+    (check → crash-safe rebuild-and-flip) in the same maintenance slot
     as bucket compaction (``scripts/maintain.py --bm25-stats``) — NOT
     per query, which would re-scan the corpus and defeat the
     materialization.
     """
+    import uuid
+
+    from dig_etl_engine_spark.sinks.kg_table import commit_pointer
+
+    prev = _stats_root(path)
+    tok = f"epoch_{uuid.uuid4().hex[:8]}"
+    root = f"{path}/{tok}"
     toks = F.split(F.trim(safe_lower(F.col(text_col))), r"\s+")
     (docs.select(F.explode(F.array_distinct(toks)).alias("term"))
          .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-         .write.mode("overwrite").parquet(f"{path}/term_df"))
+         .write.mode("overwrite").parquet(f"{root}/term_df"))
     (docs.agg(F.count(F.lit(1)).alias("n_docs"),
               F.avg(F.size(toks)).alias("avgdl"),
               _corpus_signature(id_col, text_col).alias("corpus_sig"))
-         .write.mode("overwrite").parquet(f"{path}/corpus"))
+         .write.mode("overwrite").parquet(f"{root}/corpus"))
+    import os
+    payload = tok
+    if prev and prev != path:
+        payload = f"{tok} {os.path.basename(prev)}"
+    commit_pointer(path, payload)
+    _sweep_stats_epochs(path, set(payload.split()))
 
 
 def _corpus_signature(id_col: str, text_col: str):
@@ -145,8 +232,11 @@ def bm25_stats_stale(docs: DataFrame, path: str, *,
     from pyspark.errors import AnalysisException
 
     spark = docs.sparkSession
+    root = _stats_root(path)
+    if root is None:
+        return True
     try:
-        row = spark.read.parquet(f"{path}/corpus").head()
+        row = spark.read.parquet(f"{root}/corpus").head()
     except AnalysisException:
         return True
     if row is None or "corpus_sig" not in row.asDict():
@@ -174,34 +264,43 @@ def refresh_bm25_stats(docs: DataFrame, path: str, *,
 
     Returns True when a rebuild happened (False = stats already fresh
     and ``force`` unset — the no-op costs one signature pass, never a
-    rebuild). The rebuild goes to a staging root and commits through
-    ``kg_table``'s shared rename-aside protocol (``_swap_upsert`` /
-    ``_recover_upsert`` — ONE copy of the swap and its recovery, so a
-    durability fix lands in both consumers): no crash point leaves
-    zero complete snapshots, the between-renames window and any stale
-    aside/staging leftovers heal on entry. Honest reader contract:
-    ``load_bm25_stats`` takes NO lock, so a read landing exactly
-    between the two renames sees a missing root (transient
-    AnalysisException) — the same exposure as compaction's bucket
-    swap; schedule the refresh in the maintenance slot beside
-    ``compact_partitioned``, not alongside live queries. The
-    check→build→swap runs under the layouts' shared advisory
-    ``table_lock`` so two overlapping maintenance runs serialize
-    instead of racing the swap.
+    rebuild). The rebuild writes a fresh immutable epoch root and
+    publishes it with ONE atomic pointer rename
+    (``sinks/kg_table.commit_pointer`` — the shared publication
+    primitive; see :func:`materialize_bm25_stats` for the commit
+    contract). Reader contract: ``load_bm25_stats`` takes NO lock and
+    needs none — it resolves the pointer once and reads both tables
+    from that one immutable epoch, so a concurrent refresh can neither
+    show it a missing root (the old epoch keeps serving until the flip,
+    and survives, pointer-recorded, until two further builds land) nor mix stats from
+    two corpus builds (the pre-pointer layout's two unlocked reads
+    could straddle a swap). The check→build→flip runs under the
+    layouts' shared advisory ``table_lock`` so two overlapping
+    maintenance runs serialize instead of racing the flip; entry-time
+    recovery heals pre-pointer-era crash leftovers (``.__old__`` /
+    ``.__tmp__*`` from the retired rename-aside protocol) and sweeps
+    orphaned pointer temps and unreferenced epochs.
     """
-    import uuid
-
     from dig_etl_engine_spark.sinks.kg_table import (
-        _recover_upsert, _swap_upsert, table_lock)
+        _recover_upsert, table_lock)
 
     with table_lock(path, timeout=lock_timeout):
+        # heal pre-pointer-era crash states (path renamed aside, orphan
+        # staging roots) and drop orphaned epochs/pointer temps from a
+        # crashed pointer-era build
         _recover_upsert(path)
+        import os
+        if os.path.isdir(path):
+            from dig_etl_engine_spark.sinks.kg_table import resolve_pointer
+            payload = resolve_pointer(path) or ""
+            # keep every pointer-named epoch (live + grace) — only a
+            # crashed build's orphans are unreferenced
+            _sweep_stats_epochs(path, set(payload.split()))
         if not force and not bm25_stats_stale(
                 docs, path, id_col=id_col, text_col=text_col):
             return False
-        tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
-        materialize_bm25_stats(docs, tmp, text_col=text_col, id_col=id_col)
-        _swap_upsert(path, tmp)
+        materialize_bm25_stats(docs, path, text_col=text_col,
+                               id_col=id_col)
     return True
 
 
@@ -211,9 +310,19 @@ def load_bm25_stats(spark, path: str, terms: list[str]) -> tuple:
     Bounded driver transfer: one scalar row plus ``len(terms)`` rows via
     a pushdown ``term IN (...)`` filter on the term_df table. Terms
     absent from the corpus get df=0 (scores 0, same as the inline agg).
+
+    Lock-free epoch consistency: the pointer is resolved ONCE and both
+    tables are read from that one immutable epoch root, so a refresh
+    landing between the two reads cannot mix ``n_docs``/``avgdl`` from
+    one corpus build with ``df`` from another, and the flip itself
+    (atomic pointer replace, old epoch kept as the pointer-recorded
+    grace copy)
+    never exposes a missing root. Legacy flat layouts (pre-pointer)
+    resolve to ``path`` itself and keep the old read path.
     """
-    row = spark.read.parquet(f"{path}/corpus").head()
-    hits = (spark.read.parquet(f"{path}/term_df")
+    root = _stats_root(path) or path
+    row = spark.read.parquet(f"{root}/corpus").head()
+    hits = (spark.read.parquet(f"{root}/term_df")
             .filter(F.col("term").isin(list(terms))).collect())
     df_counts = {t: 0 for t in terms}
     df_counts.update({r["term"]: r["df"] for r in hits})

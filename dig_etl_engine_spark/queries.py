@@ -101,6 +101,13 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # same floor tree; its last verdict is r3 so it sorts near the
     # front either way — the entry records WHY it must not be skipped
     "ivf_kmeans_train": 9,
+    # r11: the BM25 stats store moved from the rename-aside swap to
+    # pointer-committed immutable epochs (functions/kg.py —
+    # materialize/load/refresh all touched; verdict r10 item 2). The
+    # stats VALUES are computed by the same expressions, but the query's
+    # read path changed, so its r10 verdict predates the code it now
+    # runs.
+    "search_bm25_rank": 11,
     # Deliberately NOT listed (r10, cannot move results): the round's
     # perf work rewrote four expression BUILDERS onto bind-once
     # evaluation (`functions/bindings.py`: ngram_hashes, dedup.shingles,

@@ -426,7 +426,7 @@ def search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     terms = ["hash", "window"]
-    path, fresh = _corpus_cache_path(sf_dir, "bm25_stats", "corpus/_SUCCESS")
+    path, fresh = _corpus_cache_path(sf_dir, "bm25_stats", "_CURRENT")
     if not fresh:
         shutil.rmtree(path, ignore_errors=True)
         materialize_bm25_stats(docs, path)

@@ -43,6 +43,69 @@ class TableLockTimeout(RuntimeError):
     release it within the timeout."""
 
 
+# --------------------------------------------------------------------------
+# Pointer-file commit — the one-rename publication primitive shared by every
+# multi-file swap in the engine (BM25 stats epochs in ``functions/kg.py``,
+# the bucketed table's manifest below). The ES-alias-swap analog
+# (`manager.py:237-255` bootstrap pattern under /root/reference): the index
+# never serves a 404 mid-reindex because readers resolve an alias, and the
+# alias flip is a single atomic metadata write. Here the alias is a small
+# file whose content names the live root(s); the flip is ``os.replace`` —
+# atomic on POSIX — so a reader sees either the old payload or the new one,
+# never a missing or partial pointer. This retires the rename-aside
+# protocol's honest-contract hole ("a read landing between the two renames
+# sees a missing root"): with pointer indirection there IS no between-renames
+# window, because data dirs are immutable once written and only the pointer
+# moves. Local-FS semantics; on HDFS ``os.replace`` maps to an overwriting
+# FileSystem.rename, on S3 use a manifest-committing table format (Delta).
+
+def pointer_path(root: str, name: str = "_CURRENT") -> str:
+    return os.path.join(root, name)
+
+
+def commit_pointer(root: str, payload: str, *,
+                   name: str = "_CURRENT") -> None:
+    """Atomically publish ``payload`` as the live pointer under ``root``.
+
+    Write-to-temp + fsync + ``os.replace``: a crash before the replace
+    leaves the old pointer intact (temp files are swept by the owning
+    writer's entry-time recovery); a crash after leaves the new one —
+    there is no state in which the pointer is absent or torn. The fsync
+    matters: without it a power loss can commit the rename but not the
+    payload bytes, publishing an empty pointer."""
+    os.makedirs(root, exist_ok=True)
+    tmp = pointer_path(root, f".{name}.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, pointer_path(root, name))
+
+
+def resolve_pointer(root: str, *, name: str = "_CURRENT") -> str | None:
+    """Read the live pointer payload, or None when no pointer exists
+    (pre-pointer legacy layout, or a never-written table). Read-only —
+    never heals anything (healing is the writers' job, under their
+    lock)."""
+    try:
+        with open(pointer_path(root, name), encoding="utf-8") as fh:
+            return fh.read()
+    except OSError:
+        return None
+
+
+def sweep_pointer_tmps(root: str, *, name: str = "_CURRENT") -> None:
+    """Drop orphaned pointer temp files left by a writer that crashed
+    between its payload write and its ``os.replace`` — recomputable by
+    construction. Writer-entry-time only (runs under the table lock)."""
+    for stale in glob_mod.glob(
+            os.path.join(glob_mod.escape(root), f".{name}.tmp.*")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
+
+
 def _pid_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)

@@ -54,14 +54,18 @@ CONF_SETS: dict[str, dict[str, str]] = {
 
 def main() -> int:
     sf, args = tz_sweep.split_sf_arg(sys.argv[1:])
+    # the baseline must run with DEFAULT confs: a TZSWEEP_EXTRA_SQL_CONF
+    # inherited from the parent environment would silently turn every
+    # comparison into conf-vs-conf instead of conf-vs-default
     base_env = dict(os.environ)
+    base_env.pop("TZSWEEP_EXTRA_SQL_CONF", None)
     base = tz_sweep.run_child("UTC", sf, args, env=base_env,
                               label="conf[baseline]")
     if base is None:
         return 2
     rc = 0
     for label, confs in CONF_SETS.items():
-        env = dict(os.environ)
+        env = dict(base_env)
         env["TZSWEEP_EXTRA_SQL_CONF"] = json.dumps(confs)
         got = tz_sweep.run_child("UTC", sf, args, env=env,
                                  label=f"conf[{label}]({confs})")
