@@ -90,6 +90,31 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark) -> float:
+    """Host-window calibration anchor (r10 verdict item 4): a fixed
+    pure-CPU kernel — bit_xor of xxhash64 over 400M generated longs at
+    pinned parallelism 8, no I/O, no shuffle (xor, not sum: the session
+    runs ANSI and summing 64-bit hashes overflows long; 400M so the
+    reading is hundreds of ms, above scheduling jitter) — timed
+    median-of-3 after one warm-up. Cross-round comparisons divide query times by this anchor
+    to separate host drift (the 40-55 s total envelope this VM has
+    shown since r6, both directions) from code signal: the kernel's
+    work is identical every round, so its movement IS the host window.
+    Recorded in the artifact's ``protocol.calibration_sec``."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 400_000_000, 1, 8).select(
+            F.bit_xor(F.xxhash64("id"))).collect()
+        return time.perf_counter() - t0
+
+    once()  # codegen warm-up, untimed
+    return round(statistics.median(once() for _ in range(3)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -173,7 +198,13 @@ def main() -> None:
     # from different protocols indistinguishable. Historical lines
     # without the field are min-of-2 (r7/r8) — see README round notes.
     out["protocol"] = {"runs": runs, "stat": stat,
-                       "warmup": stat == "median"}
+                       "warmup": stat == "median",
+                       # fixed pure-CPU kernel (see _calibrate): divide
+                       # per-query times by this to normalize out the
+                       # host window before cross-round comparisons
+                       "calibration_sec": _calibrate(spark),
+                       "calibration_kernel":
+                           "bit_xor(xxhash64(id)) over range(4e8), 8 parts"}
     print(json.dumps(out))
 
 

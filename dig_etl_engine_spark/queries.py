@@ -108,6 +108,21 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # read path changed, so its r10 verdict predates the code it now
     # runs.
     "search_bm25_rank": 11,
+    # r11: the bucketed KG table's commit moved from per-bucket
+    # rename-aside swaps to the one-rename manifest protocol
+    # (sinks/kg_table.py — the upsert's existing-bucket read, the
+    # publish step, compaction, and read_partitioned all changed).
+    # The merge SEMANTICS are untouched (pure function of (key,
+    # order)), but this query executes every changed path.
+    "upsert_partitioned_merge": 11,
+    # Deliberately NOT listed (r11, cannot move results):
+    # upsert_last_write_wins and the stream_* flat-table queries run
+    # through kg_table.upsert/create_table_if_not_exists, whose only
+    # r11 change is one extra name comparison in the bucketed-layout
+    # guard (f == _MANIFEST — always False on the flat tables those
+    # queries build), extensionally identity for every input they can
+    # see; the stream_* rows are r07-stale and sort into this round's
+    # window regardless.
     # Deliberately NOT listed (r10, cannot move results): the round's
     # perf work rewrote four expression BUILDERS onto bind-once
     # evaluation (`functions/bindings.py`: ngram_hashes, dedup.shingles,

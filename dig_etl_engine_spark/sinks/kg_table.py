@@ -237,6 +237,7 @@ def create_table_if_not_exists(spark: SparkSession, path: str,
     if os.path.isdir(path) and any(
             f.endswith(".parquet") or f == "_SUCCESS"
             or f.startswith("_kb=")       # bucketed layout IS the table
+            or f == _MANIFEST             # manifest-routed bucket layout
             for f in os.listdir(path)):
         return False
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
@@ -300,7 +301,7 @@ def upsert(spark: SparkSession, target_path: str, batch: DataFrame, *,
     second concurrent writer merges against the committed result
     instead of silently dropping this batch (lost update)."""
     if os.path.isdir(target_path) and any(
-            f.startswith("_kb=") or f == _BUCKETS_META
+            f.startswith("_kb=") or f == _BUCKETS_META or f == _MANIFEST
             for f in os.listdir(target_path)):
         raise ValueError(
             f"upsert: {target_path} is a bucket-partitioned table "
@@ -336,6 +337,36 @@ def _swap_upsert(target_path: str, tmp: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Bucket manifest: the pointer-committed catalog of the bucketed table's
+# live directories (verdict r10 item 2 — the same one-rename publication
+# primitive as the BM25 stats epochs, applied per table).
+#
+# Layout contract (manifest era): bucket data lives in IMMUTABLE epoch
+# directories named ``.kbe_<bucket>_<token>`` (dot-prefixed: invisible to
+# naive directory listings, exactly like the staging dirs always were —
+# ``read_partitioned`` is the read API); the manifest file ``_kg_manifest``
+# maps bucket id → live dir name and is replaced atomically by
+# ``commit_pointer``. A multi-bucket upsert or compaction therefore commits
+# ALL its buckets in ONE rename — there is no per-bucket between-renames
+# window where a bucket is missing, and no rollback protocol: a crash
+# before the flip leaves only unreferenced epoch dirs (recomputable,
+# swept at the next writer entry), a crash after leaves the commit fully
+# applied. Legacy tables (pre-manifest ``_kb=<n>`` dirs) keep reading
+# through the old listing path and migrate in place on their first
+# mutating entry: the initial manifest simply references the existing
+# ``_kb=<n>`` names — no data moves.
+#
+# Reader grace: each commit records the touched buckets' PREVIOUS dirs in
+# the manifest's ``grace`` map, stamped with the committing generation.
+# Sweeps keep live ∪ grace, so an in-flight reader that resolved the
+# pre-flip manifest keeps complete roots until the next writer entry
+# prunes grace entries older than the latest generation (Delta's
+# retain-until-VACUUM doctrine, one generation deep). The cost is that an
+# idle table retains its last commit's superseded copies until the next
+# maintenance entry reclaims them.
+_MANIFEST = "_kg_manifest"
+
 _BUCKETS_META = "_kg_buckets"
 # Second meta token: the bucket-hash VERSION. Tables born after the r8
 # width-safe change carry "widened" (integral keys cast to BIGINT before
@@ -347,6 +378,119 @@ _BUCKETS_META = "_kg_buckets"
 # until rebucket_partitioned rewrites them, which always stamps the
 # widened marker.
 _HASH_WIDENED = "widened"
+
+
+def _load_manifest(target_path: str) -> dict | None:
+    """Parse the table's bucket manifest, or None for a pre-manifest
+    (legacy) table. Returns ``{"gen": int, "live": {bucket: dirname},
+    "grace": {bucket: (dirname, gen_created)}}``. Read-only; a torn or
+    unparsable manifest is impossible by the pointer-commit contract
+    (``commit_pointer`` replaces atomically after an fsync), so parse
+    errors are raised, not masked — masking one would silently demote a
+    manifest table to legacy listing and resurrect swept-dir reads."""
+    import json
+
+    raw = resolve_pointer(target_path, name=_MANIFEST)
+    if raw is None:
+        return None
+    m = json.loads(raw)
+    return {
+        "gen": int(m.get("gen", 0)),
+        "live": {int(k): v for k, v in m.get("live", {}).items()},
+        "grace": {int(k): (v[0], int(v[1]))
+                  for k, v in m.get("grace", {}).items()},
+    }
+
+
+def _legacy_bucket_dirs(target_path: str) -> dict[int, str]:
+    """Bucket id → dir name from a pre-manifest ``_kb=<n>`` listing."""
+    out: dict[int, str] = {}
+    try:
+        names = os.listdir(target_path)
+    except OSError:
+        return out
+    for name in names:
+        if name.startswith("_kb=") and \
+                os.path.isdir(os.path.join(target_path, name)):
+            try:
+                out[int(name[4:])] = name
+            except ValueError:
+                continue
+    return out
+
+
+def _live_bucket_dirs(target_path: str) -> dict[int, str]:
+    """The table's live bucket directories: manifest when present,
+    legacy ``_kb=`` listing otherwise."""
+    m = _load_manifest(target_path)
+    if m is not None:
+        return m["live"]
+    return _legacy_bucket_dirs(target_path)
+
+
+def _sweep_unreferenced_buckets(target_path: str, live: dict[int, str],
+                                grace: dict[int, tuple]) -> None:
+    """Drop bucket dirs referenced by neither the live map nor the grace
+    map, plus orphaned manifest temp files. Safe by the manifest-era
+    invariant: every committed dir is referenced, so unreferenced =
+    a crashed writer's staged epoch or a pruned grace copy — both
+    recomputable/superseded. Runs under the table lock only."""
+    referenced = set(live.values()) | {d for d, _ in grace.values()}
+    try:
+        names = os.listdir(target_path)
+    except OSError:
+        return
+    for name in names:
+        if (name.startswith(".kbe_") or name.startswith("_kb=")) \
+                and name not in referenced \
+                and os.path.isdir(os.path.join(target_path, name)):
+            shutil.rmtree(os.path.join(target_path, name),
+                          ignore_errors=True)
+    sweep_pointer_tmps(target_path, name=_MANIFEST)
+
+
+def _commit_buckets(target_path: str, new_dirs: dict[int, str]) -> None:
+    """The bucketed table's linearization point: publish ``new_dirs``
+    (bucket id → epoch dir name, already fully written under
+    ``target_path``) with ONE atomic manifest replace, then sweep dirs
+    the new manifest no longer references.
+
+    Replaces the per-bucket rename-aside swap (``_swap_upsert_buckets``
+    pre-r11): that protocol had a between-renames instant per bucket
+    where the bucket dir was absent and external readers saw a
+    missing root; here data dirs never move after being written, only
+    the manifest flips, so every resolve-time view is a complete
+    committed epoch set. Crash matrix: before the flip → target
+    unchanged, staged epochs unreferenced (swept at next entry), the
+    batch replays idempotently; after the flip → commit fully applied,
+    superseded dirs sweep now or at next entry. The touched buckets'
+    previous dirs are kept as generation-stamped grace copies for
+    in-flight readers (see the ``_MANIFEST`` doctrine above).
+
+    A legacy table migrates here in place: the initial manifest
+    references its existing ``_kb=<n>`` dirs verbatim."""
+    m = _load_manifest(target_path)
+    if m is None:
+        m = {"gen": 0, "live": _legacy_bucket_dirs(target_path),
+             "grace": {}}
+    gen = m["gen"] + 1
+    live = dict(m["live"])
+    grace = dict(m["grace"])
+    for n, d in new_dirs.items():
+        old = live.get(n)
+        live[n] = d
+        if old is not None:
+            grace[n] = (old, gen)
+        else:
+            grace.pop(n, None)
+    import json
+    payload = json.dumps({
+        "v": 1, "gen": gen,
+        "live": {str(k): v for k, v in sorted(live.items())},
+        "grace": {str(k): [d, g] for k, (d, g) in sorted(grace.items())},
+    })
+    commit_pointer(target_path, payload, name=_MANIFEST)
+    _sweep_unreferenced_buckets(target_path, live, grace)
 
 
 def _load_bucket_meta(target_path: str, buckets: int) -> tuple[int, bool]:
@@ -377,11 +521,11 @@ def _load_bucket_meta(target_path: str, buckets: int) -> tuple[int, bool]:
     no meta over an existing ``_kb=`` layout, identifies a legacy
     unwidened table; no meta and no layout is a BIRTH — new tables
     always start width-safe."""
-    has_kb = False
-    try:
-        has_kb = any(n.startswith("_kb=") for n in os.listdir(target_path))
-    except OSError:
-        pass
+    # the layout probe must consult the manifest: a manifest table's
+    # live dirs may all be hidden .kbe_ epochs, so a bare _kb= listing
+    # would misread it as a BIRTH and stamp the wrong hash version
+    live = _live_bucket_dirs(target_path)
+    has_kb = bool(live)
     try:
         with open(os.path.join(target_path, _BUCKETS_META),
               encoding="utf-8") as fh:
@@ -389,16 +533,7 @@ def _load_bucket_meta(target_path: str, buckets: int) -> tuple[int, bool]:
             persisted = int(tokens[0])
             widened = _HASH_WIDENED in tokens[1:]
     except (OSError, ValueError, IndexError):
-        max_kb = -1
-        try:
-            for name in os.listdir(target_path):
-                if name.startswith("_kb="):
-                    try:
-                        max_kb = max(max_kb, int(name[4:]))
-                    except ValueError:
-                        continue
-        except OSError:
-            pass
+        max_kb = max(live.keys(), default=-1)
         if max_kb >= buckets:
             raise ValueError(
                 f"upsert_partitioned: legacy table {target_path} has no "
@@ -430,55 +565,110 @@ def _persist_bucket_meta(target_path: str, buckets: int, *,
 
 
 def _recover_partitioned_swap(target_path: str) -> None:
-    """Heal an interrupted :func:`upsert_partitioned` bucket swap before
-    new work. States, keyed by what survived (mirrors
-    :func:`compact_partitioned`'s recovery):
+    """Entry-time recovery for the bucketed table, shared by every
+    mutating entry point (upsert, compaction, rebucket caller). Two
+    eras, healed in order:
 
-    * ``.upsert_old_<kb>_*`` with ``_kb=<kb>`` present → the swap of
-      that bucket committed; drop the aside copy.
-    * ``.upsert_old_<kb>_*`` with the bucket dir ABSENT → crash between
-      the two renames; roll BACK (restore the original — the batch that
-      was being merged replays idempotently).
-    * ``.upsert_tmp_*`` staging dirs → recomputable; drop them (after
-      the old-dir pass, so a staged copy is never adopted over a
-      restorable original).
+    LEGACY (pre-manifest rename-aside protocol — these states can only
+    exist on tables last written by a pre-r11 build, or constructed by
+    hand; the manifest protocol never creates them):
+
+    * ``.upsert_old_<kb>_*`` / ``.compact_old_<kb>_*`` with ``_kb=<kb>``
+      present → that bucket's swap committed; drop the aside copy.
+    * ``.compact_tmp_<kb>_*`` with the bucket dir ABSENT → crash between
+      the two renames and the tmp holds the complete compacted copy —
+      FINISH the swap (content-identical to the original).
+    * ``.upsert_old_<kb>_*`` / ``.compact_old_<kb>_*`` with the bucket
+      dir ABSENT → crash between the two renames; roll BACK (restore
+      the original — an interrupted upsert batch replays idempotently).
+    * remaining ``.upsert_tmp_*`` / ``.compact_tmp_*`` staging →
+      recomputable; drop (after the old-dir pass, so a staged copy is
+      never adopted over a restorable original).
+
+    MANIFEST era (no rollback protocol — the flip is the linearization
+    point): prune grace entries older than the latest committed
+    generation (their reader-grace interval has elapsed; see the
+    ``_MANIFEST`` doctrine), then sweep every dir the pruned manifest
+    no longer references — crashed writers' staged epochs and expired
+    grace copies alike — plus orphaned manifest temp files.
     """
     if not os.path.isdir(target_path):
         return
     esc = glob_mod.escape(target_path)
-    for old in glob_mod.glob(os.path.join(esc, ".upsert_old_*")):
-        kbv = os.path.basename(old).split("_")[2]
-        d = os.path.join(target_path, f"_kb={kbv}")
-        if not os.path.isdir(d):
-            logger.warning("upsert_partitioned: restoring %s from "
-                           "interrupted swap copy %s", d, old)
-            os.rename(old, d)
-        else:
-            shutil.rmtree(old, ignore_errors=True)
+    m = _load_manifest(target_path)
+    if m is None:
+        # legacy: finish a compact swap whose tmp is the only complete
+        # copy of its bucket
+        for tmp_ in glob_mod.glob(os.path.join(esc, ".compact_tmp_*")):
+            kbv = os.path.basename(tmp_).split("_")[2]
+            d = os.path.join(target_path, f"_kb={kbv}")
+            if not os.path.isdir(d):
+                logger.warning("kg_table recovery: completing interrupted "
+                               "compact swap for %s from %s", d, tmp_)
+                os.rename(tmp_, d)
+            else:
+                shutil.rmtree(tmp_, ignore_errors=True)
+        # legacy: restore or drop aside copies
+        for pat in (".upsert_old_*", ".compact_old_*"):
+            for old in glob_mod.glob(os.path.join(esc, pat)):
+                kbv = os.path.basename(old).split("_")[2]
+                d = os.path.join(target_path, f"_kb={kbv}")
+                if not os.path.isdir(d):
+                    logger.warning("kg_table recovery: restoring %s from "
+                                   "interrupted swap copy %s", d, old)
+                    os.rename(old, d)
+                else:
+                    shutil.rmtree(old, ignore_errors=True)
+        # epoch dirs without a manifest can only be a publisher that
+        # crashed mid-migration, before its flip — recomputable orphans
+        for orphan in glob_mod.glob(os.path.join(esc, ".kbe_*")):
+            shutil.rmtree(orphan, ignore_errors=True)
+    else:
+        # manifest era: the manifest-protocol never creates these, and
+        # migration healed any pre-upgrade states before the manifest
+        # was born — whatever matches now is junk (e.g. hand-planted
+        # litter), never a recovery source
+        for pat in (".compact_tmp_*", ".compact_old_*", ".upsert_old_*"):
+            for stale in glob_mod.glob(os.path.join(esc, pat)):
+                shutil.rmtree(stale, ignore_errors=True)
     for stale in glob_mod.glob(os.path.join(esc, ".upsert_tmp_*")):
         shutil.rmtree(stale, ignore_errors=True)
+    # manifest era: prune expired grace, sweep unreferenced dirs
+    if m is not None:
+        import json
+        grace = {n: g for n, g in m["grace"].items() if g[1] >= m["gen"]}
+        if grace != m["grace"]:
+            commit_pointer(target_path, json.dumps({
+                "v": 1, "gen": m["gen"],
+                "live": {str(k): v for k, v in sorted(m["live"].items())},
+                "grace": {str(k): [d, g]
+                          for k, (d, g) in sorted(grace.items())},
+            }), name=_MANIFEST)
+        _sweep_unreferenced_buckets(target_path, m["live"], grace)
 
 
-def _swap_upsert_buckets(target_path: str, staging: str,
-                         token: str) -> None:
+def _publish_staged_buckets(target_path: str, staging: str,
+                            token: str) -> None:
     """Pure-filesystem commit of :func:`upsert_partitioned`'s step 4:
-    each staged ``_kb=`` directory swaps in via rename-aside (original
-    to ``.upsert_old_<kb>_<token>``, staged in, aside dropped), then
-    the staging dir's residue (``_SUCCESS`` marker) is swept. A crash
-    anywhere leaves every bucket either wholly pre-merge or wholly
-    post-merge — :func:`_recover_partitioned_swap` rolls back or
-    finishes on the next entry, and a re-merge of the same batch is a
-    no-op either way. Module-level so the crash-fuzz suite can inject
-    faults without a Spark write per iteration."""
+    move each staged ``_kb=<n>`` subdir to its immutable epoch name
+    ``.kbe_<n>_<token>`` (renames of not-yet-referenced dirs — crashing
+    here leaves only recomputable orphans, never a torn table), publish
+    them ALL with one atomic manifest flip (:func:`_commit_buckets`),
+    then sweep the staging residue (``_SUCCESS`` marker). Contrast with
+    the retired per-bucket rename-aside swap: there is no per-bucket
+    missing-dir instant and no rollback path — the flip either happened
+    (commit fully applied) or it didn't (table unchanged; the batch
+    replays idempotently). Module-level so the crash-fuzz suite can
+    inject faults without a Spark write per iteration."""
+    new_dirs: dict[int, str] = {}
     for staged in sorted(glob_mod.glob(
             os.path.join(glob_mod.escape(staging), "_kb=*"))):
-        kbv = os.path.basename(staged).split("=", 1)[1]
-        d = os.path.join(target_path, f"_kb={kbv}")
-        old = os.path.join(target_path, f".upsert_old_{kbv}_{token}")
-        if os.path.isdir(d):
-            os.rename(d, old)
-        os.rename(staged, d)
-        shutil.rmtree(old, ignore_errors=True)
+        kbv = int(os.path.basename(staged).split("=", 1)[1])
+        name = f".kbe_{kbv}_{token}"
+        os.rename(staged, os.path.join(target_path, name))
+        new_dirs[kbv] = name
+    if new_dirs:
+        _commit_buckets(target_path, new_dirs)
     shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS marker etc.
 
 
@@ -505,20 +695,27 @@ def upsert_partitioned(spark: SparkSession, target_path: str,
          ``isin`` filter never opens untouched directories);
       3. last-write-wins merges batch ∪ touched-existing;
       4. writes the merged buckets to a dot-prefixed staging dir inside
-         the table, then swaps each touched ``_kb=`` directory in with
-         two renames (original aside to ``.upsert_old_*``, staged dir
-         in, drop the copy) — the :func:`compact_partitioned` protocol.
+         the table, moves each to an immutable hidden epoch dir
+         (``.kbe_<n>_<token>``), and publishes them ALL with ONE atomic
+         manifest replace (:func:`_publish_staged_buckets` →
+         :func:`_commit_buckets` — the protocol shared with
+         :func:`compact_partitioned` and the BM25 stats epochs).
 
     Step 4 deliberately avoids Spark's dynamic partition overwrite: its
     job commit deletes each touched partition directory before moving
     the staged one in, so a driver crash mid-commit loses the
     pre-existing rows of that bucket with no recovery artifact — a
     replaying micro-batch then re-merges against an EMPTY bucket and
-    the old keys are silently gone. With rename-aside, every crash
-    point leaves either the original or the merged copy on disk, and
-    the entry-time recovery sweep (mirroring compact's) finishes or
-    rolls back an interrupted swap; a rolled-back batch replays
-    idempotently (merge is a pure function of (key, order)).
+    the old keys are silently gone. With the manifest commit, every
+    crash point leaves the table serving a complete committed epoch
+    set: before the flip the batch simply hasn't happened (its staged
+    epochs are unreferenced orphans, swept at the next entry) and
+    replays idempotently (merge is a pure function of (key, order));
+    after the flip it is fully applied, with the touched buckets'
+    previous dirs retained as reader-grace copies for one writer
+    interval. There is no rollback path and no per-bucket
+    missing-directory instant — the failure class the old rename-aside
+    swap could only narrow, the manifest removes.
 
     Cost per batch is O(touched data), not O(table). Delta's MERGE is the
     production drop-in (same semantics, real commit log).
@@ -717,16 +914,25 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
     # the partitioned write recreates the root marker, and deleting it
     # would make the table look absent to create_table_if_not_exists.
     flat_files: list[str] = []
-    has_kb = False
+    live: dict[int, str] = {}
     if os.path.isdir(target_path):
-        names = os.listdir(target_path)
-        flat_files = [f for f in names if f.endswith(".parquet")]
-        has_kb = any(f.startswith("_kb=") for f in names)
+        flat_files = [f for f in os.listdir(target_path)
+                      if f.endswith(".parquet")]
+        live = _live_bucket_dirs(target_path)
+    has_kb = bool(live)
     existing_all = None
     stray = None
     if has_kb:
-        existing_all = (spark.read.option("basePath", target_path)
-                        .parquet(os.path.join(target_path, "_kb=*")))
+        # explicit per-dir roots resolved through the manifest (legacy
+        # listing for pre-manifest tables) — no basePath inference; the
+        # _kb column is recomputed from the key below, which is exact by
+        # the writer invariant (every stored row's key hashes to its
+        # directory's bucket under the table's recorded hash version).
+        # This frame is the SCHEMA contract (lazy — no job runs on it);
+        # merge data is read from the touched dirs only, further down.
+        existing_all = spark.read.parquet(
+            *[os.path.join(target_path, d)
+              for _, d in sorted(live.items())])
     if flat_files:
         stray = spark.read.parquet(
             *[os.path.join(target_path, f) for f in flat_files])
@@ -777,19 +983,33 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
             key_col, order_col)
     if has_kb:
         touched = [r[0] for r in b.select("_kb").distinct().collect()]
-        existing = existing_all.filter(F.col("_kb").isin(touched))
-        b = dedupe_last_write_wins(
-            existing.unionByName(b, allowMissingColumns=True),
-            key_col, order_col)
+        touched_dirs = [os.path.join(target_path, live[n])
+                        for n in sorted(touched) if n in live]
+        if touched_dirs:
+            # partition pruning by construction: only the touched
+            # buckets' directories are ever opened (the pre-manifest
+            # version read a _kb=* glob and relied on Catalyst pruning
+            # an isin filter over the inferred column — same I/O,
+            # but the pruning is now structural, not optimizer-owed)
+            existing = spark.read.parquet(*touched_dirs)
+            existing = existing.withColumn(
+                "_kb", _bucket_expr(existing, key_col, buckets,
+                                    widened=widened))
+            b = dedupe_last_write_wins(
+                existing.unionByName(b, allowMissingColumns=True),
+                key_col, order_col)
     token = uuid.uuid4().hex[:8]
     staging = os.path.join(target_path, f".upsert_tmp_{token}")
     b.write.partitionBy("_kb").parquet(staging)
-    _swap_upsert_buckets(target_path, staging, token)
-    # (re-)pin the table's bucket count AND hash version: idempotent,
-    # heals a manually deleted meta; a legacy table stays marked legacy
-    # (its directories were placed by the unwidened hash — only
-    # rebucket_partitioned, which rewrites every row, may flip the flag)
+    # (re-)pin the table's bucket count AND hash version BEFORE the
+    # manifest flip: idempotent, heals a manually deleted meta; a legacy
+    # table stays marked legacy (its directories were placed by the
+    # unwidened hash — only rebucket_partitioned, which rewrites every
+    # row, may flip the flag). Writing it pre-commit means a crash
+    # between the two leaves a correctly-classified table either way
+    # (meta with no manifest is simply a not-yet-committed batch).
     _persist_bucket_meta(target_path, buckets, widened=widened)
+    _publish_staged_buckets(target_path, staging, token)
     for f in flat_files:
         try:
             os.remove(os.path.join(target_path, f))
@@ -814,31 +1034,33 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
     untouched buckets keep their exact files. Returns the number of
     buckets compacted.
 
-    Each bucket is compacted to a dot-prefixed temp directory first (Spark's
-    file listing ignores dot-prefixed paths, and the explicit ``_kb=*`` read
-    glob never matches them), then swapped in with two ``os.rename`` calls —
-    never reading and overwriting the same path in one job, which bypasses
-    Spark's self-overwrite guard and can lose the bucket if the job dies
-    mid-commit. The residual crash window is the instant between the two
-    renames (bucket dir absent); a crash there leaves the original intact
-    under ``.compact_old_*`` for manual recovery, and leftover temp dirs
-    from any earlier crash are swept on entry.
+    Each bucket is compacted to a hidden immutable epoch directory
+    (``.kbe_<n>_<token>`` — never read until referenced), then ALL
+    compacted buckets are published with ONE atomic manifest replace
+    (:func:`_commit_buckets`; verdict r10 item 2 — the ES alias-swap
+    contract: the index never serves a 404 mid-reindex). Never reading
+    and overwriting the same path in one job also keeps clear of
+    Spark's self-overwrite guard. There is NO crash window in which a
+    bucket is missing: before the flip the table serves its exact
+    pre-compaction state (orphan epochs are swept at the next entry);
+    after the flip the compaction is fully applied, with each bucket's
+    previous dir retained as a generation-stamped grace copy for
+    in-flight readers until the next writer entry reclaims it.
 
-    Local-FS rename semantics here; on HDFS swap for FileSystem.rename, on
-    S3 use a manifest-committing table format (Delta's OPTIMIZE is the
-    managed-table equivalent).
+    Local-FS rename semantics here; on HDFS swap ``os.replace`` for an
+    overwriting FileSystem.rename, on S3 use a manifest-committing
+    table format (Delta's OPTIMIZE is the managed-table equivalent of
+    exactly this commit shape).
 
     Writer exclusion is ENFORCED via :func:`table_lock` (a concurrent
     upsert could otherwise rewrite a bucket between this function's
-    read and its swap, losing the upsert — with the lock it simply
-    waits). Concurrent :func:`read_partitioned` calls resolve the swap
-    window through the torn-view listing (:func:`_effective_bucket_dirs`
-    — the aside copy fills the between-renames gap); only EXTERNAL
-    readers doing their own directory listing (``spark.read.parquet``
-    straight at the table) can still see a bucket-less instant, so
-    point those at ``read_partitioned`` or schedule compaction in their
-    quiet slot, exactly as Delta's OPTIMIZE runs against its commit log
-    rather than live directory listings.
+    read and its flip, losing the upsert — with the lock it simply
+    waits). Readers need no coordination: :func:`read_partitioned`
+    resolves the manifest in one atomic pointer read. Naive directory
+    listings (``spark.read.parquet`` straight at the table root) are
+    NOT the read API on a manifest table — the live epoch dirs are
+    hidden, so such a read fails loudly instead of silently serving a
+    torn view, which is the intended failure mode.
     """
     with table_lock(target_path, timeout=lock_timeout):
         return _compact_partitioned_locked(
@@ -852,60 +1074,38 @@ def _compact_partitioned_locked(spark: SparkSession, target_path: str,
     import glob
     import math
 
-    # recover from a prior crashed run before new work. States, keyed by
-    # which of (bucket dir d, .compact_tmp, .compact_old) survive:
-    #   d + tmp        → crash mid/post tmp write, swap not started: drop tmp
-    #   old + tmp, no d → crash between the two swap renames: tmp is the
-    #                     complete compacted copy — FINISH the swap
-    #   old, no d       → pathological; restore the original
-    #   d + old         → crash before the old-copy cleanup: drop old
-    def _bucket_dir(marker: str) -> str:
-        kb = os.path.basename(marker).split("_")[2]
-        return os.path.join(target_path, f"_kb={kb}")
+    # heal any pre-manifest-era crash states and sweep manifest-era
+    # orphans/expired grace — the shared entry recovery
+    _recover_partitioned_swap(target_path)
 
-    # glob.escape: a table path containing glob metacharacters ([, ?, *)
-    # must not silently disable recovery or turn compaction into a no-op
-    esc = glob.escape(target_path)
-    for tmp_ in glob.glob(os.path.join(esc, ".compact_tmp_*")):
-        d_ = _bucket_dir(tmp_)
-        if not os.path.isdir(d_):
-            logger.warning("compact_partitioned: completing interrupted "
-                           "swap for %s from %s", d_, tmp_)
-            os.rename(tmp_, d_)
-        else:
-            shutil.rmtree(tmp_, ignore_errors=True)
-    for old_ in glob.glob(os.path.join(esc, ".compact_old_*")):
-        d_ = _bucket_dir(old_)
-        if not os.path.isdir(d_):
-            logger.warning("compact_partitioned: restoring %s from "
-                           "pre-compaction copy %s", d_, old_)
-            os.rename(old_, d_)
-        else:
-            shutil.rmtree(old_, ignore_errors=True)
-
-    todo: list[tuple[int, int]] = []
-    for d in sorted(glob.glob(os.path.join(esc, "_kb=*"))):
+    live = _live_bucket_dirs(target_path)
+    todo: list[tuple[int, str, int]] = []
+    for kb, dname in sorted(live.items()):
+        d = os.path.join(target_path, dname)
         files = glob.glob(os.path.join(glob.escape(d), "*.parquet"))
         if len(files) >= min_files:
             nbytes = sum(os.path.getsize(f) for f in files)
             nfiles = max(1, math.ceil(nbytes / target_file_bytes))
             # skip buckets already AT the target layout: rewriting 3
             # ~target-sized files into 3 files pays a full-bucket
-            # rewrite (and the swap crash window) for zero gain, on
-            # every nightly run, forever
+            # rewrite for zero gain, on every nightly run, forever
             if nfiles < len(files):
-                todo.append((int(d.rsplit("=", 1)[1]), nfiles))
-    for kb, nfiles in todo:
-        d = os.path.join(target_path, f"_kb={kb}")
-        token = uuid.uuid4().hex[:8]
-        tmp = os.path.join(target_path, f".compact_tmp_{kb}_{token}")
-        old = os.path.join(target_path, f".compact_old_{kb}_{token}")
-        # plain (un-partitioned) write: the partition value lives in the
-        # directory name, exactly as the upsert path lays it out
-        spark.read.parquet(d).coalesce(nfiles).write.parquet(tmp)
-        os.rename(d, old)
-        os.rename(tmp, d)
-        shutil.rmtree(old)
+                todo.append((kb, d, nfiles))
+    # write every compacted copy to its (hidden, not-yet-referenced)
+    # epoch dir, then publish them ALL with one atomic manifest flip —
+    # a crash before the flip leaves only recomputable orphan epochs
+    # (swept at the next entry) and the table serving its exact
+    # pre-compaction state; compaction never changes data, so there is
+    # nothing to replay
+    token = uuid.uuid4().hex[:8]
+    new_dirs: dict[int, str] = {}
+    for kb, d, nfiles in todo:
+        name = f".kbe_{kb}_{token}"
+        (spark.read.parquet(d).coalesce(nfiles)
+         .write.parquet(os.path.join(target_path, name)))
+        new_dirs[kb] = name
+    if new_dirs:
+        _commit_buckets(target_path, new_dirs)
     return len(todo)
 
 
@@ -969,6 +1169,15 @@ def _rebucket_partitioned_locked(spark: SparkSession, target_path: str,
     (df.withColumn("_kb", kb)
      .write.mode("overwrite").partitionBy("_kb").parquet(tmp))
     _persist_bucket_meta(tmp, new_buckets, widened=True)
+    # a rebucketed table is born manifest-routed: reference the fresh
+    # _kb= dirs in place (gen 0, no grace — the whole root swaps at once)
+    import json
+    commit_pointer(tmp, json.dumps({
+        "v": 1, "gen": 0,
+        "live": {str(k): v
+                 for k, v in sorted(_legacy_bucket_dirs(tmp).items())},
+        "grace": {},
+    }), name=_MANIFEST)
     n = spark.read.option("basePath", tmp) \
         .parquet(os.path.join(tmp, "_kb=*")).count()
     os.rename(target_path, old)
@@ -989,7 +1198,18 @@ def _effective_bucket_dirs(target_path: str) -> list[str]:
     their lock). Re-lists until two consecutive scans agree so a swap
     progressing mid-scan can't yield a bucket twice or not at all; under
     constant churn, returns the last consistent-per-bucket view (each
-    bucket still resolves to exactly one complete epoch)."""
+    bucket still resolves to exactly one complete epoch).
+
+    MANIFEST tables short-circuit all of that: one pointer read yields
+    the complete live-dir set atomically — no aside resolution, no
+    stability re-listing — because committed epoch dirs never move and
+    survive as generation-stamped grace copies after being superseded
+    (see the ``_MANIFEST`` doctrine). The legacy scan below serves only
+    pre-manifest tables."""
+    m = _load_manifest(target_path)
+    if m is not None:
+        return [os.path.join(target_path, d)
+                for _, d in sorted(m["live"].items())]
     esc = glob_mod.escape(target_path)
 
     def scan():

@@ -38,9 +38,11 @@ ingest waits for the ingest's in-flight batch instead of corrupting it
 (``--lock-timeout`` bounds the wait; the semantic rule of scheduling
 index compaction between checkpointed stream stops still applies, see
 ``compact_minhash_index``). All three repairs are crash-safe: the
-KG compaction swaps via rename-aside, the index compactions write
-fresh epochs whose duplicate rows are provably harmless to every
-consumer, so a killed maintenance run never corrupts a query.
+KG compaction publishes immutable epoch dirs with one atomic manifest
+replace (a killed run leaves only unreferenced orphans), the index
+compactions write fresh epochs whose duplicate rows are provably
+harmless to every consumer, so a killed maintenance run never
+corrupts a query.
 """
 
 from __future__ import annotations

@@ -368,9 +368,11 @@ class TestUpsert:
             [(k, 1, "base") for k in keys], self.SCHEMA)
         kg_table.upsert_partitioned(spark, p, base, buckets=8)
 
-        # snapshot files per partition dir before the second batch
-        files_before = {d: sorted(glob.glob(f"{d}/*.parquet"))
-                        for d in glob.glob(f"{p}/_kb=*")}
+        # snapshot the manifest's live dir (and its exact files) per
+        # bucket before the second batch
+        live_before = dict(kg_table._live_bucket_dirs(p))
+        files_before = {n: sorted(glob.glob(f"{p}/{d}/*.parquet"))
+                        for n, d in live_before.items()}
         batch = spark.createDataFrame(
             [("k0", 10, "new"), ("zz", 2, "add"), ("k1", 0, "stale")],
             self.SCHEMA)
@@ -382,15 +384,20 @@ class TestUpsert:
         assert got["k1"] == (1, "base")      # stale replay ignored
         assert got["zz"] == (2, "add")       # inserted
         assert len(got) == 41
-        # every untouched bucket dir still has byte-identical file lists
+        # every untouched bucket keeps its exact epoch dir and files;
+        # every touched bucket moved to a NEW epoch dir
         from pyspark.sql import functions as F
         touched = {r[0] for r in batch.select(
             F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")).collect()}
-        untouched_dirs = [d for d in files_before
-                          if int(d.rsplit("=", 1)[1]) not in touched]
-        assert untouched_dirs, "test needs at least one untouched bucket"
-        for d in untouched_dirs:
-            assert sorted(glob.glob(f"{d}/*.parquet")) == files_before[d]
+        live_after = kg_table._live_bucket_dirs(p)
+        untouched = [n for n in live_before if n not in touched]
+        assert untouched, "test needs at least one untouched bucket"
+        for n in untouched:
+            assert live_after[n] == live_before[n]
+            assert sorted(glob.glob(f"{p}/{live_after[n]}/*.parquet")) \
+                == files_before[n]
+        for n in touched & set(live_before):
+            assert live_after[n] != live_before[n]
 
 
 class TestStreamingIngest:
@@ -412,10 +419,13 @@ class TestStreamingIngest:
                        checkpoint_dir=str(tmp_path / "ckpt"))
         q.awaitTermination()
 
-        got = {r.doc_id: r.v for r in spark.read.parquet(target).collect()}
+        got = {r.doc_id: r.v for r in
+               kg_table.read_partitioned(spark, target).collect()}
         assert got == {"a": "v2", "b": "v5"}
-        # streaming default is the partitioned merge: bucketed layout only
-        assert any(f.startswith("_kb=") for f in os.listdir(target))
+        # streaming default is the partitioned merge: manifest-routed
+        # bucketed layout only, no flat files at the root
+        assert kg_table._MANIFEST in os.listdir(target)
+        assert kg_table._load_manifest(target)["live"]
         assert not any(f.endswith(".parquet") for f in os.listdir(target))
         bad = spark.read.parquet(quarantine)
         assert bad.count() == 2
@@ -676,6 +686,58 @@ class TestStreamingIngest:
         assert w is not None
 
 
+class TestScratchReuse:
+    def test_scratch_detaches_previous_fixture_off_path(self):
+        """Repeated `_scratch(name)` calls (a bench harness runs one
+        query 5x) must return a FRESH empty dir each time without paying
+        the previous fixture's teardown inline: the old dir is renamed
+        aside in O(1) and reclaimed by a background thread (r10 verdict
+        item 3 — timed runs should measure the pipeline, not directory
+        churn)."""
+        import time as _time
+
+        from dig_etl_engine_spark import queries_io as qio
+
+        p1 = qio._scratch("scratch_reuse_test")
+        marker = os.path.join(p1, "state")
+        os.makedirs(os.path.join(p1, "ck"), exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("x")
+        p2 = qio._scratch("scratch_reuse_test")
+        assert p2 == p1
+        assert os.path.isdir(p2) and not os.listdir(p2)  # fresh & empty
+        # the old fixture is gone from the live path immediately and the
+        # aside copy disappears shortly after (background reaper)
+        deadline = _time.monotonic() + 10
+        while _time.monotonic() < deadline:
+            asides = [n for n in os.listdir(qio._SCRATCH)
+                      if n.startswith("scratch_reuse_test.reap-")]
+            if not asides:
+                break
+            _time.sleep(0.05)
+        assert not asides, f"aside dirs never reaped: {asides}"
+
+
+def _demote_to_legacy_layout(p: str) -> None:
+    """Convert a manifest-era table back to the pre-r11 legacy layout
+    (visible ``_kb=<n>`` dirs, no manifest) — the fixture for every test
+    that exercises the legacy-protocol healing paths, which the manifest
+    protocol itself can no longer produce."""
+    import glob as _glob
+    import shutil as _shutil
+
+    m = kg_table._load_manifest(p)
+    assert m is not None
+    for n, d in m["live"].items():
+        src = os.path.join(p, d)
+        dst = os.path.join(p, f"_kb={n}")
+        if src != dst:
+            os.rename(src, dst)
+    os.remove(os.path.join(p, kg_table._MANIFEST))
+    for leftover in _glob.glob(os.path.join(_glob.escape(p), ".kbe_*")):
+        _shutil.rmtree(leftover, ignore_errors=True)
+
+
 class TestCompaction:
     def test_compact_fragmented_buckets(self, spark, tmp_path):
         """A bucket fragmented into many small files (the accumulation
@@ -691,8 +753,10 @@ class TestCompaction:
         before = {r.doc_id: (r.kafka_offset, r.v)
                   for r in kg_table.read_partitioned(spark, p).collect()}
 
-        # fragment one bucket: rewrite its rows as 3 separate files
-        d0 = sorted(glob.glob(f"{p}/_kb=*"))[0]
+        # fragment one bucket: rewrite its live dir's rows as 3 files
+        live = kg_table._live_bucket_dirs(p)
+        n0 = sorted(live)[0]
+        d0 = os.path.join(p, live[n0])
         rows = spark.read.parquet(d0).collect()
         assert len(rows) >= 3
         shutil.rmtree(d0)
@@ -701,13 +765,18 @@ class TestCompaction:
             spark.createDataFrame(chunk, schema) \
                 .coalesce(1).write.mode("append").parquet(d0)
         assert len(glob.glob(f"{d0}/*.parquet")) == 3
-        tidy_files = {d: sorted(glob.glob(f"{d}/*.parquet"))
-                      for d in glob.glob(f"{p}/_kb=*") if d != d0}
+        tidy_files = {n: sorted(glob.glob(f"{p}/{d}/*.parquet"))
+                      for n, d in live.items() if n != n0}
 
         assert kg_table.compact_partitioned(spark, p) == 1
-        assert len(glob.glob(f"{d0}/*.parquet")) == 1
-        for d, files in tidy_files.items():
-            assert sorted(glob.glob(f"{d}/*.parquet")) == files
+        live_after = kg_table._live_bucket_dirs(p)
+        # the fragmented bucket republished under a NEW epoch dir with
+        # one file; tidy buckets keep their exact dirs and files
+        assert live_after[n0] != live[n0]
+        assert len(glob.glob(f"{p}/{live_after[n0]}/*.parquet")) == 1
+        for n, files in tidy_files.items():
+            assert live_after[n] == live[n]
+            assert sorted(glob.glob(f"{p}/{live[n]}/*.parquet")) == files
         after = {r.doc_id: (r.kafka_offset, r.v)
                  for r in kg_table.read_partitioned(spark, p).collect()}
         assert after == before
@@ -747,15 +816,18 @@ class TestCompaction:
         assert after == before
 
     def test_compact_completes_interrupted_swap(self, spark, tmp_path):
-        """Crash between the two swap renames leaves (.compact_tmp_*,
-        .compact_old_*) and no bucket dir; the next run must FINISH the
-        swap from the complete tmp copy — not delete it."""
+        """A PRE-MANIFEST table crashed between its old protocol's two
+        swap renames: (.compact_tmp_*, .compact_old_*) on disk, bucket
+        dir missing. The next run's legacy healing must FINISH the swap
+        from the complete tmp copy — not delete it — before migrating
+        the table to the manifest."""
         import glob
         import os
         p = str(tmp_path / "t")
         b = spark.createDataFrame(
             [(f"k{i}", i, "base") for i in range(10)], TestUpsert.SCHEMA)
         kg_table.upsert_partitioned(spark, p, b, buckets=2)
+        _demote_to_legacy_layout(p)
         before = {r.doc_id for r in
                   kg_table.read_partitioned(spark, p).collect()}
 
@@ -1827,12 +1899,17 @@ class TestKgTableCrashSafety:
 
     def test_partitioned_upsert_recovers_torn_bucket_swap(self, spark,
                                                           tmp_path):
+        """A PRE-MANIFEST table crashed between its old protocol's two
+        swap renames (bucket aside, no live dir): the next upsert's
+        legacy healing restores the bucket, then the table migrates to
+        the manifest as part of that upsert's commit."""
         import glob as _glob
         from dig_etl_engine_spark.sinks.kg_table import (
-            read_partitioned, upsert_partitioned)
+            _load_manifest, read_partitioned, upsert_partitioned)
         t = str(tmp_path / "kgp")
         upsert_partitioned(spark, t, self._batch(spark, range(20)),
                            buckets=4)
+        _demote_to_legacy_layout(t)
         before = {(r["doc_id"], r["kafka_offset"]) for r in
                   read_partitioned(spark, t).collect()}
         # simulate a crash between the two renames of one bucket
@@ -1848,6 +1925,7 @@ class TestKgTableCrashSafety:
         assert after == before | {(500, 500)}  # bucket restored, no loss
         assert not _glob.glob(os.path.join(t, ".upsert_old_*"))
         assert not _glob.glob(os.path.join(t, ".upsert_tmp_*"))
+        assert _load_manifest(t) is not None  # migrated in place
 
     def test_partitioned_upsert_leaves_no_aside_dirs(self, spark,
                                                      tmp_path):
@@ -1872,26 +1950,32 @@ class TestKgTableCrashSafety:
         import shutil as _sh
         from dig_etl_engine_spark.sinks.kg_table import (
             compact_partitioned, upsert_partitioned)
+        from dig_etl_engine_spark.sinks.kg_table import _live_bucket_dirs
         t = str(tmp_path / "kgs")
         upsert_partitioned(spark, t, self._batch(spark, range(30)),
                            buckets=2)
         # fragment one bucket manually (an upsert REPLACES its touched
         # buckets, so fragmentation comes from many write tasks — here
-        # we model it directly)
-        d0 = sorted(_glob.glob(os.path.join(t, "_kb=*")))[0]
+        # we model it directly, inside the bucket's live epoch dir)
+        live = _live_bucket_dirs(t)
+        d0 = os.path.join(t, live[sorted(live)[0]])
         frag = d0 + "__frag"
         spark.read.parquet(d0).repartition(3).write.parquet(frag)
         _sh.rmtree(d0)
         os.rename(frag, d0)
         n1 = compact_partitioned(spark, t, min_files=2)
         assert n1 == 1  # only the fragmented bucket rewrites
-        files_after = sorted(_glob.glob(os.path.join(t, "_kb=*",
-                                                     "*.parquet")))
+
+        def _all_files():
+            return sorted(
+                f for d in _live_bucket_dirs(t).values()
+                for f in _glob.glob(os.path.join(t, d, "*.parquet")))
+
+        files_after = _all_files()
         # second run: already at target layout → nothing rewritten
         n2 = compact_partitioned(spark, t, min_files=2)
         assert n2 == 0
-        assert sorted(_glob.glob(os.path.join(t, "_kb=*",
-                                              "*.parquet"))) == files_after
+        assert _all_files() == files_after
 
     def test_glob_metachar_path_recovery_sweeps(self, tmp_path):
         """The finding this pins: recovery sweeps built their glob
@@ -1963,6 +2047,14 @@ class TestKgSwapCrashExhaustive:
             trip()
             return real_makedirs(p, **kw)
 
+        real_fsync = os.fsync
+
+        def fake_fsync(fd):
+            trip()
+            return real_fsync(fd)
+
+        monkeypatch.setattr(mod + ".os.fsync", fake_fsync,
+                            raising=False)
         monkeypatch.setattr(mod + ".os.rename", fake_rename,
                             raising=False)
         monkeypatch.setattr(mod + ".os.replace", fake_replace,
@@ -2043,12 +2135,16 @@ class TestKgSwapCrashExhaustive:
             self._plain_epoch(t)
             assert not glob.glob(t + ".__tmp__*")
 
-    # ---------------- partitioned upsert ----------------
+    # ---------------- partitioned upsert (manifest commit) ----------------
 
-    BUCKETS = ("0", "1", "2")
-    TOUCHED = ("0", "1")
+    BUCKETS = (0, 1, 2)
+    TOUCHED = (0, 1)
 
     def _build_part(self, root):
+        """A LEGACY table (_kb= dirs, no manifest yet — the migration
+        case, which is also the richest: the commit must build the
+        initial manifest AND publish the touched buckets in one flip)
+        plus a fully-staged upsert batch touching buckets 0 and 1."""
         import shutil as _sh
         t = os.path.join(root, "kgp")
         _sh.rmtree(t, ignore_errors=True)
@@ -2069,46 +2165,72 @@ class TestKgSwapCrashExhaustive:
                 fh.write(f"new-{kb}")
         return t, staging
 
-    def _assert_buckets_whole(self, t):
-        for kb in self.BUCKETS:
-            d = os.path.join(t, f"_kb={kb}")
-            assert os.path.isdir(d), f"bucket {kb} vanished"
+    def _assert_table_is_one_epoch(self, t):
+        """The manifest-commit invariant, STRONGER than the old
+        per-bucket one: the resolved view is exactly the pre-commit
+        table or exactly the post-commit table — the touched buckets
+        flip TOGETHER (one pointer replace), never a mix."""
+        from dig_etl_engine_spark.sinks.kg_table import (
+            _effective_bucket_dirs)
+        dirs = _effective_bucket_dirs(t)
+        assert len(dirs) == len(self.BUCKETS), dirs
+        content = {}
+        for d in dirs:
+            name = os.path.basename(d)
+            kb = int(name.split("=", 1)[1].split(".")[0]) \
+                if name.startswith("_kb=") else int(name.split("_")[1])
             with open(os.path.join(d, "a.parquet")) as fh:
-                c = fh.read()
-            want = ({f"old-{kb}", f"new-{kb}"} if kb in self.TOUCHED
-                    else {f"old-{kb}"})
-            assert c in want, (kb, c)
+                content[kb] = fh.read()
+        for kb in self.BUCKETS:
+            assert kb in content, (kb, dirs)
+        assert content[2] == "old-2", content
+        touched_states = {content[kb] == f"new-{kb}"
+                          for kb in self.TOUCHED}
+        assert len(touched_states) == 1, \
+            f"torn commit: touched buckets in mixed epochs: {content}"
+        return touched_states.pop()
 
     def test_partitioned_swap_crash_everywhere(self, tmp_path,
                                                monkeypatch):
         from dig_etl_engine_spark.sinks.kg_table import (
-            _recover_partitioned_swap, _swap_upsert_buckets)
+            _publish_staged_buckets, _recover_partitioned_swap)
         k, completed_clean = 1, False
-        while not completed_clean and k < 25:
+        while not completed_clean and k < 30:
             t, staging = self._build_part(str(tmp_path))
             with monkeypatch.context() as mp:
                 counter = self._fault_at(mp, k)
                 try:
-                    _swap_upsert_buckets(t, staging, "tok")
+                    _publish_staged_buckets(t, staging, "tok")
                     completed_clean = counter["n"] < k
                 except self._Crash:
                     pass
             _recover_partitioned_swap(t)
-            self._assert_buckets_whole(t)
+            committed = self._assert_table_is_one_epoch(t)
+            if completed_clean:
+                assert committed, "clean publish must land the batch"
             assert not glob.glob(os.path.join(t, ".upsert_*"))
+            # recovery swept every unreferenced staged epoch
+            from dig_etl_engine_spark.sinks.kg_table import (
+                _load_manifest)
+            m = _load_manifest(t)
+            referenced = set() if m is None else \
+                set(m["live"].values()) | {d for d, _ in
+                                           m["grace"].values()}
+            for leftover in glob.glob(os.path.join(t, ".kbe_*")):
+                assert os.path.basename(leftover) in referenced, leftover
             k += 1
         assert completed_clean, "fault budget exhausted before clean run"
 
     def test_partitioned_recovery_crash_then_recover(self, tmp_path,
                                                      monkeypatch):
         from dig_etl_engine_spark.sinks.kg_table import (
-            _recover_partitioned_swap, _swap_upsert_buckets)
-        for swap_k in range(1, 12):
+            _publish_staged_buckets, _recover_partitioned_swap)
+        for swap_k in range(1, 14):
             t, staging = self._build_part(str(tmp_path))
             with monkeypatch.context() as mp:
                 self._fault_at(mp, swap_k)
                 try:
-                    _swap_upsert_buckets(t, staging, "tok")
+                    _publish_staged_buckets(t, staging, "tok")
                 except self._Crash:
                     pass
             for heal_k in range(1, 8):
@@ -2119,7 +2241,7 @@ class TestKgSwapCrashExhaustive:
                     except self._Crash:
                         pass
             _recover_partitioned_swap(t)  # clean pass
-            self._assert_buckets_whole(t)
+            self._assert_table_is_one_epoch(t)
             assert not glob.glob(os.path.join(t, ".upsert_*"))
 
 
@@ -2284,21 +2406,101 @@ class TestTableLock:
         assert not os.path.isdir(t + ".__lock__")
 
 
-class TestReadPartitionedTornView:
-    """read_partitioned during a concurrent swap: every bucket resolves
-    to exactly one complete epoch — live dir when present, the swap's
-    aside copy during the instant between its two renames — and a table
-    mid-rebucket reads from its .rebucket_old copy. Previously a reader
-    in those windows silently returned results missing a whole bucket
-    (or failed outright for rebucket)."""
+class TestManifestReaderDuringSwap:
+    """The manifest-commit contract, observed from a concurrent reader
+    (verdict r10 item 2): a loop of lock-free ``read_partitioned`` calls
+    across N upserts and a compaction must see (a) ZERO errors — data
+    dirs never move after publication and superseded dirs survive as
+    grace copies until the next writer entry — and (b) only COMMITTED
+    states: every observed snapshot is exactly the table after some
+    prefix of the upserts, never a mix of two (each upsert touches
+    multiple buckets, and they flip together in one pointer replace —
+    the old per-bucket rename swap could expose bucket A post-batch
+    beside bucket B pre-batch)."""
 
-    def _table(self, spark, tmp_path, name="kgt"):
+    def test_reader_sees_only_committed_states(self, spark, tmp_path):
+        import threading
+
+        from dig_etl_engine_spark.sinks.kg_table import (
+            compact_partitioned, read_partitioned, upsert_partitioned)
+
+        p = str(tmp_path / "kg")
+        schema = "doc_id long, v string, kafka_offset long"
+        base = spark.createDataFrame(
+            [(i, "base", 0) for i in range(24)], schema)
+        upsert_partitioned(spark, p, base, buckets=4)
+
+        # precompute the committed-state chain: after batch k, key 0 is
+        # rewritten to v=f"u{k}" and key 100+k exists — the two keys
+        # land in different buckets, so a torn multi-bucket commit
+        # WOULD be observable as a mixed snapshot
+        states = []
+        cur = {i: "base" for i in range(24)}
+        states.append(dict(cur))
+        batches = []
+        for k in range(1, 6):
+            cur[0] = f"u{k}"
+            cur[100 + k] = "new"
+            states.append(dict(cur))
+            batches.append(spark.createDataFrame(
+                [(0, f"u{k}", k), (100 + k, "new", k)], schema))
+        allowed = [frozenset(s.items()) for s in states]
+
+        errors: list[BaseException] = []
+        observed: list[frozenset] = []
+        stop = threading.Event()
+
+        def reader():
+            while not stop.is_set():
+                try:
+                    snap = frozenset(
+                        (r["doc_id"], r["v"]) for r in
+                        read_partitioned(spark, p).collect())
+                    observed.append(snap)
+                except BaseException as e:  # noqa: BLE001 — "no error" IS the assertion
+                    errors.append(e)
+                    return
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        try:
+            for b in batches:
+                upsert_partitioned(spark, p, b, buckets=4)
+            compact_partitioned(spark, p, min_files=2)
+        finally:
+            stop.set()
+            t.join(timeout=120)
+        assert not errors, \
+            f"reader saw an error during swaps: {errors[0]!r}"
+        assert len(observed) >= 3
+        bad = [dict(o) for o in observed if o not in allowed]
+        assert not bad, f"uncommitted/mixed state observed: {bad[:2]}"
+        # the final read sees the fully-applied chain
+        final = frozenset(
+            (r["doc_id"], r["v"]) for r in
+            read_partitioned(spark, p).collect())
+        assert final == allowed[-1]
+
+
+class TestReadPartitionedTornView:
+    """read_partitioned on a LEGACY (pre-manifest) table during that
+    protocol's concurrent swap: every bucket resolves to exactly one
+    complete epoch — live dir when present, the swap's aside copy during
+    the instant between its two renames — and a table mid-rebucket reads
+    from its .rebucket_old copy. Manifest-era tables need none of this
+    aside resolution (one atomic pointer read yields the complete live
+    set — covered by TestManifestReaderDuringSwap); these tests pin the
+    legacy fallback that keeps never-migrated tables readable."""
+
+    def _table(self, spark, tmp_path, name="kgt", legacy=False):
         from dig_etl_engine_spark.sinks.kg_table import (
             read_partitioned, upsert_partitioned)
         t = str(tmp_path / name)
         upsert_partitioned(spark, t, spark.createDataFrame(
             [(i, f"text {i}", i) for i in range(40)],
             "doc_id LONG, text STRING, kafka_offset LONG"), buckets=4)
+        if legacy:
+            _demote_to_legacy_layout(t)
         rows = {(r["doc_id"], r["kafka_offset"]) for r in
                 read_partitioned(spark, t).collect()}
         assert len(rows) == 40
@@ -2310,7 +2512,7 @@ class TestReadPartitionedTornView:
 
     def test_upsert_swap_window_reads_aside(self, spark, tmp_path):
         from dig_etl_engine_spark.sinks.kg_table import read_partitioned
-        t, rows = self._table(spark, tmp_path)
+        t, rows = self._table(spark, tmp_path, legacy=True)
         d = self._first_bucket(t)
         kbv = os.path.basename(d).split("=")[1]
         os.rename(d, os.path.join(t, f".upsert_old_{kbv}_tok"))
@@ -2322,7 +2524,7 @@ class TestReadPartitionedTornView:
 
     def test_compact_swap_window_reads_aside(self, spark, tmp_path):
         from dig_etl_engine_spark.sinks.kg_table import read_partitioned
-        t, rows = self._table(spark, tmp_path, "kgc")
+        t, rows = self._table(spark, tmp_path, "kgc", legacy=True)
         d = self._first_bucket(t)
         kbv = os.path.basename(d).split("=")[1]
         os.rename(d, os.path.join(t, f".compact_old_{kbv}_tok"))
@@ -2335,7 +2537,7 @@ class TestReadPartitionedTornView:
         the live epoch must win, not duplicate."""
         import shutil as _sh
         from dig_etl_engine_spark.sinks.kg_table import read_partitioned
-        t, rows = self._table(spark, tmp_path, "kgw")
+        t, rows = self._table(spark, tmp_path, "kgw", legacy=True)
         d = self._first_bucket(t)
         kbv = os.path.basename(d).split("=")[1]
         _sh.copytree(d, os.path.join(t, f".upsert_old_{kbv}_tok"))

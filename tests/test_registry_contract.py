@@ -443,6 +443,117 @@ def test_no_oracle_escapes_are_enumerated():
     )
 
 
+# ---------------------------------------------------------------------------
+# Generator-tree CSE lint (r11, generalizing the r10 bind-once pin in
+# test_bindings.py): Catalyst performs no common-subexpression
+# elimination inside higher-order-function lambdas, and a lambda body
+# re-evaluates PER ELEMENT — so an expensive kernel (split / regexp /
+# translate / json) sitting inside a lambda body WITHOUT depending on
+# the lambda's variable is loop-invariant work paid once per element
+# instead of once per row. The r9 `decontaminate_eval_overlap`
+# regression was exactly this: a 13-gram builder's tokenization inside
+# the per-gram lambda re-ran 26x per row. The r10 fix pinned the four
+# known builders; this lint scans EVERY registered query's analyzed
+# plan for the hazard class itself. Allowlist kept EMPTY — a legitimate
+# hit must be rebound through functions/bindings.py:bind_once instead
+# of allowlisted. (Expensive calls that DO reference the lambda
+# variable are per-element by necessity and pass.)
+
+_CSE_EXPENSIVE_HEADS = (
+    "split(", "regexp_replace(", "regexp_extract(",
+    "regexp_extract_all(", "rlike(", "translate(", "sentences(",
+    "from_json(", "to_json(",
+)
+_CSE_ALLOWLIST: dict[str, str] = {}
+
+_CSE_LAMBDA_VAR = re.compile(r"lambda \w+#\d+")
+
+
+def _balanced_paren_end(s: str, open_i: int) -> int:
+    """Index of the ')' closing the '(' at ``open_i`` (end of string if
+    unbalanced — analyzed plans can elide deep trees)."""
+    depth = 0
+    for i in range(open_i, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return len(s) - 1
+
+
+def generator_cse_violations(plan: str) -> list[str]:
+    """Loop-invariant expensive calls inside HOF lambda bodies of an
+    analyzed-plan string. For every ``lambdafunction(...)`` span, each
+    expensive call whose own balanced span references NO lambda
+    variable (``lambda x_N#id`` — uses print with the same prefix as
+    bindings) is flagged: it does not depend on the element, so every
+    per-element evaluation after the first is wasted."""
+    out = []
+    for line in plan.splitlines():
+        idx = 0
+        while True:
+            j = line.find("lambdafunction(", idx)
+            if j < 0:
+                break
+            open_i = j + len("lambdafunction")
+            end = _balanced_paren_end(line, open_i)
+            body = line[open_i + 1:end]
+            for head in _CSE_EXPENSIVE_HEADS:
+                k = 0
+                while True:
+                    h = body.find(head, k)
+                    if h < 0:
+                        break
+                    span_end = _balanced_paren_end(body, h + len(head) - 1)
+                    span = body[h:span_end + 1]
+                    if not _CSE_LAMBDA_VAR.search(span):
+                        out.append(
+                            f"loop-invariant {head.rstrip('(')} inside a "
+                            f"lambda body — re-evaluated per element with "
+                            f"no CSE; bind it once "
+                            f"(functions/bindings.py) | {span[:160]}")
+                    k = span_end + 1
+            idx = open_i + 1  # also visit nested lambdas
+    return out
+
+
+@pytest.mark.parametrize("name", _names(), ids=_names())
+def test_no_repeated_expensive_exprs_in_generator_trees(spark, name):
+    if name in _CSE_ALLOWLIST:
+        pytest.skip(_CSE_ALLOWLIST[name])
+    df = _df_for(spark, name)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    errs = generator_cse_violations(plan)
+    assert not errs, f"{name}:\n" + "\n".join(errs)
+
+
+def test_generator_cse_lint_catches_violations(spark):
+    """Plant the exact r9 hazard — an inlined 13-gram builder whose
+    tokenization repeats inside the Generate tree — and assert the lint
+    fires; then assert the bound form passes."""
+    from pyspark.sql import functions as F
+
+    from dig_etl_engine_spark.functions.bindings import bind_once
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "id long, text string")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    inlined = df.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 12, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 13)))).alias("g"))
+    plan = inlined._jdf.queryExecution().analyzed().toString()
+    assert generator_cse_violations(plan), \
+        "lint missed a 3x-repeated split( inside a Generate tree"
+
+    bound = df.select(F.explode(bind_once(
+        toks, lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - 12, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 13))))).alias("g"))
+    plan_b = bound._jdf.queryExecution().analyzed().toString()
+    assert not generator_cse_violations(plan_b), plan_b
+
+
 def test_registry_orders_least_recently_verified_first():
     """The driver walks `queries()` in iteration order and time/count-boxes
     the sweep, so the registry must present (1) never-verified queries,
