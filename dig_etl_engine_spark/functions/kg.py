@@ -187,7 +187,29 @@ def materialize_bm25_stats(docs: DataFrame, path: str, *,
     as bucket compaction (``scripts/maintain.py --bm25-stats``) — NOT
     per query, which would re-scan the corpus and defeat the
     materialization.
+
+    WRITER EXCLUSION: the build-and-flip runs under the store's
+    advisory ``table_lock`` (r11 round-close review): two unlocked
+    concurrent builders could each sweep the other's just-committed
+    epoch — writer A's sweep (keeping only A's tokens) deletes B's
+    fully-written epoch an instant before B's pointer flip publishes
+    it, leaving the pointer naming a deleted directory, and a
+    freshness-marker cache (``queries_search._corpus_cache_path``
+    checks ``_CURRENT`` exists) would then treat the wreck as built
+    forever. With the lock, builders serialize and the loser simply
+    rebuilds over the winner's epoch (kept as its grace copy).
+    ``refresh_bm25_stats`` already holds the lock and calls the
+    unlocked internal (the mkdir lock is not reentrant).
     """
+    from dig_etl_engine_spark.sinks.kg_table import table_lock
+
+    with table_lock(path):
+        _materialize_bm25_stats_locked(docs, path, text_col=text_col,
+                                       id_col=id_col)
+
+
+def _materialize_bm25_stats_locked(docs: DataFrame, path: str, *,
+                                   text_col: str, id_col: str) -> None:
     import uuid
 
     from dig_etl_engine_spark.sinks.kg_table import commit_pointer
@@ -299,8 +321,8 @@ def refresh_bm25_stats(docs: DataFrame, path: str, *,
         if not force and not bm25_stats_stale(
                 docs, path, id_col=id_col, text_col=text_col):
             return False
-        materialize_bm25_stats(docs, path, text_col=text_col,
-                               id_col=id_col)
+        _materialize_bm25_stats_locked(docs, path, text_col=text_col,
+                                       id_col=id_col)
     return True
 
 

@@ -418,8 +418,6 @@ def search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`plans/weights.py:bm25_score_column`), and scores with pure column
     math over the scan — no full-corpus aggregation in the query path.
     The oracle recomputes the full formula including ln()."""
-    import shutil
-
     from dig_etl_engine_spark.functions.kg import (
         load_bm25_stats, materialize_bm25_stats)
     from dig_etl_engine_spark.plans.weights import bm25_score_column
@@ -428,7 +426,10 @@ def search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["hash", "window"]
     path, fresh = _corpus_cache_path(sf_dir, "bm25_stats", "_CURRENT")
     if not fresh:
-        shutil.rmtree(path, ignore_errors=True)
+        # no pre-wipe: the build is lock-serialized and epoch-committed
+        # (a concurrent builder's epoch must not be rmtree'd from under
+        # its pointer flip — r11 round-close review); partial litter
+        # from a crashed build is swept by the build's own epoch sweep
         materialize_bm25_stats(docs, path)
     n_docs, avgdl, df_counts = load_bm25_stats(spark, path, terms)
     score = bm25_score_column(

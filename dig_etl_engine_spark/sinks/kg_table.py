@@ -344,8 +344,11 @@ def _swap_upsert(target_path: str, tmp: str) -> None:
 #
 # Layout contract (manifest era): bucket data lives in IMMUTABLE epoch
 # directories named ``.kbe_<bucket>_<token>`` (dot-prefixed: invisible to
-# naive directory listings, exactly like the staging dirs always were —
-# ``read_partitioned`` is the read API); the manifest file ``_kg_manifest``
+# naive directory listings — ``read_partitioned`` is the ONLY read API;
+# a raw ``spark.read.parquet(root)`` fails loudly on a fully-epoch table
+# and silently serves stale/partial rows on an in-place-migrated one
+# whose legacy ``_kb=`` dirs still hold the unrewritten buckets — see
+# ``compact_partitioned``'s docstring); the manifest file ``_kg_manifest``
 # maps bucket id → live dir name and is replaced atomically by
 # ``commit_pointer``. A multi-bucket upsert or compaction therefore commits
 # ALL its buckets in ONE rename — there is no per-bucket between-renames
@@ -383,11 +386,19 @@ _HASH_WIDENED = "widened"
 def _load_manifest(target_path: str) -> dict | None:
     """Parse the table's bucket manifest, or None for a pre-manifest
     (legacy) table. Returns ``{"gen": int, "live": {bucket: dirname},
-    "grace": {bucket: (dirname, gen_created)}}``. Read-only; a torn or
-    unparsable manifest is impossible by the pointer-commit contract
-    (``commit_pointer`` replaces atomically after an fsync), so parse
-    errors are raised, not masked — masking one would silently demote a
-    manifest table to legacy listing and resurrect swept-dir reads."""
+    "grace": {bucket: (dirname, gen_created)}, "buckets": int|None,
+    "widened": bool|None}``. The bucket count and hash version are
+    duplicated here from ``_kg_buckets`` because the manifest is the
+    fsync-guaranteed artifact (``commit_pointer``): if a power loss
+    eats the meta file but not the manifest, recovering the hash
+    version from the manifest prevents a widened table from being
+    misread as legacy-unwidened — which, now that stored rows' ``_kb``
+    is recomputed from the key, would scatter stored rows into wrong
+    buckets instead of merely duplicating batch rows (r11 round-close
+    review). Read-only; a torn or unparsable manifest is impossible by
+    the pointer-commit contract, so parse errors are raised, not
+    masked — masking one would silently demote a manifest table to
+    legacy listing and resurrect swept-dir reads."""
     import json
 
     raw = resolve_pointer(target_path, name=_MANIFEST)
@@ -399,7 +410,25 @@ def _load_manifest(target_path: str) -> dict | None:
         "live": {int(k): v for k, v in m.get("live", {}).items()},
         "grace": {int(k): (v[0], int(v[1]))
                   for k, v in m.get("grace", {}).items()},
+        "buckets": (int(m["buckets"])
+                    if m.get("buckets") is not None else None),
+        "widened": (bool(m["widened"])
+                    if m.get("widened") is not None else None),
     }
+
+
+def _dump_manifest(gen: int, live: dict[int, str], grace: dict[int, tuple],
+                   *, buckets: int | None, widened: bool | None) -> str:
+    """The ONE serializer of the manifest wire format (every writer —
+    commit, recovery's grace prune, rebucket's birth manifest — goes
+    through here, so a format change lands exactly once)."""
+    import json
+
+    return json.dumps({
+        "v": 1, "gen": gen, "buckets": buckets, "widened": widened,
+        "live": {str(k): v for k, v in sorted(live.items())},
+        "grace": {str(k): [d, g] for k, (d, g) in sorted(grace.items())},
+    })
 
 
 def _legacy_bucket_dirs(target_path: str) -> dict[int, str]:
@@ -449,7 +478,9 @@ def _sweep_unreferenced_buckets(target_path: str, live: dict[int, str],
     sweep_pointer_tmps(target_path, name=_MANIFEST)
 
 
-def _commit_buckets(target_path: str, new_dirs: dict[int, str]) -> None:
+def _commit_buckets(target_path: str, new_dirs: dict[int, str], *,
+                    buckets: int | None = None,
+                    widened: bool | None = None) -> None:
     """The bucketed table's linearization point: publish ``new_dirs``
     (bucket id → epoch dir name, already fully written under
     ``target_path``) with ONE atomic manifest replace, then sweep dirs
@@ -468,11 +499,17 @@ def _commit_buckets(target_path: str, new_dirs: dict[int, str]) -> None:
     in-flight readers (see the ``_MANIFEST`` doctrine above).
 
     A legacy table migrates here in place: the initial manifest
-    references its existing ``_kb=<n>`` dirs verbatim."""
+    references its existing ``_kb=<n>`` dirs verbatim.
+
+    ``buckets``/``widened`` stamp the table's bucket count and hash
+    version into the manifest (the fsync-guaranteed recovery source for
+    ``_kg_buckets`` — see :func:`_load_manifest`); None carries the
+    previous manifest's values forward (compaction and other writers
+    that don't rehash anything)."""
     m = _load_manifest(target_path)
     if m is None:
         m = {"gen": 0, "live": _legacy_bucket_dirs(target_path),
-             "grace": {}}
+             "grace": {}, "buckets": None, "widened": None}
     gen = m["gen"] + 1
     live = dict(m["live"])
     grace = dict(m["grace"])
@@ -483,13 +520,11 @@ def _commit_buckets(target_path: str, new_dirs: dict[int, str]) -> None:
             grace[n] = (old, gen)
         else:
             grace.pop(n, None)
-    import json
-    payload = json.dumps({
-        "v": 1, "gen": gen,
-        "live": {str(k): v for k, v in sorted(live.items())},
-        "grace": {str(k): [d, g] for k, (d, g) in sorted(grace.items())},
-    })
-    commit_pointer(target_path, payload, name=_MANIFEST)
+    commit_pointer(target_path, _dump_manifest(
+        gen, live, grace,
+        buckets=buckets if buckets is not None else m["buckets"],
+        widened=widened if widened is not None else m["widened"],
+    ), name=_MANIFEST)
     _sweep_unreferenced_buckets(target_path, live, grace)
 
 
@@ -526,6 +561,7 @@ def _load_bucket_meta(target_path: str, buckets: int) -> tuple[int, bool]:
     # would misread it as a BIRTH and stamp the wrong hash version
     live = _live_bucket_dirs(target_path)
     has_kb = bool(live)
+    manifest = _load_manifest(target_path)
     try:
         with open(os.path.join(target_path, _BUCKETS_META),
               encoding="utf-8") as fh:
@@ -533,6 +569,21 @@ def _load_bucket_meta(target_path: str, buckets: int) -> tuple[int, bool]:
             persisted = int(tokens[0])
             widened = _HASH_WIDENED in tokens[1:]
     except (OSError, ValueError, IndexError):
+        # meta file missing/torn, but the (fsync-committed) manifest
+        # carries the same facts: recover from it and re-persist the
+        # meta — without this, a widened table that lost only its meta
+        # to a power loss would be misread as legacy-unwidened and the
+        # key recompute would scatter stored rows (r11 review)
+        if manifest is not None and manifest["buckets"] is not None:
+            if manifest["buckets"] != buckets:
+                logger.warning(
+                    "upsert_partitioned: table %s is bucketed %d-way "
+                    "(recovered from manifest; meta file was missing); "
+                    "ignoring buckets=%d argument", target_path,
+                    manifest["buckets"], buckets)
+            _persist_bucket_meta(target_path, manifest["buckets"],
+                                 widened=bool(manifest["widened"]))
+            return manifest["buckets"], bool(manifest["widened"])
         max_kb = max(live.keys(), default=-1)
         if max_kb >= buckets:
             raise ValueError(
@@ -561,6 +612,11 @@ def _persist_bucket_meta(target_path: str, buckets: int, *,
     tmp = os.path.join(target_path, f".{_BUCKETS_META}.tmp.{os.getpid()}")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(f"{buckets} {_HASH_WIDENED}" if widened else str(buckets))
+        fh.flush()
+        # fsync like the manifest commit: a power loss that keeps the
+        # (fsynced) manifest but eats this file would otherwise demote
+        # a widened table to legacy-unwidened hashing on the next load
+        os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(target_path, _BUCKETS_META))
 
 
@@ -635,20 +691,18 @@ def _recover_partitioned_swap(target_path: str) -> None:
         shutil.rmtree(stale, ignore_errors=True)
     # manifest era: prune expired grace, sweep unreferenced dirs
     if m is not None:
-        import json
         grace = {n: g for n, g in m["grace"].items() if g[1] >= m["gen"]}
         if grace != m["grace"]:
-            commit_pointer(target_path, json.dumps({
-                "v": 1, "gen": m["gen"],
-                "live": {str(k): v for k, v in sorted(m["live"].items())},
-                "grace": {str(k): [d, g]
-                          for k, (d, g) in sorted(grace.items())},
-            }), name=_MANIFEST)
+            commit_pointer(target_path, _dump_manifest(
+                m["gen"], m["live"], grace,
+                buckets=m["buckets"], widened=m["widened"]),
+                name=_MANIFEST)
         _sweep_unreferenced_buckets(target_path, m["live"], grace)
 
 
-def _publish_staged_buckets(target_path: str, staging: str,
-                            token: str) -> None:
+def _publish_staged_buckets(target_path: str, staging: str, token: str,
+                            *, buckets: int | None = None,
+                            widened: bool | None = None) -> None:
     """Pure-filesystem commit of :func:`upsert_partitioned`'s step 4:
     move each staged ``_kb=<n>`` subdir to its immutable epoch name
     ``.kbe_<n>_<token>`` (renames of not-yet-referenced dirs — crashing
@@ -668,7 +722,8 @@ def _publish_staged_buckets(target_path: str, staging: str,
         os.rename(staged, os.path.join(target_path, name))
         new_dirs[kbv] = name
     if new_dirs:
-        _commit_buckets(target_path, new_dirs)
+        _commit_buckets(target_path, new_dirs,
+                        buckets=buckets, widened=widened)
     shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS marker etc.
 
 
@@ -1009,7 +1064,8 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
     # between the two leaves a correctly-classified table either way
     # (meta with no manifest is simply a not-yet-committed batch).
     _persist_bucket_meta(target_path, buckets, widened=widened)
-    _publish_staged_buckets(target_path, staging, token)
+    _publish_staged_buckets(target_path, staging, token,
+                            buckets=buckets, widened=widened)
     for f in flat_files:
         try:
             os.remove(os.path.join(target_path, f))
@@ -1058,9 +1114,16 @@ def compact_partitioned(spark: SparkSession, target_path: str, *,
     waits). Readers need no coordination: :func:`read_partitioned`
     resolves the manifest in one atomic pointer read. Naive directory
     listings (``spark.read.parquet`` straight at the table root) are
-    NOT the read API on a manifest table — the live epoch dirs are
-    hidden, so such a read fails loudly instead of silently serving a
-    torn view, which is the intended failure mode.
+    NOT the read API on a manifest table, in EITHER direction: on a
+    table whose buckets have all moved to hidden epoch dirs such a
+    read fails loudly (no visible data files), but on an
+    in-place-migrated table — visible legacy ``_kb=`` dirs coexisting
+    with hidden epochs for the rewritten buckets — it SILENTLY serves
+    stale or partial rows (the unrewritten buckets plus whatever
+    superseded visible dirs remain), with no error, indefinitely.
+    Route every reader through :func:`read_partitioned`; a one-shot
+    :func:`rebucket_partitioned` normalizes a migrated table if the
+    mixed layout bothers an external tool.
     """
     with table_lock(target_path, timeout=lock_timeout):
         return _compact_partitioned_locked(
@@ -1171,13 +1234,9 @@ def _rebucket_partitioned_locked(spark: SparkSession, target_path: str,
     _persist_bucket_meta(tmp, new_buckets, widened=True)
     # a rebucketed table is born manifest-routed: reference the fresh
     # _kb= dirs in place (gen 0, no grace — the whole root swaps at once)
-    import json
-    commit_pointer(tmp, json.dumps({
-        "v": 1, "gen": 0,
-        "live": {str(k): v
-                 for k, v in sorted(_legacy_bucket_dirs(tmp).items())},
-        "grace": {},
-    }), name=_MANIFEST)
+    commit_pointer(tmp, _dump_manifest(
+        0, _legacy_bucket_dirs(tmp), {},
+        buckets=new_buckets, widened=True), name=_MANIFEST)
     n = spark.read.option("basePath", tmp) \
         .parquet(os.path.join(tmp, "_kb=*")).count()
     os.rename(target_path, old)

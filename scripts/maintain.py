@@ -72,8 +72,11 @@ def main() -> int:
                     help="output file count for the --zorder rewrite "
                          "(default 8)")
     ap.add_argument("--bm25-stats", metavar="PATH",
-                    help="persisted BM25 stats root (term_df/ + corpus/) "
-                         "to refresh if its corpus signature has drifted")
+                    help="persisted BM25 stats root (pointer-committed "
+                         "epoch_<token>/ dirs behind a _CURRENT file; "
+                         "legacy flat term_df/+corpus/ layouts migrate "
+                         "on first rebuild) to refresh if its corpus "
+                         "signature has drifted")
     ap.add_argument("--bm25-docs", metavar="PATH",
                     help="parquet corpus the stats describe "
                          "(required with --bm25-stats)")

@@ -1268,9 +1268,14 @@ class TestBucketMetaAndRebucket:
         layout disproves: dirs hold values in [0, build_count), so any
         _kb >= argument means the argument is smaller than the build
         count — adopting (and persisting!) it would make the silent-
-        duplicate-keys hole permanent. Equal counts still adopt."""
+        duplicate-keys hole permanent. Equal counts still adopt.
+        (A MANIFEST table that merely lost its meta file never reaches
+        this path — the manifest carries the true count, covered by
+        test_meta_loss_recovers_hash_version_from_manifest — so the
+        fixture must be a genuinely pre-manifest table.)"""
         import pytest as _pytest
         p = self._table(spark, tmp_path, buckets=8, n=200)  # fills _kb=0..7
+        _demote_to_legacy_layout(p)
         os.remove(os.path.join(p, "_kg_buckets"))           # make it legacy
         upd = spark.createDataFrame([("k0", 9, "new")], self.SCHEMA)
         with _pytest.raises(ValueError, match="larger bucket count"):
@@ -1551,6 +1556,32 @@ class TestBucketMetaAndRebucket:
         got = {r.doc_id: r.score
                for r in kg_table.read_partitioned(spark, p).collect()}
         assert got[4] == float("inf")
+
+    def test_meta_loss_recovers_hash_version_from_manifest(
+            self, spark, tmp_path):
+        """A power loss can eat the (previously un-fsynced) _kg_buckets
+        meta while the fsync-committed manifest survives. Without the
+        manifest fallback, the metaless load would classify this WIDENED
+        int-keyed table as legacy-unwidened, and the stored-row _kb
+        recompute would scatter existing rows into wrong buckets —
+        silent row loss (r11 round-close review). The manifest carries
+        buckets+hash-version precisely so this load self-heals."""
+        p = str(tmp_path / "t")
+        schema = "doc_id int, v string, kafka_offset long"
+        base = spark.createDataFrame(
+            [(i, "base", 0) for i in range(30)], schema)
+        kg_table.upsert_partitioned(spark, p, base, buckets=4)
+        os.remove(os.path.join(p, kg_table._BUCKETS_META))
+        # wrong bucket-count argument too: the manifest's value must win
+        kg_table.upsert_partitioned(
+            spark, p, spark.createDataFrame(
+                [(0, "upd", 1), (99, "new", 1)], schema), buckets=16)
+        got = {r.doc_id: r.v
+               for r in kg_table.read_partitioned(spark, p).collect()}
+        assert len(got) == 31 and got[0] == "upd" and got[99] == "new"
+        # meta re-persisted with the recovered (widened) version
+        n, widened = kg_table._load_bucket_meta(p, 16)
+        assert (n, widened) == (4, True)
 
     def test_rebucket_crash_recovery_states(self, spark, tmp_path):
         import shutil as _sh

@@ -461,8 +461,13 @@ def test_no_oracle_escapes_are_enumerated():
 
 _CSE_EXPENSIVE_HEADS = (
     "split(", "regexp_replace(", "regexp_extract(",
-    "regexp_extract_all(", "rlike(", "translate(", "sentences(",
+    "regexp_extract_all(", "RLIKE(", "translate(", "sentences(",
     "from_json(", "to_json(",
+    # NOTE: heads must match the analyzed plan's rendering exactly —
+    # rlike prints UPPERCASE (verified on Spark 4.1.2), the others
+    # lowercase; a case-insensitive pass over the whole line is not
+    # safe because str.lower() is not length-preserving for some
+    # Unicode that can appear inside plan string literals
 )
 _CSE_ALLOWLIST: dict[str, str] = {}
 
