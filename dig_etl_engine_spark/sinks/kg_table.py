@@ -978,16 +978,22 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
     existing_all = None
     stray = None
     if has_kb:
-        # explicit per-dir roots resolved through the manifest (legacy
-        # listing for pre-manifest tables) — no basePath inference; the
-        # _kb column is recomputed from the key below, which is exact by
-        # the writer invariant (every stored row's key hashes to its
-        # directory's bucket under the table's recorded hash version).
-        # This frame is the SCHEMA contract (lazy — no job runs on it);
-        # merge data is read from the touched dirs only, further down.
+        # the incumbent SCHEMA frame (lazy — no job ever runs on it):
+        # one bucket dir suffices, because _align_to_table enforces the
+        # schema as a cross-bucket contract — every bucket file carries
+        # the same types. Reading one dir instead of all keeps the
+        # per-batch footer/listing cost O(1) in bucket count (at the
+        # rebucket-as-you-grow doctrine's scale, bucket count tracks
+        # table size, and an O(buckets) listing per micro-batch would
+        # be a hidden O(table) term — measured as the residual slope in
+        # scripts/scaling_study.py's upsert kernel). Merge DATA is read
+        # from the touched dirs only, further down, with _kb recomputed
+        # from the key (exact by the writer invariant: every stored
+        # row's key hashes to its directory's bucket under the table's
+        # recorded hash version).
+        first = sorted(live.items())[0][1]
         existing_all = spark.read.parquet(
-            *[os.path.join(target_path, d)
-              for _, d in sorted(live.items())])
+            os.path.join(target_path, first))
     if flat_files:
         stray = spark.read.parquet(
             *[os.path.join(target_path, f) for f in flat_files])

@@ -245,6 +245,31 @@ def layout_ops(spark, li_path: str, ord_path: str, scratch: str):
             ("bloom_prejoin_prune", bloom)]
 
 
+def table_ops(spark, table_path: str, k: int):
+    """r11 kernel: the bucketed KG table's per-batch merge cost under
+    the doctrine that bucket SIZE, not bucket count, stays constant as
+    a table grows (the table is built with ``buckets=16*k`` — the
+    rebucket-as-you-grow contract). A FIXED 100-row batch then merges
+    into the k-scaled table; the O(touched-bucket-data) claim predicts
+    a ~FLAT curve across k (the batch touches ≤100 buckets of constant
+    size; only the manifest commit and the bucket-dir reads ride
+    along). A curve tracking k would mean the merge secretly rereads
+    or rewrites O(table). The table itself is built untimed in
+    run_single's input-materialization step."""
+    from dig_etl_engine_spark.sinks.kg_table import upsert_partitioned
+
+    def merge():
+        rows = [(10**9 + i, f"fresh doc {i}", "en", "s0", 10**9 + i)
+                for i in range(100)]
+        batch = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, kafka_offset long")
+        upsert_partitioned(spark, table_path, batch, buckets=16 * k)
+        return len(rows)
+
+    return [("upsert_partitioned_merge_scale", merge)]
+
+
 def run_single(k: int) -> None:
     """One scale factor in THIS process — invoked in a fresh
     subprocess per k by main(), which is the methodology SCALING.md
@@ -266,8 +291,10 @@ def run_single(k: int) -> None:
     only = None
     if len(sys.argv) > 3:
         only = set(sys.argv[3].split(","))
+    ktp = f"{droot}/kg_table"
     every = (ops(spark, dp, ep) + layout_ops(spark, lp, op, droot)
-             + event_ops(spark, evp) + cell_pair_ops(spark, ecp))
+             + event_ops(spark, evp) + cell_pair_ops(spark, ecp)
+             + table_ops(spark, ktp, k))
     if only is not None:
         unknown = only - {n for n, _ in every}
         if unknown:
@@ -294,6 +321,22 @@ def run_single(k: int) -> None:
     if only is None or cell_names & names:
         scaled_embeddings_cells(spark, k).write.mode("overwrite") \
             .parquet(ecp)
+    if only is None or "upsert_partitioned_merge_scale" in names:
+        # untimed table build at bucket count 16*k (constant bucket
+        # size across k — the rebucket-as-you-grow doctrine); a fresh
+        # build per run so reruns don't accrete merged batches
+        import shutil as _sh
+
+        from dig_etl_engine_spark.sinks.kg_table import (
+            upsert_partitioned)
+        _sh.rmtree(ktp, ignore_errors=True)
+        # (the docs parquet is always materialized by the first block:
+        # this kernel's name is outside every exclusion set there)
+        upsert_partitioned(
+            spark, ktp,
+            spark.read.parquet(dp)
+            .withColumn("kafka_offset", F.col("doc_id")),
+            buckets=16 * k)
     for name, fn in todo:
         t0 = time.time()
         n = fn()

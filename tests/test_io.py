@@ -2035,6 +2035,136 @@ class TestKgTableCrashSafety:
         assert not os.path.isdir(os.path.join(t2, ".upsert_tmp_dead"))
 
 
+class TestManifestRandomCrashReplay:
+    """Randomized end-to-end torture of the manifest protocol: a seeded
+    random walk of upserts and compactions, each optionally killed at a
+    random filesystem op inside the COMMIT path (the Spark writes
+    complete; the publish crashes), with the failed batch REPLAYED
+    before the walk continues. Invariants after every step:
+
+    * ``read_partitioned`` equals the relational expectation — the
+      last-write-wins fold of every batch that REPORTED success plus
+      the replayed ones (a crashed-then-replayed batch lands exactly
+      once; a crashed compaction changes nothing);
+    * the table never serves a mix of two states (prefix property —
+      implied by checking exact equality at every step).
+
+    Complements the exhaustive per-op fuzz (which proves each crash
+    point recovers in isolation) by proving crash+replay COMPOSES
+    across a history of mixed operations — closer to what a flaky
+    production writer actually does. Seeded for reproducibility."""
+
+    class _Crash(Exception):
+        pass
+
+    def _arm(self, monkeypatch, k):
+        """Crash at the k-th commit-critical fs op inside kg_table
+        (rename / replace / fsync — the staged moves, the pointer flip,
+        and the durability barriers). rmtree is deliberately NOT
+        faulted here: the per-op fuzz suite already covers sweep
+        crashes at the fs level, and rmtree is also the table_lock
+        RELEASE — crashing it would leave the lock held by this live
+        pid and stall the walk's next operation on the lock timeout
+        rather than exercising the protocol."""
+        count = {"n": 0}
+        mod = "dig_etl_engine_spark.sinks.kg_table"
+        real = {"rename": os.rename, "replace": os.replace,
+                "fsync": os.fsync}
+
+        def wrap(name):
+            def f(*a, **kw):
+                count["n"] += 1
+                if count["n"] == k and not self._after:
+                    raise self._Crash()
+                out = real[name](*a, **kw)
+                if count["n"] == k and self._after:
+                    # crash AFTER the op took effect: for the pointer
+                    # replace this is "committed but the writer died
+                    # before returning" — the replay must then be a
+                    # pure no-op merge
+                    raise self._Crash()
+                return out
+            return f
+
+        monkeypatch.setattr(mod + ".os.rename", wrap("rename"),
+                            raising=False)
+        monkeypatch.setattr(mod + ".os.replace", wrap("replace"),
+                            raising=False)
+        monkeypatch.setattr(mod + ".os.fsync", wrap("fsync"),
+                            raising=False)
+        return count
+
+    def test_random_crash_replay_walk(self, spark, tmp_path, monkeypatch):
+        import random
+
+        rng = random.Random(0xD16E)
+        p = str(tmp_path / "kg")
+        schema = "doc_id long, v string, kafka_offset long"
+        expected: dict[int, tuple[str, int]] = {}
+
+        def apply_batch(rows):
+            for doc_id, v, off in rows:
+                cur = expected.get(doc_id)
+                if cur is None or off >= cur[1]:
+                    expected[doc_id] = (v, off)
+
+        def check(step):
+            got = {r.doc_id: (r.v, r.kafka_offset) for r in
+                   kg_table.read_partitioned(spark, p).collect()}
+            assert got == expected, (
+                f"step {step}: table diverged from the replayed "
+                f"history (missing={set(expected) - set(got)}, "
+                f"extra={set(got) - set(expected)})")
+
+        # seed batch (never crashed, so the walk always has a table)
+        rows = [(i, "seed", 0) for i in range(20)]
+        kg_table.upsert_partitioned(
+            spark, p, spark.createDataFrame(rows, schema), buckets=4)
+        apply_batch(rows)
+        check("seed")
+
+        off = 1
+        for step in range(12):
+            op = rng.choice(["upsert", "upsert", "upsert", "compact"])
+            crash_at = rng.choice([None, None] + list(range(1, 10)))
+            self._after = rng.random() < 0.5  # crash before vs after op
+            if op == "upsert":
+                rows = [(rng.randrange(40), f"s{step}", off + i)
+                        for i in range(rng.randrange(1, 5))]
+                off += len(rows)
+                batch = spark.createDataFrame(rows, schema)
+                crashed = False
+                if crash_at is not None:
+                    with monkeypatch.context() as mp:
+                        self._arm(mp, crash_at)
+                        try:
+                            kg_table.upsert_partitioned(
+                                spark, p, batch, buckets=4)
+                        except self._Crash:
+                            crashed = True
+                if crash_at is None or crashed:
+                    # replay (or first run) without faults — must land
+                    # the batch exactly once regardless of how far the
+                    # crashed attempt got
+                    kg_table.upsert_partitioned(
+                        spark, p, batch, buckets=4)
+                apply_batch(rows)
+            else:
+                crashed = False
+                if crash_at is not None:
+                    with monkeypatch.context() as mp:
+                        self._arm(mp, crash_at)
+                        try:
+                            kg_table.compact_partitioned(
+                                spark, p, min_files=2)
+                        except self._Crash:
+                            crashed = True
+                if crash_at is None or crashed:
+                    kg_table.compact_partitioned(spark, p, min_files=2)
+                # compaction never changes expected state
+            check(step)
+
+
 class TestKgSwapCrashExhaustive:
     """Fault-injection sweep of the KG upsert swaps, mirroring
     TestSwapCrashExhaustive for the export sink: crash at EVERY mutating
