@@ -256,9 +256,10 @@ def dedupe_last_write_wins(df: DataFrame, key_col: str = "doc_id",
 
 def _recover_upsert(target_path: str) -> None:
     """Heal the rename-aside swap window (:func:`_swap_upsert`) and
-    sweep its leftovers — shared by the plain :func:`upsert` and the
-    BM25 stats refresh (``functions/kg.refresh_bm25_stats``), which use
-    the same commit protocol on their directory roots. A crash between
+    sweep its leftovers — called by the plain :func:`upsert` (still the
+    flat table's commit protocol) and, for PRE-r11 crash leftovers
+    only, by the BM25 stats refresh (``functions/kg.refresh_bm25_stats``
+    — its own commits are pointer-epoch now). A crash between
     the two renames leaves ``.__old__`` holding the only complete copy
     — restore it (the interrupted write replays via foreachBatch / the
     caller's retry / the next maintenance run). A crash AFTER the
