@@ -80,6 +80,22 @@ def commit_pointer(root: str, payload: str, *,
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, pointer_path(root, name))
+    # fsync the PARENT DIRECTORY too: os.replace updates a dirent, and
+    # without flushing it a power loss can persist the commit's
+    # FOLLOW-UP work (the sweep's unlinks of superseded dirs) while the
+    # rename itself is still unflushed — after reboot the pointer would
+    # name deleted directories. Payload fsync alone does not order the
+    # dirent against later operations (r11 round-close review).
+    try:
+        fd = os.open(root, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass  # some filesystems reject directory fsync; best effort
+    finally:
+        os.close(fd)
 
 
 def resolve_pointer(root: str, *, name: str = "_CURRENT") -> str | None:
@@ -521,12 +537,36 @@ def _commit_buckets(target_path: str, new_dirs: dict[int, str], *,
             grace[n] = (old, gen)
         else:
             grace.pop(n, None)
+    stamp_b = buckets if buckets is not None else m["buckets"]
+    stamp_w = widened if widened is not None else m["widened"]
+    if stamp_b is None:
+        # a writer that doesn't know the hash facts (compaction) over a
+        # table whose manifest doesn't carry them yet (first manifest
+        # born from a compaction-led migration): lift them from the
+        # meta file NOW, while it still exists — otherwise the manifest
+        # is stamped None forever and the meta-loss recovery in
+        # _load_bucket_meta has nothing to recover from (r11
+        # round-close review, second pass)
+        meta = _read_meta_file(target_path)
+        if meta is not None:
+            stamp_b, stamp_w = meta
     commit_pointer(target_path, _dump_manifest(
-        gen, live, grace,
-        buckets=buckets if buckets is not None else m["buckets"],
-        widened=widened if widened is not None else m["widened"],
+        gen, live, grace, buckets=stamp_b, widened=stamp_w,
     ), name=_MANIFEST)
     _sweep_unreferenced_buckets(target_path, live, grace)
+
+
+def _read_meta_file(target_path: str) -> tuple[int, bool] | None:
+    """Parse ``_kg_buckets`` → (count, widened), or None when the file
+    is absent/torn (the caller decides how to recover — manifest
+    fallback, legacy adoption, or birth)."""
+    try:
+        with open(os.path.join(target_path, _BUCKETS_META),
+                  encoding="utf-8") as fh:
+            tokens = fh.read().split()
+            return int(tokens[0]), _HASH_WIDENED in tokens[1:]
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def _load_bucket_meta(target_path: str, buckets: int) -> tuple[int, bool]:
@@ -560,16 +600,13 @@ def _load_bucket_meta(target_path: str, buckets: int) -> tuple[int, bool]:
     # the layout probe must consult the manifest: a manifest table's
     # live dirs may all be hidden .kbe_ epochs, so a bare _kb= listing
     # would misread it as a BIRTH and stamp the wrong hash version
-    live = _live_bucket_dirs(target_path)
-    has_kb = bool(live)
+    # (one manifest load serves both the probe and the recovery branch)
     manifest = _load_manifest(target_path)
-    try:
-        with open(os.path.join(target_path, _BUCKETS_META),
-              encoding="utf-8") as fh:
-            tokens = fh.read().split()
-            persisted = int(tokens[0])
-            widened = _HASH_WIDENED in tokens[1:]
-    except (OSError, ValueError, IndexError):
+    live = manifest["live"] if manifest is not None \
+        else _legacy_bucket_dirs(target_path)
+    has_kb = bool(live)
+    meta = _read_meta_file(target_path)
+    if meta is None:
         # meta file missing/torn, but the (fsync-committed) manifest
         # carries the same facts: recover from it and re-persist the
         # meta — without this, a widened table that lost only its meta
@@ -599,6 +636,7 @@ def _load_bucket_meta(target_path: str, buckets: int) -> tuple[int, bool]:
         # placed its dirs); a fresh/flat-only table is a birth and
         # starts width-safe
         return buckets, not has_kb
+    persisted, widened = meta
     if persisted != buckets:
         logger.warning(
             "upsert_partitioned: table %s is bucketed %d-way; ignoring "
@@ -703,7 +741,8 @@ def _recover_partitioned_swap(target_path: str) -> None:
 
 def _publish_staged_buckets(target_path: str, staging: str, token: str,
                             *, buckets: int | None = None,
-                            widened: bool | None = None) -> None:
+                            widened: bool | None = None,
+                            expected: set[int] | None = None) -> None:
     """Pure-filesystem commit of :func:`upsert_partitioned`'s step 4:
     move each staged ``_kb=<n>`` subdir to its immutable epoch name
     ``.kbe_<n>_<token>`` (renames of not-yet-referenced dirs — crashing
@@ -714,11 +753,37 @@ def _publish_staged_buckets(target_path: str, staging: str, token: str,
     missing-dir instant and no rollback path — the flip either happened
     (commit fully applied) or it didn't (table unchanged; the batch
     replays idempotently). Module-level so the crash-fuzz suite can
-    inject faults without a Spark write per iteration."""
+    inject faults without a Spark write per iteration.
+
+    ``expected`` (the merge's touched-bucket set) is the
+    placement-invariant tripwire: a staged bucket OUTSIDE it means
+    rows read from a touched directory re-hashed into a bucket whose
+    incumbent rows were never read — publishing it would REPLACE that
+    bucket's live dir and silently drop those rows (reachable only on
+    a table whose stored rows violate key↔directory placement, e.g.
+    pre-r8 width-drift corruption; the pre-r11 directory-name read
+    merely duplicated such rows). Refusing BEFORE any rename leaves
+    the table untouched and the staging sweepable; the fix is
+    ``rebucket_partitioned``, which rewrites every row under one
+    hash (r11 round-close review, second pass)."""
+    staged_dirs = sorted(glob_mod.glob(
+        os.path.join(glob_mod.escape(staging), "_kb=*")))
+    ids = [int(os.path.basename(d).split("=", 1)[1])
+           for d in staged_dirs]
+    if expected is not None:
+        rogue = sorted(set(ids) - set(expected))
+        if rogue:
+            raise ValueError(
+                f"upsert_partitioned: merged rows hash into bucket(s) "
+                f"{rogue} that this batch never touched — stored rows "
+                f"in the touched directories hash outside their own "
+                f"bucket (placement-invariant violation; legacy "
+                f"width-drift corruption is the known cause). "
+                f"Publishing would silently drop those buckets' "
+                f"incumbent rows; run rebucket_partitioned on "
+                f"{target_path} to rewrite the table under one hash.")
     new_dirs: dict[int, str] = {}
-    for staged in sorted(glob_mod.glob(
-            os.path.join(glob_mod.escape(staging), "_kb=*"))):
-        kbv = int(os.path.basename(staged).split("=", 1)[1])
+    for staged, kbv in zip(staged_dirs, ids):
         name = f".kbe_{kbv}_{token}"
         os.rename(staged, os.path.join(target_path, name))
         new_dirs[kbv] = name
@@ -1063,6 +1128,10 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
     token = uuid.uuid4().hex[:8]
     staging = os.path.join(target_path, f".upsert_tmp_{token}")
     b.write.partitionBy("_kb").parquet(staging)
+    # the tripwire set for the publish step: every staged bucket must
+    # come from the batch/stray fold (= touched, computed above) — on
+    # a birth write there are no incumbents to protect
+    expected = set(touched) if has_kb else None
     # (re-)pin the table's bucket count AND hash version BEFORE the
     # manifest flip: idempotent, heals a manually deleted meta; a legacy
     # table stays marked legacy (its directories were placed by the
@@ -1072,7 +1141,8 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
     # (meta with no manifest is simply a not-yet-committed batch).
     _persist_bucket_meta(target_path, buckets, widened=widened)
     _publish_staged_buckets(target_path, staging, token,
-                            buckets=buckets, widened=widened)
+                            buckets=buckets, widened=widened,
+                            expected=expected)
     for f in flat_files:
         try:
             os.remove(os.path.join(target_path, f))

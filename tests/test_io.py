@@ -1583,6 +1583,64 @@ class TestBucketMetaAndRebucket:
         n, widened = kg_table._load_bucket_meta(p, 16)
         assert (n, widened) == (4, True)
 
+    def test_compaction_led_migration_stamps_hash_facts(
+            self, spark, tmp_path):
+        """A legacy table whose FIRST manifest-era write is a
+        compaction: the migration manifest must still carry the bucket
+        count + hash version (lifted from the meta file at commit
+        time), so the meta-loss recovery works for compaction-born
+        manifests too (r11 round-close review, second pass)."""
+        import glob as _glob
+        import shutil as _sh
+
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(f"k{i}", i, "base") for i in range(30)], self.SCHEMA)
+        kg_table.upsert_partitioned(spark, p, base, buckets=2)
+        _demote_to_legacy_layout(p)
+        # fragment one bucket so the compaction commits (and migrates)
+        d0 = sorted(_glob.glob(os.path.join(p, "_kb=*")))[0]
+        frag = d0 + "__frag"
+        spark.read.parquet(d0).repartition(3).write.parquet(frag)
+        _sh.rmtree(d0)
+        os.rename(frag, d0)
+        assert kg_table.compact_partitioned(spark, p, min_files=2) == 1
+        m = kg_table._load_manifest(p)
+        assert (m["buckets"], m["widened"]) == (2, True)
+        # the full meta-loss scenario now recovers on this table too
+        os.remove(os.path.join(p, kg_table._BUCKETS_META))
+        assert kg_table._load_bucket_meta(p, 16) == (2, True)
+
+    def test_placement_violation_refuses_instead_of_dropping_rows(
+            self, spark, tmp_path):
+        """Stored rows that hash outside their own directory (legacy
+        width-drift corruption) must REFUSE the merge with the rebucket
+        path named — under the manifest protocol a silent publish would
+        REPLACE the mis-hashed target bucket's live dir and drop its
+        incumbent rows (the pre-r11 directory-name read merely kept
+        duplicates). Corruption model: a widened-placed INT-keyed table
+        whose meta (and manifest) are doctored to claim unwidened
+        hashing, so the merge recomputes existing rows' _kb under the
+        WRONG hash."""
+        import pytest as _pytest
+
+        p = str(tmp_path / "t")
+        schema = "doc_id int, v string, kafka_offset long"
+        base = spark.createDataFrame(
+            [(i, "base", 0) for i in range(40)], schema)
+        kg_table.upsert_partitioned(spark, p, base, buckets=4)
+        _demote_to_legacy_layout(p)           # drop the manifest
+        with open(os.path.join(p, kg_table._BUCKETS_META), "w",
+                  encoding="utf-8") as fh:
+            fh.write("4")                     # claim legacy UNWIDENED
+        batch = spark.createDataFrame([(0, "upd", 1)], schema)
+        with _pytest.raises(ValueError, match="placement-invariant"):
+            kg_table.upsert_partitioned(spark, p, batch, buckets=4)
+        # refused BEFORE any publish: the table is intact
+        got = {r.doc_id: r.v
+               for r in kg_table.read_partitioned(spark, p).collect()}
+        assert len(got) == 40 and all(v == "base" for v in got.values())
+
     def test_rebucket_crash_recovery_states(self, spark, tmp_path):
         import shutil as _sh
         p = self._table(spark, tmp_path, buckets=2)
