@@ -226,6 +226,14 @@ def _materialize_bm25_stats_locked(docs: DataFrame, path: str, *,
               _corpus_signature(id_col, text_col).alias("corpus_sig"))
          .write.mode("overwrite").parquet(f"{root}/corpus"))
     import os
+
+    from dig_etl_engine_spark.sinks.kg_table import _fsync_tree
+
+    # data durability before the pointer may reference it: Spark wrote
+    # the epoch's parquet without fsync, and the fsynced pointer must
+    # never name torn files after a power loss (same contract as the
+    # KG table's staged-epoch flush — see kg_table.FSYNC_STAGED_DATA)
+    _fsync_tree(root)
     payload = tok
     if prev and prev != path:
         payload = f"{tok} {os.path.basename(prev)}"

@@ -101,20 +101,43 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # same floor tree; its last verdict is r3 so it sorts near the
     # front either way — the entry records WHY it must not be skipped
     "ivf_kmeans_train": 9,
-    # r11: the BM25 stats store moved from the rename-aside swap to
-    # pointer-committed immutable epochs (functions/kg.py —
-    # materialize/load/refresh all touched; verdict r10 item 2). The
-    # stats VALUES are computed by the same expressions, but the query's
-    # read path changed, so its r10 verdict predates the code it now
-    # runs.
-    "search_bm25_rank": 11,
-    # r11: the bucketed KG table's commit moved from per-bucket
-    # rename-aside swaps to the one-rename manifest protocol
-    # (sinks/kg_table.py — the upsert's existing-bucket read, the
-    # publish step, compaction, and read_partitioned all changed).
-    # The merge SEMANTICS are untouched (pure function of (key,
-    # order)), but this query executes every changed path.
-    "upsert_partitioned_merge": 11,
+    # r12: the bucketed table's commit/recovery protocol changed again
+    # (sinks/kg_table.py — grace retention became configurable with a
+    # v2 list-valued manifest grace format, reclamation moved from
+    # entry-sweep to targeted commit-time removal behind a swept-gen
+    # sidecar fast path, staged epoch data is fsynced before the flip,
+    # the naive-read guard file lands at the root, and resolve_pointer
+    # narrowed its except clause). Merge SEMANTICS are untouched, but
+    # these three queries execute every changed path:
+    # upsert_partitioned_merge through upsert_partitioned/
+    # read_partitioned, stream_file_upsert through run_ingest's default
+    # bucketed sink (the r11 rationale for excluding it — "only a name
+    # comparison changed" — does not apply this round: the commit
+    # protocol it executes IS the diff), and search_bm25_rank through
+    # the BM25 epoch publish, which now fsyncs its staged tables
+    # before the pointer flip.
+    "upsert_partitioned_merge": 12,
+    "stream_file_upsert": 12,
+    "search_bm25_rank": 12,
+    # Deliberately NOT listed (r12, cannot move results): every other
+    # stream_* / upsert query (stream_dedup_ingest,
+    # stream_decontaminate_ingest, stream_e2e_curation,
+    # upsert_last_write_wins, ...) runs the FLAT-table path — plain
+    # kg_table.upsert / create_table_if_not_exists / raw parquet reads
+    # — which this round's diff does not touch (no pointer, no
+    # manifest, no staged epochs on a flat table; resolve_pointer is
+    # never called there, and its except-clause narrowing is
+    # extensionally identity on every healthy filesystem anyway: a
+    # missing pointer file still raises FileNotFoundError → None).
+    # coarse_search_rank_materialized reads the _SUCCESS-markered
+    # kw_index, not the pointer-epoch stats store. The guard file and
+    # swept-gen sidecar are new root-level names no registered query
+    # ever lists (read_partitioned reads explicit bucket dirs; the
+    # flat-file migration pass matches *.parquet only).
+    # (the r11 entries for search_bm25_rank / upsert_partitioned_merge
+    # — the pointer-epoch and manifest-protocol migrations — expired at
+    # r11's own driver sweep, both re-verified green, and are subsumed
+    # by their r12 entries above)
     # Deliberately NOT listed (r11, cannot move results):
     # upsert_last_write_wins and the stream_* flat-table queries run
     # through kg_table.upsert/create_table_if_not_exists, whose only

@@ -102,11 +102,24 @@ def resolve_pointer(root: str, *, name: str = "_CURRENT") -> str | None:
     """Read the live pointer payload, or None when no pointer exists
     (pre-pointer legacy layout, or a never-written table). Read-only —
     never heals anything (healing is the writers' job, under their
-    lock)."""
+    lock).
+
+    ONLY the two errnos that prove absence (ENOENT for a missing file
+    or parent, ENOTDIR for a path component that is a file — both mean
+    "this root has never committed a pointer") map to None. Every
+    other OSError propagates: a transient open() failure (EMFILE under
+    a busy Spark driver, EACCES, an NFS hiccup) must fail the caller's
+    operation, NOT silently reclassify a pointer-committed table as
+    legacy/unborn — for the bucket manifest that demotion would make
+    the next upsert treat the table as a birth write, commit a fresh
+    manifest referencing only its own batch, and sweep every
+    previously committed epoch dir (silent table truncation — the
+    exact hole ``_load_manifest`` already refuses to open for parse
+    errors; r11 external review, medium)."""
     try:
         with open(pointer_path(root, name), encoding="utf-8") as fh:
             return fh.read()
-    except OSError:
+    except (FileNotFoundError, NotADirectoryError):
         return None
 
 
@@ -378,14 +391,67 @@ def _swap_upsert(target_path: str, tmp: str) -> None:
 # ``_kb=<n>`` names — no data moves.
 #
 # Reader grace: each commit records the touched buckets' PREVIOUS dirs in
-# the manifest's ``grace`` map, stamped with the committing generation.
-# Sweeps keep live ∪ grace, so an in-flight reader that resolved the
-# pre-flip manifest keeps complete roots until the next writer entry
-# prunes grace entries older than the latest generation (Delta's
-# retain-until-VACUUM doctrine, one generation deep). The cost is that an
-# idle table retains its last commit's superseded copies until the next
-# maintenance entry reclaims them.
+# the manifest's ``grace`` map, each entry stamped with the committing
+# generation and wall-clock time. Sweeps keep live ∪ grace, so an
+# in-flight reader that resolved a pre-flip manifest keeps complete
+# roots until its entries age past the RETENTION window (Delta's
+# retain-until-VACUUM doctrine). Retention is configurable (r11 external
+# review, low — the fixed one-interval grace broke lock-free scans that
+# outlive two quick successive commits under continuous micro-batch
+# ingest): an entry is reclaimed only once it is BOTH more than
+# ``GRACE_RETAIN_GENERATIONS`` commits old AND (when a time window is
+# set) older than ``GRACE_RETAIN_SECONDS``. The defaults reproduce the
+# original doctrine — one writer interval, no time floor; a deployment
+# with long concurrent scans raises either knob (generation depth for
+# bursty ingest, the time window for "no scan runs longer than X"
+# guarantees). Reclamation happens AT COMMIT (targeted: exactly the
+# entries the prune releases) and at entry recovery after a crash —
+# the steady-state write path never lists the table root (see
+# ``_SWEPT_GEN``). The cost of retention is that an idle table keeps
+# its last commits' superseded copies until the next writer entry.
+GRACE_RETAIN_GENERATIONS: int = 1
+GRACE_RETAIN_SECONDS: float = 0.0
+
 _MANIFEST = "_kg_manifest"
+
+# Swept-generation sidecar (verdict r11 item 4 — the entry-sweep syscall
+# tax): ``.kg_swept_gen`` records the manifest generation whose commit
+# (or entry recovery) last left the table fully swept. A mutating entry
+# whose manifest generation equals the sidecar skips the whole recovery
+# scan — the legacy-heal globs, the grace prune, and the O(live dirs)
+# unreferenced sweep — making steady-state upserts O(touched buckets) in
+# syscalls. The file is ADVISORY and fail-safe by construction: writers
+# UNLINK it before staging any new on-disk state (so a crashed writer's
+# orphans are found by the next entry's full sweep) and re-stamp it only
+# after a complete commit+sweep; a torn or stale value can only compare
+# unequal to the live generation (generations grow, a torn prefix is a
+# smaller number, a parse failure reads as absent) — every failure mode
+# degrades to one extra full sweep, never to a skipped-but-needed one.
+_SWEPT_GEN = ".kg_swept_gen"
+
+# Naive-read tripwire (verdict r11 item 3): once any committed bucket
+# lives in a hidden ``.kbe_`` epoch dir, a raw ``spark.read.parquet``
+# at the table root is WRONG — on an in-place-migrated table (visible
+# legacy ``_kb=`` dirs coexisting with hidden epochs) it silently
+# serves stale/partial rows, indefinitely. This visible non-parquet
+# file makes such a read fail loudly instead (Spark's footer read
+# names the file: CANNOT_READ_FILE_FOOTER .../KG_NAIVE_READ_GUARD),
+# while every sanctioned path ignores it — ``read_partitioned`` reads
+# explicit bucket dirs, the flat-file migration pass matches only
+# ``*.parquet`` names, and DuckDB-style ``root/*.parquet`` globs never
+# see it. ``scripts/maintain.py --check`` reports the layout state.
+_NAIVE_READ_GUARD = "KG_NAIVE_READ_GUARD"
+
+# fsync staged epoch data before the manifest references it (r11
+# external review, low): Spark writes staged parquet without fsync, so
+# without this walk a power loss could persist the (fsynced) manifest
+# while the epoch files it names are torn or empty — the durability
+# guarantee held for the pointer metadata only. With it, the commit
+# order is data → dirents → pointer, and a manifest can only name
+# durable files. Deployments on filesystems where the walk is
+# prohibitive (or that delegate durability to replication, as HDFS
+# does) may disable it and accept the narrower metadata-only claim.
+FSYNC_STAGED_DATA: bool = True
 
 _BUCKETS_META = "_kg_buckets"
 # Second meta token: the bucket-hash VERSION. Tables born after the r8
@@ -403,29 +469,41 @@ _HASH_WIDENED = "widened"
 def _load_manifest(target_path: str) -> dict | None:
     """Parse the table's bucket manifest, or None for a pre-manifest
     (legacy) table. Returns ``{"gen": int, "live": {bucket: dirname},
-    "grace": {bucket: (dirname, gen_created)}, "buckets": int|None,
-    "widened": bool|None}``. The bucket count and hash version are
-    duplicated here from ``_kg_buckets`` because the manifest is the
-    fsync-guaranteed artifact (``commit_pointer``): if a power loss
-    eats the meta file but not the manifest, recovering the hash
-    version from the manifest prevents a widened table from being
-    misread as legacy-unwidened — which, now that stored rows' ``_kb``
-    is recomputed from the key, would scatter stored rows into wrong
-    buckets instead of merely duplicating batch rows (r11 round-close
-    review). Read-only; a torn or unparsable manifest is impossible by
-    the pointer-commit contract, so parse errors are raised, not
-    masked — masking one would silently demote a manifest table to
-    legacy listing and resurrect swept-dir reads."""
+    "grace": {bucket: [(dirname, gen_created, ts_created), ...]},
+    "buckets": int|None, "widened": bool|None}``. The bucket count and
+    hash version are duplicated here from ``_kg_buckets`` because the
+    manifest is the fsync-guaranteed artifact (``commit_pointer``): if
+    a power loss eats the meta file but not the manifest, recovering
+    the hash version from the manifest prevents a widened table from
+    being misread as legacy-unwidened — which, now that stored rows'
+    ``_kb`` is recomputed from the key, would scatter stored rows into
+    wrong buckets instead of merely duplicating batch rows (r11
+    round-close review). Read-only; a torn or unparsable manifest is
+    impossible by the pointer-commit contract, so parse errors are
+    raised, not masked — masking one would silently demote a manifest
+    table to legacy listing and resurrect swept-dir reads.
+
+    Grace wire formats: v1 manifests hold one ``[dir, gen]`` pair per
+    bucket (the fixed one-generation grace); v2 holds a LIST of
+    ``[dir, gen, ts]`` entries per bucket (configurable retention —
+    see ``GRACE_RETAIN_GENERATIONS``). Both parse; writes are v2."""
     import json
 
     raw = resolve_pointer(target_path, name=_MANIFEST)
     if raw is None:
         return None
     m = json.loads(raw)
+
+    def entries(v):
+        if v and isinstance(v[0], str):          # v1: ["dir", gen]
+            return [(v[0], int(v[1]), 0.0)]
+        return [(e[0], int(e[1]),
+                 float(e[2]) if len(e) > 2 else 0.0) for e in v]
+
     return {
         "gen": int(m.get("gen", 0)),
         "live": {int(k): v for k, v in m.get("live", {}).items()},
-        "grace": {int(k): (v[0], int(v[1]))
+        "grace": {int(k): entries(v)
                   for k, v in m.get("grace", {}).items()},
         "buckets": (int(m["buckets"])
                     if m.get("buckets") is not None else None),
@@ -434,7 +512,7 @@ def _load_manifest(target_path: str) -> dict | None:
     }
 
 
-def _dump_manifest(gen: int, live: dict[int, str], grace: dict[int, tuple],
+def _dump_manifest(gen: int, live: dict[int, str], grace: dict[int, list],
                    *, buckets: int | None, widened: bool | None) -> str:
     """The ONE serializer of the manifest wire format (every writer —
     commit, recovery's grace prune, rebucket's birth manifest — goes
@@ -442,10 +520,133 @@ def _dump_manifest(gen: int, live: dict[int, str], grace: dict[int, tuple],
     import json
 
     return json.dumps({
-        "v": 1, "gen": gen, "buckets": buckets, "widened": widened,
+        "v": 2, "gen": gen, "buckets": buckets, "widened": widened,
         "live": {str(k): v for k, v in sorted(live.items())},
-        "grace": {str(k): [d, g] for k, (d, g) in sorted(grace.items())},
+        "grace": {str(k): [[d, g, ts] for d, g, ts in es]
+                  for k, es in sorted(grace.items()) if es},
     })
+
+
+def _prune_grace(grace: dict[int, list], gen: int
+                 ) -> tuple[dict[int, list], list[str]]:
+    """Apply the retention policy to a grace map: keep an entry while
+    it is within ``GRACE_RETAIN_GENERATIONS`` commits of ``gen`` OR
+    (when a time window is configured) younger than
+    ``GRACE_RETAIN_SECONDS``. Returns (kept_map, released_dir_names) —
+    the released dirs are exactly what the caller may reclaim. Pure
+    (no filesystem access): callable from both the commit path and the
+    entry recovery without re-listing anything."""
+    now = time.time()
+    kept: dict[int, list] = {}
+    dropped: list[str] = []
+    for n, es in grace.items():
+        keep = []
+        for d, g, ts in es:
+            if g > gen - GRACE_RETAIN_GENERATIONS or (
+                    GRACE_RETAIN_SECONDS > 0
+                    and now - ts < GRACE_RETAIN_SECONDS):
+                keep.append((d, g, ts))
+            else:
+                dropped.append(d)
+        if keep:
+            kept[n] = keep
+    return kept, dropped
+
+
+def _read_swept_gen(target_path: str) -> int | None:
+    """The generation the table was last left fully swept at, or None
+    (absent / torn / unparsable — all read as "must sweep")."""
+    try:
+        with open(os.path.join(target_path, _SWEPT_GEN),
+                  encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _invalidate_swept_gen(target_path: str) -> None:
+    """Unlink the swept-gen sidecar BEFORE staging any new on-disk
+    state: if this writer crashes mid-work, the next entry finds no
+    sidecar and runs the full recovery sweep over the orphans."""
+    try:
+        os.remove(os.path.join(target_path, _SWEPT_GEN))
+    except OSError:
+        pass
+
+
+def _stamp_swept_gen(target_path: str, gen: int) -> None:
+    """Record that generation ``gen``'s commit left the table fully
+    swept. Advisory, plain write, no fsync: every loss/tear mode reads
+    back as absent or as a stale (smaller) generation — see the
+    ``_SWEPT_GEN`` doctrine — costing one extra full sweep, never a
+    skipped-but-needed one."""
+    try:
+        with open(os.path.join(target_path, _SWEPT_GEN), "w",
+                  encoding="utf-8") as fh:
+            fh.write(str(gen))
+    except OSError:
+        pass
+
+
+def _write_naive_read_guard(target_path: str, live: dict[int, str]) -> None:
+    """Drop the visible non-parquet tripwire file once any live bucket
+    is a hidden epoch dir (see ``_NAIVE_READ_GUARD``). Idempotent; a
+    crash before this write is healed by the next commit or entry
+    recovery. Never written while every live dir is a visible
+    ``_kb=`` name (there a root read still resolves the full table)."""
+    if not any(d.startswith(".kbe_") for d in live.values()):
+        return
+    guard = os.path.join(target_path, _NAIVE_READ_GUARD)
+    if os.path.exists(guard):
+        return
+    try:
+        with open(guard, "w", encoding="utf-8") as fh:
+            fh.write(
+                "This bucketed KG table routes reads through its "
+                "manifest (_kg_manifest): some committed buckets live "
+                "in hidden .kbe_* epoch directories that a raw "
+                "directory listing cannot see, so a naive "
+                "spark.read.parquet(<table root>) would silently "
+                "return stale or partial rows. This deliberately "
+                "non-parquet file makes such a read fail loudly "
+                "instead. Read via "
+                "dig_etl_engine_spark.sinks.kg_table.read_partitioned; "
+                "run rebucket_partitioned to normalize the layout for "
+                "external tools; scripts/maintain.py --check <table> "
+                "reports the layout state.\n")
+    except OSError:
+        logger.warning("kg_table: could not write naive-read guard "
+                       "under %s", target_path, exc_info=True)
+
+
+def _fsync_tree(root: str) -> None:
+    """fsync every file, then every directory, under ``root`` (bottom-
+    up) — the data half of the durability contract (see
+    ``FSYNC_STAGED_DATA``). File fsync failures PROPAGATE (a file that
+    cannot be made durable must not be referenced by the manifest — the
+    batch fails and replays); directory fsync is best-effort like
+    ``commit_pointer``'s parent-dirent flush (some filesystems reject
+    it). Cost is O(files in the staged epochs) — the touched buckets,
+    never the table."""
+    if not FSYNC_STAGED_DATA:
+        return
+    for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
+        for fn in filenames:
+            fd = os.open(os.path.join(dirpath, fn), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        try:
+            fd = os.open(dirpath, os.O_RDONLY)
+        except OSError:
+            continue
+        try:
+            os.fsync(fd)
+        except OSError:
+            pass
+        finally:
+            os.close(fd)
 
 
 def _legacy_bucket_dirs(target_path: str) -> dict[int, str]:
@@ -475,13 +676,17 @@ def _live_bucket_dirs(target_path: str) -> dict[int, str]:
 
 
 def _sweep_unreferenced_buckets(target_path: str, live: dict[int, str],
-                                grace: dict[int, tuple]) -> None:
+                                grace: dict[int, list]) -> None:
     """Drop bucket dirs referenced by neither the live map nor the grace
     map, plus orphaned manifest temp files. Safe by the manifest-era
     invariant: every committed dir is referenced, so unreferenced =
     a crashed writer's staged epoch or a pruned grace copy — both
-    recomputable/superseded. Runs under the table lock only."""
-    referenced = set(live.values()) | {d for d, _ in grace.values()}
+    recomputable/superseded. Runs under the table lock only, and only
+    on the NON-steady path (entry recovery after a crash / first touch
+    of a table; see ``_SWEPT_GEN`` — the commit path reclaims its
+    released grace dirs by name instead of listing the root)."""
+    referenced = set(live.values()) | {
+        d for es in grace.values() for d, _, _ in es}
     try:
         names = os.listdir(target_path)
     except OSError:
@@ -497,7 +702,7 @@ def _sweep_unreferenced_buckets(target_path: str, live: dict[int, str],
 
 def _commit_buckets(target_path: str, new_dirs: dict[int, str], *,
                     buckets: int | None = None,
-                    widened: bool | None = None) -> None:
+                    widened: bool | None = None) -> int:
     """The bucketed table's linearization point: publish ``new_dirs``
     (bucket id → epoch dir name, already fully written under
     ``target_path``) with ONE atomic manifest replace, then sweep dirs
@@ -522,21 +727,30 @@ def _commit_buckets(target_path: str, new_dirs: dict[int, str], *,
     version into the manifest (the fsync-guaranteed recovery source for
     ``_kg_buckets`` — see :func:`_load_manifest`); None carries the
     previous manifest's values forward (compaction and other writers
-    that don't rehash anything)."""
+    that don't rehash anything).
+
+    Returns the committed generation (callers stamp it into the
+    swept-gen sidecar once their residue cleanup is done). Reclamation
+    here is TARGETED: the retention prune (:func:`_prune_grace`)
+    names exactly the grace dirs this commit releases, and only those
+    are removed — no root listing, keeping the steady-state commit
+    O(touched buckets) in syscalls (verdict r11 item 4). Anything
+    else unreferenced (a crashed writer's orphans) is the entry
+    recovery's job, which runs whenever the sidecar is stale."""
     m = _load_manifest(target_path)
     if m is None:
         m = {"gen": 0, "live": _legacy_bucket_dirs(target_path),
              "grace": {}, "buckets": None, "widened": None}
     gen = m["gen"] + 1
     live = dict(m["live"])
-    grace = dict(m["grace"])
+    grace = {n: list(es) for n, es in m["grace"].items()}
+    now = time.time()
     for n, d in new_dirs.items():
         old = live.get(n)
         live[n] = d
         if old is not None:
-            grace[n] = (old, gen)
-        else:
-            grace.pop(n, None)
+            grace.setdefault(n, []).append((old, gen, now))
+    grace, released = _prune_grace(grace, gen)
     stamp_b = buckets if buckets is not None else m["buckets"]
     stamp_w = widened if widened is not None else m["widened"]
     if stamp_b is None:
@@ -553,7 +767,13 @@ def _commit_buckets(target_path: str, new_dirs: dict[int, str], *,
     commit_pointer(target_path, _dump_manifest(
         gen, live, grace, buckets=stamp_b, widened=stamp_w,
     ), name=_MANIFEST)
-    _sweep_unreferenced_buckets(target_path, live, grace)
+    # reclaim exactly what the prune released (the flip above already
+    # de-referenced them; readers within the retention window still
+    # resolve pre-flip manifests whose dirs are all in live ∪ grace)
+    for d in released:
+        shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
+    _write_naive_read_guard(target_path, live)
+    return gen
 
 
 def _read_meta_file(target_path: str) -> tuple[int, bool] | None:
@@ -647,6 +867,8 @@ def _load_bucket_meta(target_path: str, buckets: int) -> tuple[int, bool]:
 
 def _persist_bucket_meta(target_path: str, buckets: int, *,
                          widened: bool = True) -> None:
+    if _read_meta_file(target_path) == (buckets, widened):
+        return  # already says exactly this — skip the fsync+replace
     os.makedirs(target_path, exist_ok=True)
     tmp = os.path.join(target_path, f".{_BUCKETS_META}.tmp.{os.getpid()}")
     with open(tmp, "w", encoding="utf-8") as fh:
@@ -681,16 +903,28 @@ def _recover_partitioned_swap(target_path: str) -> None:
       never adopted over a restorable original).
 
     MANIFEST era (no rollback protocol — the flip is the linearization
-    point): prune grace entries older than the latest committed
-    generation (their reader-grace interval has elapsed; see the
+    point): prune grace entries past the retention window (see the
     ``_MANIFEST`` doctrine), then sweep every dir the pruned manifest
     no longer references — crashed writers' staged epochs and expired
     grace copies alike — plus orphaned manifest temp files.
+
+    STEADY-STATE FAST PATH (verdict r11 item 4): when the swept-gen
+    sidecar equals the manifest's generation, every commit since the
+    last full sweep completed cleanly (writers unlink the sidecar
+    before staging and re-stamp it only after commit+cleanup), so
+    there is nothing to heal or sweep — return after two small file
+    reads instead of five root listings plus per-dir stats. A crashed
+    writer can never leave a matching sidecar; a hand-modified table
+    can (documented limitation — the protocol's files are not a
+    defense against out-of-band edits; ``maintain.py --check`` and
+    ``rebucket_partitioned`` are).
     """
     if not os.path.isdir(target_path):
         return
     esc = glob_mod.escape(target_path)
     m = _load_manifest(target_path)
+    if m is not None and _read_swept_gen(target_path) == m["gen"]:
+        return
     if m is None:
         # legacy: finish a compact swap whose tmp is the only complete
         # copy of its bucket
@@ -718,6 +952,10 @@ def _recover_partitioned_swap(target_path: str) -> None:
         # crashed mid-migration, before its flip — recomputable orphans
         for orphan in glob_mod.glob(os.path.join(esc, ".kbe_*")):
             shutil.rmtree(orphan, ignore_errors=True)
+        # a legacy table must never carry a swept-gen sidecar (it has
+        # no generations); one can only be hand-planted or left by a
+        # demotion — drop it so it can never mask a future sweep
+        _invalidate_swept_gen(target_path)
     else:
         # manifest era: the manifest-protocol never creates these, and
         # migration healed any pre-upgrade states before the manifest
@@ -728,15 +966,19 @@ def _recover_partitioned_swap(target_path: str) -> None:
                 shutil.rmtree(stale, ignore_errors=True)
     for stale in glob_mod.glob(os.path.join(esc, ".upsert_tmp_*")):
         shutil.rmtree(stale, ignore_errors=True)
-    # manifest era: prune expired grace, sweep unreferenced dirs
+    # manifest era: prune expired grace, sweep unreferenced dirs, then
+    # record the table as fully swept at this generation (the prune
+    # rewrite keeps the generation — only data commits advance it)
     if m is not None:
-        grace = {n: g for n, g in m["grace"].items() if g[1] >= m["gen"]}
+        grace, _released = _prune_grace(m["grace"], m["gen"])
         if grace != m["grace"]:
             commit_pointer(target_path, _dump_manifest(
                 m["gen"], m["live"], grace,
                 buckets=m["buckets"], widened=m["widened"]),
                 name=_MANIFEST)
         _sweep_unreferenced_buckets(target_path, m["live"], grace)
+        _write_naive_read_guard(target_path, m["live"])
+        _stamp_swept_gen(target_path, m["gen"])
 
 
 def _publish_staged_buckets(target_path: str, staging: str, token: str,
@@ -782,15 +1024,24 @@ def _publish_staged_buckets(target_path: str, staging: str, token: str,
                 f"Publishing would silently drop those buckets' "
                 f"incumbent rows; run rebucket_partitioned on "
                 f"{target_path} to rewrite the table under one hash.")
+    # data durability BEFORE the manifest may reference it: flush the
+    # staged files (Spark writes them without fsync) so the commit
+    # order is data → dirents → pointer — see FSYNC_STAGED_DATA
+    for staged in staged_dirs:
+        _fsync_tree(staged)
     new_dirs: dict[int, str] = {}
     for staged, kbv in zip(staged_dirs, ids):
         name = f".kbe_{kbv}_{token}"
         os.rename(staged, os.path.join(target_path, name))
         new_dirs[kbv] = name
+    gen = None
     if new_dirs:
-        _commit_buckets(target_path, new_dirs,
-                        buckets=buckets, widened=widened)
+        gen = _commit_buckets(target_path, new_dirs,
+                              buckets=buckets, widened=widened)
     shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS marker etc.
+    if gen is not None:
+        # all residue gone — the next entry may take the fast path
+        _stamp_swept_gen(target_path, gen)
 
 
 def upsert_partitioned(spark: SparkSession, target_path: str,
@@ -1057,9 +1308,30 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
         # from the key (exact by the writer invariant: every stored
         # row's key hashes to its directory's bucket under the table's
         # recorded hash version).
-        first = sorted(live.items())[0][1]
-        existing_all = spark.read.parquet(
-            os.path.join(target_path, first))
+        #
+        # Fallback (r11 external review, low): probe the lowest-id live
+        # dir that actually HOLDS a parquet file. The protocol never
+        # commits an empty bucket dir, but a hand-modified table whose
+        # first dir was emptied would otherwise fail the whole upsert
+        # at UNABLE_TO_INFER_SCHEMA when every other bucket is intact.
+        # Still O(1) listings on a healthy table (the first dir wins).
+        probe = None
+        for _, dname in sorted(live.items()):
+            d = os.path.join(target_path, dname)
+            try:
+                if any(f.endswith(".parquet") for f in os.listdir(d)):
+                    probe = d
+                    break
+            except OSError:
+                continue
+        if probe is None:
+            raise ValueError(
+                f"upsert_partitioned: none of {target_path}'s live "
+                f"bucket dirs holds a parquet file — the layout was "
+                "modified outside the table protocol (committed "
+                "buckets are never empty). Run rebucket_partitioned "
+                "to rewrite the table, or restore the missing files.")
+        existing_all = spark.read.parquet(probe)
     if flat_files:
         stray = spark.read.parquet(
             *[os.path.join(target_path, f) for f in flat_files])
@@ -1127,6 +1399,10 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
                 key_col, order_col)
     token = uuid.uuid4().hex[:8]
     staging = os.path.join(target_path, f".upsert_tmp_{token}")
+    # drop the swept-gen sidecar before the first byte of new on-disk
+    # state: a crash anywhere past this line leaves orphans AND no
+    # sidecar, so the next entry runs the full recovery sweep
+    _invalidate_swept_gen(target_path)
     b.write.partitionBy("_kb").parquet(staging)
     # the tripwire set for the publish step: every staged bucket must
     # come from the batch/stray fold (= touched, computed above) — on
@@ -1239,13 +1515,19 @@ def _compact_partitioned_locked(spark: SparkSession, target_path: str,
     # nothing to replay
     token = uuid.uuid4().hex[:8]
     new_dirs: dict[int, str] = {}
+    if todo:
+        # new on-disk state follows: invalidate the fast-path sidecar
+        # first so a crash mid-compaction is fully swept at next entry
+        _invalidate_swept_gen(target_path)
     for kb, d, nfiles in todo:
         name = f".kbe_{kb}_{token}"
         (spark.read.parquet(d).coalesce(nfiles)
          .write.parquet(os.path.join(target_path, name)))
+        _fsync_tree(os.path.join(target_path, name))
         new_dirs[kb] = name
     if new_dirs:
-        _commit_buckets(target_path, new_dirs)
+        gen = _commit_buckets(target_path, new_dirs)
+        _stamp_swept_gen(target_path, gen)
     return len(todo)
 
 
@@ -1309,6 +1591,10 @@ def _rebucket_partitioned_locked(spark: SparkSession, target_path: str,
     (df.withColumn("_kb", kb)
      .write.mode("overwrite").partitionBy("_kb").parquet(tmp))
     _persist_bucket_meta(tmp, new_buckets, widened=True)
+    # data durability before the manifest references it (the staging
+    # root is about to become the table — same contract as the
+    # publish path's staged-epoch flush)
+    _fsync_tree(tmp)
     # a rebucketed table is born manifest-routed: reference the fresh
     # _kb= dirs in place (gen 0, no grace — the whole root swaps at once)
     commit_pointer(tmp, _dump_manifest(
@@ -1372,6 +1658,81 @@ def _effective_bucket_dirs(target_path: str) -> list[str]:
             break
         live, aside = live2, aside2
     return [d for _, d in sorted({**aside, **live}.items())]
+
+
+def layout_report(target_path: str) -> dict:
+    """Read-only layout diagnosis of a KG table for
+    ``scripts/maintain.py --check`` (verdict r11 item 3): classifies
+    the era, counts visible vs hidden live dirs, and returns
+    ``findings`` — human-readable anomaly strings, empty when a naive
+    ``spark.read.parquet(root)`` would be safe. Mixed layouts (hidden
+    ``.kbe_`` epochs beside visible dirs/files — the in-place-migration
+    steady state) are flagged with :func:`rebucket_partitioned` named
+    as the normalizer and the guard file's presence reported. Takes no
+    lock and mutates nothing — safe against a live ingest (the counts
+    are a snapshot; only the classification is load-bearing)."""
+    report: dict = {"path": target_path, "era": "absent",
+                    "findings": []}
+    if not os.path.isdir(target_path):
+        report["findings"].append("table directory does not exist")
+        return report
+    names = os.listdir(target_path)
+    m = _load_manifest(target_path)
+    flat = [f for f in names if f.endswith(".parquet")]
+    if m is None:
+        legacy = _legacy_bucket_dirs(target_path)
+        report["era"] = "legacy" if legacy else "flat"
+        if legacy and flat:
+            report["findings"].append(
+                f"{len(flat)} stray flat parquet file(s) beside "
+                f"{len(legacy)} _kb= dirs (interrupted migration; the "
+                "next upsert_partitioned folds them in)")
+        litter = [n for n in names
+                  if n.startswith((".upsert_", ".compact_", ".kbe_"))]
+        if litter:
+            report["findings"].append(
+                f"pre-manifest crash litter: {sorted(litter)[:5]} — "
+                "healed by the next mutating entry's recovery")
+        return report
+    report["era"] = "manifest"
+    report["gen"] = m["gen"]
+    report["buckets"] = m["buckets"]
+    hidden = {n: d for n, d in m["live"].items()
+              if d.startswith(".kbe_")}
+    visible = {n: d for n, d in m["live"].items() if n not in hidden}
+    report["live_hidden"] = len(hidden)
+    report["live_visible"] = len(visible)
+    report["grace_dirs"] = sum(len(es) for es in m["grace"].values())
+    guard = _NAIVE_READ_GUARD in names
+    report["guard_present"] = guard
+    if hidden:
+        report["findings"].append(
+            f"mixed/hidden layout: {len(hidden)} live bucket(s) in "
+            f"hidden epoch dirs, {len(visible)} still visible — a "
+            "naive spark.read.parquet(root) CANNOT see this table "
+            "correctly; read via kg_table.read_partitioned, or run "
+            "rebucket_partitioned to normalize the layout for "
+            "external tools"
+            + ("" if guard else
+               " [naive-read guard file MISSING — a raw root read "
+               "would silently serve stale/partial rows; the next "
+               "commit or writer entry restores it]"))
+    referenced = set(m["live"].values()) | {
+        d for es in m["grace"].values() for d, _, _ in es}
+    orphans = [n for n in names
+               if (n.startswith(".kbe_") or n.startswith("_kb="))
+               and n not in referenced
+               and os.path.isdir(os.path.join(target_path, n))]
+    if orphans:
+        report["findings"].append(
+            f"{len(orphans)} unreferenced bucket dir(s) (crashed "
+            "writer's orphans or expired grace): swept at the next "
+            "writer entry")
+    if flat:
+        report["findings"].append(
+            f"{len(flat)} stray flat parquet file(s) at the root of a "
+            "manifest table: folded in by the next upsert_partitioned")
+    return report
 
 
 def read_partitioned(spark: SparkSession, target_path: str) -> DataFrame:

@@ -84,6 +84,16 @@ def main() -> int:
                     help="corpus text column (default: text)")
     ap.add_argument("--bm25-id-col", default="doc_id", metavar="COL",
                     help="corpus id column (default: doc_id)")
+    ap.add_argument("--check", metavar="PATH", action="append",
+                    default=[],
+                    help="read-only layout diagnosis of a KG table "
+                         "(kg_table.layout_report): flags mixed "
+                         "visible/hidden bucket layouts that a naive "
+                         "spark.read.parquet(root) cannot see "
+                         "correctly, naming rebucket_partitioned as "
+                         "the normalizer; repeatable; exits 1 when "
+                         "any checked table has findings; needs no "
+                         "Spark session")
     ap.add_argument("--target-file-bytes", type=int, default=128 << 20,
                     help="KG compaction target file size (default 128 MiB)")
     ap.add_argument("--lock-timeout", type=float, default=1800.0,
@@ -94,9 +104,31 @@ def main() -> int:
                          "rather than dying)")
     args = ap.parse_args()
     if not (args.kg_table or args.minhash or args.ivf or args.zorder
-            or args.bm25_stats):
+            or args.bm25_stats or args.check):
         ap.error("nothing to do: pass at least one of "
-                 "--kg-table / --minhash / --ivf / --zorder / --bm25-stats")
+                 "--kg-table / --minhash / --ivf / --zorder / "
+                 "--bm25-stats / --check")
+
+    rc = 0
+    if args.check:
+        # pure-filesystem diagnosis — no Spark session needed
+        from dig_etl_engine_spark.sinks.kg_table import layout_report
+        for path in args.check:
+            rep = layout_report(path)
+            desc = f"check {path}: era={rep['era']}"
+            if rep["era"] == "manifest":
+                desc += (f" gen={rep['gen']} buckets={rep['buckets']} "
+                         f"live={rep['live_visible']}v+"
+                         f"{rep['live_hidden']}h "
+                         f"grace={rep['grace_dirs']} "
+                         f"guard={'yes' if rep['guard_present'] else 'no'}")
+            print(desc)
+            for f in rep["findings"]:
+                print(f"  finding: {f}")
+                rc = 1
+        if not (args.kg_table or args.minhash or args.ivf or args.zorder
+                or args.bm25_stats):
+            return rc
     if bool(args.bm25_stats) != bool(args.bm25_docs):
         ap.error("--bm25-stats and --bm25-docs must be given together "
                  "(the stats root and the corpus it describes)")
@@ -155,7 +187,7 @@ def main() -> int:
             lock_timeout=args.lock_timeout)
         print(f"bm25 stats: {'rebuilt (corpus drifted)' if rebuilt else 'fresh, no rebuild'}")
 
-    return 0
+    return rc
 
 
 if __name__ == "__main__":

@@ -736,6 +736,13 @@ def _demote_to_legacy_layout(p: str) -> None:
     os.remove(os.path.join(p, kg_table._MANIFEST))
     for leftover in _glob.glob(os.path.join(_glob.escape(p), ".kbe_*")):
         _shutil.rmtree(leftover, ignore_errors=True)
+    # pre-r11 builds wrote neither the swept-gen sidecar nor the
+    # naive-read guard — a faithful legacy fixture carries neither
+    for extra in (kg_table._SWEPT_GEN, kg_table._NAIVE_READ_GUARD):
+        try:
+            os.remove(os.path.join(p, extra))
+        except OSError:
+            pass
 
 
 class TestCompaction:
@@ -801,10 +808,15 @@ class TestCompaction:
         before = {r.doc_id for r in
                   kg_table.read_partitioned(spark, p).collect()}
 
-        # simulate a crash mid-compaction: stale temp dir with bogus data
+        # simulate a crash mid-compaction: stale temp dir with bogus
+        # data — and no swept-gen sidecar, because every real mutating
+        # writer unlinks it BEFORE staging new on-disk state (a clean
+        # sidecar with litter present is only reachable by hand-edits,
+        # which the fast path documents as out of contract)
         stale = os.path.join(p, ".compact_tmp_0_deadbeef")
         spark.createDataFrame([("ghost", 99, "x")], TestUpsert.SCHEMA) \
             .coalesce(1).write.parquet(stale)
+        kg_table._invalidate_swept_gen(p)
         got = {r.doc_id for r in
                kg_table.read_partitioned(spark, p).collect()}
         assert got == before            # litter invisible to readers
@@ -1641,6 +1653,89 @@ class TestBucketMetaAndRebucket:
                for r in kg_table.read_partitioned(spark, p).collect()}
         assert len(got) == 40 and all(v == "base" for v in got.values())
 
+    def test_transient_pointer_read_error_fails_not_demotes(
+            self, spark, tmp_path, monkeypatch):
+        """A transient open() failure on the manifest (EMFILE under a
+        busy driver, EACCES, NFS error) must PROPAGATE, not read as
+        'no pointer': masked, _load_manifest returns None, the next
+        upsert treats the committed table as a birth write and its
+        sweep deletes every previously committed epoch dir — silent
+        truncation (r11 external review, medium)."""
+        p = str(tmp_path / "t")
+        schema = "doc_id long, v string, kafka_offset long"
+        kg_table.upsert_partitioned(
+            spark, p, spark.createDataFrame(
+                [(i, "base", 0) for i in range(20)], schema), buckets=4)
+        assert kg_table._load_manifest(p) is not None
+        real_open = open
+        mpath = os.path.join(p, kg_table._MANIFEST)
+
+        def flaky_open(f, *a, **kw):
+            if str(f) == mpath:
+                raise PermissionError(13, "transient fs error", str(f))
+            return real_open(f, *a, **kw)
+
+        with monkeypatch.context() as mp:
+            mp.setattr("builtins.open", flaky_open)
+            with pytest.raises(PermissionError):
+                kg_table._load_manifest(p)
+            with pytest.raises(PermissionError):
+                kg_table.upsert_partitioned(
+                    spark, p, spark.createDataFrame(
+                        [(99, "new", 1)], schema), buckets=4)
+        # nothing was demoted or swept: the table is fully intact
+        got = {r.doc_id for r in
+               kg_table.read_partitioned(spark, p).collect()}
+        assert got == set(range(20))
+        # absence still reads as absence (legacy/birth tables work)
+        assert kg_table.resolve_pointer(
+            str(tmp_path / "never_written"), name=kg_table._MANIFEST) \
+            is None
+
+    def test_schema_probe_falls_back_past_empty_bucket_dir(
+            self, spark, tmp_path):
+        """The O(1) incumbent-schema probe reads the lowest-id live
+        bucket dir; if that dir was hand-emptied the probe must fall
+        back to the next live dir instead of failing the whole upsert
+        at UNABLE_TO_INFER_SCHEMA (r11 external review, low) — and an
+        all-empty layout must refuse with the repair named."""
+        p = str(tmp_path / "t")
+        schema = "doc_id long, v string, kafka_offset long"
+        kg_table.upsert_partitioned(
+            spark, p, spark.createDataFrame(
+                [(i, "base", 0) for i in range(40)], schema), buckets=4)
+        live = kg_table._live_bucket_dirs(p)
+        assert len(live) == 4
+        lowest = live[sorted(live)[0]]
+        for f in os.listdir(os.path.join(p, lowest)):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(p, lowest, f))
+        # a key whose bucket is NOT the emptied one (so the merge never
+        # has to read the damaged dir's data)
+        emptied = sorted(live)[0]
+        cand = next(
+            k for k in range(100, 200)
+            if spark.range(1).select(
+                F.pmod(F.xxhash64(F.lit(k).cast("long")),
+                       F.lit(4)).cast("int").alias("b")
+            ).collect()[0].b != emptied)
+        kg_table.upsert_partitioned(
+            spark, p, spark.createDataFrame(
+                [(cand, "new", 1)], schema), buckets=4)
+        got = {r.doc_id for r in
+               kg_table.read_partitioned(spark, p).collect()}
+        assert cand in got
+        # all live dirs emptied → loud refusal naming the repair
+        live = kg_table._live_bucket_dirs(p)
+        for dname in live.values():
+            for f in os.listdir(os.path.join(p, dname)):
+                if f.endswith(".parquet"):
+                    os.remove(os.path.join(p, dname, f))
+        with pytest.raises(ValueError, match="rebucket_partitioned"):
+            kg_table.upsert_partitioned(
+                spark, p, spark.createDataFrame(
+                    [(1, "x", 2)], schema), buckets=4)
+
     def test_rebucket_crash_recovery_states(self, spark, tmp_path):
         import shutil as _sh
         p = self._table(spark, tmp_path, buckets=2)
@@ -1677,6 +1772,228 @@ class TestBucketMetaAndRebucket:
         assert {r.doc_id: (r.kafka_offset, r.v)
                 for r in kg_table.read_partitioned(spark, p).collect()} \
             == before
+
+
+class TestDurabilityAndLayoutGuards:
+    """r12 protocol hardening: the naive-read tripwire on mixed
+    visible/hidden layouts, configurable grace retention, the
+    swept-gen fast path, and the staged-data fsync ordering."""
+
+    SCHEMA = "doc_id long, v string, kafka_offset long"
+
+    def _batch(self, spark, pairs):
+        return spark.createDataFrame(
+            [(k, v, o) for k, v, o in pairs], self.SCHEMA)
+
+    def test_naive_read_guard_trips_on_migrated_table(
+            self, spark, tmp_path):
+        """An in-place-migrated table (visible legacy _kb= dirs beside
+        hidden epochs) silently serves stale/partial rows to a raw
+        spark.read.parquet(root) — the verdict-r11 hazard. The guard
+        file must make that read FAIL LOUDLY while read_partitioned
+        stays exact."""
+        p = str(tmp_path / "t")
+        base = self._batch(spark, [(i, "base", 0) for i in range(24)])
+        kg_table.upsert_partitioned(spark, p, base, buckets=4)
+        _demote_to_legacy_layout(p)
+        # legacy tables (all dirs visible) carry no guard: a root read
+        # resolves them correctly, and poisoning it would break
+        # external tools that legitimately read never-migrated tables
+        assert not os.path.exists(
+            os.path.join(p, kg_table._NAIVE_READ_GUARD))
+        # first mutating entry migrates in place → mixed layout
+        kg_table.upsert_partitioned(
+            spark, p, self._batch(spark, [(0, "upd", 1)]), buckets=4)
+        m = kg_table._load_manifest(p)
+        assert any(d.startswith(".kbe_") for d in m["live"].values())
+        assert any(d.startswith("_kb=") for d in m["live"].values())
+        assert os.path.exists(
+            os.path.join(p, kg_table._NAIVE_READ_GUARD))
+        with pytest.raises(Exception, match="KG_NAIVE_READ_GUARD"):
+            spark.read.parquet(p).collect()
+        got = {r.doc_id: r.v
+               for r in kg_table.read_partitioned(spark, p).collect()}
+        assert len(got) == 24 and got[0] == "upd"
+        # rebucket normalizes: fresh all-visible layout, no guard, and
+        # a naive root read resolves the full table again
+        kg_table.rebucket_partitioned(spark, p, 4)
+        assert not os.path.exists(
+            os.path.join(p, kg_table._NAIVE_READ_GUARD))
+        naive = {r.doc_id: r.v for r in spark.read.parquet(p)
+                 .select("doc_id", "v").collect()}
+        assert naive == got
+
+    def test_grace_retention_generations(self, spark, tmp_path,
+                                         monkeypatch):
+        """Default retention (1 generation): a superseded dir is
+        reclaimed at the NEXT commit. Depth 2: it survives one more
+        commit — the knob long lock-free scans need (r11 external
+        review, low)."""
+        p = str(tmp_path / "t")
+        kg_table.upsert_partitioned(
+            spark, p, self._batch(spark, [(i, "b", 0) for i in
+                                          range(16)]), buckets=2)
+
+        def live_dir_of(key_bucket):
+            return kg_table._live_bucket_dirs(p)[key_bucket]
+
+        def commit_touching_all(off):
+            kg_table.upsert_partitioned(
+                spark, p, self._batch(
+                    spark, [(i, f"u{off}", off) for i in range(16)]),
+                buckets=2)
+
+        # depth 2: superseded dirs survive the commit AFTER the one
+        # that superseded them
+        monkeypatch.setattr(kg_table, "GRACE_RETAIN_GENERATIONS", 2)
+        gen1_dirs = set(kg_table._live_bucket_dirs(p).values())
+        commit_touching_all(1)      # supersedes gen1 dirs
+        assert all(os.path.isdir(os.path.join(p, d))
+                   for d in gen1_dirs)
+        commit_touching_all(2)      # gen1 dirs now 2 commits old
+        assert all(os.path.isdir(os.path.join(p, d))
+                   for d in gen1_dirs)  # still within depth 2
+        commit_touching_all(3)      # 3 commits old → reclaimed
+        assert not any(os.path.isdir(os.path.join(p, d))
+                       for d in gen1_dirs)
+        # default depth 1: reclaimed at the very next commit
+        monkeypatch.setattr(kg_table, "GRACE_RETAIN_GENERATIONS", 1)
+        cur = set(kg_table._live_bucket_dirs(p).values())
+        commit_touching_all(4)      # supersedes cur (kept as grace)
+        assert all(os.path.isdir(os.path.join(p, d)) for d in cur)
+        commit_touching_all(5)
+        assert not any(os.path.isdir(os.path.join(p, d)) for d in cur)
+
+    def test_grace_retention_time_window(self, spark, tmp_path,
+                                         monkeypatch):
+        """A time window keeps superseded dirs across ANY number of
+        quick commits (Delta-VACUUM style retain-until)."""
+        monkeypatch.setattr(kg_table, "GRACE_RETAIN_SECONDS", 3600.0)
+        p = str(tmp_path / "t")
+        kg_table.upsert_partitioned(
+            spark, p, self._batch(spark, [(i, "b", 0) for i in
+                                          range(16)]), buckets=2)
+        gen1_dirs = set(kg_table._live_bucket_dirs(p).values())
+        for off in range(1, 4):
+            kg_table.upsert_partitioned(
+                spark, p, self._batch(
+                    spark, [(i, f"u{off}", off) for i in range(16)]),
+                buckets=2)
+        # three commits later, the hour-old-at-most dirs all survive
+        assert all(os.path.isdir(os.path.join(p, d))
+                   for d in gen1_dirs)
+        m = kg_table._load_manifest(p)
+        assert sum(len(es) for es in m["grace"].values()) >= 6
+        # window off → the next writer entry's recovery prunes them
+        monkeypatch.setattr(kg_table, "GRACE_RETAIN_SECONDS", 0.0)
+        kg_table._invalidate_swept_gen(p)
+        kg_table._recover_partitioned_swap(p)
+        assert not any(os.path.isdir(os.path.join(p, d))
+                       for d in gen1_dirs)
+
+    def test_swept_gen_fast_path_and_invalidation(self, spark,
+                                                  tmp_path):
+        """Steady state: the sidecar matches the manifest generation
+        and entry recovery is a no-op (hand-planted litter is NOT
+        swept — out of contract). Any crashed writer leaves the
+        sidecar unlinked, and the next entry's full sweep reclaims."""
+        p = str(tmp_path / "t")
+        kg_table.upsert_partitioned(
+            spark, p, self._batch(spark, [(i, "b", 0) for i in
+                                          range(8)]), buckets=2)
+        m = kg_table._load_manifest(p)
+        assert kg_table._read_swept_gen(p) == m["gen"]
+        orphan = os.path.join(p, ".kbe_0_orphantok")
+        os.makedirs(orphan)
+        kg_table._recover_partitioned_swap(p)   # fast path: skipped
+        assert os.path.isdir(orphan)
+        kg_table._invalidate_swept_gen(p)       # what a crash leaves
+        kg_table._recover_partitioned_swap(p)   # full sweep
+        assert not os.path.isdir(orphan)
+        assert kg_table._read_swept_gen(p) == m["gen"]  # re-stamped
+        # a torn/stale sidecar can only be a SMALLER number → never
+        # masks a needed sweep
+        with open(os.path.join(p, kg_table._SWEPT_GEN), "w") as fh:
+            fh.write("0")
+        os.makedirs(orphan)
+        kg_table._recover_partitioned_swap(p)
+        assert not os.path.isdir(orphan)
+
+    def test_fsync_data_before_manifest_flip(self, tmp_path,
+                                             monkeypatch):
+        """The durability ORDER the manifest claims: every staged data
+        file is fsynced before any epoch rename, and before the
+        pointer flip — so a committed manifest can only name durable
+        files (r11 external review, low). Pure filesystem."""
+        t = os.path.join(str(tmp_path), "kgp")
+        staging = os.path.join(t, ".upsert_tmp_tok")
+        for kb in (0, 1):
+            d = os.path.join(staging, f"_kb={kb}")
+            os.makedirs(d)
+            with open(os.path.join(d, "a.parquet"), "w") as fh:
+                fh.write(f"new-{kb}")
+        events = []
+        real_fsync_tree = kg_table._fsync_tree
+        real_rename, real_replace = os.rename, os.replace
+
+        def spy_fsync_tree(root):
+            events.append(("fsync_tree", os.path.basename(root)))
+            return real_fsync_tree(root)
+
+        def spy_rename(a, b):
+            events.append(("rename", os.path.basename(a)))
+            return real_rename(a, b)
+
+        def spy_replace(a, b):
+            events.append(("replace", os.path.basename(b)))
+            return real_replace(a, b)
+
+        with monkeypatch.context() as mp:
+            mp.setattr(kg_table, "_fsync_tree", spy_fsync_tree)
+            mp.setattr("dig_etl_engine_spark.sinks.kg_table.os.rename",
+                       spy_rename)
+            mp.setattr("dig_etl_engine_spark.sinks.kg_table.os.replace",
+                       spy_replace)
+            kg_table._publish_staged_buckets(t, staging, "tok")
+        kinds = [k for k, _ in events]
+        assert kinds.count("fsync_tree") == 2          # both buckets
+        last_fsync = max(i for i, k in enumerate(kinds)
+                         if k == "fsync_tree")
+        first_rename = min(i for i, k in enumerate(kinds)
+                           if k == "rename")
+        manifest_flip = next(i for i, (k, n) in enumerate(events)
+                             if k == "replace"
+                             and n == kg_table._MANIFEST)
+        assert last_fsync < first_rename < manifest_flip
+        # and the toggle really short-circuits the walk
+        walked = []
+        with monkeypatch.context() as mp:
+            mp.setattr(kg_table, "FSYNC_STAGED_DATA", False)
+            mp.setattr("dig_etl_engine_spark.sinks.kg_table.os.walk",
+                       lambda *a, **kw: walked.append(a) or [])
+            kg_table._fsync_tree(t)
+        assert walked == []
+
+    def test_layout_report_classification(self, spark, tmp_path):
+        rep = kg_table.layout_report(str(tmp_path / "absent"))
+        assert rep["era"] == "absent" and rep["findings"]
+        p = str(tmp_path / "t")
+        kg_table.upsert_partitioned(
+            spark, p, self._batch(spark, [(i, "b", 0) for i in
+                                          range(12)]), buckets=2)
+        rep = kg_table.layout_report(p)
+        # a birth-partitioned table is all-hidden → mixed-layout
+        # finding present, guard present, rebucket named
+        assert rep["era"] == "manifest" and rep["live_hidden"] == 2
+        assert rep["guard_present"]
+        assert any("rebucket_partitioned" in f for f in rep["findings"])
+        _demote_to_legacy_layout(p)
+        rep = kg_table.layout_report(p)
+        assert rep["era"] == "legacy" and rep["findings"] == []
+        kg_table.rebucket_partitioned(spark, p, 2)
+        rep = kg_table.layout_report(p)
+        assert rep["era"] == "manifest" and rep["live_hidden"] == 0
+        assert rep["findings"] == []
 
 
 class TestEffectiveFilesView:
@@ -2433,8 +2750,9 @@ class TestKgSwapCrashExhaustive:
                 _load_manifest)
             m = _load_manifest(t)
             referenced = set() if m is None else \
-                set(m["live"].values()) | {d for d, _ in
-                                           m["grace"].values()}
+                set(m["live"].values()) | {d for es in
+                                           m["grace"].values()
+                                           for d, _, _ in es}
             for leftover in glob.glob(os.path.join(t, ".kbe_*")):
                 assert os.path.basename(leftover) in referenced, leftover
             k += 1
