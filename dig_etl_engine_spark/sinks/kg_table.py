@@ -486,19 +486,27 @@ def _load_manifest(target_path: str) -> dict | None:
     Grace wire formats: v1 manifests hold one ``[dir, gen]`` pair per
     bucket (the fixed one-generation grace); v2 holds a LIST of
     ``[dir, gen, ts]`` entries per bucket (configurable retention —
-    see ``GRACE_RETAIN_GENERATIONS``). Both parse; writes are v2."""
+    see ``GRACE_RETAIN_GENERATIONS``). Both parse; writes are v2.
+    Entries with no recorded timestamp (v1, or a hand-edited v2) adopt
+    PARSE time, not 0.0: "infinitely old" would let a configured
+    ``GRACE_RETAIN_SECONDS`` window release a dir recorded seconds
+    before the upgrade while an in-flight reader inside the promised
+    window still resolves it — adopting now errs in the conservative
+    direction (retained up to one window longer), and the first v2
+    rewrite freezes the adopted value (round-12 review)."""
     import json
 
     raw = resolve_pointer(target_path, name=_MANIFEST)
     if raw is None:
         return None
     m = json.loads(raw)
+    now = time.time()
 
     def entries(v):
         if v and isinstance(v[0], str):          # v1: ["dir", gen]
-            return [(v[0], int(v[1]), 0.0)]
+            return [(v[0], int(v[1]), now)]
         return [(e[0], int(e[1]),
-                 float(e[2]) if len(e) > 2 else 0.0) for e in v]
+                 float(e[2]) if len(e) > 2 else now) for e in v]
 
     return {
         "gen": int(m.get("gen", 0)),
@@ -676,7 +684,7 @@ def _live_bucket_dirs(target_path: str) -> dict[int, str]:
 
 
 def _sweep_unreferenced_buckets(target_path: str, live: dict[int, str],
-                                grace: dict[int, list]) -> None:
+                                grace: dict[int, list]) -> bool:
     """Drop bucket dirs referenced by neither the live map nor the grace
     map, plus orphaned manifest temp files. Safe by the manifest-era
     invariant: every committed dir is referenced, so unreferenced =
@@ -684,25 +692,33 @@ def _sweep_unreferenced_buckets(target_path: str, live: dict[int, str],
     recomputable/superseded. Runs under the table lock only, and only
     on the NON-steady path (entry recovery after a crash / first touch
     of a table; see ``_SWEPT_GEN`` — the commit path reclaims its
-    released grace dirs by name instead of listing the root)."""
+    released grace dirs by name instead of listing the root).
+
+    Returns True only when everything targeted is actually GONE — the
+    caller must not stamp the swept-gen sidecar on a partial sweep
+    (an NFS silly-rename or EBUSY can defeat rmtree), or the leftover
+    would be shielded by the fast path forever (round-12 review)."""
     referenced = set(live.values()) | {
         d for es in grace.values() for d, _, _ in es}
     try:
         names = os.listdir(target_path)
     except OSError:
-        return
+        return False
+    clean = True
     for name in names:
         if (name.startswith(".kbe_") or name.startswith("_kb=")) \
                 and name not in referenced \
                 and os.path.isdir(os.path.join(target_path, name)):
             shutil.rmtree(os.path.join(target_path, name),
                           ignore_errors=True)
+            clean &= not os.path.isdir(os.path.join(target_path, name))
     sweep_pointer_tmps(target_path, name=_MANIFEST)
+    return clean
 
 
 def _commit_buckets(target_path: str, new_dirs: dict[int, str], *,
                     buckets: int | None = None,
-                    widened: bool | None = None) -> int:
+                    widened: bool | None = None) -> tuple[int, bool]:
     """The bucketed table's linearization point: publish ``new_dirs``
     (bucket id → epoch dir name, already fully written under
     ``target_path``) with ONE atomic manifest replace, then sweep dirs
@@ -729,14 +745,19 @@ def _commit_buckets(target_path: str, new_dirs: dict[int, str], *,
     previous manifest's values forward (compaction and other writers
     that don't rehash anything).
 
-    Returns the committed generation (callers stamp it into the
-    swept-gen sidecar once their residue cleanup is done). Reclamation
-    here is TARGETED: the retention prune (:func:`_prune_grace`)
-    names exactly the grace dirs this commit releases, and only those
-    are removed — no root listing, keeping the steady-state commit
-    O(touched buckets) in syscalls (verdict r11 item 4). Anything
-    else unreferenced (a crashed writer's orphans) is the entry
-    recovery's job, which runs whenever the sidecar is stale."""
+    Returns ``(generation, clean)``: callers stamp the generation into
+    the swept-gen sidecar once their residue cleanup is done, and ONLY
+    when ``clean`` (plus their own cleanup) actually removed
+    everything — a partial rmtree (NFS silly-rename, EBUSY) must leave
+    the sidecar unstamped so the next entry's full sweep retries
+    instead of the fast path shielding the leftover forever (round-12
+    review). Reclamation here is TARGETED: the retention prune
+    (:func:`_prune_grace`) names exactly the grace dirs this commit
+    releases, and only those are removed — no root listing, keeping
+    the steady-state commit O(touched buckets) in syscalls (verdict
+    r11 item 4). Anything else unreferenced (a crashed writer's
+    orphans) is the entry recovery's job, which runs whenever the
+    sidecar is stale."""
     m = _load_manifest(target_path)
     if m is None:
         m = {"gen": 0, "live": _legacy_bucket_dirs(target_path),
@@ -770,10 +791,12 @@ def _commit_buckets(target_path: str, new_dirs: dict[int, str], *,
     # reclaim exactly what the prune released (the flip above already
     # de-referenced them; readers within the retention window still
     # resolve pre-flip manifests whose dirs are all in live ∪ grace)
+    clean = True
     for d in released:
         shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
+        clean &= not os.path.isdir(os.path.join(target_path, d))
     _write_naive_read_guard(target_path, live)
-    return gen
+    return gen, clean
 
 
 def _read_meta_file(target_path: str) -> tuple[int, bool] | None:
@@ -923,8 +946,17 @@ def _recover_partitioned_swap(target_path: str) -> None:
         return
     esc = glob_mod.escape(target_path)
     m = _load_manifest(target_path)
-    if m is not None and _read_swept_gen(target_path) == m["gen"]:
+    if m is not None and _read_swept_gen(target_path) == m["gen"] \
+            and not _prune_grace(m["grace"], m["gen"])[1]:
+        # the prune probe is pure (no filesystem) and closes the
+        # time-window hole the sidecar alone would open: with
+        # GRACE_RETAIN_SECONDS configured, grace entries expire by
+        # CLOCK, not by generation — a non-committing entry (a nightly
+        # compaction that finds nothing to rewrite) must still reclaim
+        # them, or an idle table retains superseded copies forever
+        # (round-12 review)
         return
+    clean = True
     if m is None:
         # legacy: finish a compact swap whose tmp is the only complete
         # copy of its bucket
@@ -964,11 +996,16 @@ def _recover_partitioned_swap(target_path: str) -> None:
         for pat in (".compact_tmp_*", ".compact_old_*", ".upsert_old_*"):
             for stale in glob_mod.glob(os.path.join(esc, pat)):
                 shutil.rmtree(stale, ignore_errors=True)
+                clean &= not os.path.isdir(stale)
     for stale in glob_mod.glob(os.path.join(esc, ".upsert_tmp_*")):
         shutil.rmtree(stale, ignore_errors=True)
+        clean &= not os.path.isdir(stale)
     # manifest era: prune expired grace, sweep unreferenced dirs, then
     # record the table as fully swept at this generation (the prune
-    # rewrite keeps the generation — only data commits advance it)
+    # rewrite keeps the generation — only data commits advance it) —
+    # but ONLY when every removal verifiably landed: a partial rmtree
+    # must leave the sidecar unstamped so the next entry retries
+    # (round-12 review)
     if m is not None:
         grace, _released = _prune_grace(m["grace"], m["gen"])
         if grace != m["grace"]:
@@ -976,9 +1013,11 @@ def _recover_partitioned_swap(target_path: str) -> None:
                 m["gen"], m["live"], grace,
                 buckets=m["buckets"], widened=m["widened"]),
                 name=_MANIFEST)
-        _sweep_unreferenced_buckets(target_path, m["live"], grace)
+        clean &= _sweep_unreferenced_buckets(target_path, m["live"],
+                                             grace)
         _write_naive_read_guard(target_path, m["live"])
-        _stamp_swept_gen(target_path, m["gen"])
+        if clean:
+            _stamp_swept_gen(target_path, m["gen"])
 
 
 def _publish_staged_buckets(target_path: str, staging: str, token: str,
@@ -1035,12 +1074,16 @@ def _publish_staged_buckets(target_path: str, staging: str, token: str,
         os.rename(staged, os.path.join(target_path, name))
         new_dirs[kbv] = name
     gen = None
+    clean = True
     if new_dirs:
-        gen = _commit_buckets(target_path, new_dirs,
-                              buckets=buckets, widened=widened)
+        gen, clean = _commit_buckets(target_path, new_dirs,
+                                     buckets=buckets, widened=widened)
     shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS marker etc.
-    if gen is not None:
-        # all residue gone — the next entry may take the fast path
+    clean &= not os.path.isdir(staging)
+    if gen is not None and clean:
+        # all residue verifiably gone — the next entry may fast-path;
+        # on a partial cleanup the sidecar stays unstamped so the
+        # next entry's full sweep retries (round-12 review)
         _stamp_swept_gen(target_path, gen)
 
 
@@ -1526,8 +1569,9 @@ def _compact_partitioned_locked(spark: SparkSession, target_path: str,
         _fsync_tree(os.path.join(target_path, name))
         new_dirs[kb] = name
     if new_dirs:
-        gen = _commit_buckets(target_path, new_dirs)
-        _stamp_swept_gen(target_path, gen)
+        gen, clean = _commit_buckets(target_path, new_dirs)
+        if clean:
+            _stamp_swept_gen(target_path, gen)
     return len(todo)
 
 

@@ -1884,12 +1884,98 @@ class TestDurabilityAndLayoutGuards:
                    for d in gen1_dirs)
         m = kg_table._load_manifest(p)
         assert sum(len(es) for es in m["grace"].values()) >= 6
-        # window off → the next writer entry's recovery prunes them
+        # window off → the next writer entry's recovery prunes them —
+        # WITHOUT hand-invalidating the sidecar: the fast path's pure
+        # prune probe must notice releasable entries itself (r12
+        # review: otherwise clock-expired grace on an idle table is
+        # never reclaimed by non-committing entries)
         monkeypatch.setattr(kg_table, "GRACE_RETAIN_SECONDS", 0.0)
-        kg_table._invalidate_swept_gen(p)
         kg_table._recover_partitioned_swap(p)
         assert not any(os.path.isdir(os.path.join(p, d))
                        for d in gen1_dirs)
+
+    def test_clock_expired_grace_reclaimed_without_commit(
+            self, spark, tmp_path, monkeypatch):
+        """r12 review finding 1: with a time window configured, grace
+        expires by CLOCK — a non-committing writer entry (nightly
+        compaction with nothing to do) must reclaim expired dirs even
+        though the swept-gen sidecar matches the manifest
+        generation."""
+        monkeypatch.setattr(kg_table, "GRACE_RETAIN_SECONDS", 3600.0)
+        p = str(tmp_path / "t")
+        kg_table.upsert_partitioned(
+            spark, p, self._batch(spark, [(i, "b", 0) for i in
+                                          range(16)]), buckets=2)
+        gen1_dirs = set(kg_table._live_bucket_dirs(p).values())
+        for off in (1, 2):       # two more commits: gen1 dirs become
+            kg_table.upsert_partitioned(  # GEN-expired, time-retained
+                spark, p, self._batch(
+                    spark, [(i, f"u{off}", off) for i in range(16)]),
+                buckets=2)
+        gen3_dirs = set(kg_table._live_bucket_dirs(p).values())
+        m = kg_table._load_manifest(p)
+        assert kg_table._read_swept_gen(p) == m["gen"]
+        assert all(os.path.isdir(os.path.join(p, d))
+                   for d in gen1_dirs)        # time-retained only
+        real_time = time.time
+        with monkeypatch.context() as mp:
+            mp.setattr("dig_etl_engine_spark.sinks.kg_table.time.time",
+                       lambda: real_time() + 7200.0)  # window elapsed
+            kg_table._recover_partitioned_swap(p)     # no invalidation
+        assert not any(os.path.isdir(os.path.join(p, d))
+                       for d in gen1_dirs)
+        # the latest commit's grace stays (gen-retained), and steady
+        # state is restored: the next entry fast-paths again
+        assert all(os.path.isdir(os.path.join(p, d))
+                   for d in gen3_dirs)
+        assert kg_table._read_swept_gen(p) == m["gen"]
+
+    def test_partial_cleanup_leaves_sidecar_unstamped(
+            self, spark, tmp_path, monkeypatch):
+        """r12 review finding 2: if the publish's residue cleanup
+        fails partially (NFS silly-rename, EBUSY), the swept-gen
+        sidecar must NOT be stamped — otherwise the fast path shields
+        the leftover from every future sweep."""
+        p = str(tmp_path / "t")
+        real_rmtree = kg_table.shutil.rmtree
+
+        def flaky_rmtree(path, **kw):
+            if ".upsert_tmp_" in str(path):
+                return None        # silently fails, like ignore_errors
+            return real_rmtree(path, **kw)
+
+        with monkeypatch.context() as mp:
+            mp.setattr("dig_etl_engine_spark.sinks.kg_table.shutil."
+                       "rmtree", flaky_rmtree)
+            kg_table.upsert_partitioned(
+                spark, p, self._batch(spark, [(i, "b", 0) for i in
+                                              range(8)]), buckets=2)
+        assert glob.glob(os.path.join(p, ".upsert_tmp_*"))  # leftover
+        assert kg_table._read_swept_gen(p) is None          # unstamped
+        # the next (healthy) entry's full sweep reclaims and stamps
+        kg_table._recover_partitioned_swap(p)
+        assert not glob.glob(os.path.join(p, ".upsert_tmp_*"))
+        assert kg_table._read_swept_gen(p) == \
+            kg_table._load_manifest(p)["gen"]
+
+    def test_v1_grace_entries_adopt_parse_time(self, tmp_path):
+        """r12 review finding 3: a v1 manifest's grace entries carry
+        no timestamp; parsing them as 'infinitely old' would let a
+        configured time window release a dir recorded seconds before
+        the upgrade. They must adopt parse time instead."""
+        import json
+        p = str(tmp_path / "t")
+        os.makedirs(p)
+        v1 = json.dumps({"v": 1, "gen": 3, "buckets": 2,
+                         "widened": True,
+                         "live": {"0": ".kbe_0_b", "1": ".kbe_1_a"},
+                         "grace": {"0": [".kbe_0_a", 3]}})
+        kg_table.commit_pointer(p, v1, name=kg_table._MANIFEST)
+        before = time.time()
+        m = kg_table._load_manifest(p)
+        (d, g, ts), = m["grace"][0]
+        assert (d, g) == (".kbe_0_a", 3)
+        assert before - 1.0 <= ts <= time.time() + 1.0
 
     def test_swept_gen_fast_path_and_invalidation(self, spark,
                                                   tmp_path):
