@@ -123,16 +123,34 @@ def resolve_pointer(root: str, *, name: str = "_CURRENT") -> str | None:
         return None
 
 
-def sweep_pointer_tmps(root: str, *, name: str = "_CURRENT") -> None:
+def sweep_pointer_tmps(root: str, *, name: str = "_CURRENT") -> bool:
     """Drop orphaned pointer temp files left by a writer that crashed
     between its payload write and its ``os.replace`` — recomputable by
-    construction. Writer-entry-time only (runs under the table lock)."""
+    construction. Writer-entry-time only (runs under the table lock).
+    Returns True only when every matching temp is actually gone, so a
+    caller's "fully swept" verdict can fold it in (an undeletable tmp
+    must not be stamped over and shielded by the fast path — round-12
+    review, second pass)."""
+    clean = True
     for stale in glob_mod.glob(
             os.path.join(glob_mod.escape(root), f".{name}.tmp.*")):
         try:
             os.remove(stale)
         except OSError:
             pass
+        clean &= not os.path.exists(stale)
+    return clean
+
+
+def _rmtree_verified(path: str) -> bool:
+    """``shutil.rmtree(ignore_errors=True)`` + verify: returns True only
+    when ``path`` is actually gone afterwards. The ONE idiom behind
+    every "stamp only when clean" site — reclamation that silently
+    fails (NFS silly-rename, EBUSY) must read as not-clean so the
+    swept-gen sidecar stays unstamped and the next entry retries
+    (round-12 review)."""
+    shutil.rmtree(path, ignore_errors=True)
+    return not os.path.isdir(path)
 
 
 def _pid_alive(pid: int) -> bool:
@@ -466,6 +484,12 @@ _BUCKETS_META = "_kg_buckets"
 _HASH_WIDENED = "widened"
 
 
+# sentinel distinguishing "caller did not pass a cached manifest" from
+# "caller loaded and found none (legacy table)" — a plain None default
+# could not make that distinction
+_UNSET = object()
+
+
 def _load_manifest(target_path: str) -> dict | None:
     """Parse the table's bucket manifest, or None for a pre-manifest
     (legacy) table. Returns ``{"gen": int, "live": {bucket: dirname},
@@ -501,12 +525,21 @@ def _load_manifest(target_path: str) -> dict | None:
         return None
     m = json.loads(raw)
     now = time.time()
+    adopted = False
 
     def entries(v):
+        nonlocal adopted
         if v and isinstance(v[0], str):          # v1: ["dir", gen]
+            adopted = True
             return [(v[0], int(v[1]), now)]
-        return [(e[0], int(e[1]),
-                 float(e[2]) if len(e) > 2 else now) for e in v]
+        out = []
+        for e in v:
+            if len(e) > 2:
+                out.append((e[0], int(e[1]), float(e[2])))
+            else:
+                adopted = True
+                out.append((e[0], int(e[1]), now))
+        return out
 
     return {
         "gen": int(m.get("gen", 0)),
@@ -517,6 +550,13 @@ def _load_manifest(target_path: str) -> dict | None:
                     if m.get("buckets") is not None else None),
         "widened": (bool(m["widened"])
                     if m.get("widened") is not None else None),
+        # True when any grace entry carried NO timestamp and adopted
+        # parse time: the recovery path must REWRITE the manifest to
+        # freeze the adopted value — otherwise every parse re-adopts a
+        # fresh "now", the configured time window never starts, and a
+        # v1 table's superseded dirs are retained forever (round-12
+        # review, second pass)
+        "adopted_ts": adopted,
     }
 
 
@@ -584,10 +624,30 @@ def _invalidate_swept_gen(target_path: str) -> None:
 
 def _stamp_swept_gen(target_path: str, gen: int) -> None:
     """Record that generation ``gen``'s commit left the table fully
-    swept. Advisory, plain write, no fsync: every loss/tear mode reads
-    back as absent or as a stale (smaller) generation — see the
-    ``_SWEPT_GEN`` doctrine — costing one extra full sweep, never a
-    skipped-but-needed one."""
+    swept. Advisory, plain write, no payload fsync: every loss/tear
+    mode of the FILE reads back as absent or as a stale (smaller)
+    generation — see the ``_SWEPT_GEN`` doctrine — costing one extra
+    full sweep, never a skipped-but-needed one.
+
+    The parent-directory fsync BEFORE creating the file is the one
+    ordering that matters: the caller's reclamation unlinks dirents in
+    this same directory, and without a barrier a power loss could
+    persist the stamp's create while losing the unlinks — reboot would
+    then show a MATCHING sidecar beside resurrected unreferenced dirs
+    that the fast path shields forever. Flushing the dirents first
+    means a power loss can only lose the stamp (safe direction); if
+    the directory fsync itself fails, we skip stamping — one extra
+    full sweep, same safe direction (round-12 review, second pass)."""
+    try:
+        fd = os.open(target_path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        return  # cannot order the unlinks before the stamp: don't stamp
+    finally:
+        os.close(fd)
     try:
         with open(os.path.join(target_path, _SWEPT_GEN), "w",
                   encoding="utf-8") as fh:
@@ -709,16 +769,15 @@ def _sweep_unreferenced_buckets(target_path: str, live: dict[int, str],
         if (name.startswith(".kbe_") or name.startswith("_kb=")) \
                 and name not in referenced \
                 and os.path.isdir(os.path.join(target_path, name)):
-            shutil.rmtree(os.path.join(target_path, name),
-                          ignore_errors=True)
-            clean &= not os.path.isdir(os.path.join(target_path, name))
-    sweep_pointer_tmps(target_path, name=_MANIFEST)
+            clean &= _rmtree_verified(os.path.join(target_path, name))
+    clean &= sweep_pointer_tmps(target_path, name=_MANIFEST)
     return clean
 
 
 def _commit_buckets(target_path: str, new_dirs: dict[int, str], *,
                     buckets: int | None = None,
-                    widened: bool | None = None) -> tuple[int, bool]:
+                    widened: bool | None = None,
+                    manifest=_UNSET) -> tuple[int, bool]:
     """The bucketed table's linearization point: publish ``new_dirs``
     (bucket id → epoch dir name, already fully written under
     ``target_path``) with ONE atomic manifest replace, then sweep dirs
@@ -757,8 +816,14 @@ def _commit_buckets(target_path: str, new_dirs: dict[int, str], *,
     the steady-state commit O(touched buckets) in syscalls (verdict
     r11 item 4). Anything else unreferenced (a crashed writer's
     orphans) is the entry recovery's job, which runs whenever the
-    sidecar is stale."""
-    m = _load_manifest(target_path)
+    sidecar is stale.
+
+    ``manifest`` lets the caller pass the entry-time parsed manifest
+    (the whole read→merge→commit runs under the table lock and nothing
+    in between rewrites it, so the cache is exact); the manifest parse
+    is the dominant fast-path cost at large bucket counts and was
+    being paid four times per entry (round-12 review, second pass)."""
+    m = _load_manifest(target_path) if manifest is _UNSET else manifest
     if m is None:
         m = {"gen": 0, "live": _legacy_bucket_dirs(target_path),
              "grace": {}, "buckets": None, "widened": None}
@@ -793,8 +858,7 @@ def _commit_buckets(target_path: str, new_dirs: dict[int, str], *,
     # resolve pre-flip manifests whose dirs are all in live ∪ grace)
     clean = True
     for d in released:
-        shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
-        clean &= not os.path.isdir(os.path.join(target_path, d))
+        clean &= _rmtree_verified(os.path.join(target_path, d))
     _write_naive_read_guard(target_path, live)
     return gen, clean
 
@@ -812,7 +876,8 @@ def _read_meta_file(target_path: str) -> tuple[int, bool] | None:
         return None
 
 
-def _load_bucket_meta(target_path: str, buckets: int) -> tuple[int, bool]:
+def _load_bucket_meta(target_path: str, buckets: int, *,
+                      manifest=_UNSET) -> tuple[int, bool]:
     """The table's persisted bucket count wins over the argument — the
     same doctrine as the minhash index's ``_load_minhash_meta``: a
     caller passing a different ``buckets`` against an existing table
@@ -843,8 +908,10 @@ def _load_bucket_meta(target_path: str, buckets: int) -> tuple[int, bool]:
     # the layout probe must consult the manifest: a manifest table's
     # live dirs may all be hidden .kbe_ epochs, so a bare _kb= listing
     # would misread it as a BIRTH and stamp the wrong hash version
-    # (one manifest load serves both the probe and the recovery branch)
-    manifest = _load_manifest(target_path)
+    # (one manifest load serves both the probe and the recovery
+    # branch; callers that already parsed it pass it in)
+    if manifest is _UNSET:
+        manifest = _load_manifest(target_path)
     live = manifest["live"] if manifest is not None \
         else _legacy_bucket_dirs(target_path)
     has_kb = bool(live)
@@ -904,7 +971,8 @@ def _persist_bucket_meta(target_path: str, buckets: int, *,
     os.replace(tmp, os.path.join(target_path, _BUCKETS_META))
 
 
-def _recover_partitioned_swap(target_path: str) -> None:
+def _recover_partitioned_swap(target_path: str
+                              ) -> tuple[dict | None, bool]:
     """Entry-time recovery for the bucketed table, shared by every
     mutating entry point (upsert, compaction, rebucket caller). Two
     eras, healed in order:
@@ -941,12 +1009,21 @@ def _recover_partitioned_swap(target_path: str) -> None:
     can (documented limitation — the protocol's files are not a
     defense against out-of-band edits; ``maintain.py --check`` and
     ``rebucket_partitioned`` are).
+
+    Returns ``(manifest, steady)``: the table's parsed manifest as
+    this recovery left it (post-prune; None on legacy tables) for the
+    caller to REUSE instead of re-parsing — the parse is the dominant
+    fast-path cost at large bucket counts — and whether the fast path
+    was taken (a steady table provably has no stray flat files except
+    hand-planted ones, so the caller may skip its migration listdir
+    too; round-12 review, second pass).
     """
     if not os.path.isdir(target_path):
-        return
+        return None, False
     esc = glob_mod.escape(target_path)
     m = _load_manifest(target_path)
-    if m is not None and _read_swept_gen(target_path) == m["gen"] \
+    if m is not None and not m["adopted_ts"] \
+            and _read_swept_gen(target_path) == m["gen"] \
             and not _prune_grace(m["grace"], m["gen"])[1]:
         # the prune probe is pure (no filesystem) and closes the
         # time-window hole the sidecar alone would open: with
@@ -954,8 +1031,14 @@ def _recover_partitioned_swap(target_path: str) -> None:
         # CLOCK, not by generation — a non-committing entry (a nightly
         # compaction that finds nothing to rewrite) must still reclaim
         # them, or an idle table retains superseded copies forever
-        # (round-12 review)
-        return
+        # (round-12 review). adopted_ts forces the slow path so the
+        # adopted timestamps are frozen by a v2 rewrite below — without
+        # that, every parse re-adopts a fresh "now" and the window
+        # never starts. The guard heal runs even on the fast path: the
+        # file is advisory and can be removed out-of-band, and a
+        # read-mostly table may see no data commit for a long time.
+        _write_naive_read_guard(target_path, m["live"])
+        return m, True
     clean = True
     if m is None:
         # legacy: finish a compact swap whose tmp is the only complete
@@ -995,11 +1078,9 @@ def _recover_partitioned_swap(target_path: str) -> None:
         # litter), never a recovery source
         for pat in (".compact_tmp_*", ".compact_old_*", ".upsert_old_*"):
             for stale in glob_mod.glob(os.path.join(esc, pat)):
-                shutil.rmtree(stale, ignore_errors=True)
-                clean &= not os.path.isdir(stale)
+                clean &= _rmtree_verified(stale)
     for stale in glob_mod.glob(os.path.join(esc, ".upsert_tmp_*")):
-        shutil.rmtree(stale, ignore_errors=True)
-        clean &= not os.path.isdir(stale)
+        clean &= _rmtree_verified(stale)
     # manifest era: prune expired grace, sweep unreferenced dirs, then
     # record the table as fully swept at this generation (the prune
     # rewrite keeps the generation — only data commits advance it) —
@@ -1008,22 +1089,29 @@ def _recover_partitioned_swap(target_path: str) -> None:
     # (round-12 review)
     if m is not None:
         grace, _released = _prune_grace(m["grace"], m["gen"])
-        if grace != m["grace"]:
+        if grace != m["grace"] or m["adopted_ts"]:
+            # a rewrite also freezes any parse-time-adopted grace
+            # timestamps into the v2 format, starting the retention
+            # clock exactly once (round-12 review, second pass)
             commit_pointer(target_path, _dump_manifest(
                 m["gen"], m["live"], grace,
                 buckets=m["buckets"], widened=m["widened"]),
                 name=_MANIFEST)
+            m["adopted_ts"] = False
+        m["grace"] = grace
         clean &= _sweep_unreferenced_buckets(target_path, m["live"],
                                              grace)
         _write_naive_read_guard(target_path, m["live"])
         if clean:
             _stamp_swept_gen(target_path, m["gen"])
+    return m, False
 
 
 def _publish_staged_buckets(target_path: str, staging: str, token: str,
                             *, buckets: int | None = None,
                             widened: bool | None = None,
-                            expected: set[int] | None = None) -> None:
+                            expected: set[int] | None = None,
+                            manifest=_UNSET) -> None:
     """Pure-filesystem commit of :func:`upsert_partitioned`'s step 4:
     move each staged ``_kb=<n>`` subdir to its immutable epoch name
     ``.kbe_<n>_<token>`` (renames of not-yet-referenced dirs — crashing
@@ -1077,9 +1165,19 @@ def _publish_staged_buckets(target_path: str, staging: str, token: str,
     clean = True
     if new_dirs:
         gen, clean = _commit_buckets(target_path, new_dirs,
-                                     buckets=buckets, widened=widened)
-    shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS marker etc.
-    clean &= not os.path.isdir(staging)
+                                     buckets=buckets, widened=widened,
+                                     manifest=manifest)
+    clean &= _rmtree_verified(staging)  # _SUCCESS marker etc.
+    if gen is None and clean:
+        # EMPTY publish (a streaming micro-batch that delivered no
+        # rows): nothing was committed, but the entry-time sidecar
+        # unlink already happened — re-stamp the CURRENT generation so
+        # an empty-batch stream doesn't permanently defeat the fast
+        # path (round-12 review, second pass)
+        m = _load_manifest(target_path) if manifest is _UNSET \
+            else manifest
+        if m is not None:
+            gen = m["gen"]
     if gen is not None and clean:
         # all residue verifiably gone — the next entry may fast-path;
         # on a partial cleanup the sidecar stays unstamped so the
@@ -1314,8 +1412,14 @@ def _check_key_family(batch_df: DataFrame, table_df: DataFrame,
 def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
                                batch: DataFrame, *, key_col: str,
                                order_col: str, buckets: int) -> None:
-    buckets, widened = _load_bucket_meta(target_path, buckets)
-    _recover_partitioned_swap(target_path)
+    # recovery FIRST: it returns the table's parsed manifest (the one
+    # parse this entry pays — threading it through meta-load, the live
+    # map and the commit was 4 parses before, the dominant fast-path
+    # cost at large bucket counts) plus whether the fast path was
+    # taken (round-12 review, second pass)
+    m, steady = _recover_partitioned_swap(target_path)
+    buckets, widened = _load_bucket_meta(target_path, buckets,
+                                         manifest=m)
 
     # Migration / crash-recovery: flat root *.parquet files exist when the
     # table is a create_table bootstrap, was built by the plain upsert, OR
@@ -1328,12 +1432,20 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
     # layout throws 'conflicting directory structures'). NOT _SUCCESS:
     # the partitioned write recreates the root marker, and deleting it
     # would make the table look absent to create_table_if_not_exists.
+    # A STEADY table (sidecar fast path) provably has no strays except
+    # hand-planted ones — every protocol path that can leave a flat
+    # file also leaves the sidecar unlinked — so the migration listdir
+    # is skipped there, keeping the steady-state write path free of
+    # root listings entirely.
     flat_files: list[str] = []
     live: dict[int, str] = {}
-    if os.path.isdir(target_path):
+    if steady:
+        live = m["live"]
+    elif os.path.isdir(target_path):
         flat_files = [f for f in os.listdir(target_path)
                       if f.endswith(".parquet")]
-        live = _live_bucket_dirs(target_path)
+        live = m["live"] if m is not None \
+            else _legacy_bucket_dirs(target_path)
     has_kb = bool(live)
     existing_all = None
     stray = None
@@ -1459,9 +1571,11 @@ def _upsert_partitioned_locked(spark: SparkSession, target_path: str,
     # between the two leaves a correctly-classified table either way
     # (meta with no manifest is simply a not-yet-committed batch).
     _persist_bucket_meta(target_path, buckets, widened=widened)
+    # m is still exact: we hold the table lock and nothing since the
+    # entry recovery rewrote the manifest
     _publish_staged_buckets(target_path, staging, token,
                             buckets=buckets, widened=widened,
-                            expected=expected)
+                            expected=expected, manifest=m)
     for f in flat_files:
         try:
             os.remove(os.path.join(target_path, f))
@@ -1534,10 +1648,12 @@ def _compact_partitioned_locked(spark: SparkSession, target_path: str,
     import math
 
     # heal any pre-manifest-era crash states and sweep manifest-era
-    # orphans/expired grace — the shared entry recovery
-    _recover_partitioned_swap(target_path)
+    # orphans/expired grace — the shared entry recovery (its parsed
+    # manifest is reused below instead of a second parse)
+    m, _steady = _recover_partitioned_swap(target_path)
 
-    live = _live_bucket_dirs(target_path)
+    live = m["live"] if m is not None \
+        else _legacy_bucket_dirs(target_path)
     todo: list[tuple[int, str, int]] = []
     for kb, dname in sorted(live.items()):
         d = os.path.join(target_path, dname)
@@ -1569,7 +1685,7 @@ def _compact_partitioned_locked(spark: SparkSession, target_path: str,
         _fsync_tree(os.path.join(target_path, name))
         new_dirs[kb] = name
     if new_dirs:
-        gen, clean = _commit_buckets(target_path, new_dirs)
+        gen, clean = _commit_buckets(target_path, new_dirs, manifest=m)
         if clean:
             _stamp_swept_gen(target_path, gen)
     return len(todo)

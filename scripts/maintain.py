@@ -114,7 +114,20 @@ def main() -> int:
         # pure-filesystem diagnosis — no Spark session needed
         from dig_etl_engine_spark.sinks.kg_table import layout_report
         for path in args.check:
-            rep = layout_report(path)
+            try:
+                rep = layout_report(path)
+            except Exception as ex:  # noqa: BLE001 — a damaged table
+                # is precisely what this diagnosis is pointed at: a
+                # torn manifest (JSONDecodeError) or an unreadable one
+                # (resolve_pointer propagates EACCES by design) is a
+                # FINDING, not a crash
+                print(f"check {path}: UNREADABLE")
+                print(f"  finding: manifest/layout unreadable "
+                      f"({type(ex).__name__}: {ex}) — restore the "
+                      f"table from its bucket dirs with "
+                      f"rebucket_partitioned, or fix permissions")
+                rc = 1
+                continue
             desc = f"check {path}: era={rep['era']}"
             if rep["era"] == "manifest":
                 desc += (f" gen={rep['gen']} buckets={rep['buckets']} "

@@ -1959,13 +1959,19 @@ class TestDurabilityAndLayoutGuards:
             kg_table._load_manifest(p)["gen"]
 
     def test_v1_grace_entries_adopt_parse_time(self, tmp_path):
-        """r12 review finding 3: a v1 manifest's grace entries carry
-        no timestamp; parsing them as 'infinitely old' would let a
-        configured time window release a dir recorded seconds before
-        the upgrade. They must adopt parse time instead."""
+        """r12 review finding 3 (+ second pass): a v1 manifest's grace
+        entries carry no timestamp; parsing them as 'infinitely old'
+        would let a configured time window release a dir recorded
+        seconds before the upgrade. They must adopt parse time — AND
+        the next recovery must FREEZE the adopted value with a v2
+        rewrite, or every parse re-adopts a fresh 'now' and the
+        retention clock never starts (superseded dirs retained
+        forever)."""
         import json
         p = str(tmp_path / "t")
         os.makedirs(p)
+        for n, d in ((0, ".kbe_0_b"), (1, ".kbe_1_a"), (0, ".kbe_0_a")):
+            os.makedirs(os.path.join(p, d), exist_ok=True)
         v1 = json.dumps({"v": 1, "gen": 3, "buckets": 2,
                          "widened": True,
                          "live": {"0": ".kbe_0_b", "1": ".kbe_1_a"},
@@ -1973,9 +1979,138 @@ class TestDurabilityAndLayoutGuards:
         kg_table.commit_pointer(p, v1, name=kg_table._MANIFEST)
         before = time.time()
         m = kg_table._load_manifest(p)
+        assert m["adopted_ts"]
         (d, g, ts), = m["grace"][0]
         assert (d, g) == (".kbe_0_a", 3)
         assert before - 1.0 <= ts <= time.time() + 1.0
+        # recovery freezes: the manifest is rewritten v2 and a later
+        # parse returns a STABLE timestamp with no re-adoption
+        kg_table._recover_partitioned_swap(p)
+        m2 = kg_table._load_manifest(p)
+        assert not m2["adopted_ts"]
+        frozen = m2["grace"][0][0][2]
+        time.sleep(0.05)
+        assert kg_table._load_manifest(p)["grace"][0][0][2] == frozen
+
+    def test_empty_publish_restamps_current_generation(
+            self, spark, tmp_path):
+        """r12 second-pass finding: a streaming micro-batch that
+        delivers no rows unlinks the sidecar (before staging) but used
+        to never re-stamp it (no commit happened) — every later entry
+        paid the full sweep on an untouched table. An empty clean
+        publish must re-stamp the CURRENT generation."""
+        p = str(tmp_path / "t")
+        kg_table.upsert_partitioned(
+            spark, p, self._batch(spark, [(i, "b", 0) for i in
+                                          range(8)]), buckets=2)
+        gen = kg_table._load_manifest(p)["gen"]
+        assert kg_table._read_swept_gen(p) == gen
+        # an empty publish, exactly as the upsert would run it
+        kg_table._invalidate_swept_gen(p)
+        staging = os.path.join(p, ".upsert_tmp_empt")
+        os.makedirs(staging)
+        with open(os.path.join(staging, "_SUCCESS"), "w") as fh:
+            fh.write("")
+        kg_table._publish_staged_buckets(p, staging, "empt")
+        assert kg_table._read_swept_gen(p) == gen     # re-stamped
+        assert not os.path.isdir(staging)
+        # and through the real API: an empty batch keeps it stamped
+        kg_table.upsert_partitioned(
+            spark, p, self._batch(spark, []), buckets=2)
+        assert kg_table._read_swept_gen(p) == \
+            kg_table._load_manifest(p)["gen"]
+
+    def test_stamp_orders_root_dirent_flush_before_create(
+            self, tmp_path, monkeypatch):
+        """r12 second-pass finding: the reclamation unlinks and the
+        sidecar create live in the same directory; without a barrier a
+        power loss could persist the stamp while losing the unlinks —
+        a matching sidecar beside resurrected dirs, shielded forever.
+        The stamp must fsync the directory BEFORE creating the file,
+        and must NOT stamp when that fsync fails."""
+        p = str(tmp_path / "t")
+        os.makedirs(p)
+        events = []
+        real_fsync, real_open_ = os.fsync, os.open
+
+        def spy_fsync(fd):
+            events.append("dir_fsync")
+            return real_fsync(fd)
+
+        with monkeypatch.context() as mp:
+            mp.setattr("dig_etl_engine_spark.sinks.kg_table.os.fsync",
+                       spy_fsync)
+            real_builtin_open = open
+
+            def spy_open(f, *a, **kw):
+                if str(f).endswith(kg_table._SWEPT_GEN) and a \
+                        and "w" in str(a[0]):
+                    events.append("stamp_create")
+                return real_builtin_open(f, *a, **kw)
+
+            mp.setattr("dig_etl_engine_spark.sinks.kg_table.open",
+                       spy_open, raising=False)
+            kg_table._stamp_swept_gen(p, 7)
+        assert kg_table._read_swept_gen(p) == 7
+        assert "dir_fsync" in events and "stamp_create" in events
+        assert events.index("dir_fsync") < events.index("stamp_create")
+        # failing dir fsync → no stamp (safe direction)
+        kg_table._invalidate_swept_gen(p)
+
+        def bad_fsync(fd):
+            raise OSError(5, "io error")
+
+        with monkeypatch.context() as mp:
+            mp.setattr("dig_etl_engine_spark.sinks.kg_table.os.fsync",
+                       bad_fsync)
+            kg_table._stamp_swept_gen(p, 8)
+        assert kg_table._read_swept_gen(p) is None
+
+    def test_undeletable_pointer_tmp_blocks_stamp(
+            self, spark, tmp_path, monkeypatch):
+        """r12 second-pass finding: sweep_pointer_tmps failures must
+        fold into the clean verdict — an undeletable manifest tmp file
+        stamped over would be shielded by the fast path forever."""
+        p = str(tmp_path / "t")
+        kg_table.upsert_partitioned(
+            spark, p, self._batch(spark, [(i, "b", 0) for i in
+                                          range(8)]), buckets=2)
+        tmp = os.path.join(p, f".{kg_table._MANIFEST}.tmp.stuck")
+        with open(tmp, "w") as fh:
+            fh.write("{}")
+        kg_table._invalidate_swept_gen(p)
+        real_remove = os.remove
+
+        def flaky_remove(path):
+            if str(path) == tmp:
+                raise PermissionError(13, "stuck", str(path))
+            return real_remove(path)
+
+        with monkeypatch.context() as mp:
+            mp.setattr("dig_etl_engine_spark.sinks.kg_table.os.remove",
+                       flaky_remove)
+            kg_table._recover_partitioned_swap(p)
+        assert os.path.exists(tmp)
+        assert kg_table._read_swept_gen(p) is None    # NOT stamped
+        kg_table._recover_partitioned_swap(p)         # healthy retry
+        assert not os.path.exists(tmp)
+        assert kg_table._read_swept_gen(p) == \
+            kg_table._load_manifest(p)["gen"]
+
+    def test_guard_healed_on_fast_path(self, spark, tmp_path):
+        """r12 second-pass finding: the guard file can be removed
+        out-of-band; a read-mostly table may see no data commit for a
+        long time, so the STEADY fast path must heal it too."""
+        p = str(tmp_path / "t")
+        kg_table.upsert_partitioned(
+            spark, p, self._batch(spark, [(i, "b", 0) for i in
+                                          range(8)]), buckets=2)
+        guard = os.path.join(p, kg_table._NAIVE_READ_GUARD)
+        assert os.path.exists(guard)
+        os.remove(guard)
+        m, steady = kg_table._recover_partitioned_swap(p)
+        assert steady                                  # fast path...
+        assert os.path.exists(guard)                   # ...healed it
 
     def test_swept_gen_fast_path_and_invalidation(self, spark,
                                                   tmp_path):

@@ -131,3 +131,21 @@ def test_maintain_cli_check_layout(spark, tmp_path):
         [sys.executable, cli, "--check", str(tmp_path / "nope")],
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 1 and "does not exist" in r.stdout
+
+
+def test_maintain_cli_check_corrupt_manifest(tmp_path):
+    """A torn manifest is a FINDING, not a traceback — a damaged table
+    is precisely what the diagnosis tool is pointed at (r12 review,
+    second pass). No Spark needed."""
+    p = str(tmp_path / "kg")
+    os.makedirs(p)
+    with open(os.path.join(p, "_kg_manifest"), "w") as fh:
+        fh.write('{"v": 2, "gen": 3, "liv')   # torn mid-write shape
+
+    cli = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                       "maintain.py")
+    r = subprocess.run([sys.executable, cli, "--check", p],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 1, (r.stdout, r.stderr[-1000:])
+    assert "UNREADABLE" in r.stdout and "finding:" in r.stdout
+    assert "Traceback" not in r.stderr
