@@ -28,6 +28,12 @@ def table_path(sf_dir: str, name: str) -> str:
 _CATALOG_CACHE: dict[tuple[int, str], tuple[SparkSession,
                                             dict[str, DataFrame]]] = {}
 
+# id(session) → (session, last (id, sf_dir) key whose views it holds).
+# The session object is stored so an id() reused by a NEW session after
+# GC can never satisfy the skip check (same identity discipline as
+# _CATALOG_CACHE); entries are evicted with the cache eviction loop.
+_LAST_REGISTERED: dict[int, tuple[SparkSession, tuple[int, str]]] = {}
+
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
                 register_views: bool = True) -> dict[str, DataFrame]:
@@ -40,11 +46,12 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
     expensive part of this call is ten ``spark.read.parquet`` file
     listings + footer schema reads (~1 s of driver round-trips), paid
     by EVERY registry query at construction time — against canonical
-    test tables that never change within a session. Temp views are
-    (re-)registered on every call regardless: they are a session-global
-    namespace, and a later ``load_tables`` against a DIFFERENT sf_dir
-    must repoint them (the memo only skips the re-analysis, never the
-    routing). Callers get a COPY of the cached dict (mutating the
+    test tables that never change within a session. Temp views are a
+    session-global namespace: a call whose sf_dir differs from what the
+    session's views currently point at (re-)registers them, so a later
+    ``load_tables`` against a DIFFERENT sf_dir always repoints the
+    routing; a same-dir repeat call skips the ~10 catalog round trips
+    (r12 — registration was ~80 ms inside every query's construction). Callers get a COPY of the cached dict (mutating the
     return value must not poison later callers), and entries whose
     session has been stopped are evicted on every call, so a long-lived
     process that cycles SparkSessions (pytest, notebooks) does not pin
@@ -55,21 +62,44 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
     for k in [k for k, (s, _) in _CATALOG_CACHE.items()
               if s is not spark and _is_stopped(s)]:
         del _CATALOG_CACHE[k]
+    for i in [i for i, (s, _) in _LAST_REGISTERED.items()
+              if s is not spark and _is_stopped(s)]:
+        del _LAST_REGISTERED[i]
     key = (id(spark), os.path.abspath(sf_dir))
     cached = _CATALOG_CACHE.get(key)
     if cached is not None and cached[0] is spark:
         out = cached[1]
     else:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4's per-API-call call-site capture is 61% of measured
+        # query-construction time; engine-built sessions disable it at
+        # build time (session.py — it is a STATIC conf, so a session
+        # built without it, e.g. the round driver's, keeps the default
+        # and simply pays the capture cost; the try covers exactly that
+        # CANNOT_MODIFY_STATIC_CONFIG case).
+        try:
+            spark.conf.set("spark.python.sql.dataFrameDebugging.enabled",
+                           os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"))
+        except Exception:
+            pass
         out = {}
         for name in TABLES:
             p = table_path(sf_dir, name)
             if os.path.exists(p):
                 out[name] = _normalize(name, spark.read.parquet(p))
         _CATALOG_CACHE[key] = (spark, out)
-    if register_views:
+    last = _LAST_REGISTERED.get(id(spark))
+    if register_views and not (last is not None and last[0] is spark
+                               and last[1] == key):
+        # (Re-)register only when this session's views don't already
+        # point at THIS sf_dir: registration is ~10 catalog round trips
+        # (~80 ms) paid by every registry query's construction — inside
+        # the bench's timed region — against views that almost never
+        # move. A later call with a DIFFERENT sf_dir still repoints
+        # them (the memo skips re-analysis, never the routing).
         for name, df in out.items():
             df.createOrReplaceTempView(name)
+        _LAST_REGISTERED[id(spark)] = (spark, key)
     return dict(out)
 
 

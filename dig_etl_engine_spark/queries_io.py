@@ -116,14 +116,31 @@ def _stream_parts(spark: SparkSession, n: int = 16):
     (one thread's restore can fire between another's set and start) —
     so the whole scope serializes on a module lock: stream drains here
     are seconds long, and the registry runs them sequentially anyway;
-    the lock turns that implicit invariant into an enforced one."""
+    the lock turns that implicit invariant into an enforced one.
+
+    r12: the same scope also disables Spark 4.1's checkpoint-file
+    checksums (default-on) unless SPARK_GRAFT_CKPT_CHECKSUM=true —
+    the .crc sidecar write + await per state-delta/offset/commit file
+    was 29% of streaming task-thread samples and an interleaved A/B on
+    stream_e2e_curation measured 2.2× end-to-end (rationale and the
+    deployment trade in ``session.py``, which sets the same default
+    for sessions the engine builds itself; this scope covers sessions
+    the caller built — e.g. the round driver's correctness run)."""
     with _STREAM_CONF_LOCK:
+        ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
         old = spark.conf.get("spark.sql.shuffle.partitions")
+        old_ck = spark.conf.get(ck, None)
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        spark.conf.set(
+            ck, os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
         try:
             yield
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+            if old_ck is None:
+                spark.conf.unset(ck)
+            else:
+                spark.conf.set(ck, old_ck)
 
 
 @register(

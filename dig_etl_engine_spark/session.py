@@ -64,6 +64,48 @@ def get_spark(app_name: str = "dig_etl_engine_spark",
         # 16g: large heaps (48g+) measurably worsen GC pause variance in
         # local mode; 16g is ample for sf0.1 broadcasts + shuffles.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # r12 (optimization round) — measured knobs, each overridable:
+        #
+        # Checkpoint-file checksums (new default-on in Spark 4.1) write
+        # and await a .crc sidecar for EVERY state-store delta, offset
+        # and commit file — per micro-batch × per state partition.
+        # Thread-dump sampling of the streaming stages put 29% of task
+        # samples inside ChecksumCheckpointFileManager awaits, and an
+        # interleaved A/B on stream_e2e_curation measured 2.2× (min
+        # 6.9 s vs 15.5 s; every on/off pair agreed). The cost scales
+        # WITH deployment size (files ∝ partitions × batches), while
+        # the guard only detects silent checkpoint corruption —
+        # redundant on checksumming/replicated storage (HDFS, S3,
+        # zfs/btrfs). Spark ≤ 4.0 never had it. Deployments on raw
+        # disks that want it back set SPARK_GRAFT_CKPT_CHECKSUM=true.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+                os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+        # ContextCleaner periodic GC: the default (30min) means a
+        # shorter-lived session NEVER collects the JVM-side references
+        # that keep finished queries' localCheckpoint blocks, broadcast
+        # pieces and shuffle files alive (the engine's pin() blocks are
+        # unreferenced after their query's action, but only a JVM GC
+        # lets the weak-ref ContextCleaner reclaim the storage). 90 s
+        # bounds the leak window at every scale; the System.gc() it
+        # triggers is a no-op burden on a healthy heap.
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("SPARK_GRAFT_PERIODIC_GC", "90s"))
+        # PySpark 4 wraps EVERY DataFrame/Column API call in a
+        # call-site-capture decorator for error enrichment: per call it
+        # reads a conf over py4j, walks the Python stack, and makes two
+        # more py4j round trips (PySparkCurrentOrigin set/clear).
+        # cProfile over agg_pricing_summary's construction: 61% of
+        # build time inside that wrapper (0.57 s → 0.25 s per build
+        # with it off); construction runs inside the bench's timed
+        # region and inside every real caller's latency budget. The
+        # cost is pure driver-side Python — it scales with plan width,
+        # not data, so it is the same tax on a 100 TB cluster driver.
+        # Debugging deployments re-enable with SPARK_GRAFT_DF_DEBUG=true
+        # (the python-side flag is cached at first use, so it must be
+        # set before the first DataFrame op — which builder config
+        # guarantees).
+        .config("spark.python.sql.dataFrameDebugging.enabled",
+                os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
