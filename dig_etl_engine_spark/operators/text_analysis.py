@@ -992,13 +992,30 @@ def dsir_importance_weights(corpus, target, *, id_col: str = "doc_id",
                 % buckets
         raise ValueError(f"dsir: unknown hash_mode {hash_mode!r}")
 
-    def logp_from_counts(counts, name):
-        total = counts.agg(F.sum("c").alias("n"))
-        return (counts.join(F.broadcast(total))
-                .select("b", F.log(
-                    (F.col("c") + k_smooth)
-                    / (F.col("n") + k_smooth * buckets)).alias(name)),
-                total)
+    def logp_dense(counts, name):
+        """``(b, name)`` for EVERY bucket in [0, buckets): seen buckets
+        get log((c+k)/(N+kB)); unseen buckets carry c=0, whose value
+        log((0+k)/(N+kB)) IS the smoothing floor — bit-identical to the
+        former explicit-floor coalesce (0+k == k in doubles, same
+        division, same log). Densifying over the bucket domain (a
+        model-constant ≤ 64k rows) lets the scoring join be a plain
+        always-matching broadcast join, and N comes from ONE window
+        over the counts instead of a 1-row aggregate whose broadcast
+        join re-executed the whole gram pipeline per reference — the
+        r12 plan audit found the target explode+count subtree THREE
+        times in the executed plan (counts, the total inside its
+        broadcast, and the final floor join); this shape runs it once.
+        """
+        from pyspark.sql import Window as W
+
+        spark = counts.sparkSession
+        dom = spark.range(buckets).select(F.col("id").alias("b"))
+        dense = dom.join(counts, "b", "left") \
+            .select("b", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        n = F.sum("c").over(W.partitionBy())
+        return dense.select("b", F.log(
+            (F.col("c") + k_smooth)
+            / (n + k_smooth * buckets)).alias(name))
 
     # The corpus gram stream (explode + interpreted zip_with bigrams) is
     # the dominant CPU and feeds BOTH the raw-LM counts and the scoring
@@ -1007,22 +1024,14 @@ def dsir_importance_weights(corpus, target, *, id_col: str = "doc_id",
     # ~35% off the whole operator at sf0.1, identical output).
     cf = (grams(corpus).select("id", bucket(F.col("g")).alias("b"))
           .transform(_pin, eager=False))
-    p_t, t_total = logp_from_counts(
+    p_t = logp_dense(
         grams(target).select(bucket(F.col("g")).alias("b"))
         .groupBy("b").agg(F.count(F.lit(1)).alias("c")), "lp_t")
-    p_r, r_total = logp_from_counts(
+    p_r = logp_dense(
         cf.groupBy("b").agg(F.count(F.lit(1)).alias("c")), "lp_r")
-    # unseen buckets fall back to the smoothed floor log(k / (N + k·B));
-    # joining the totals (1 row, broadcast) keeps the floor exact.
-    floor_t = F.log(k_smooth / (F.col("n_t") + k_smooth * buckets))
-    floor_r = F.log(k_smooth / (F.col("n_r") + k_smooth * buckets))
-    return (cf.join(F.broadcast(p_t), "b", "left")
-            .join(F.broadcast(p_r), "b", "left")
-            .join(F.broadcast(t_total.select(F.col("n").alias("n_t"))))
-            .join(F.broadcast(r_total.select(F.col("n").alias("n_r"))))
-            .select("id", (F.coalesce(F.col("lp_t"), floor_t)
-                           - F.coalesce(F.col("lp_r"), floor_r))
-                    .alias("lr"))
+    return (cf.join(F.broadcast(p_t), "b")
+            .join(F.broadcast(p_r), "b")
+            .select("id", (F.col("lp_t") - F.col("lp_r")).alias("lr"))
             .groupBy(F.col("id").alias(id_col))
             .agg(F.count(F.lit(1)).alias("n_feats"),
                  # wobble lint: exact 1e-9-quantized sum + integer

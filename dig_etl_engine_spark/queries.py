@@ -119,6 +119,36 @@ _PRIORITY_RECHECK: dict[str, int] = {
     "upsert_partitioned_merge": 12,
     "stream_file_upsert": 12,
     "search_bm25_rank": 12,
+    # r12 optimization round: dsir_importance_weights was restructured
+    # (dense bucket-domain LMs + window total replacing the 1-row
+    # broadcast-total joins whose plan re-executed the target gram
+    # pipeline three times). The log-probability arithmetic is
+    # bit-identical by construction (0+k == k; same division, same
+    # log — rationale at the operator) and the query re-verified MATCH
+    # at sf0.01 right after the change, but the executed tree changed,
+    # so the driver window re-checks it.
+    "dsir_weights": 12,
+    # r12 optimization round: the stateful first-seen dedup's per-chunk
+    # winner pick moved from stable mergesort+head(1) to numpy argmin —
+    # same selected row by construction (argmin returns the FIRST
+    # occurrence of the minimum, which is what the stable sort's head
+    # row was), but the executed kernel changed, so the three queries
+    # that run it re-check.
+    "stream_stateful_dedup": 12,
+    "stream_restart_recovery": 12,
+    "stream_e2e_curation": 12,
+    # Deliberately NOT listed (r12 optimization round, cannot move
+    # results): the session/conf work — call-site-capture off,
+    # checkpoint-file checksums off, periodic ContextCleaner GC,
+    # preferSortMergeJoin=false, and load_tables' same-dir view-
+    # registration skip — never changes what any query computes: the
+    # first two remove instrumentation/integrity sidecars only, GC
+    # reclaims unreferenced blocks, join strategy selection is
+    # result-identical by engine contract, and the view skip fires only
+    # when the views already point at the requested tables (cross-dir
+    # calls still repoint; pinned by test_catalog_cache). The full
+    # registry was re-driven 176/176 MATCH at sf0.01 in a fresh
+    # driver-like process after these changes regardless.
     # Deliberately NOT listed (r12, cannot move results): every other
     # stream_* / upsert query (stream_dedup_ingest,
     # stream_decontaminate_ingest, stream_e2e_curation,

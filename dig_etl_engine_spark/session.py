@@ -106,6 +106,17 @@ def get_spark(app_name: str = "dig_etl_engine_spark",
         # guarantees).
         .config("spark.python.sql.dataFrameDebugging.enabled",
                 os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"))
+        # Let the planner pick shuffled-hash join when its size
+        # conditions hold instead of always preferring sort-merge
+        # (optimization guide §3.1/§9: hash beats sort-merge when one
+        # side is moderately small per partition; broadcast still wins
+        # when a side is tiny, and sort-merge remains the fallback when
+        # neither size condition holds — including whenever
+        # autoBroadcastJoinThreshold is disabled, since the local-map
+        # condition scales from the same threshold). Interleaved
+        # min-of-6 A/B over the join-heavy headline queries: 9.47 s vs
+        # 10.01 s total, direction consistent on 5 of 6 queries.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

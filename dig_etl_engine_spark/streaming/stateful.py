@@ -62,10 +62,15 @@ def first_seen_dedup_stream(source: DataFrame, *, fingerprint_col: str,
             n += len(p)
             if not len(p):
                 continue
-            # stable sort → first occurrence wins order_col ties within
-            # the chunk; across chunks the earlier chunk wins ties
-            # (strict < below), preserving delivered-order tie-breaks
-            cand = p.sort_values(order_col, kind="mergesort").head(1)
+            # argmin returns the FIRST row holding the chunk minimum —
+            # exactly what the former stable mergesort + head(1)
+            # selected (first occurrence wins order_col ties within the
+            # chunk), without paying a per-group sort: this function
+            # runs once per key per batch, so per-call pandas cost is
+            # the stateful stage's Python-side constant (r12). Across
+            # chunks the earlier chunk wins ties (strict < below),
+            # preserving delivered-order tie-breaks.
+            cand = p.iloc[[p[order_col].to_numpy().argmin()]]
             if best is None or \
                     cand[order_col].iloc[0] < best[order_col].iloc[0]:
                 best = cand
