@@ -151,8 +151,10 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # driver-like process after these changes regardless.
     # Deliberately NOT listed (r12, cannot move results): every other
     # stream_* / upsert query (stream_dedup_ingest,
-    # stream_decontaminate_ingest, stream_e2e_curation,
-    # upsert_last_write_wins, ...) runs the FLAT-table path — plain
+    # stream_decontaminate_ingest, upsert_last_write_wins, ... —
+    # stream_e2e_curation later joined the recheck list above for the
+    # r12 argmin change, not for this storage diff) runs the FLAT-table
+    # path — plain
     # kg_table.upsert / create_table_if_not_exists / raw parquet reads
     # — which this round's diff does not touch (no pointer, no
     # manifest, no staged epochs on a flat table; resolve_pointer is

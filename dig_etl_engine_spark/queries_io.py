@@ -130,10 +130,15 @@ def _stream_parts(spark: SparkSession, n: int = 16):
         ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
         old = spark.conf.get("spark.sql.shuffle.partitions")
         old_ck = spark.conf.get(ck, None)
-        spark.conf.set("spark.sql.shuffle.partitions", str(n))
-        spark.conf.set(
-            ck, os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+        # both sets INSIDE the try: if the second set raises (a build
+        # where the conf is non-modifiable, a dying session), the
+        # finally must still restore the first — otherwise the n=16
+        # override leaks into every later batch query of the session
+        # (r12 review).
         try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            spark.conf.set(
+                ck, os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
             yield
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)

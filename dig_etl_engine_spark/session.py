@@ -116,7 +116,12 @@ def get_spark(app_name: str = "dig_etl_engine_spark",
         # condition scales from the same threshold). Interleaved
         # min-of-6 A/B over the join-heavy headline queries: 9.47 s vs
         # 10.01 s total, direction consistent on 5 of 6 queries.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Env-overridable like every other r12 knob: shuffled-hash
+        # cannot spill-sort its build side, so a deployment whose size
+        # estimates misfire reverts with SPARK_GRAFT_PREFER_SMJ=true
+        # instead of a code change.
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

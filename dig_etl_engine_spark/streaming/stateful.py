@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -62,15 +63,25 @@ def first_seen_dedup_stream(source: DataFrame, *, fingerprint_col: str,
             n += len(p)
             if not len(p):
                 continue
-            # argmin returns the FIRST row holding the chunk minimum —
-            # exactly what the former stable mergesort + head(1)
-            # selected (first occurrence wins order_col ties within the
-            # chunk), without paying a per-group sort: this function
-            # runs once per key per batch, so per-call pandas cost is
-            # the stateful stage's Python-side constant (r12). Across
-            # chunks the earlier chunk wins ties (strict < below),
-            # preserving delivered-order tie-breaks.
-            cand = p.iloc[[p[order_col].to_numpy().argmin()]]
+            # nanargmin returns the FIRST row holding the chunk's
+            # non-null minimum — exactly what the former stable
+            # mergesort + head(1) selected (NaN sorts last under
+            # mergesort, and among equal minima stability kept the
+            # first occurrence), without paying a per-group sort: this
+            # function runs once per key per batch, so per-call pandas
+            # cost is the stateful stage's Python-side constant (r12).
+            # A nullable order column arrives from Arrow as float64
+            # with NaN, where plain argmin would pick the first NaN
+            # row (r12 review); an all-NaN chunk falls back to row 0,
+            # which is what the stable sort's head was. Across chunks
+            # the earlier chunk wins ties (strict < below), preserving
+            # delivered-order tie-breaks.
+            vals = p[order_col].to_numpy()
+            try:
+                i = int(np.nanargmin(vals))
+            except ValueError:   # all-NaN chunk
+                i = 0
+            cand = p.iloc[[i]]
             if best is None or \
                     cand[order_col].iloc[0] < best[order_col].iloc[0]:
                 best = cand

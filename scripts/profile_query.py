@@ -63,7 +63,16 @@ def main() -> None:
     for j in jobs:
         for sid in j["stageIds"]:
             stage_to_job[sid] = j["jobId"]
-    stages = [s for s in get("stages") if s["stageId"] in stage_to_job]
+    # one entry per stage ATTEMPT comes back — keep only the latest
+    # attempt per stageId so a retried stage is not double-counted in
+    # the table or the summed wall estimate
+    by_id: dict = {}
+    for s in get("stages"):
+        if s["stageId"] in stage_to_job:
+            cur = by_id.get(s["stageId"])
+            if cur is None or s.get("attemptId", 0) > cur.get("attemptId", 0):
+                by_id[s["stageId"]] = s
+    stages = list(by_id.values())
     stages.sort(key=lambda s: -(s.get("executorRunTime") or 0))
     print(f"\n{len(jobs)} jobs, {len(stages)} stages in profiled run; "
           "by executorRunTime:")

@@ -4,9 +4,14 @@
 parquet file-listing + footer schema reads it performs are pure driver
 round-trips against canonical tables that never change within a session.
 The memo must (a) return the SAME analyzed DataFrames on repeat calls,
-(b) keep distinct sf_dirs distinct, and (c) still repoint the session's
-temp views on every call so a later call against a different sf_dir wins
-the view namespace.
+(b) keep distinct sf_dirs distinct, and (c) repoint the session's temp
+views whenever the requested sf_dir differs from what the views
+currently hold, so a later call against a different sf_dir wins the view
+namespace. Since r12 a SAME-dir repeat call deliberately skips the ~10
+registration round trips (they sat inside every query's construction);
+the documented trade is that an externally dropped/clobbered view is
+only restored by a call whose sf_dir differs from the memo — pinned
+below so the contract change stays visible.
 """
 
 from pyspark.sql import functions as F
@@ -41,6 +46,23 @@ def test_views_repointed_on_every_call(spark):
     n_a2 = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
     assert n_a != n_b
     assert n_a == n_a2
+
+
+def test_same_dir_skip_and_cross_dir_restore(spark):
+    """The r12 registration memo: a same-dir repeat call skips view
+    registration (an externally dropped view stays dropped — the
+    documented trade for removing ~80 ms from every query build), while
+    any cross-dir call repoints/restores the full view set."""
+    load_tables(spark, SF_A)
+    spark.catalog.dropTempView("lineitem")
+    load_tables(spark, SF_A)            # same dir → skip, not restored
+    assert not spark.catalog.tableExists("lineitem")
+    load_tables(spark, SF_B)            # different dir → full register
+    assert spark.catalog.tableExists("lineitem")
+    n_b = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+    load_tables(spark, SF_A)
+    n_a = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+    assert n_a != n_b
 
 
 def test_memoized_frames_stay_lazy_and_pruned(spark):
