@@ -115,6 +115,29 @@ def _calibrate(spark) -> float:
     return round(statistics.median(once() for _ in range(3)), 3)
 
 
+def _calibrate_driver() -> float:
+    """Second anchor (r12, "not yet optimized" item 5 of the r12 notes):
+    the 8-way-parallel JVM kernel above under-measures SINGLE-THREAD
+    driver weather, yet a large share of each query's bench time is
+    driver-side Python (query construction + py4j round trips), which
+    scales with single-core interpreter speed, not executor throughput.
+    A fixed pure-Python LCG loop — no JVM, no I/O, deterministic —
+    timed median-of-3. Construction-bound queries should be normalized
+    by THIS anchor in cross-round comparisons; executor-bound ones by
+    ``calibration_sec``."""
+    import statistics
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x = (x * 1103515245 + i) & 0xFFFFFFFF
+        return time.perf_counter() - t0
+
+    once()  # interpreter/branch warm-up, untimed
+    return round(statistics.median(once() for _ in range(3)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -163,6 +186,9 @@ def main() -> None:
                 raise SystemExit(f"{name}: in HEADLINE but not in the "
                                  "registry — HEADLINE is stale")
             continue
+        # UI-readability label (guide §1.5) — set OUTSIDE the timed
+        # region, one py4j call per query, thread-local.
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         # min-of-N: steady-state cost (the first run pays
         # codegen/broadcast warm-up that a long-lived cluster amortizes
         # away); median mode (default) for representative readings.
@@ -204,7 +230,14 @@ def main() -> None:
                        # host window before cross-round comparisons
                        "calibration_sec": _calibrate(spark),
                        "calibration_kernel":
-                           "bit_xor(xxhash64(id)) over range(4e8), 8 parts"}
+                           "bit_xor(xxhash64(id)) over range(4e8), 8 parts",
+                       # single-thread driver anchor (r12): pure-Python
+                       # LCG loop, 2e6 iterations — normalizes the
+                       # CONSTRUCTION-bound share of query times, which
+                       # the parallel JVM kernel under-measures
+                       "calibration_driver_sec": _calibrate_driver(),
+                       "calibration_driver_kernel":
+                           "python LCG loop, 2e6 iters, 1 thread"}
     print(json.dumps(out))
 
 

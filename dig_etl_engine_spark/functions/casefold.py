@@ -122,6 +122,23 @@ def safe_lower(col: ColumnOrName) -> Column:
     return F.when(_is_ascii(c), F.lower(c)).otherwise(F.lower(x))
 
 
+def sql_safe_lower(expr: str) -> str:
+    """Spark-SQL text of :func:`safe_lower` over the SQL expression
+    ``expr`` — parses to the exact tree the Column form builds (pinned
+    by ``tests/test_casefold.py::test_sql_safe_lower_tree_identical``),
+    rendered from the SAME module constants so the two can never drift
+    silently. For call sites that assemble whole expressions as one
+    parsed SQL string to cut driver-side construction cost (guide §5:
+    a deep Column tree costs one py4j round trip per node; a parsed
+    string costs one total). This is SPARK SQL, not DuckDB oracle SQL —
+    the oracle's engines are locale-free already."""
+    return (f"CASE WHEN octet_length({expr}) = length({expr}) "
+            f"THEN lower({expr}) "
+            f"ELSE lower(translate(replace({expr}, '{_CAP_I_DOT}', "
+            f"'{_SMALL_I_DOT}'), '{_LOWER_TRIGGERS}', "
+            f"'{_LOWER_IMAGES}')) END")
+
+
 def safe_upper(col: ColumnOrName) -> Column:
     """``F.upper`` with the tr/az ``i → İ`` conditional rule neutralized
     (see module docstring for the Lithuanian combining-mark residual).

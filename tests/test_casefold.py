@@ -63,6 +63,26 @@ def test_safe_upper_matches_python_reference(hazard_df):
     assert got == [s.upper() for s in HAZARD]
 
 
+def test_sql_safe_lower_tree_identical(spark):
+    """r12: `sql_safe_lower` renders the safe_lower tree as Spark-SQL
+    text (for call sites that assemble whole expressions as one parsed
+    string — construction-cost cut, guide §5). The parsed tree must be
+    EXACTLY the Column form's tree: same guard, same pre-fold chain,
+    same branch order. Rendered from the module constants, so constant
+    drift breaks here first."""
+    import re
+
+    from dig_etl_engine_spark.functions.casefold import sql_safe_lower
+
+    df = spark.createDataFrame([("x",)], ["s"])
+    strip = lambda s: re.sub(r"#\d+", "", s)  # noqa: E731
+    col_form = strip(df.select(safe_lower(F.col("s")).alias("o"))
+                     ._jdf.queryExecution().analyzed().toString())
+    sql_form = strip(df.selectExpr(f"{sql_safe_lower('`s`')} AS o")
+                     ._jdf.queryExecution().analyzed().toString())
+    assert col_form == sql_form, (col_form, sql_form)
+
+
 def test_safe_lower_null_passthrough(spark):
     row = (spark.createDataFrame([(None,)], "s string")
            .select(safe_lower(F.col("s")).alias("lo"),

@@ -160,6 +160,57 @@ class TestNgramLmScores:
         ids = {r.doc_id for r in ngram_lm_scores(corpus, ref).collect()}
         assert ids == {1}
 
+    def test_trigram_sql_tree_matches_column_form(self, spark):
+        """r12: `_trigram_rows` assembles its expression tree as one
+        parsed SQL string (construction-cost cut, guide §5). This pin
+        keeps the parsed tree ALPHA-IDENTICAL to the Column form it
+        replaced — the reference implementation below is the pre-r12
+        code verbatim. 'Alpha-identical' = analyzed plans equal after
+        stripping expression ids AND Catalyst's auto-generated lambda
+        variable names (`lambda x_N` vs the SQL text's `lambda t`/`s`
+        — pure naming, zero semantics). If casefold constants or the
+        trigram shape drift, this fails loudly."""
+        import re
+
+        from pyspark.sql import functions as F
+        from dig_etl_engine_spark.functions.bindings import bind_once
+        from dig_etl_engine_spark.functions.casefold import safe_lower
+        from dig_etl_engine_spark.operators.text_analysis import (
+            _trigram_rows)
+
+        def trigrams_column_reference(df):
+            toks = F.split(F.trim(safe_lower(F.col("text"))), r"\s+")
+
+            def grams(t):
+                n_out = F.size(t) - 2
+                zipped = F.arrays_zip(F.slice(t, 1, n_out),
+                                      F.slice(t, 2, n_out),
+                                      F.slice(t, 3, n_out))
+                return F.transform(
+                    zipped,
+                    lambda s: F.struct(
+                        F.concat_ws(" ", s["0"], s["1"]).alias("ctx"),
+                        s["2"].alias("w")))
+
+            return (df.filter(F.size(toks) >= 3)
+                    .select(F.col("doc_id").alias("id"),
+                            F.explode(bind_once(toks, grams)).alias("t"))
+                    .select("id", "t.ctx", "t.w"))
+
+        df = spark.createDataFrame(
+            [(1, "a b c d")], "doc_id long, text string")
+
+        def canon(sdf):
+            s = sdf._jdf.queryExecution().analyzed().toString()
+            s = re.sub(r"#\d+", "", s)
+            # lambda variable names are parser-assigned labels: the
+            # Column API invents x_1/x_2..., SQL keeps the source names
+            return re.sub(r"lambda [A-Za-z_][A-Za-z0-9_]*", "lambda V", s)
+
+        got = canon(_trigram_rows(df))
+        want = canon(trigrams_column_reference(df))
+        assert got == want, f"---- got ----\n{got}\n---- want ----\n{want}"
+
 
 class TestProductQuantization:
     def test_reconstruction_beats_zero_and_respects_codebook(self, spark):
