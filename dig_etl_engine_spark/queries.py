@@ -164,6 +164,16 @@ _PRIORITY_RECHECK: dict[str, int] = {
     "corpus_curation_full": 12,
     "doc_pagerank": 12,
     "doc_communities": 12,
+    # r12 wave 4: create_table_if_not_exists seeds the empty table on
+    # the driver (sinks/kg_table.py::_write_empty_seed — pyarrow file
+    # carrying the Spark row-metadata footer key) instead of running an
+    # empty-DataFrame Spark write job. Read-back schema is verified
+    # byte-identical across all type families (test_io.py::
+    # test_seed_read_schema_identical_to_spark_write); zero rows either
+    # way — but every stream query's table-bootstrap path changed, so
+    # the two not already re-checking above join the list:
+    "stream_dedup_ingest": 12,
+    "stream_decontaminate_ingest": 12,
     # Deliberately NOT listed (r12 optimization round, cannot move
     # results): the session/conf work — call-site-capture off,
     # checkpoint-file checksums off, periodic ContextCleaner GC,
@@ -176,18 +186,17 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # calls still repoint; pinned by test_catalog_cache). The full
     # registry was re-driven 176/176 MATCH at sf0.01 in a fresh
     # driver-like process after these changes regardless.
-    # Deliberately NOT listed (r12, cannot move results): every other
-    # stream_* / upsert query (stream_dedup_ingest,
-    # stream_decontaminate_ingest, upsert_last_write_wins, ... —
-    # stream_e2e_curation later joined the recheck list above for the
-    # r12 argmin change, not for this storage diff) runs the FLAT-table
-    # path — plain
-    # kg_table.upsert / create_table_if_not_exists / raw parquet reads
-    # — which this round's diff does not touch (no pointer, no
-    # manifest, no staged epochs on a flat table; resolve_pointer is
-    # never called there, and its except-clause narrowing is
-    # extensionally identity on every healthy filesystem anyway: a
-    # missing pointer file still raises FileNotFoundError → None).
+    # Deliberately NOT listed (r12, cannot move results):
+    # upsert_last_write_wins runs the FLAT-table path — plain
+    # kg_table.upsert / raw parquet reads — and bootstraps no table
+    # (its first upsert creates it), so the seed-write change above
+    # does not touch its executed path. The other stream_* queries all
+    # joined the recheck list (argmin and/or seed-write). The flat path
+    # also skips the round's storage-protocol diff entirely (no
+    # pointer, no manifest, no staged epochs on a flat table;
+    # resolve_pointer is never called there, and its except-clause
+    # narrowing is extensionally identity on every healthy filesystem
+    # anyway: a missing pointer still raises FileNotFoundError → None).
     # coarse_search_rank_materialized reads the _SUCCESS-markered
     # kw_index, not the pointer-epoch stats store. The guard file and
     # swept-gen sidecar are new root-level names no registered query

@@ -276,18 +276,58 @@ def table_lock(target_path: str, *, timeout: float = 300.0,
                            "owner's)", lockd)
 
 
+def _write_empty_seed(path: str, schema: T.StructType) -> None:
+    """Driver-side zero-row parquet seed — no Spark job. The footer
+    carries the same ``org.apache.spark.sql.parquet.row.metadata`` key a
+    Spark writer embeds (the catalyst StructType JSON), so a later
+    ``spark.read.parquet`` restores EXACTLY the pinned schema — not the
+    parquet-type fallback conversion — just as if Spark had written the
+    seed itself. Build-aside + atomic rename, matching the engine's
+    publish discipline."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow = to_arrow_schema(schema).with_metadata(
+        {b"org.apache.spark.sql.parquet.row.metadata":
+         schema.json().encode()})
+    if os.path.isdir(path):          # mirror mode('overwrite')
+        shutil.rmtree(path)
+    tmp = path + f".__seed__{os.getpid()}"
+    os.makedirs(tmp)
+    try:
+        pq.write_table(arrow.empty_table(),
+                       os.path.join(tmp, "part-00000-seed.snappy.parquet"),
+                       compression="snappy")
+        open(os.path.join(tmp, "_SUCCESS"), "wb").close()
+        os.rename(tmp, path)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)  # don't leak the aside
+        raise
+
+
 def create_table_if_not_exists(spark: SparkSession, path: str,
                                schema: T.StructType) -> bool:
     """K3: bootstrap an empty table with a pinned schema; returns True if
     created. Pinning the schema up front (like the ES mapping PUT) stops
-    the first writer's inferred types from becoming the contract."""
+    the first writer's inferred types from becoming the contract.
+
+    The seed is written on the driver (:func:`_write_empty_seed`) — an
+    empty-DataFrame Spark write costs a full job (task scheduling + the
+    Hadoop commit protocol, ~0.9 s on the bench host) purely to emit a
+    zero-row file; guide §5 (the driver should do almost no data work —
+    and scheduling a cluster job to write 0 rows is the inverse). Types
+    the Arrow converter cannot express fall back to the Spark write."""
     if os.path.isdir(path) and any(
             f.endswith(".parquet") or f == "_SUCCESS"
             or f.startswith("_kb=")       # bucketed layout IS the table
             or f == _MANIFEST             # manifest-routed bucket layout
             for f in os.listdir(path)):
         return False
-    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+    try:
+        _write_empty_seed(path, schema)
+    except Exception:                 # exotic type / arrow gap — one job
+        spark.createDataFrame([], schema).write.mode("overwrite") \
+            .parquet(path)
     return True
 
 

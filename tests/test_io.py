@@ -217,6 +217,43 @@ class TestUpsert:
         assert not kg_table.create_table_if_not_exists(spark, p, self.SCHEMA)
         assert spark.read.parquet(p).count() == 0
 
+    def test_seed_read_schema_identical_to_spark_write(
+            self, spark, tmp_path):
+        """r12: the bootstrap seed is written on the driver (pyarrow +
+        the Spark row-metadata footer key), not by a Spark job. The
+        contract that makes that safe: reading the seeded table must
+        restore EXACTLY the schema an empty-DataFrame Spark write would
+        have pinned — across nullability, nested and temporal/decimal
+        types — because the first upsert aligns batches to it."""
+        cases = {
+            "flat": self.SCHEMA,
+            "nonnull": T.StructType([
+                T.StructField("a", T.LongType(), False),
+                T.StructField("b", T.StringType(), True)]),
+            "nested": T.StructType([
+                T.StructField("arr", T.ArrayType(T.StringType())),
+                T.StructField("st", T.StructType(
+                    [T.StructField("x", T.IntegerType())])),
+                T.StructField("m", T.MapType(T.StringType(),
+                                             T.DoubleType()))]),
+            "temporal": T.StructType([
+                T.StructField("t", T.TimestampType()),
+                T.StructField("d", T.DateType()),
+                T.StructField("dec", T.DecimalType(18, 4)),
+                T.StructField("bin", T.BinaryType()),
+                T.StructField("f", T.FloatType()),
+                T.StructField("i", T.IntegerType()),
+                T.StructField("bo", T.BooleanType())]),
+        }
+        for name, sch in cases.items():
+            seeded = str(tmp_path / f"{name}_seed")
+            sparkw = str(tmp_path / f"{name}_spark")
+            assert kg_table.create_table_if_not_exists(spark, seeded, sch)
+            spark.createDataFrame([], sch).write.parquet(sparkw)
+            got = spark.read.parquet(seeded)
+            assert got.schema == spark.read.parquet(sparkw).schema, name
+            assert got.count() == 0, name
+
     def test_last_write_wins_across_batches(self, spark, tmp_path):
         p = str(tmp_path / "t")
         b1 = spark.createDataFrame(

