@@ -187,16 +187,24 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # registry was re-driven 176/176 MATCH at sf0.01 in a fresh
     # driver-like process after these changes regardless.
     # Deliberately NOT listed (r12, cannot move results):
-    # upsert_last_write_wins runs the FLAT-table path — plain
-    # kg_table.upsert / raw parquet reads — and bootstraps no table
-    # (its first upsert creates it), so the seed-write change above
-    # does not touch its executed path. The other stream_* queries all
-    # joined the recheck list (argmin and/or seed-write). The flat path
-    # also skips the round's storage-protocol diff entirely (no
-    # pointer, no manifest, no staged epochs on a flat table;
-    # resolve_pointer is never called there, and its except-clause
-    # narrowing is extensionally identity on every healthy filesystem
-    # anyway: a missing pointer still raises FileNotFoundError → None).
+    # upsert_last_write_wins calls no kg_table function at all — it is
+    # a pure window dedup over the events table
+    # (queries_relational.py::upsert_last_write_wins), so neither the
+    # seed-write change nor the storage-protocol diff can touch its
+    # executed path. Of the stream_* queries, exactly four bootstrap a
+    # table (the create_table_if_not_exists call sites in
+    # queries_io.py: stream_file_upsert, stream_dedup_ingest,
+    # stream_decontaminate_ingest, stream_e2e_curation) — all four are
+    # in the recheck list above; the other five (stream_windowed_counts,
+    # stream_session_windows, stream_ohlc_rollup,
+    # stream_kmv_cardinality, stream_dedup_ingest_oracle) call neither
+    # create_table_if_not_exists nor the stateful first-seen kernel, so
+    # no r12 executed-path change reaches them. Flat tables also skip
+    # the round's storage-protocol diff entirely (no pointer, no
+    # manifest, no staged epochs on a flat table; resolve_pointer is
+    # never called there, and its except-clause narrowing is
+    # extensionally identity on every healthy filesystem anyway: a
+    # missing pointer still raises FileNotFoundError → None).
     # coarse_search_rank_materialized reads the _SUCCESS-markered
     # kw_index, not the pointer-epoch stats store. The guard file and
     # swept-gen sidecar are new root-level names no registered query

@@ -276,33 +276,79 @@ def table_lock(target_path: str, *, timeout: float = 300.0,
                            "owner's)", lockd)
 
 
+def _contains_null_type(dt: T.DataType) -> bool:
+    """True when the type (recursively) contains NullType — Spark's
+    parquet writer rejects void columns loudly, and the seed path must
+    not be WIDER than the writer it replaces (pyarrow would happily
+    write a null-typed column, deferring the failure to the first real
+    upsert of a now-committed broken table)."""
+    if isinstance(dt, T.NullType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_contains_null_type(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _contains_null_type(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return (_contains_null_type(dt.keyType)
+                or _contains_null_type(dt.valueType))
+    return False
+
+
 def _write_empty_seed(path: str, schema: T.StructType) -> None:
     """Driver-side zero-row parquet seed — no Spark job. The footer
     carries the same ``org.apache.spark.sql.parquet.row.metadata`` key a
     Spark writer embeds (the catalyst StructType JSON), so a later
     ``spark.read.parquet`` restores EXACTLY the pinned schema — not the
     parquet-type fallback conversion — just as if Spark had written the
-    seed itself. Build-aside + atomic rename, matching the engine's
-    publish discipline."""
+    seed itself. Build-aside (uuid-suffixed, module convention) +
+    atomic rename; staged bytes fsynced before the rename via
+    :func:`_fsync_tree` and the parent dirent flushed after it, the
+    same data-before-publish ordering as the bucketed commit. NullType
+    anywhere in the schema raises up front so the caller's Spark
+    fallback reproduces the old loud bootstrap error."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    if _contains_null_type(schema):
+        raise ValueError("void column in seed schema — Spark's parquet "
+                         "writer would reject it; let the fallback say so")
     arrow = to_arrow_schema(schema).with_metadata(
         {b"org.apache.spark.sql.parquet.row.metadata":
          schema.json().encode()})
-    if os.path.isdir(path):          # mirror mode('overwrite')
-        shutil.rmtree(path)
-    tmp = path + f".__seed__{os.getpid()}"
+    # reclaim crashed predecessors' staging dirs (recomputable garbage;
+    # same entry-time sweep discipline as _recover_upsert's .__tmp__*)
+    for stale in glob_mod.glob(glob_mod.escape(path) + ".__seed__*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    if os.path.isdir(path):
+        if any(f.endswith(".parquet") or f == "_SUCCESS"
+               or f.startswith("_kb=") or f == _MANIFEST
+               for f in os.listdir(path)):
+            # a concurrent creator committed between the caller's check
+            # and here — refuse rather than delete its table (the old
+            # Spark mode('overwrite') write WOULD have deleted it; the
+            # caller's except path re-checks and returns False)
+            raise FileExistsError(path)
+        shutil.rmtree(path)          # stray non-table dir: mirror overwrite
+    tmp = path + f".__seed__{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp)
     try:
         pq.write_table(arrow.empty_table(),
                        os.path.join(tmp, "part-00000-seed.snappy.parquet"),
                        compression="snappy")
         open(os.path.join(tmp, "_SUCCESS"), "wb").close()
+        _fsync_tree(tmp)
         os.rename(tmp, path)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)  # don't leak the aside
         raise
+    try:                             # order the rename like commit_pointer
+        fd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass  # some filesystems reject directory fsync; best effort
 
 
 def create_table_if_not_exists(spark: SparkSession, path: str,
@@ -316,16 +362,32 @@ def create_table_if_not_exists(spark: SparkSession, path: str,
     Hadoop commit protocol, ~0.9 s on the bench host) purely to emit a
     zero-row file; guide §5 (the driver should do almost no data work —
     and scheduling a cluster job to write 0 rows is the inverse). Types
-    the Arrow converter cannot express fall back to the Spark write."""
-    if os.path.isdir(path) and any(
+    the Arrow converter cannot express fall back to the Spark write;
+    a seed failure re-checks for the table first, because a failed
+    rename may MEAN a concurrent creator just won — falling straight
+    into the mode('overwrite') Spark write there would delete the
+    winner's committed rows."""
+
+    def _table_exists() -> bool:
+        return os.path.isdir(path) and any(
             f.endswith(".parquet") or f == "_SUCCESS"
             or f.startswith("_kb=")       # bucketed layout IS the table
             or f == _MANIFEST             # manifest-routed bucket layout
-            for f in os.listdir(path)):
+            for f in os.listdir(path))
+
+    if _table_exists():
         return False
     try:
         _write_empty_seed(path, schema)
-    except Exception:                 # exotic type / arrow gap — one job
+    except Exception:
+        if _table_exists():           # lost a creation race — not ours
+            logger.info("create_table_if_not_exists: driver seed lost "
+                        "a concurrent-creation race at %s; keeping the "
+                        "winner's table", path)
+            return False
+        logger.warning("create_table_if_not_exists: driver-side seed "
+                       "failed at %s; falling back to the Spark write",
+                       path, exc_info=True)
         spark.createDataFrame([], schema).write.mode("overwrite") \
             .parquet(path)
     return True

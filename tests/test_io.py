@@ -249,6 +249,12 @@ class TestUpsert:
             seeded = str(tmp_path / f"{name}_seed")
             sparkw = str(tmp_path / f"{name}_spark")
             assert kg_table.create_table_if_not_exists(spark, seeded, sch)
+            # the DRIVER path must have run, not the Spark fallback —
+            # otherwise this test compares a Spark write against a Spark
+            # write and the optimization it pins could be silently dead
+            # (e.g. a pyarrow upgrade breaking to_arrow_schema)
+            assert os.path.exists(os.path.join(
+                seeded, "part-00000-seed.snappy.parquet")), name
             spark.createDataFrame([], sch).write.parquet(sparkw)
             got = spark.read.parquet(seeded)
             assert got.schema == spark.read.parquet(sparkw).schema, name
