@@ -63,6 +63,23 @@ def pointer_path(root: str, name: str = "_CURRENT") -> str:
     return os.path.join(root, name)
 
 
+def _fsync_dirent(dirpath: str) -> None:
+    """Best-effort fsync of a DIRECTORY — flushes dirent updates (a
+    rename/replace) so later operations cannot be persisted ahead of
+    them. Shared by every driver-side publish in this module; OSError
+    is swallowed because some filesystems reject directory fsync."""
+    try:
+        fd = os.open(dirpath or ".", os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def commit_pointer(root: str, payload: str, *,
                    name: str = "_CURRENT") -> None:
     """Atomically publish ``payload`` as the live pointer under ``root``.
@@ -86,16 +103,7 @@ def commit_pointer(root: str, payload: str, *,
     # rename itself is still unflushed — after reboot the pointer would
     # name deleted directories. Payload fsync alone does not order the
     # dirent against later operations (r11 round-close review).
-    try:
-        fd = os.open(root, os.O_RDONLY)
-    except OSError:
-        return
-    try:
-        os.fsync(fd)
-    except OSError:
-        pass  # some filesystems reject directory fsync; best effort
-    finally:
-        os.close(fd)
+    _fsync_dirent(root)
 
 
 def resolve_pointer(root: str, *, name: str = "_CURRENT") -> str | None:
@@ -276,6 +284,19 @@ def table_lock(target_path: str, *, timeout: float = 300.0,
                            "owner's)", lockd)
 
 
+def _is_table_dir(path: str) -> bool:
+    """True when ``path`` is a directory carrying any committed-table
+    marker — the ONE definition of "a table exists here", shared by the
+    bootstrap existence check and the seed's refuse-to-delete guard so
+    the two can never drift apart (drift would let the seed rmtree a
+    dir the caller considers a committed table)."""
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") or f == "_SUCCESS"
+        or f.startswith("_kb=")       # bucketed layout IS the table
+        or f == _MANIFEST             # manifest-routed bucket layout
+        for f in os.listdir(path))
+
+
 def _contains_null_type(dt: T.DataType) -> bool:
     """True when the type (recursively) contains NullType — Spark's
     parquet writer rejects void columns loudly, and the seed path must
@@ -302,10 +323,19 @@ def _write_empty_seed(path: str, schema: T.StructType) -> None:
     parquet-type fallback conversion — just as if Spark had written the
     seed itself. Build-aside (uuid-suffixed, module convention) +
     atomic rename; staged bytes fsynced before the rename via
-    :func:`_fsync_tree` and the parent dirent flushed after it, the
-    same data-before-publish ordering as the bucketed commit. NullType
+    :func:`_fsync_tree` and the parent dirent flushed after it (both
+    gated on ``FSYNC_STAGED_DATA`` — an unflushed dirent orders nothing
+    when the data beneath it was never flushed), the same
+    data-before-publish ordering as the bucketed commit. NullType
     anywhere in the schema raises up front so the caller's Spark
-    fallback reproduces the old loud bootstrap error."""
+    fallback reproduces the old loud bootstrap error.
+
+    Caller contract: runs under ``table_lock`` (the bootstrap in
+    :func:`create_table_if_not_exists` takes it), so the entry-time
+    staging sweep can only ever reclaim a CRASHED predecessor's dir,
+    never a live peer's mid-write staging — all creators serialize on
+    the lock. The marker refusal below stays as defense in depth for
+    any out-of-band caller."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -316,17 +346,17 @@ def _write_empty_seed(path: str, schema: T.StructType) -> None:
         {b"org.apache.spark.sql.parquet.row.metadata":
          schema.json().encode()})
     # reclaim crashed predecessors' staging dirs (recomputable garbage;
-    # same entry-time sweep discipline as _recover_upsert's .__tmp__*)
+    # same entry-time sweep discipline as _recover_upsert's .__tmp__*,
+    # and like that sweep it runs under the table lock)
     for stale in glob_mod.glob(glob_mod.escape(path) + ".__seed__*"):
         shutil.rmtree(stale, ignore_errors=True)
     if os.path.isdir(path):
-        if any(f.endswith(".parquet") or f == "_SUCCESS"
-               or f.startswith("_kb=") or f == _MANIFEST
-               for f in os.listdir(path)):
-            # a concurrent creator committed between the caller's check
-            # and here — refuse rather than delete its table (the old
-            # Spark mode('overwrite') write WOULD have deleted it; the
-            # caller's except path re-checks and returns False)
+        if _is_table_dir(path):
+            # a committed table is already here (an out-of-band creator,
+            # or a caller that skipped the existence check) — refuse
+            # rather than delete it (the old Spark mode('overwrite')
+            # write WOULD have deleted it; the caller's except path
+            # re-checks and returns False)
             raise FileExistsError(path)
         shutil.rmtree(path)          # stray non-table dir: mirror overwrite
     tmp = path + f".__seed__{uuid.uuid4().hex[:8]}"
@@ -341,14 +371,8 @@ def _write_empty_seed(path: str, schema: T.StructType) -> None:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)  # don't leak the aside
         raise
-    try:                             # order the rename like commit_pointer
-        fd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-    except OSError:
-        pass  # some filesystems reject directory fsync; best effort
+    if FSYNC_STAGED_DATA:            # order the rename like commit_pointer
+        _fsync_dirent(os.path.dirname(path))
 
 
 def create_table_if_not_exists(spark: SparkSession, path: str,
@@ -362,35 +386,35 @@ def create_table_if_not_exists(spark: SparkSession, path: str,
     Hadoop commit protocol, ~0.9 s on the bench host) purely to emit a
     zero-row file; guide §5 (the driver should do almost no data work —
     and scheduling a cluster job to write 0 rows is the inverse). Types
-    the Arrow converter cannot express fall back to the Spark write;
-    a seed failure re-checks for the table first, because a failed
-    rename may MEAN a concurrent creator just won — falling straight
-    into the mode('overwrite') Spark write there would delete the
-    winner's committed rows."""
+    the Arrow converter cannot express fall back to the Spark write.
 
-    def _table_exists() -> bool:
-        return os.path.isdir(path) and any(
-            f.endswith(".parquet") or f == "_SUCCESS"
-            or f.startswith("_kb=")       # bucketed layout IS the table
-            or f == _MANIFEST             # manifest-routed bucket layout
-            for f in os.listdir(path))
-
-    if _table_exists():
-        return False
-    try:
-        _write_empty_seed(path, schema)
-    except Exception:
-        if _table_exists():           # lost a creation race — not ours
-            logger.info("create_table_if_not_exists: driver seed lost "
-                        "a concurrent-creation race at %s; keeping the "
-                        "winner's table", path)
+    Creation is serialized under :func:`table_lock`, like every other
+    mutating entry point in this module — exclusion closes the
+    concurrent-creation TOCTOU wholesale (the existence re-check, the
+    staging sweep, the seed rename AND the destructive
+    ``mode('overwrite')`` fallback job all run while no peer can
+    mutate the table), instead of point-patching each window. The
+    except-path re-check stays as defense in depth against creators
+    that bypass this function."""
+    if _is_table_dir(path):           # cheap lock-free fast path: the
+        return False                  # common case is "already exists"
+    with table_lock(path):
+        if _is_table_dir(path):       # a peer created it while we waited
             return False
-        logger.warning("create_table_if_not_exists: driver-side seed "
-                       "failed at %s; falling back to the Spark write",
-                       path, exc_info=True)
-        spark.createDataFrame([], schema).write.mode("overwrite") \
-            .parquet(path)
-    return True
+        try:
+            _write_empty_seed(path, schema)
+        except Exception:
+            if _is_table_dir(path):   # an out-of-band creator won
+                logger.info("create_table_if_not_exists: driver seed "
+                            "lost a creation race at %s; keeping the "
+                            "winner's table", path)
+                return False
+            logger.warning("create_table_if_not_exists: driver-side "
+                           "seed failed at %s; falling back to the "
+                           "Spark write", path, exc_info=True)
+            spark.createDataFrame([], schema).write.mode("overwrite") \
+                .parquet(path)
+        return True
 
 
 def dedupe_last_write_wins(df: DataFrame, key_col: str = "doc_id",

@@ -260,6 +260,78 @@ class TestUpsert:
             assert got.schema == spark.read.parquet(sparkw).schema, name
             assert got.count() == 0, name
 
+    def test_seed_rejects_null_type_up_front(self, spark, tmp_path):
+        """The seed must not be WIDER than the Spark writer it replaces:
+        pyarrow happily writes a void column Spark can never write to,
+        so NullType anywhere in the schema must raise before anything
+        touches disk — recursively, including nested positions."""
+        nested_nulls = [
+            T.StructType([T.StructField("x", T.NullType())]),
+            T.StructType([T.StructField(
+                "a", T.ArrayType(T.NullType()))]),
+            T.StructType([T.StructField(
+                "m", T.MapType(T.StringType(), T.NullType()))]),
+            T.StructType([T.StructField("s", T.StructType(
+                [T.StructField("inner", T.NullType())]))]),
+        ]
+        for sch in nested_nulls:
+            assert kg_table._contains_null_type(sch), sch
+            with pytest.raises(ValueError, match="void column"):
+                kg_table._write_empty_seed(str(tmp_path / "void"), sch)
+            assert not os.path.exists(str(tmp_path / "void"))
+        assert not kg_table._contains_null_type(self.SCHEMA)
+
+    def test_seed_refuses_to_delete_marker_dirs(self, tmp_path):
+        """_write_empty_seed must never rmtree a dir carrying any
+        committed-table marker — the refusal that keeps a creation race
+        from destroying the winner's table."""
+        for marker, is_dir in [("x.parquet", False), ("_SUCCESS", False),
+                               ("_kb=00000", True),
+                               (kg_table._MANIFEST, False)]:
+            p = str(tmp_path / f"t_{marker.replace('=', '_')}")
+            os.makedirs(p)
+            if is_dir:
+                os.makedirs(os.path.join(p, marker))
+            else:
+                with open(os.path.join(p, marker), "w") as fh:
+                    fh.write("keep me")
+            with pytest.raises(FileExistsError):
+                kg_table._write_empty_seed(p, self.SCHEMA)
+            assert os.path.exists(os.path.join(p, marker)), marker
+
+    def test_seed_lost_race_returns_false_keeps_winner(
+            self, spark, tmp_path, monkeypatch):
+        """If the seed fails AND a table now exists (an out-of-band
+        creator won), create_table_if_not_exists must report 'not
+        created' and leave the winner's table alone — never fall into
+        the destructive Spark overwrite."""
+        p = str(tmp_path / "t")
+
+        def winner_then_fail(path, schema):
+            os.makedirs(path)
+            with open(os.path.join(path, "part-w.parquet"), "w") as fh:
+                fh.write("winner's data")
+            raise RuntimeError("simulated lost race")
+
+        monkeypatch.setattr(kg_table, "_write_empty_seed",
+                            winner_then_fail)
+        assert not kg_table.create_table_if_not_exists(
+            spark, p, self.SCHEMA)
+        with open(os.path.join(p, "part-w.parquet")) as fh:
+            assert fh.read() == "winner's data"
+
+    def test_seed_sweeps_stale_staging(self, spark, tmp_path):
+        """A crashed predecessor's .__seed__* staging dir is reclaimed
+        at entry (under the table lock) instead of leaking forever."""
+        p = str(tmp_path / "t")
+        stale = p + ".__seed__deadbeef"
+        os.makedirs(stale)
+        with open(os.path.join(stale, "junk.parquet"), "w") as fh:
+            fh.write("junk")
+        assert kg_table.create_table_if_not_exists(spark, p, self.SCHEMA)
+        assert not os.path.exists(stale)
+        assert spark.read.parquet(p).count() == 0
+
     def test_last_write_wins_across_batches(self, spark, tmp_path):
         p = str(tmp_path / "t")
         b1 = spark.createDataFrame(
