@@ -123,11 +123,59 @@ def get_spark(app_name: str = "dig_etl_engine_spark",
         .config("spark.sql.join.preferSortMergeJoin",
                 os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
     )
+    for k, v in _worker_preload_confs(master).items():
+        b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def _worker_preload_confs(master: str | None = None) -> dict[str, str]:
+    """Python-worker preload confs (guide §4.5, hoisted one level
+    further): the stock pyspark daemon forks workers that each pay the
+    pandas+pyarrow import chain on their first Arrow/pandas task
+    (measured 0.25-0.4 s of pure CPU per worker on this host, amplified
+    by fork bursts — 13-50 fresh workers observed on bursty runs at
+    local[32], 8.8-10 s aggregate per 32-worker burst; at cluster scale
+    it is executors × workers-per-executor × that cost on every cold
+    start). The top-level ``dig_etl_worker_preload`` module imports them
+    ONCE in the daemon, so forked children inherit the modules
+    copy-on-write.
+
+    The daemon module must be importable by the WORKER Python — the
+    daemon starts before addPyFile ships anything, and ``-m`` resolution
+    ignores SparkFiles — so a wrong guess here bricks every Python task
+    on the cluster ("Python worker failed to connect back"). The conf is
+    therefore applied automatically only for ``local`` masters, where
+    the workers share the driver's filesystem and we extend
+    ``spark.executorEnv.PYTHONPATH`` with this package's parent so
+    driver resolvability implies worker resolvability. A multi-node
+    deployment that has installed the module on every executor host
+    opts in explicitly with ``SPARK_GRAFT_WORKER_PRELOAD=force``; any
+    of off/false/0/no reverts to the stock daemon with no code change.
+    The module-resolvability guard (file next to the package, or
+    driver ``find_spec`` for an installed copy) protects against an
+    un-importable module, which (unlike a failed PRELOAD import,
+    swallowed inside the module) would break worker startup outright."""
+    flag = os.environ.get("SPARK_GRAFT_WORKER_PRELOAD", "on").lower()
+    if flag in ("off", "false", "0", "no"):
+        return {}
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus or '*'}]")
+    if not master.startswith("local") and flag != "force":
+        return {}
+    import importlib.util
+    pkg_parent = str(Path(__file__).resolve().parent.parent)
+    if (not (Path(pkg_parent) / "dig_etl_worker_preload.py").is_file()
+            and importlib.util.find_spec("dig_etl_worker_preload") is None):
+        return {}
+    merged = os.pathsep.join(
+        p for p in (pkg_parent, os.environ.get("PYTHONPATH", "")) if p)
+    return {"spark.python.daemon.module": "dig_etl_worker_preload",
+            "spark.executorEnv.PYTHONPATH": merged}
 
 
 def ship_package(spark: SparkSession) -> None:
