@@ -311,12 +311,32 @@ def glossary_matches(docs: DataFrame, text_col: str, glossary: DataFrame,
     t = F.col(text_col) if case_sensitive else safe_lower(F.col(text_col))
     term = F.col(term_col) if case_sensitive else safe_lower(F.col(term_col))
     padded = F.concat(F.lit(" "), t, F.lit(" "))
+    # Project the padded casefold BELOW the join (r12, guide §2.4/§4.2):
+    # inlined in the join condition it re-evaluates the full-text
+    # lower()/translate() once per (doc, term) PAIR — |glossary|× per
+    # document; as a child Project it runs once per document and the
+    # per-pair work is a bare Contains. Also prunes the doc side to the
+    # two columns the join needs (§2.3).
+    # The dedup is repartitioned by doc_key ALONE (r12, guide §2.4):
+    # HashPartitioning(doc_key) satisfies the (doc_key, term) dedup's
+    # clustering requirement AND every downstream doc-keyed consumer —
+    # the search compiler's per-doc dedup + score aggregation and its
+    # doc join, high_confidence_keys' per-doc collect — so the whole
+    # chain shares this ONE exchange instead of re-shuffling per step.
+    # The trade (map-side partial dedup now happens above the exchange,
+    # not below) costs nothing here: the contains join emits at most
+    # one row per (doc, term) pair, so there are no duplicates for a
+    # partial aggregate to collapse; the dedup only guards against
+    # case-fold-colliding glossary entries.
     return (
-        docs.join(
+        docs.select(F.col(doc_key), padded.alias("__pt"))
+        .join(
             F.broadcast(glossary.select(term.alias("__term"))),
-            padded.contains(F.concat(F.lit(" "), F.col("__term"), F.lit(" "))),
+            F.col("__pt").contains(
+                F.concat(F.lit(" "), F.col("__term"), F.lit(" "))),
         )
         .select(F.col(doc_key), F.col("__term").alias("term"))
+        .repartition(F.col(doc_key))
         .distinct()
     )
 

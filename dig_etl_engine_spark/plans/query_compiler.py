@@ -173,6 +173,23 @@ def compile_query(
         # field-partitioned index table; Catalyst pushes the IN to parquet.
         idx = index.filter(F.col("field").isin(sorted(fanout_fields)))
         key_padded = F.concat(F.lit(" "), F.col("key"), F.lit(" "))
+        # Probe-value pre-filter on `key` (r12, guide §2.4/§3.2): the
+        # probes are driver-side literals, so the key half of the join
+        # condition — OR'd across probe rows — is a plain single-side
+        # predicate. It is IMPLIED by the join (any row surviving the
+        # join satisfies at least one disjunct), so results are
+        # untouched, but Catalyst can push it through the index's
+        # dedup aggregate and, for inline index builds, into the
+        # glossary broadcast side of the contains join — the docs ×
+        # glossary nested-loop then tests only probe-relevant terms
+        # instead of the whole glossary. On a materialized index it
+        # prunes the scan's output before anything joins.
+        key_pre: Column | None = None
+        for (_cid, _pf, _pm, _ps, v, kind, _w) in probe_rows:
+            p = (key_padded.contains(f" {v} ") | (F.col("key") == v)) \
+                if kind == "match_phrase" else (F.col("key") == v)
+            key_pre = p if key_pre is None else (key_pre | p)
+        idx = idx.filter(key_pre)
         cond = (
             (F.col("field") == F.col("p_field"))
             & ((F.col("p_method") == "*") | (F.col("method") == F.col("p_method")))
@@ -200,6 +217,8 @@ def compile_query(
     text_score: Column = F.lit(0.0)
     text_clause_flags: dict[int, Column] = {}
     for c in clauses:
+        if not c.text_refs:
+            continue
         flag = F.lit(False)
         for r in c.text_refs:
             w = cfg.weights.resolve(r.field, r.method, r.segment)
@@ -208,44 +227,11 @@ def compile_query(
             flag = flag | m
         text_clause_flags[c.clause_id] = flag
 
-    # ---- combine, Q5 gate, Q10 filters, rank ---------------------------------
-    result = docs
-    if per_doc_index is not None:
-        result = result.join(per_doc_index,
-                             result[doc_id] == per_doc_index["_pdi_doc_id"],
-                             "left").drop("_pdi_doc_id")
-    else:
-        result = result.withColumn("_idx_score", F.lit(None).cast("double")) \
-                       .withColumn("_idx_clauses", F.array().cast("array<int>"))
-
-    score = F.coalesce(F.col("_idx_score"), F.lit(0.0)) + text_score
-    idx_clauses = F.coalesce(F.col("_idx_clauses"), F.array().cast("array<int>"))
-
-    satisfied = F.lit(True)
-    for c in clauses:
-        in_index = F.array_contains(idx_clauses, c.clause_id) \
-            if c.index_refs else F.lit(False)
-        in_text = text_clause_flags.get(c.clause_id, F.lit(False))
-        satisfied = satisfied & (in_index | in_text)
-
-    # Q10: structured filters — hard predicates, or scored shoulds.
-    for flt in query.get("filters", []):
-        pred = _compile_filter(flt)
-        if cfg.convert_filters_to_shoulds:
-            score = score + F.when(pred, F.lit(cfg.boost_shoulds)).otherwise(F.lit(0.0))
-        else:
-            satisfied = satisfied & pred
-
-    result = (
-        result.withColumn("score", F.round(score, 6))
-        .filter(satisfied)
-        .drop("_idx_score", "_idx_clauses")
-    )
-
     # Q10 highlight: for each configured text zone, return the whole field
     # with every clause term wrapped in <em>…</em> (ES highlight with
     # number_of_fragments: 0). One native case-insensitive regexp_replace
-    # per field; NULL when nothing matched there.
+    # per field; NULL when nothing matched there. Built here (not after
+    # the join) so it rides the doc-side projection below.
     highlight_cols: list[Column] = []
     if cfg.highlight_fields:
         import re as _re
@@ -271,14 +257,68 @@ def compile_query(
                            F.regexp_replace(F.col(hf), pat, "<em>$1</em>"))
                     .alias(f"highlight_{hf}"))
 
+    # Q10 filters — per-doc expressions, precomputed with the flags below.
+    # (The DSL filters doc-table fields; index-derived columns are not
+    # addressable here, same as the projected output contract.)
+    filter_preds = [_compile_filter(flt) for flt in query.get("filters", [])]
+
+    # ---- doc-side precompute + projection (r12, guide §2.3) ------------------
+    # Everything the post-join pipeline needs from the doc table is a
+    # per-doc expression: text-zone flags/score, highlight columns, Q10
+    # filter predicates, and the projected source fields. Compute them
+    # BELOW the join and project away every other column — above all the
+    # raw text zones — so the doc-side join exchange carries a few flag
+    # bytes per row instead of full documents. The expressions are
+    # unchanged, only evaluated one operator earlier; results identical.
+    out_cols = cfg.default_source_fields or list(docs.columns)
+    out_cols = [c for c in out_cols if c not in cfg.excluded_source_fields]
+    if doc_id not in out_cols:
+        out_cols = [doc_id, *out_cols]
+    pre = [F.col(c) for c in out_cols]
+    pre.append(text_score.alias("_txt_score"))
+    pre += [flag.alias(f"_tflag_{cid}")
+            for cid, flag in text_clause_flags.items()]
+    pre += [p.alias(f"_flt_{i}") for i, p in enumerate(filter_preds)]
+    pre += highlight_cols          # already aliased highlight_<field>
+    doc_side = docs.select(*pre)
+
+    # ---- combine, Q5 gate, Q10 filters, rank ---------------------------------
+    result = doc_side
+    if per_doc_index is not None:
+        result = result.join(per_doc_index,
+                             result[doc_id] == per_doc_index["_pdi_doc_id"],
+                             "left").drop("_pdi_doc_id")
+    else:
+        result = result.withColumn("_idx_score", F.lit(None).cast("double")) \
+                       .withColumn("_idx_clauses", F.array().cast("array<int>"))
+
+    score = F.coalesce(F.col("_idx_score"), F.lit(0.0)) + F.col("_txt_score")
+    idx_clauses = F.coalesce(F.col("_idx_clauses"), F.array().cast("array<int>"))
+
+    satisfied = F.lit(True)
+    for c in clauses:
+        in_index = F.array_contains(idx_clauses, c.clause_id) \
+            if c.index_refs else F.lit(False)
+        in_text = F.col(f"_tflag_{c.clause_id}") \
+            if c.clause_id in text_clause_flags else F.lit(False)
+        satisfied = satisfied & (in_index | in_text)
+
+    # Q10: structured filters — hard predicates, or scored shoulds.
+    for i in range(len(filter_preds)):
+        pred = F.col(f"_flt_{i}")
+        if cfg.convert_filters_to_shoulds:
+            score = score + F.when(pred, F.lit(cfg.boost_shoulds)).otherwise(F.lit(0.0))
+        else:
+            satisfied = satisfied & pred
+
+    result = result.withColumn("score", F.round(score, 6)).filter(satisfied)
+
     # Q10 projection: default source fields minus the exclude list
-    # (never ship raw_content back to clients).
-    cols = cfg.default_source_fields or [
-        c for c in result.columns if c not in ("score",)]
-    cols = [c for c in cols if c not in cfg.excluded_source_fields]
-    if doc_id not in cols:
-        cols = [doc_id, *cols]
-    result = result.select(*cols, *highlight_cols, "score")
+    # (never ship raw_content back to clients) — the prune itself
+    # happened in the doc-side projection; this orders the output.
+    hl_names = [f"highlight_{hf}" for hf in cfg.highlight_fields] \
+        if highlight_cols else []
+    result = result.select(*out_cols, *hl_names, "score")
 
     # Q13: deterministic total order + paging.
     size = int(query.get("size", 10))

@@ -174,6 +174,33 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # the two not already re-checking above join the list:
     "stream_dedup_ingest": 12,
     "stream_decontaminate_ingest": 12,
+    # r12 wave 6: the search compiler + glossary matcher restructure
+    # (plans/query_compiler.py::compile_query,
+    # functions/extractors.py::glossary_matches): (1) the padded
+    # casefold of the doc text is projected BELOW the glossary contains
+    # join instead of being inlined in its condition (once per doc, not
+    # once per doc×term pair); (2) an implied-by-the-join probe-value
+    # pre-filter on `key` prunes the index/glossary side before the
+    # contains join; (3) text-zone flags/score, highlight columns and
+    # Q10 filter predicates are computed below the index join and the
+    # raw text columns are projected away before the doc-side exchange.
+    # All three are expression-motion only — the same expressions over
+    # the same rows, evaluated one operator earlier, plus a filter
+    # implied by the join condition — and every query listed here
+    # re-verified MATCH at sf0.01 immediately after the change; but the
+    # executed trees changed, so the driver re-checks them.
+    "coarse_search_rank": 12,
+    "coarse_search_rank_materialized": 12,
+    "search_highlight": 12,
+    "search_synonym_expansion": 12,
+    "search_filters_to_shoulds": 12,
+    "search_hard_filter": 12,
+    "search_paging": 12,
+    "search_zone_weighted_variant": 12,
+    "facet_keyword_counts": 12,
+    "glossary_extract": 12,
+    "high_confidence_keys": 12,
+    "golden_elicit_pipeline": 12,
     # Deliberately NOT listed (r12 optimization round, cannot move
     # results): the session/conf work — call-site-capture off,
     # checkpoint-file checksums off, periodic ContextCleaner GC,

