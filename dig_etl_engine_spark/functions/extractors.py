@@ -324,14 +324,20 @@ def glossary_matches(docs: DataFrame, text_col: str, glossary: DataFrame,
     # doc join, high_confidence_keys' per-doc collect — so the whole
     # chain shares this ONE exchange instead of re-shuffling per step.
     # The trade (map-side partial dedup now happens above the exchange,
-    # not below) costs nothing here: the contains join emits at most
-    # one row per (doc, term) pair, so there are no duplicates for a
-    # partial aggregate to collapse; the dedup only guards against
-    # case-fold-colliding glossary entries.
+    # not below) costs nothing here: with the broadcast side distinct'd
+    # the contains join emits exactly one row per matching (doc, term)
+    # pair, so there are no duplicates for a partial aggregate to
+    # collapse and the final distinct is pure safety.
     return (
         docs.select(F.col(doc_key), padded.alias("__pt"))
         .join(
-            F.broadcast(glossary.select(term.alias("__term"))),
+            # distinct: exact-duplicate glossary entries (and case-fold
+            # collisions) must collapse on the KB-sized broadcast side,
+            # not multiply join output across the doc_key exchange —
+            # this is what makes the at-most-one-row-per-(doc, term)
+            # claim below true for ANY glossary (wave-6 review
+            # finding 4)
+            F.broadcast(glossary.select(term.alias("__term")).distinct()),
             F.col("__pt").contains(
                 F.concat(F.lit(" "), F.col("__term"), F.lit(" "))),
         )

@@ -115,6 +115,22 @@ def preprocess(query: dict[str, Any], cfg: EngineConfig) -> list[CompiledClause]
     return out
 
 
+def _key_match(key_padded: Column, value: Column,
+               phrase: Column | bool) -> Column:
+    """The key half of the probe join condition — ONE definition shared
+    by the join itself (``phrase`` = the ``p_kind`` comparison Column)
+    and the implied single-side pre-filter (``phrase`` = the literal
+    kind, known driver-side). Keeping both callers on this helper is
+    what makes the pre-filter provably implied by the join: the two can
+    never drift apart (r12 wave-6 review finding 1)."""
+    phrase_pred = key_padded.contains(
+        F.concat(F.lit(" "), value, F.lit(" "))) | (F.col("key") == value)
+    eq_pred = F.col("key") == value
+    if isinstance(phrase, bool):
+        return phrase_pred if phrase else eq_pred
+    return F.when(phrase, phrase_pred).otherwise(eq_pred)
+
+
 def _text_match(doc_col: Column, values: list[str], kind: str) -> Column:
     """Match indicator on a full-text zone. 'match_phrase' → contiguous
     token-boundary phrase; 'match' → any constraint token present."""
@@ -185,27 +201,39 @@ def compile_query(
         # instead of the whole glossary. On a materialized index it
         # prunes the scan's output before anything joins.
         key_pre: Column | None = None
-        for (_cid, _pf, _pm, _ps, v, kind, _w) in probe_rows:
-            p = (key_padded.contains(f" {v} ") | (F.col("key") == v)) \
-                if kind == "match_phrase" else (F.col("key") == v)
+        # dedup (value, kind) pairs: a clause fanning out to k index
+        # fields repeats each value k times in probe_rows; k identical
+        # OR-disjuncts would evaluate k× per row (wave-6 review
+        # finding 3)
+        for v, kind in dict.fromkeys(
+                (r[4], r[5]) for r in probe_rows):
+            p = _key_match(key_padded, F.lit(v), kind == "match_phrase")
             key_pre = p if key_pre is None else (key_pre | p)
         idx = idx.filter(key_pre)
         cond = (
             (F.col("field") == F.col("p_field"))
             & ((F.col("p_method") == "*") | (F.col("method") == F.col("p_method")))
             & ((F.col("p_segment") == "*") | (F.col("segment") == F.col("p_segment")))
-            & F.when(F.col("p_kind") == "match_phrase",
-                     key_padded.contains(F.concat(F.lit(" "), F.col("p_value"), F.lit(" ")))
-                     | (F.col("key") == F.col("p_value")))
-               .otherwise(F.col("key") == F.col("p_value"))
+            & _key_match(key_padded, F.col("p_value"),
+                         F.col("p_kind") == "match_phrase")
         )
         matched = idx.join(F.broadcast(probes), cond)
         # Boolean match per (doc, clause, physical field): dedup before
         # summing so duplicate extractions don't double-count (ES indicator
         # semantics), then one aggregation keyed by doc.
+        # One doc_id repartition serves the whole chain (guide §2.4):
+        # HashPartitioning(doc_id) satisfies the dedup's clustering
+        # requirement (subset rule), the groupBy(doc_id), and the final
+        # doc join's right side. When the index is ALREADY doc_id-
+        # partitioned (the inline glossary path after its own
+        # repartition) Catalyst collapses this node into the existing
+        # exchange — verified empirically on this Spark — so the inline
+        # path stays at one matched-set shuffle while a materialized
+        # field-partitioned index drops from two to one.
         per_doc_index = (
             matched.select("doc_id", "clause_id", "p_field", "p_method",
                            "p_segment", "p_weight")
+            .repartition(F.col("doc_id"))
             .distinct()
             .groupBy("doc_id")
             .agg(F.sum("p_weight").alias("_idx_score"),
@@ -270,7 +298,12 @@ def compile_query(
     # raw text zones — so the doc-side join exchange carries a few flag
     # bytes per row instead of full documents. The expressions are
     # unchanged, only evaluated one operator earlier; results identical.
-    out_cols = cfg.default_source_fields or list(docs.columns)
+    # `c != "score"` preserves the pre-r12 contract: a doc table that
+    # itself carries a `score` column never leaks it into the output —
+    # the computed rank score is the only `score` (wave-6 review
+    # finding 2).
+    out_cols = cfg.default_source_fields or [
+        c for c in docs.columns if c != "score"]
     out_cols = [c for c in out_cols if c not in cfg.excluded_source_fields]
     if doc_id not in out_cols:
         out_cols = [doc_id, *out_cols]
