@@ -207,22 +207,40 @@ def assign_hyperplane_buckets(df: DataFrame, *, vec_col: str = "embedding",
 
 def ivf_kmeans_train(df: DataFrame, *, k: int = 8, iters: int = 5,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> tuple:
+                     vec_col: str = "embedding",
+                     carry_vec: bool = False) -> tuple:
     """Train IVF cells: Lloyd's k-means over the embedding column with
     DETERMINISTIC seeding (the k lowest-id vectors) and a FIXED iteration
     count — same data in, same centroids out, on any cluster layout.
 
-    Distributed shape per iteration:
-      * assignment — centroids (k×d, a few KB) close over an Arrow
-        ``mapInPandas`` pass; each batch computes its |batch|×k distance
-        block with one BLAS matmul. The corpus never shuffles.
-      * update — explode (cluster, dim, value) → groupBy(cluster, dim)
-        avg → collect k×d doubles to the driver. Model state crosses the
-        driver, data never does — the legitimate small-collect.
+    Distributed shape per iteration (r12): ONE fused Arrow
+    ``mapInPandas`` pass — each batch computes its |batch|×k distance
+    block with one BLAS matmul AND reduces it in-kernel to per-cluster
+    partial sums, emitting ≤ k×d rows per batch; ``groupBy(cluster,
+    dim)`` merges the partials and the k×d model collects to the driver.
+    The corpus never shuffles, never joins and never explodes. (The
+    pre-r12 update re-joined ``base`` with the corpus-sized assignment
+    by id — locally a corpus-sized BroadcastExchange, at 100 TB a full
+    corpus-by-id shuffle or an over-cap broadcast — and posexploded
+    corpus×d rows purely to feed ``avg()``.)
 
-    Returns (assignments DataFrame (id, cluster), centroids ndarray k×d).
-    Swap the fixed iteration count for a centroid-shift epsilon when
-    convergence-based stopping matters more than reproducibility.
+    FP note: the per-(cluster, dim) mean is sum(batch sums)/sum(batch
+    counts) instead of ``avg`` over individual values — a different
+    summation ORDER over the SAME row multiset. The mean was already
+    order-dependent (partial aggregation follows partitioning; the
+    DuckDB oracle and the numpy parity test each sum in their own order
+    and match), and the repartition-invariance property tests pin that
+    the low-bit drift never moves an assignment.
+
+    ``carry_vec=True`` makes the returned assignment carry the exact
+    (Arrow pass-through) double vector as ``v``, so consumers that need
+    (id, cluster, vector) — semdedup, contrastive mining, the IVF index
+    build — skip re-attaching the vector with a corpus-by-id join.
+
+    Returns (assignments DataFrame (id, cluster[, v]), centroids
+    ndarray k×d). Swap the fixed iteration count for a centroid-shift
+    epsilon when convergence-based stopping matters more than
+    reproducibility.
     """
     import numpy as np
     import pandas as pd
@@ -237,8 +255,17 @@ def ivf_kmeans_train(df: DataFrame, *, k: int = 8, iters: int = 5,
     seeds = base.orderBy("id").limit(k).collect()
     centroids = np.array([r["v"] for r in seeds], dtype=np.float64)
 
-    schema = T.StructType([T.StructField("id", T.LongType()),
-                           T.StructField("cluster", T.IntegerType())])
+    fields = [T.StructField("id", T.LongType()),
+              T.StructField("cluster", T.IntegerType())]
+    if carry_vec:
+        fields.append(T.StructField("v", T.ArrayType(T.DoubleType())))
+    schema = T.StructType(fields)
+
+    def nearest(m, cents, c2):
+        # squared L2 via the expansion; argmin ties break to the
+        # lowest cluster id (numpy argmin semantics)
+        d = (m ** 2).sum(axis=1)[:, None] - 2 * (m @ cents.T) + c2
+        return d.argmin(axis=1)
 
     def assign_fn(cents):
         c2 = (cents ** 2).sum(axis=1)
@@ -248,25 +275,57 @@ def ivf_kmeans_train(df: DataFrame, *, k: int = 8, iters: int = 5,
                 if not len(pdf):
                     continue
                 m = np.array(pdf["v"].tolist(), dtype=np.float64)
-                # squared L2 via the expansion; argmin ties break to the
-                # lowest cluster id (numpy argmin semantics)
-                d = (m ** 2).sum(axis=1)[:, None] - 2 * (m @ cents.T) + c2
-                yield pd.DataFrame({
-                    "id": pdf["id"].astype("int64"),
-                    "cluster": d.argmin(axis=1).astype("int32")})
+                out = {"id": pdf["id"].astype("int64"),
+                       "cluster": nearest(m, cents, c2).astype("int32")}
+                if carry_vec:
+                    out["v"] = pdf["v"]  # pass-through: exact doubles
+                yield pd.DataFrame(out)
         return run
 
-    assigned = None
+    def update_fn(cents):
+        kk, dd = cents.shape
+        c2 = (cents ** 2).sum(axis=1)
+        dims = np.arange(dd, dtype=np.int32)
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(pdf["v"].tolist(), dtype=np.float64)
+                a = nearest(m, cents, c2)
+                # per-dim bincount: C-speed group sums in ROW order —
+                # the same element order np.add.at would use, without
+                # its unbuffered 2-D scatter slow path
+                sums = np.empty((kk, dd))
+                for j in range(dd):
+                    sums[:, j] = np.bincount(a, weights=m[:, j],
+                                             minlength=kk)
+                counts = np.bincount(a, minlength=kk)
+                present = np.flatnonzero(counts)
+                yield pd.DataFrame({
+                    "cluster": np.repeat(present, dd).astype("int32"),
+                    "dim": np.tile(dims, len(present)),
+                    "s": sums[present].ravel(),
+                    "n": np.repeat(counts[present], dd)})
+        return run
+
+    last = centroids
     for _ in range(iters):
-        assigned = base.mapInPandas(assign_fn(centroids.copy()), schema)
-        upd = (base.join(assigned, "id")
-               .select("cluster", F.posexplode("v").alias("dim", "x"))
-               .groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+        last = centroids.copy()
+        upd = (base.mapInPandas(update_fn(last),
+                                "cluster int, dim int, s double, n long")
+               .groupBy("cluster", "dim")
+               .agg((F.sum("s") / F.sum("n")).alias("m"))
                .collect())
         nxt = centroids.copy()          # empty clusters keep their centroid
         for r in upd:
             nxt[r["cluster"], r["dim"]] = r["m"]
         centroids = nxt
+    # the returned assignment is under the PRE-final-update centroids —
+    # the same `assigned` the pre-r12 loop's last iteration returned
+    # (assignment under c_i, update producing c_{i+1}; callers get the
+    # last iteration's assignment plus the final centroids)
+    assigned = base.mapInPandas(assign_fn(last), schema)
     return assigned, centroids
 
 
@@ -500,16 +559,17 @@ def materialize_ivf_index(corpus: DataFrame, path: str, *, k: int = 8,
 
     spark = corpus.sparkSession
     assigned, centroids = ivf_kmeans_train(corpus, k=k, iters=iters,
-                                           id_col=id_col, vec_col=vec_col)
+                                           id_col=id_col, vec_col=vec_col,
+                                           carry_vec=True)
     # _ab append-partition column (-1 = base build): incremental batch
     # appends land in (cluster, _ab=<batch_id>) partitions so a streaming
     # retry replaces its own rows — see incremental_embedding_dedup.
     # v is stored as array<double> so base files and incremental appends
     # (whose assignment pass emits doubles) share one parquet schema —
     # a float base under double appends breaks non-mergeSchema reads.
-    (corpus.select(F.col(id_col).alias("id"),
-                   as_double(F.col(vec_col)).alias("v"))
-     .join(assigned, "id")
+    # carry_vec (r12): the assignment pass already held the vector; the
+    # pre-r12 corpus-by-id re-join that re-attached it is gone.
+    (assigned.select("id", "v", "cluster")
      .withColumn("_ab", F.lit(-1))
      .write.mode("overwrite").partitionBy("cluster", "_ab")
      .parquet(f"{path}/cells"))
@@ -806,6 +866,25 @@ def incremental_embedding_dedup(batch: DataFrame, index_path: str, *,
     return result
 
 
+def _gram_near_dup(v, scale: float, cut: int):
+    """The ONE in-kernel derivation of the quantized near-dup predicate
+    (shared by :func:`embedding_near_dup_pairs` and :func:`semdedup` so
+    prefilter and verdict cannot desync): L2-normalize the cell's
+    vectors, compute the Gram matrix with one BLAS matmul, and return
+    ``(sims, ai, bi)`` where (ai, bi) index the upper-triangle pairs
+    whose ``floor(cos·scale + 0.5)`` meets ``cut`` — the EXACT IEEE ops
+    of the JVM ``fixed()`` tree (r9 round-close review: a
+    subtracted-margin heuristic is 1 ulp too strict at some
+    thresholds)."""
+    import numpy as np
+
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = v @ v.T
+    ai, bi = np.where(np.triu(
+        np.floor(sims * scale + 0.5) >= cut, k=1))
+    return sims, ai, bi
+
+
 def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              cell_col: str = "label",
@@ -845,10 +924,7 @@ def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
         order = np.argsort(ids)
         ids = ids[order]
         v = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
-        v = v / np.linalg.norm(v, axis=1, keepdims=True)
-        sims = v @ v.T
-        ai, bi = np.where(np.triu(
-            np.floor(sims * _scale + 0.5) >= _cut, k=1))
+        sims, ai, bi = _gram_near_dup(v, _scale, _cut)
         return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi],
                              "cosine": sims[ai, bi]})
 
@@ -888,27 +964,44 @@ def semdedup(df: DataFrame, *, k: int = 8, iters: int = 3,
 
     Returns ``(id, cluster, kept)`` — one row per input vector.
 
-    Shape: the deterministic trainer (:func:`ivf_kmeans_train` — only
-    the k×d model crosses the driver) → one hash join to attach cluster
-    ids → :func:`embedding_near_dup_pairs` (one shuffle groups each
-    cluster; the cluster's pairwise block is a single BLAS Gram matmul)
-    → a left-anti-shaped marking join on the tiny dropped-id set. At
-    100 TB, k scales with corpus size so clusters stay
-    executor-memory-sized — the same contract the IVF search path
-    already imposes — and the pairwise work stays Θ(n·cluster_size),
-    not Θ(n²)."""
+    Shape (r12): the deterministic trainer (:func:`ivf_kmeans_train`
+    with ``carry_vec`` — only the k×d model crosses the driver, and the
+    assignment pass carries the vector out, so no join re-attaches it)
+    → ONE shuffle groups each cluster, where the cell kernel computes
+    the pairwise block as a single BLAS Gram matmul AND emits the
+    per-vector keep verdict directly (``kept[i]`` = no lower-id
+    cluster-mate within the threshold ball — exactly the doc_b-dropped
+    rule of the pre-r12 pairs + marking-join chain, decided by the SAME
+    quantized predicate, :func:`_gram_near_dup`; the r9 review already
+    proved that predicate bit-identical to the JVM ``fixed()`` filter
+    the old chain re-applied). One corpus pass, one shuffle, zero
+    joins — the pre-r12 chain ran the assignment pass twice and joined
+    the corpus by id to re-attach vectors. At 100 TB, k scales with
+    corpus size so clusters stay executor-memory-sized — the same
+    contract the IVF search path already imposes — and the pairwise
+    work stays Θ(n·cluster_size), not Θ(n²)."""
+    import numpy as np
+    import pandas as pd
+
     assigned, _cents = ivf_kmeans_train(df, k=k, iters=iters,
-                                        id_col=id_col, vec_col=vec_col)
-    cells = df.select(F.col(id_col).alias("id"), vec_col) \
-        .join(assigned, "id")
-    pairs = embedding_near_dup_pairs(
-        cells, id_col="id", vec_col=vec_col, cell_col="cluster",
-        threshold=threshold, round_digits=round_digits)
-    dropped = pairs.select(F.col("doc_b").alias("id")).distinct() \
-        .withColumn("dup", F.lit(True))
-    return (assigned.join(dropped, "id", "left")
-            .select(F.col("id").alias(id_col), "cluster",
-                    F.coalesce(~F.col("dup"), F.lit(True)).alias("kept")))
+                                        id_col=id_col, vec_col=vec_col,
+                                        carry_vec=True)
+    _scale = 10.0 ** round_digits
+    _cut = int(round(threshold * 10 ** round_digits))
+
+    def cell_verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        cl = pdf["cluster"].to_numpy()[order]
+        v = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        _sims, _ai, bi = _gram_near_dup(v, _scale, _cut)
+        kept = np.ones(len(ids), dtype=bool)
+        kept[bi] = False            # doc_b of any in-threshold pair
+        return pd.DataFrame({id_col: ids, "cluster": cl, "kept": kept})
+
+    return assigned.groupBy("cluster").applyInPandas(
+        cell_verdicts, f"{id_col} long, cluster int, kept boolean")
 
 
 def contrastive_pairs(df: DataFrame, *, k: int = 8, iters: int = 3,
@@ -942,11 +1035,12 @@ def contrastive_pairs(df: DataFrame, *, k: int = 8, iters: int = 3,
 
     neg_lo, neg_hi = neg_band
     assigned, _cents = ivf_kmeans_train(df, k=k, iters=iters,
-                                        id_col=id_col, vec_col=vec_col)
-    cells = df.select(F.col(id_col).alias("id"), vec_col) \
-        .join(assigned, "id")
+                                        id_col=id_col, vec_col=vec_col,
+                                        carry_vec=True)
+    # carry_vec (r12): same re-join elimination as semdedup — the
+    # assignment pass carries the vector to the per-cluster Gram step.
     pairs = embedding_near_dup_pairs(
-        cells, id_col="id", vec_col=vec_col, cell_col="cluster",
+        assigned, id_col="id", vec_col="v", cell_col="cluster",
         threshold=neg_lo, round_digits=round_digits)
     score = f"cosine_e{round_digits}"
     scaled = lambda t: int(round(t * 10 ** round_digits))  # noqa: E731

@@ -93,14 +93,31 @@ _PRIORITY_RECHECK: dict[str, int] = {
     "rag_pipeline_full": 9,
     "dedup_embedding_cosine": 9,
     "ann_hyperplane_lsh": 9,
-    "semdedup": 9,
-    "contrastive_pairs": 9,
-    "incremental_embedding_dedup": 9,
-    # ivf_kmeans_train additionally replaced a driver-side Python
-    # round() (HALF-EVEN!) over the sqrt-derived centroid norm with the
-    # same floor tree; its last verdict is r3 so it sorts near the
-    # front either way — the entry records WHY it must not be skipped
-    "ivf_kmeans_train": 9,
+    # r12 optimization round, wave 7: ivf_kmeans_train's per-iteration
+    # centroid update is now ONE fused Arrow pass emitting in-kernel
+    # per-cluster partial sums (operators/similarity.py) — the
+    # corpus-by-id re-join (locally a corpus-sized broadcast) and the
+    # corpus×dim posexplode feeding avg() are gone; the per-(cluster,
+    # dim) mean is sum(batch sums)/sum(batch counts), a different
+    # summation ORDER over the same multiset (already order-dependent:
+    # partial aggregation follows partitioning, and the DuckDB oracle
+    # sums in its own order). carry_vec=True additionally lets
+    # semdedup / contrastive_pairs / materialize_ivf_index consume the
+    # vector straight from the assignment pass instead of re-joining it
+    # by id. All seven queries executing the trainer re-verified MATCH
+    # vs the oracle at sf0.001 + sf0.01 + sf0.1 immediately after the
+    # change; the numpy-Lloyd's parity and repartition-invariance tests
+    # pin the semantics — but the executed trees changed, so the driver
+    # re-checks them. (semdedup / contrastive_pairs /
+    # incremental_embedding_dedup / ivf_kmeans_train previously carried
+    # r9 entries for the continuous-round conversions, long expired.)
+    "semdedup": 12,
+    "contrastive_pairs": 12,
+    "incremental_embedding_dedup": 12,
+    "ivf_kmeans_train": 12,
+    "pq_encode": 12,
+    "pq_adc_topk": 12,
+    "knn_ivf_indexed": 12,
     # r12: the bucketed table's commit/recovery protocol changed again
     # (sinks/kg_table.py — grace retention became configurable with a
     # v2 list-valued manifest grace format, reclamation moved from

@@ -297,6 +297,38 @@ def test_ivf_kmeans_matches_numpy_lloyds(spark):
     assert got == expected
 
 
+def test_ivf_kmeans_carry_vec_contract(spark):
+    """carry_vec=True (r12) must change ONLY what it adds: the
+    (id, cluster) assignment is identical to the carry_vec=False call,
+    and the carried ``v`` is the EXACT as_double(vec) — an Arrow
+    pass-through, not a recompute. Bit-exactness matters: consumers
+    feed ``v`` to the quantized cosine kernel, where one ulp flips a
+    keep/drop verdict. (Centroids are compared at the parity test's
+    tolerance, not bitwise: the update's final-aggregate merge order
+    follows shuffle fetch order, so two runs of the SAME code may
+    differ in low bits — true before and after the r12 update fusion.)"""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dig_etl_engine_spark.catalog import load_tables
+    from dig_etl_engine_spark.operators.similarity import (
+        as_double, ivf_kmeans_train)
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    a_plain, c_plain = ivf_kmeans_train(emb, k=4, iters=2)
+    a_carry, c_carry = ivf_kmeans_train(emb, k=4, iters=2,
+                                        carry_vec=True)
+    assert a_carry.columns == ["id", "cluster", "v"]
+    assert np.allclose(c_plain, c_carry, atol=1e-9)
+    plain = {r.id: r.cluster for r in a_plain.collect()}
+    carried = {r.id: (r.cluster, r.v) for r in a_carry.collect()}
+    assert {i: c for i, (c, _) in carried.items()} == plain
+    want = {r.vec_id: r.v for r in emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")).collect()}
+    for i, (_, v) in carried.items():
+        assert list(v) == list(want[i])     # exact doubles, no drift
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """ANN quality contract, measured: on data WITH cluster structure —
     IVF's operating assumption; on isotropic-random vectors nprobe=1
