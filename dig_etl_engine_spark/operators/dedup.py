@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.functions.bindings import bind_once
+from dig_etl_engine_spark.functions.localdf import local_df
 from dig_etl_engine_spark.operators.pin import pin
 
 logger = logging.getLogger(__name__)
@@ -363,8 +364,8 @@ def materialize_minhash_index(df: DataFrame, content_col: str, path: str, *,
     # (k, num_hashes, bands) NEVER collide with the indexed rows, and the
     # failure mode is silent zero matches — incremental readers load
     # these instead of trusting their own defaults
-    (df.sparkSession.createDataFrame(
-        [(k, num_hashes, bands)], "k int, num_hashes int, bands int")
+    (local_df(df.sparkSession,
+              [(k, num_hashes, bands)], "k int, num_hashes int, bands int")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
 
 

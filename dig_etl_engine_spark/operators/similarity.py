@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.operators.pin import pin
 from dig_etl_engine_spark.functions.casefold import safe_lower
+from dig_etl_engine_spark.functions.localdf import local_df
 
 
 def as_double(vec: Column) -> Column:
@@ -420,8 +421,8 @@ def pq_adc_search(queries: DataFrame, codes: DataFrame, books, *,
             pd_ = ((books[s] - qs) ** 2).sum(axis=1)
             rows.extend((int(r[0]), s, int(j), float(pd_[j]))
                         for j in range(len(pd_)))
-    ptab = spark.createDataFrame(
-        rows, "query_id long, s int, code int, pd double")
+    ptab = local_df(spark,
+                    rows, "query_id long, s int, code int, pd double")
     exploded = codes.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode("codes").alias("s", "code"))
@@ -613,7 +614,7 @@ def knn_ivf_indexed(queries: DataFrame, index_path: str, *, k: int = 5,
         # stable argsort: equidistant centroids probe lowest cluster first
         for c in np.argsort(d, kind="stable")[:nprobe]:
             probe_rows.append((int(r[0]), int(c)))
-    probes = spark.createDataFrame(probe_rows, "query_id long, cluster int")
+    probes = local_df(spark, probe_rows, "query_id long, cluster int")
     qv_df = queries.select(F.col(id_col).alias("query_id"),
                            as_double(F.col(vec_col)).alias("qv"))
     probed = probes.join(qv_df, "query_id")

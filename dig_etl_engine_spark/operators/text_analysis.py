@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.operators.pin import pin as _pin
 from dig_etl_engine_spark.functions.bindings import bind_once
+from dig_etl_engine_spark.functions.localdf import local_df
 from dig_etl_engine_spark.functions.casefold import safe_lower, sql_safe_lower
 from dig_etl_engine_spark.functions import exact as _ex
 
@@ -600,8 +601,8 @@ def sentiment_scores(df, *, id_col: str = "doc_id",
     lookups — the per-token work is a hash-join probe in codegen."""
     spark = df.sparkSession
     lex = lexicon or SENTIMENT_VALENCE
-    lex_df = spark.createDataFrame(list(lex.items()),
-                                   "tok string, valence int")
+    lex_df = local_df(spark, list(lex.items()),
+                      "tok string, valence int")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(safe_lower(F.col(text_col))),
@@ -1146,8 +1147,8 @@ def bpe_train_merges(df, *, text_col: str = "text", n_merges: int = 8):
     words excluded (they contribute no pairs).
     """
     merges, _ = _bpe_train(df, text_col=text_col, n_merges=n_merges)
-    return df.sparkSession.createDataFrame(
-        merges, "step INT, pair STRING, n BIGINT")
+    return local_df(df.sparkSession,
+                    merges, "step INT, pair STRING, n BIGINT")
 
 
 def _bpe_train(df, *, text_col: str, n_merges: int):

@@ -34,6 +34,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from dig_etl_engine_spark.functions.casefold import safe_lower
+from dig_etl_engine_spark.functions.localdf import local_df
 
 from dig_etl_engine_spark.plans.weights import WeightTree
 
@@ -180,8 +181,8 @@ def compile_query(
 
     per_doc_index = None
     if probe_rows:
-        probes = spark.createDataFrame(
-            probe_rows,
+        probes = local_df(
+            spark, probe_rows,
             "clause_id int, p_field string, p_method string, p_segment string,"
             " p_value string, p_kind string, p_weight double",
         )

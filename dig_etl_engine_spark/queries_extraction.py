@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.functions.localdf import local_df
 from dig_etl_engine_spark.functions import extractors as X
 from dig_etl_engine_spark.functions.kg import high_confidence_keys, kg_build, kg_index
 from dig_etl_engine_spark.queries import register
@@ -27,7 +28,7 @@ _GLOSSARY_VALUES_SQL = ", ".join(f"('{t}')" for t in GLOSSARY_TERMS)
 
 
 def _glossary_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([(t,) for t in GLOSSARY_TERMS], "term string")
+    return local_df(spark, [(t,) for t in GLOSSARY_TERMS], "term string")
 
 
 @register(

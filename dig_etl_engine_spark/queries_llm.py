@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.functions.localdf import local_df
 from dig_etl_engine_spark.operators import dedup as D
 from dig_etl_engine_spark.operators import similarity as S
 from dig_etl_engine_spark.operators import text_analysis as TA
@@ -440,8 +441,8 @@ def ivf_kmeans_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = [(int(i),
               int(math.floor(float(np.linalg.norm(c)) * 10000.0 + 0.5)))
              for i, c in enumerate(cents)]
-    ndf = spark.createDataFrame(
-        norms, "cluster int, centroid_norm_e4 long")
+    ndf = local_df(
+        spark, norms, "cluster int, centroid_norm_e4 long")
     return sizes.join(ndf, "cluster").select(
         "cluster", "n_vectors", "centroid_norm_e4")
 

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.functions.localdf import local_df
 from dig_etl_engine_spark.pipeline import python_doc_module, run_modules
 from dig_etl_engine_spark.queries import register
 
@@ -117,8 +118,8 @@ def _elicit_fixture(spark: SparkSession) -> DataFrame:
                 f"</body></html>")
         rows.append((f"doc{i:02d}",
                      f"http://news{i % 4}.example.org/{i}.html", body))
-    return spark.createDataFrame(
-        rows, "doc_id string, url string, raw_content string")
+    return local_df(
+        spark, rows, "doc_id string, url string, raw_content string")
 
 
 @register(
@@ -150,8 +151,8 @@ def golden_elicit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dig_etl_engine_spark.plans.weights import WeightRule, WeightTree
 
     docs = _elicit_fixture(spark)
-    glossary = spark.createDataFrame(
-        [("nigeria",), ("france",), ("japan",)], "term string")
+    glossary = local_df(
+        spark, [("nigeria",), ("france",), ("japan",)], "term string")
     with_zones = docs.withColumn(
         "content_strict", X.html_main_content(F.col("raw_content")))
     matches = X.glossary_matches(with_zones, "content_strict", glossary)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dig_etl_engine_spark.catalog import load_tables
+from dig_etl_engine_spark.functions.localdf import local_df
 from dig_etl_engine_spark.functions.casefold import safe_lower
 from dig_etl_engine_spark.functions import extractors as X
 from dig_etl_engine_spark.plans.query_compiler import (
@@ -335,8 +336,8 @@ def search_zone_weighted_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     the field map + weight tree are config, not code. A doc matching the
     strict zone also matches relaxed → score 6.5; token-only docs → 1.5."""
     docs = load_tables(spark, sf_dir)["documents"]
-    tdf = spark.createDataFrame([("hash value",), ("merge batch",)],
-                                "term string")
+    tdf = local_df(spark, [("hash value",), ("merge batch",)],
+                   "term string")
     padded = F.concat(F.lit(" "), safe_lower(F.col("text")), F.lit(" "))
     base = docs.crossJoin(F.broadcast(tdf)) \
         .select("doc_id", "term", padded.alias("pt"))

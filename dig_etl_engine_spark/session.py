@@ -106,6 +106,48 @@ def get_spark(app_name: str = "dig_etl_engine_spark",
         # guarantees).
         .config("spark.python.sql.dataFrameDebugging.enabled",
                 os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"))
+        # r13: let AQE size the partitions of plans that POPULATE a
+        # cache (default false keeps a cached plan's output partitioning
+        # stable so later queries can reuse it as a shuffle — a trade
+        # that only pays when consumers join/aggregate on exactly that
+        # key and partition count). The engine's persisted tables are
+        # vocabulary/model-sized reuse tables consumed by MAP passes
+        # (the BPE trainer's word table, micro-batch pins), where the
+        # frozen pre-AQE layout means 2×cores near-empty cached
+        # partitions and every downstream pass schedules that many
+        # no-op tasks PER ITERATION (measured: bpe_train_merges runs
+        # 9 × 64-task stages at local[32] carrying ~0.3 s of CPU each —
+        # task-count ∝ cores, work ~0; guide §2.4/§2.2). With AQE
+        # sizing, cached partitions follow bytes at every scale.
+        # Override: SPARK_GRAFT_CACHED_PLAN_AQE=false.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                os.environ.get("SPARK_GRAFT_CACHED_PLAN_AQE", "true"))
+        # r13: Hadoop's DEFAULT local filesystem (file:// →
+        # ChecksumFileSystem / ChecksumFs) writes a ``.crc`` sidecar for
+        # EVERY file it creates and doubles every rename — a THIRD
+        # integrity layer under the two Spark 4.1 already stacks (its
+        # own checkpoint checksums, disabled above with rationale, and
+        # the parquet footer/page checksums inside the files). jstack
+        # sampling of stream_e2e_curation put 21 of ~50 busy task
+        # samples inside ChecksumFs.renameInternal: the streaming state
+        # store commits one delta file per state partition per
+        # micro-batch, and each commit paid crc compute + a second
+        # file write + a second rename. The raw local FS drops the
+        # sidecars; on HDFS/S3/ABFS these confs are inert (different
+        # scheme), and those stores carry their own server-side
+        # checksums — which is exactly the redundancy argument. Local
+        # deployments on raw disks that want Hadoop-client checksums
+        # back set SPARK_GRAFT_LOCALFS_CRC=true.
+        .config("spark.hadoop.fs.file.impl",
+                "org.apache.hadoop.fs.LocalFileSystem"
+                if os.environ.get("SPARK_GRAFT_LOCALFS_CRC", "").lower()
+                in ("1", "true", "yes", "on")
+                else "org.apache.hadoop.fs.RawLocalFileSystem")
+        .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+                "org.apache.hadoop.fs.local.LocalFs"
+                if os.environ.get("SPARK_GRAFT_LOCALFS_CRC", "").lower()
+                in ("1", "true", "yes", "on")
+                else "org.apache.hadoop.fs.local.RawLocalFs")
         # Let the planner pick shuffled-hash join when its size
         # conditions hold instead of always preferring sort-merge
         # (optimization guide §3.1/§9: hash beats sort-merge when one

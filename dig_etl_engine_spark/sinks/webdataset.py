@@ -71,6 +71,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dig_etl_engine_spark.functions.localdf import local_df
 from pyspark.sql import types as T
 
 _MANIFEST_SCHEMA = T.StructType([
@@ -374,7 +375,7 @@ def _write_webdataset_locked(df: DataFrame, path: str, *, id_col: str,
     final_rows = [(r["shard"], f, r["n_docs"], r["n_bytes"])
                   for r, f in zip(rows, finals)]
     shutil.rmtree(staging, ignore_errors=True)
-    return spark.createDataFrame(final_rows, _MANIFEST_SCHEMA)
+    return local_df(spark, final_rows, _MANIFEST_SCHEMA)
 
 
 def iter_samples(tar: tarfile.TarFile) -> Iterator[tuple[str, dict[str, bytes]]]:

@@ -50,6 +50,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dig_etl_engine_spark.functions.localdf import local_df
 from pyspark.sql import types as T
 
 _MAGIC = b"Obj\x01"
@@ -419,7 +420,7 @@ def write_avro(df: DataFrame, path: str, *, codec: str = "deflate",
         final_rows = [(r["part"], f, r["n_rows"], r["n_bytes"])
                       for r, f in zip(rows, finals)]
         _shutil.rmtree(staging, ignore_errors=True)
-        return df.sparkSession.createDataFrame(final_rows, man_schema)
+        return local_df(df.sparkSession, final_rows, man_schema)
 
 
 # --- container read ----------------------------------------------------------

@@ -25,8 +25,10 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+from dig_etl_engine_spark.functions.localdf import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 ENCODING_FALLBACK = ("utf-8-sig", "latin-1", "utf-8", "utf-16")
 
@@ -161,4 +163,10 @@ def _grid_to_df(spark: SparkSession, rows: list[list[str]],
             continue
         padded = row + [""] * (hi - len(row))
         out.append(tuple(str(c).strip() for c in padded[lo - 1:hi]))
-    return spark.createDataFrame(out, names)
+    if not out:
+        return spark.createDataFrame(out, names)
+    # every cell is str() above, so the stock path would infer all-string
+    # anyway — pin that schema explicitly and take the LocalTableScan
+    # path (functions/localdf.py): zero Python-worker tasks per action.
+    schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+    return local_df(spark, out, schema)

@@ -1,10 +1,10 @@
-"""Capture ``explain("formatted")`` for headline queries → plans/r12/.
+"""Capture ``explain("formatted")`` for headline queries → plans/$SPARK_GRAFT_PLANS_DIR (default r12).
 
 Usage:
     python scripts/capture_plans.py before [query ...]
     python scripts/capture_plans.py after  [query ...]
 
-Writes ``plans/r12/<query>_<suffix>.txt`` for each named query (default:
+Writes ``plans/<dir>/<query>_<suffix>.txt`` for each named query (default:
 the full bench HEADLINE list). The capture runs at the bench scale
 factor dir ($SPARK_GRAFT_SF_DIR, default sf0.1) so the plans are the
 ones the bench actually executes. Queries whose construction
@@ -35,7 +35,7 @@ def main() -> None:
 
     spark = get_spark("capture_plans")
     qmap = registry.queries()
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get("SPARK_GRAFT_PLANS_DIR", "r12")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     for name in names:
