@@ -539,8 +539,8 @@ def incremental_minhash_dedup(batch: DataFrame, index_path: str, *,
         ob = spark.read.parquet(f"{index_path}/bands")
         osh = spark.read.parquet(f"{index_path}/shingles")
     except AnalysisException:
-        ob = spark.createDataFrame([], banded_new.schema)
-        osh = spark.createDataFrame([], sh_new.schema)
+        ob = local_df(spark, [], banded_new.schema)
+        osh = local_df(spark, [], sh_new.schema)
     if batch_id is not None and "_ab" in ob.columns:
         ob = ob.filter(F.col("_ab") != batch_id)
         osh = osh.filter(F.col("_ab") != batch_id)
@@ -844,7 +844,7 @@ def _connected_components_local(e: DataFrame) -> DataFrame:
     pdf = e.toPandas()
     schema = "doc_id long, component long"
     if len(pdf) == 0:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     nodes, labels = _cc_labels_numpy(pdf["u"].to_numpy(),
                                      pdf["v"].to_numpy())
     out = pd.DataFrame({"doc_id": nodes, "component": labels})

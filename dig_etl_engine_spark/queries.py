@@ -114,10 +114,10 @@ _PRIORITY_RECHECK: dict[str, int] = {
     "semdedup": 12,
     "contrastive_pairs": 12,
     "incremental_embedding_dedup": 12,
-    "ivf_kmeans_train": 12,
+    "ivf_kmeans_train": 13,  # r13: local-relation constructor (see r13 block)
     "pq_encode": 12,
-    "pq_adc_topk": 12,
-    "knn_ivf_indexed": 12,
+    "pq_adc_topk": 13,  # r13: local-relation constructor (see r13 block)
+    "knn_ivf_indexed": 13,  # r13: local-relation constructor (see r13 block)
     # r12: the bucketed table's commit/recovery protocol changed again
     # (sinks/kg_table.py — grace retention became configurable with a
     # v2 list-valued manifest grace format, reclamation moved from
@@ -168,8 +168,8 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # docs.count() job per run; the oracle's row-set equality subsumes
     # the check and tests pin the manifests). Returned rows unchanged,
     # but the executed function body changed.
-    "src_avro_roundtrip": 12,
-    "sink_webdataset_roundtrip": 12,
+    "src_avro_roundtrip": 13,  # r13: manifest local relation (see r13 block)
+    "sink_webdataset_roundtrip": 13,  # r13: manifest local relation (see r13 block)
     # r12 wave 3: connected_components / pagerank / label_propagation
     # entry pins became lazy (eager=False; the adjacent full action
     # materializes the checkpoint in the same job — one fewer job per
@@ -206,18 +206,41 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # implied by the join condition — and every query listed here
     # re-verified MATCH at sf0.01 immediately after the change; but the
     # executed trees changed, so the driver re-checks them.
-    "coarse_search_rank": 12,
-    "coarse_search_rank_materialized": 12,
-    "search_highlight": 12,
-    "search_synonym_expansion": 12,
-    "search_filters_to_shoulds": 12,
-    "search_hard_filter": 12,
-    "search_paging": 12,
-    "search_zone_weighted_variant": 12,
-    "facet_keyword_counts": 12,
-    "glossary_extract": 12,
-    "high_confidence_keys": 12,
-    "golden_elicit_pipeline": 12,
+    "coarse_search_rank": 13,  # r13: probe/glossary local relation (see r13 block)
+    "coarse_search_rank_materialized": 13,  # r13: probe/glossary local relation (see r13 block)
+    "search_highlight": 13,  # r13: probe/glossary local relation (see r13 block)
+    "search_synonym_expansion": 13,  # r13: probe/glossary local relation (see r13 block)
+    "search_filters_to_shoulds": 13,  # r13: probe/glossary local relation (see r13 block)
+    "search_hard_filter": 13,  # r13: probe/glossary local relation (see r13 block)
+    "search_paging": 13,  # r13: probe/glossary local relation (see r13 block)
+    "search_zone_weighted_variant": 13,  # r13: probe/glossary local relation (see r13 block)
+    "facet_keyword_counts": 13,  # r13: probe/glossary local relation (see r13 block)
+    "glossary_extract": 13,  # r13: probe/glossary local relation (see r13 block)
+    "high_confidence_keys": 13,  # r13: probe/glossary local relation (see r13 block)
+    "golden_elicit_pipeline": 13,  # r13: probe/glossary local relation (see r13 block)
+    # r13 optimization round: small driver-side literal relations moved
+    # from the pickled-RDD createDataFrame path to the Arrow
+    # LocalTableScan path (functions/localdf.py) — identical rows by
+    # construction (parity pinned by tests/test_localdf.py, NaN/nested/
+    # datetime values fall back to the stock path), but the executed
+    # trees changed for every query whose plan or fixture build contains
+    # one of the swapped relations: the BPE merge table, the sentiment
+    # lexicon, the PQ/IVF probe tables, the search compiler's probe
+    # rows, the glossary term lists, the windowed-CSV/Excel grid rows,
+    # the avro/webdataset export manifests, and the minhash index's
+    # build-params meta. All re-verified 176/176 MATCH in a fresh
+    # driver-like process right after the change; the driver window
+    # re-checks the direct executors listed here (the wave-6 names
+    # above were bumped 12 -> 13 for the same diff instead of being
+    # duplicated):
+    "bpe_train_merges": 13,
+    "sentiment_score": 13,
+    "glossary_extract_ngram_join": 13,
+    "src_csv_windowed": 13,
+    "src_excel_windowed": 13,
+    "incremental_minhash_dedup": 13,
+    "stream_dedup_ingest": 13,
+    "stream_dedup_ingest_oracle": 13,
     # Deliberately NOT listed (r12 optimization round, cannot move
     # results): the session/conf work — call-site-capture off,
     # checkpoint-file checksums off, periodic ContextCleaner GC,

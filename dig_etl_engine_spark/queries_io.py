@@ -99,7 +99,7 @@ _STREAM_CONF_LOCK = threading.Lock()
 
 
 @contextmanager
-def _stream_parts(spark: SparkSession, n: int = 16):
+def _stream_parts(spark: SparkSession, n: int = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "16"))):
     """Scope ``spark.sql.shuffle.partitions`` around a stream start: a
     stateful stream captures the conf into its FRESH checkpoint at first
     start and AQE never resizes stateful shuffles, so without this every

@@ -74,10 +74,23 @@ def read_tabular(spark: SparkSession, path: str,
     enc = sniff_encoding(path) if os.path.exists(path) else "utf-8"
 
     lines = spark.read.option("encoding", enc).text(path)
+    # 1-based row numbers WITHOUT the Python boundary (r13, guide §4.1):
+    # the former rdd.zipWithIndex() pickled every line JVM→Python→JVM —
+    # and re-ran that round trip for every action on `indexed` (the
+    # heading probe, the blank-row probe, and the final collect each
+    # paid a full pass through Python workers). row_number() ordered by
+    # monotonically_increasing_id() stays in the JVM and numbers rows
+    # by (partition index, intra-partition position) — exactly the
+    # order zipWithIndex used, so multi-split files keep the identical
+    # (if split-packing-dependent) numbering and single-split files
+    # (the reference's human-sized windowed sheets) keep exact file
+    # order. The single-partition window sort is bounded by the same
+    # doctrine that makes the zipWithIndex job acceptable.
+    from pyspark.sql import Window as _W
     indexed = (
-        lines.rdd.zipWithIndex()
-        .map(lambda t: (t[1] + 1, t[0].value))   # 1-based row numbers
-        .toDF(["row_num", "line"])
+        lines.withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("row_num", F.row_number().over(_W.orderBy("_mid")))
+        .select("row_num", F.col("value").alias("line"))
     )
 
     heading = indexed.filter(F.col("row_num") == spec.heading_row) \
