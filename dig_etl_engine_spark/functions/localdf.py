@@ -67,6 +67,11 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     else:
         from pyspark.sql.types import _parse_datatype_string
         names = _parse_datatype_string(schema).fieldNames()
+    if any(len(r) != len(names) for r in rows):
+        # pandas would silently NULL-pad/truncate ragged tuples where
+        # the stock path raises a length-mismatch error — keep the
+        # loud failure (r13 review).
+        return spark.createDataFrame(rows, schema)
     pdf = pd.DataFrame(rows, columns=names, dtype=object)
     try:
         return spark.createDataFrame(pdf, schema=schema)

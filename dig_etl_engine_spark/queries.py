@@ -189,7 +189,7 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # test_seed_read_schema_identical_to_spark_write); zero rows either
     # way — but every stream query's table-bootstrap path changed, so
     # the two not already re-checking above join the list:
-    "stream_dedup_ingest": 12,
+    "stream_dedup_ingest": 13,  # r13: minhash-index meta local relation (see r13 block)
     "stream_decontaminate_ingest": 12,
     # r12 wave 6: the search compiler + glossary matcher restructure
     # (plans/query_compiler.py::compile_query,
@@ -239,7 +239,6 @@ _PRIORITY_RECHECK: dict[str, int] = {
     "src_csv_windowed": 13,
     "src_excel_windowed": 13,
     "incremental_minhash_dedup": 13,
-    "stream_dedup_ingest": 13,
     "stream_dedup_ingest_oracle": 13,
     # Deliberately NOT listed (r12 optimization round, cannot move
     # results): the session/conf work — call-site-capture off,

@@ -99,7 +99,7 @@ _STREAM_CONF_LOCK = threading.Lock()
 
 
 @contextmanager
-def _stream_parts(spark: SparkSession, n: int = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "16"))):
+def _stream_parts(spark: SparkSession, n: int | None = None):
     """Scope ``spark.sql.shuffle.partitions`` around a stream start: a
     stateful stream captures the conf into its FRESH checkpoint at first
     start and AQE never resizes stateful shuffles, so without this every
@@ -126,6 +126,15 @@ def _stream_parts(spark: SparkSession, n: int = int(os.environ.get("SPARK_GRAFT_
     deployment trade in ``session.py``, which sets the same default
     for sessions the engine builds itself; this scope covers sessions
     the caller built — e.g. the round driver's correctness run)."""
+    # env read INSIDE the body (r13 review): a default-argument read is
+    # evaluated once at import time, so a malformed value would crash
+    # registry import and a post-import env change would be ignored —
+    # the knob's whole point is runtime sizing before a stream's FIRST
+    # start (production: partitions ~ distinct state keys / target
+    # keys-per-task; 16 is the fixture-scale default, kept after an
+    # 8-vs-16 interleaved A/B where 16 won both pairs).
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "16"))
     with _STREAM_CONF_LOCK:
         ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
         old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -12,9 +12,11 @@ Reference: ``utilities/data_import/dig_tabular_import.py:51-197`` —
   * short rows padded with '' to the heading width (`:185-197`).
 
 Spark design: the file is read as TEXT lines with a per-file line index
-(zipWithIndex — order within a text-file split sequence is the file
-order), the row window applied as a filter, and the surviving lines parsed
-with ``from_csv`` under an all-string schema. Row-windowed sheets are
+(``row_number()`` over ``monotonically_increasing_id()`` — JVM-only, the
+same (split, intra-split position) order the former ``zipWithIndex``
+used, without its per-action JVM→Python→JVM round trip), the row window
+applied as a filter, and the surviving lines parsed with ``from_csv``
+under an all-string schema. Row-windowed sheets are
 human-authored (small) by nature; files WITHOUT windowing options should
 use plain ``spark.read.csv`` (`plain_csv`) which scales to any size with
 pushdown intact.
@@ -176,10 +178,12 @@ def _grid_to_df(spark: SparkSession, rows: list[list[str]],
             continue
         padded = row + [""] * (hi - len(row))
         out.append(tuple(str(c).strip() for c in padded[lo - 1:hi]))
-    if not out:
-        return spark.createDataFrame(out, names)
     # every cell is str() above, so the stock path would infer all-string
     # anyway — pin that schema explicitly and take the LocalTableScan
     # path (functions/localdf.py): zero Python-worker tasks per action.
+    # The explicit schema also fixes the empty-window case (r13 review):
+    # createDataFrame([], name_list) raises "can not infer schema from
+    # empty dataset", so an all-blank content window now returns an
+    # empty all-string frame instead of crashing.
     schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
     return local_df(spark, out, schema)

@@ -91,3 +91,21 @@ def test_plan_is_local_table_scan(spark):
     df = local_df(spark, [(1, "x")], "id INT, s STRING")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" in plan
+
+
+def test_ragged_rows_fail_loudly(spark):
+    # pandas would silently NULL-pad a short tuple; the stock path
+    # raises — local_df must keep the loud failure (r13 review)
+    import pytest
+    with pytest.raises(Exception):
+        local_df(spark, [("a", 1), ("b",)], "s STRING, n BIGINT").collect()
+
+
+def test_empty_grid_window_returns_empty_frame(spark):
+    # an all-blank content window used to crash with "can not infer
+    # schema from empty dataset" (r13 review)
+    from dig_etl_engine_spark.sources.tabular import TabularSpec, _grid_to_df
+    df = _grid_to_df(spark, [["h1", "h2"], ["", ""]],
+                     TabularSpec(blank_row_ends_content=True))
+    assert df.columns == ["h1", "h2"]
+    assert df.collect() == []
